@@ -1,0 +1,34 @@
+"""raytracetorch_tpu — a TPU-native differentiable optical ray tracer.
+
+A from-scratch JAX/XLA re-design with the capabilities of
+myamakaitis/RayTraceTorch (see SURVEY.md for the reference blueprint and
+PARITY.md for documented behavioral divergences).
+"""
+
+from .constants import GeomKind, PhysKind, SBKind, VBKind
+from .core.sensor import SensorConfig, SensorState
+from .core.table import SurfaceRec, SurfaceTable
+from .core.trace import trace_nonsequential, trace_sequential
+from .elements.aperture import (CircularAperture, EllipticAperture,
+                                RectangularAperture)
+from .elements.base import Element, ElementCustom
+from .elements.ideal import (IdealCylThinLens, IdealMirror, IdealThinLens,
+                             LinearElement, paraxial_dist_mat,
+                             paraxial_lens_mat, paraxial_mirror_mat,
+                             paraxial_refract_mat)
+from .elements.lens import (CylSingletLens, DoubletLens, SingletLens,
+                            TripletLens)
+from .elements.mirror import (CylindricalMirror, ParabolicMirror,
+                              ParabolicMirrorXZ, SphericalMirror)
+from .elements.sensor import SensorElement
+from .elements.solids import Box4SideElement, BoxElement
+from .geom.transform import Frame, rodrigues
+from .rays.ray import Rays
+from .rays.sources import (Bundle, CollimatedDisk, CollimatedLine, Fan,
+                           GaussianBeam, LambertianEmission, LambertianSphere,
+                           MieScatter, PointSource, RayleighScatter,
+                           RectangularPanel, RingSource, SolidAngleEmission,
+                           sample_bundles)
+from .scene.scene import Scene, SequentialScene
+
+__version__ = '0.1.0'

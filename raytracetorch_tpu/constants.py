@@ -1,0 +1,84 @@
+"""Global numeric constants and kind enums for the TPU ray-trace engine.
+
+The epsilon constellation mirrors the reference implementation so that
+numerical behavior (hit acceptance, bound tolerances) matches:
+
+- ``INTERSECT_EPS`` — minimum accepted ray parameter t; hits closer than this
+  are treated as self-intersections and rejected
+  (reference: ``geom/primitives.py:6`` ``intersectEpsilon = 1e-6``).
+- ``SOLVER_EPS`` — |A| threshold below which the surface quadratic falls back
+  to the linear solution t = -C/B (reference: ``geom/primitives.py:21,300``).
+- ``BIG`` — finite stand-in for "miss" (the reference uses ``float('inf')``;
+  we use a large finite value so masked arithmetic never produces inf-inf
+  NaNs in forward or backward passes).
+"""
+
+import enum
+
+INTERSECT_EPS = 1e-6   # reference geom/primitives.py:6
+SOLVER_EPS = 1e-6      # reference geom/primitives.py:21 (self.epsilon)
+SHAPE_EPS = 1e-7       # reference geom/shape.py:17 (unused in hot path)
+NORMAL_EPS = 1e-8      # reference geom/primitives.py:341,489
+BIG = 1e30             # finite "miss" distance
+HIT_THRESHOLD = 1e29   # t below this counts as a hit (t_masked < HIT_THRESHOLD)
+
+# Bound-check tolerances (match reference literals)
+CVX_EPS = 1e-4         # reference geom/shape.py:127 (half-space slack)
+CYL_RECT_EPS = 1e-5    # reference geom/cylindrics.py:36 (aperture slack)
+CYL_EDGE_EPS = 1e-4    # reference geom/cylindrics.py:51 (edge z slack)
+
+MAX_HALFSPACES = 8     # padded per-surface half-space bound capacity
+
+
+class GeomKind(enum.IntEnum):
+    """Analytic surface families (reference geom/primitives.py classes).
+
+    All are special cases of the diagonal implicit quadric
+    ``F(p) = qx x^2 + qy y^2 + qz z^2 + lz z + q0 = 0`` — see
+    :mod:`raytracetorch_tpu.geom.surfaces` for the (q, n_sign) encodings.
+    """
+
+    PLANE = 0        # reference geom/primitives.py:119
+    SPHERE = 1       # reference geom/primitives.py:146
+    CYLINDER = 2     # reference geom/primitives.py:190
+    QUADRIC = 3      # reference geom/primitives.py:244
+    QUADRIC_ZY = 4   # reference geom/primitives.py:346
+    CONE = 5         # reference geom/primitives.py:398
+
+
+class SBKind(enum.IntEnum):
+    """Surface-local bounds, applied per candidate root
+    (reference geom/bounded.py SurfaceBounded subclasses)."""
+
+    NONE = 0
+    DISK = 1         # params [radius^2]                  bounded.py:51
+    RECT = 2         # params [hx, hy]                    bounded.py:67
+    ELLIPSE = 3      # params [r_major, r_minor, rot]     bounded.py:85
+    HEMI = 4         # params [c]; |z*c| < 1+eps          bounded.py:109
+    HEMI_APER = 5    # params [c, (D/2)^2]                bounded.py:142
+    CONE_NAPPE = 6   # params [slope]; z*slope >= -eps    bounded.py:189
+
+
+class VBKind(enum.IntEnum):
+    """Volume-level bounds, applied to the chosen hit in the element frame
+    (reference geom/shape.py Shape.inBounds implementations)."""
+
+    NONE = 0
+    APER_R2 = 1      # params [radius^2]                  spherics.py:40-46
+    Z_BETWEEN = 2    # params [z_lo, z_hi]                spherics.py:34-39
+    RECT = 3         # params [xmin, xmax, ymin, ymax]    cylindrics.py:31-41
+    CYL_EDGE = 4     # params [c1, z1, c2, z2, xmin, xmax, ymin, ymax]
+                     #                                    cylindrics.py:44-55
+    HALFSPACES = 5   # uses hp_n / hp_d / hp_mask arrays  shape.py:122-132
+
+
+class PhysKind(enum.IntEnum):
+    """Surface interaction functors (reference phys/std.py, phys/filter.py)."""
+
+    TRANSMIT = 0     # phys/std.py:221
+    BLOCK = 1        # phys/std.py:237
+    REFLECT = 2      # phys/std.py:91
+    SNELL = 3        # phys/std.py:111 (see PARITY.md: mu selection corrected)
+    FRESNEL = 4      # phys/std.py:148
+    LINEAR = 5       # phys/std.py:35
+    APERTURE = 6     # phys/filter.py:10

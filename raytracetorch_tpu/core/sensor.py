@@ -1,0 +1,117 @@
+"""Sensor state: streaming moment accumulators + optional irradiance grids.
+
+TPU-native re-design of the reference ``Sensor`` (``elements/sensor.py:9``),
+which appends per-step Python lists of hit tensors — a dynamic-shape pattern
+that cannot live inside jit.  Instead we accumulate sufficient statistics
+in O(1) memory during the trace:
+
+  moments[s, b] = [sum_w, sum_wx, sum_wy, sum_wx2, sum_wy2, sum_wxy, n_hits]
+
+per sensor surface ``s`` and bundle id ``b``.  Centroids, RMS spot radii and
+per-axis second moments — everything ``getHitsTensors`` /
+``getSpotSizeID_xy`` / ``getSpotSizeParallel_xy`` (sensor.py:46-176) derive —
+fall out of these in closed form, and the scatter-adds reduce cleanly with
+``psum`` across a sharded ray axis.
+
+An optional irradiance grid (the idiomatic equivalent of the GUI spot diagram,
+cf. SURVEY.md §2.10 note) bins intensity-weighted hits into a fixed [H, W]
+image per sensor via on-device scatter-add.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import struct
+
+N_MOMENTS = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorConfig:
+    """Static sensor configuration for a scene trace."""
+
+    n_sensors: int = 0
+    n_bundles: int = 1
+    grid_shape: tuple = ()          # (H, W) or () to disable the grid
+    grid_half_extent: float = 1.0   # grid spans [-e, e]^2 in sensor-local xy
+
+
+class SensorState(struct.PyTreeNode):
+    moments: jnp.ndarray            # [S, B, 7]
+    grid: jnp.ndarray               # [S, H, W] (or [S, 0, 0] when disabled)
+
+    @classmethod
+    def init(cls, cfg: SensorConfig, dtype=jnp.float32):
+        s = max(cfg.n_sensors, 1)
+        h, w = cfg.grid_shape if cfg.grid_shape else (0, 0)
+        return cls(
+            moments=jnp.zeros((s, cfg.n_bundles, N_MOMENTS), dtype),
+            grid=jnp.zeros((s, h, w), dtype),
+        )
+
+    def record(self, cfg: SensorConfig, slot, ray_id, hit_local, weight):
+        """Accumulate hits (weight already masked to zero for non-hits and
+        non-sensor surfaces).  ``slot`` may be a scalar (sequential trace) or
+        [N] (non-sequential winners)."""
+        x, y = hit_local[..., 0], hit_local[..., 1]
+        basis = jnp.stack(
+            [weight, weight * x, weight * y, weight * x * x,
+             weight * y * y, weight * x * y,
+             (weight > 0).astype(weight.dtype)], axis=-1)
+        slot_b = jnp.broadcast_to(slot, ray_id.shape)
+        moments = self.moments.at[slot_b, ray_id].add(basis)
+
+        grid = self.grid
+        if cfg.grid_shape:
+            h, w = cfg.grid_shape
+            e = cfg.grid_half_extent
+            ix = jnp.clip(((x + e) / (2 * e) * w).astype(jnp.int32), 0, w - 1)
+            iy = jnp.clip(((y + e) / (2 * e) * h).astype(jnp.int32), 0, h - 1)
+            grid = grid.at[slot_b, iy, ix].add(weight)
+        return self.replace(moments=moments, grid=grid)
+
+    # -- derived statistics (reference elements/sensor.py:67-176) ----------
+
+    def total_weight(self, slot=0):
+        return self.moments[slot, :, 0]
+
+    def centroid(self, slot=0):
+        """Intensity-weighted centroid per bundle: [B, 2]."""
+        m = self.moments[slot]
+        w = jnp.maximum(m[:, 0], 1e-12)
+        return jnp.stack([m[:, 1] / w, m[:, 2] / w], axis=-1)
+
+    def spot_rms(self, slot=0, target_xy=None):
+        """Intensity-weighted RMS spot radius about the centroid (or fixed
+        targets): [B].  Equals sqrt(Var_x + Var_y) — the quantity the
+        reference's spot losses minimize (optim/goals.py:99-187,
+        elements/sensor.py:87-176)."""
+        m = self.moments[slot]
+        w = jnp.maximum(m[:, 0], 1e-12)
+        ex, ey = m[:, 1] / w, m[:, 2] / w
+        ex2, ey2 = m[:, 3] / w, m[:, 4] / w
+        if target_xy is None:
+            var = (ex2 - ex * ex) + (ey2 - ey * ey)
+        else:
+            tx, ty = target_xy[..., 0], target_xy[..., 1]
+            var = (ex2 - 2 * tx * ex + tx * tx) + (ey2 - 2 * ty * ey + ty * ty)
+        return jnp.sqrt(jnp.maximum(var, 1e-24))
+
+    def spot_moment(self, slot=0, target_xy=None):
+        """Per-axis second moment about centroid/target, averaged over x and y
+        — matches ``getSpotSizeParallel_xy``'s final reduction
+        (elements/sensor.py:168): sum_w(dx^2+dy^2) / (2 sum_w).  Returns
+        ([B], [B]) = (spot_size, intensity_sum)."""
+        m = self.moments[slot]
+        w_raw = m[:, 0]
+        w = jnp.where(w_raw == 0, 1.0, w_raw)
+        ex, ey = m[:, 1] / w, m[:, 2] / w
+        ex2, ey2 = m[:, 3] / w, m[:, 4] / w
+        if target_xy is None:
+            cx, cy = ex, ey
+        else:
+            cx, cy = target_xy[..., 0], target_xy[..., 1]
+        var = (ex2 - 2 * cx * ex + cx * cx) + (ey2 - 2 * cy * ey + cy * cy)
+        return var / 2.0, w_raw

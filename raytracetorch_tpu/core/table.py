@@ -1,0 +1,141 @@
+"""SurfaceTable: the compiled scene — a struct-of-arrays over all K surfaces.
+
+This is the TPU-native inversion of the reference's object graph: where the
+reference walks ``Scene.elements[k].shape.surfaces[j]`` nn.Modules in Python
+(``scene/base.py:96-123`` builds index maps over them), we flatten every
+surface of every element into dense ``[K, ...]`` arrays once per trace, inside
+jit, from the differentiable parameter pytree.  Each row fully describes one
+surface: unified quadric coefficients, composed world->surface frame, bound
+specs, physics spec, and sensor bookkeeping.
+
+The table is rebuilt from ``params`` on every jitted call — it is tiny
+(K is tens of surfaces) and the rebuild keeps gradients flowing from traced
+rays back to curvatures/thicknesses/poses, replacing the reference's
+parameter-aliasing trick (shared nn.Parameter objects, elements/lens.py:41-57)
+with a single source of truth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..constants import MAX_HALFSPACES, PhysKind, SBKind, VBKind
+
+
+class SurfaceTable(struct.PyTreeNode):
+    """All per-surface data, stacked along the leading K axis."""
+
+    q: jnp.ndarray          # [K, 5] implicit quadric coefficients
+    n_sign: jnp.ndarray     # [K] normal orientation sign
+    Rw: jnp.ndarray         # [K, 3, 3] world->surface rotation
+    tw: jnp.ndarray         # [K, 3] world->surface translation
+    Rs: jnp.ndarray         # [K, 3, 3] element->surface rotation
+    ts: jnp.ndarray         # [K, 3] element->surface translation
+    sb_kind: jnp.ndarray    # [K] int32 surface-local bound kind
+    sb: jnp.ndarray         # [K, 4] surface-local bound params
+    sb_invert: jnp.ndarray  # [K] bool
+    vb_kind: jnp.ndarray    # [K] int32 volume bound kind
+    vb: jnp.ndarray         # [K, 8] volume bound params
+    hp_n: jnp.ndarray       # [K, P, 3] half-space normals (element frame)
+    hp_d: jnp.ndarray       # [K, P] half-space offsets
+    hp_mask: jnp.ndarray    # [K, P] bool valid half-spaces
+    ph_kind: jnp.ndarray    # [K] int32 physics kind
+    ph: jnp.ndarray         # [K, 6] physics params
+    is_sensor: jnp.ndarray  # [K] bool
+    sensor_slot: jnp.ndarray  # [K] int32 (0 if not a sensor)
+    elem_id: jnp.ndarray    # [K] int32
+    surf_id: jnp.ndarray    # [K] int32 (index within the element)
+
+    @property
+    def n_surfaces(self):
+        return self.q.shape[0]
+
+    def row(self, k):
+        """Row view (scalars / small vectors) for the unrolled sequential
+        trace."""
+        return jax.tree_util.tree_map(lambda a: a[k], self)
+
+    def gather(self, idx):
+        """Per-ray gather of winning rows ([N] index -> [N, ...] table)."""
+        return jax.tree_util.tree_map(lambda a: a[idx], self)
+
+
+@dataclasses.dataclass
+class SurfaceRec:
+    """One surface row under construction (plain Python, traced leaves).
+
+    Element specs emit these; ``stack_records`` packs them into a
+    SurfaceTable.  All numeric fields may be traced jnp scalars so gradients
+    flow from table entries back to element parameters.
+    """
+
+    q: Any                       # [5]
+    n_sign: float
+    Rw: Any                      # [3, 3]
+    tw: Any                      # [3]
+    Rs: Any = None               # [3, 3] (defaults to identity)
+    ts: Any = None               # [3]
+    sb_kind: int = SBKind.NONE
+    sb: Sequence = ()
+    sb_invert: bool = False
+    vb_kind: int = VBKind.NONE
+    vb: Sequence = ()
+    halfspaces: Sequence = ()    # sequence of (normal [3], offset scalar)
+    ph_kind: int = PhysKind.TRANSMIT
+    ph: Sequence = ()            # up to 6 entries: ior_in, ior_out, Cx, Cy, Dx, Dy
+    is_sensor: bool = False
+    sensor_slot: int = 0
+
+
+def _pad_vec(values, width, dtype=jnp.float32):
+    vals = [jnp.asarray(v, dtype) for v in values]
+    vals += [jnp.zeros((), dtype)] * (width - len(vals))
+    return jnp.stack(vals[:width])
+
+
+def stack_records(recs, elem_ids, surf_ids, dtype=jnp.float32):
+    """Pack SurfaceRecs into a SurfaceTable (runs inside jit; K static)."""
+    eye = jnp.eye(3, dtype=dtype)
+    zero3 = jnp.zeros(3, dtype=dtype)
+
+    def hp_arrays(rec):
+        n = jnp.zeros((MAX_HALFSPACES, 3), dtype)
+        d = jnp.zeros((MAX_HALFSPACES,), dtype)
+        m = np.zeros((MAX_HALFSPACES,), bool)
+        for i, (nrm, off) in enumerate(rec.halfspaces):
+            n = n.at[i].set(jnp.asarray(nrm, dtype))
+            d = d.at[i].set(jnp.asarray(off, dtype))
+            m[i] = True
+        return n, d, jnp.asarray(m)
+
+    hp = [hp_arrays(r) for r in recs]
+    return SurfaceTable(
+        q=jnp.stack([jnp.asarray(r.q, dtype) for r in recs]),
+        n_sign=jnp.asarray([r.n_sign for r in recs], dtype),
+        Rw=jnp.stack([jnp.asarray(r.Rw, dtype) for r in recs]),
+        tw=jnp.stack([jnp.asarray(r.tw, dtype) for r in recs]),
+        Rs=jnp.stack([eye if r.Rs is None else jnp.asarray(r.Rs, dtype)
+                      for r in recs]),
+        ts=jnp.stack([zero3 if r.ts is None else jnp.asarray(r.ts, dtype)
+                      for r in recs]),
+        sb_kind=jnp.asarray([int(r.sb_kind) for r in recs], jnp.int32),
+        sb=jnp.stack([_pad_vec(r.sb, 4, dtype) for r in recs]),
+        sb_invert=jnp.asarray([bool(r.sb_invert) for r in recs]),
+        vb_kind=jnp.asarray([int(r.vb_kind) for r in recs], jnp.int32),
+        vb=jnp.stack([_pad_vec(r.vb, 8, dtype) for r in recs]),
+        hp_n=jnp.stack([h[0] for h in hp]),
+        hp_d=jnp.stack([h[1] for h in hp]),
+        hp_mask=jnp.stack([h[2] for h in hp]),
+        ph_kind=jnp.asarray([int(r.ph_kind) for r in recs], jnp.int32),
+        ph=jnp.stack([_pad_vec(r.ph, 6, dtype) for r in recs]),
+        is_sensor=jnp.asarray([bool(r.is_sensor) for r in recs]),
+        sensor_slot=jnp.asarray([int(r.sensor_slot) for r in recs], jnp.int32),
+        elem_id=jnp.asarray(elem_ids, jnp.int32),
+        surf_id=jnp.asarray(surf_ids, jnp.int32),
+    )

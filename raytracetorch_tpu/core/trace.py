@@ -1,0 +1,165 @@
+"""Trace drivers: sequential (ordered) and non-sequential (nearest-hit) loops.
+
+Replaces the reference's two simulation drivers with host-sync-free jitted
+programs (the four ``.any()`` host round-trips per step in
+``scene/base.py:140-218`` are the reference's main performance sin; here dead
+rays are masked no-ops and the whole trace is one XLA program):
+
+- ``trace_sequential`` — the lens-design workhorse
+  (``scene/sequential.py:12-36``): visit each surface once in table order.
+  K is static, so the loop is *unrolled at trace time*; XLA fuses the whole
+  surface chain into one pass over the ray arrays (ray state never round-trips
+  to HBM between surfaces for moderate K).
+
+- ``trace_nonsequential`` — the bounce loop (``scene/base.py:129-235``):
+  ``lax.scan`` over bounces; per bounce, a stop-gradient nearest-hit argmin
+  over all [N, K] candidates (cf. the no-grad ``ray_cast``,
+  scene/base.py:144-178) followed by a differentiable recompute for each
+  ray's winning surface (the detach-argmin / recompute-winner pattern,
+  SURVEY.md §3.1).
+
+Both accumulate sensor statistics on the fly (see core/sensor.py) and thread
+an explicit PRNG key (one fold per surface / bounce) for the stochastic
+Fresnel branch, fixing the reference's untestable global-RNG draws
+(phys/std.py:200).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import BIG
+from ..rays.ray import Rays
+from .intersect import intersect, normal_world
+from .physics import apply_physics
+from .sensor import SensorConfig, SensorState
+
+
+def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
+                  sensors: SensorState):
+    """Apply one surface interaction to the full ray batch (masked)."""
+    res = intersect(row, rays.pos, rays.dir)
+    active = res['valid'] & (rays.intensity > 0)
+
+    n_w = normal_world(row, res['hit_s'])
+    u = jax.random.uniform(key, rays.intensity.shape)
+    new_dir, imod = apply_physics(
+        row.ph_kind, row.ph, row.Rw, row.sb_kind, row.sb,
+        res['hit_s'], rays.dir, n_w, u)
+
+    # Differentiable global hit recompute (reference shape.py:81): the t used
+    # here is the same differentiable scalar chosen by the bound-masked
+    # min-positive selection.
+    new_pos = rays.pos + res['t'][..., None] * rays.dir
+
+    # Sensor accumulation uses the surface-local hit and the *incoming*
+    # intensity (reference elements/sensor.py:36 records rays.intensity).
+    w = jnp.where(active & row.is_sensor, rays.intensity, 0.0)
+    sensors = sensors.record(cfg, row.sensor_slot, rays.ray_id,
+                             res['hit_s'], w)
+
+    rays = rays.masked_update(active, new_pos, new_dir, imod)
+    return rays, sensors, active, res
+
+
+def trace_sequential(table, rays: Rays, key,
+                     cfg: SensorConfig = SensorConfig(),
+                     record_paths: bool = False,
+                     record_hits: bool = False):
+    """Ordered pass over every surface row (reference SequentialScene).
+
+    Returns ``(rays, sensors, aux)`` where ``aux`` optionally carries
+    ``paths [K+1, N, 3]`` (the Paths proxy equivalent, rays/ray.py:100) and/or
+    per-surface hit records ``(hits [K, N, 3], weights [K, N])``.
+    """
+    k_surf = table.n_surfaces
+    keys = jax.random.split(key, max(k_surf, 1))
+    sensors = SensorState.init(cfg, dtype=rays.pos.dtype)
+
+    paths = [rays.pos] if record_paths else None
+    hits, hit_w = ([], []) if record_hits else (None, None)
+
+    for k in range(k_surf):
+        row = table.row(k)
+        rays, sensors, active, res = _surface_step(row, rays, keys[k], cfg,
+                                                   sensors)
+        if record_paths:
+            paths.append(rays.pos)
+        if record_hits:
+            hits.append(res['hit_s'])
+            hit_w.append(jnp.where(active, rays.intensity, 0.0))
+
+    aux = {}
+    if record_paths:
+        aux['paths'] = jnp.stack(paths)
+    if record_hits:
+        aux['hits'] = jnp.stack(hits)
+        aux['hit_weights'] = jnp.stack(hit_w)
+    return rays, sensors, aux
+
+
+def nearest_hit(table, rays: Rays):
+    """All-surface nearest-hit query (reference ``Scene.ray_cast``,
+    scene/base.py:144-178), under stop_gradient like the reference's
+    ``torch.no_grad``.
+
+    Returns (winner_idx [N], hit_mask [N]).
+    """
+    def t_of(pos, direction):
+        res = intersect(table, pos[:, None, :], direction[:, None, :])
+        return jnp.where(res['valid'], res['t'], BIG)   # [N, K]
+
+    t_all = lax.stop_gradient(t_of(rays.pos, rays.dir))
+    win = jnp.argmin(t_all, axis=1)
+    t_min = jnp.take_along_axis(t_all, win[:, None], axis=1)[:, 0]
+    return win, t_min < BIG * 0.5
+
+
+def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
+                sensors: SensorState):
+    """One non-sequential physics bounce (reference ``Scene.step``,
+    scene/base.py:180-235) — fully batched, no per-(element,surface) Python
+    dispatch: gather each ray's winning row and recompute differentiably."""
+    win, hit = nearest_hit(table, rays)
+    rows = table.gather(win)    # [N, ...] — index is stop-gradient
+    res = intersect(rows, rays.pos, rays.dir)
+    active = hit & res['valid'] & (rays.intensity > 0)
+
+    n_w = normal_world(rows, res['hit_s'])
+    u = jax.random.uniform(key, rays.intensity.shape)
+    new_dir, imod = apply_physics(
+        rows.ph_kind, rows.ph, rows.Rw, rows.sb_kind, rows.sb,
+        res['hit_s'], rays.dir, n_w, u)
+    new_pos = rays.pos + res['t'][..., None] * rays.dir
+
+    w = jnp.where(active & rows.is_sensor, rays.intensity, 0.0)
+    sensors = sensors.record(cfg, rows.sensor_slot, rays.ray_id,
+                             res['hit_s'], w)
+    rays = rays.masked_update(active, new_pos, new_dir, imod)
+    return rays, sensors, active
+
+
+def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
+                        cfg: SensorConfig = SensorConfig(),
+                        record_paths: bool = False,
+                        remat: bool = False):
+    """Bounce loop until the static bounce budget (reference
+    ``Scene.simulate``, scene/base.py:129-142; the early-exit host sync
+    becomes masked no-op bounces — wrong-free and jit-clean)."""
+    sensors = SensorState.init(cfg, dtype=rays.pos.dtype)
+
+    def body(carry, k_key):
+        rays, sensors = carry
+        rays, sensors, _ = bounce_step(table, rays, k_key, cfg, sensors)
+        ys = rays.pos if record_paths else None
+        return (rays, sensors), ys
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    keys = jax.random.split(key, n_bounces)
+    (rays, sensors), ys = lax.scan(body, (rays, sensors), keys)
+    aux = {'paths': ys} if record_paths else {}
+    return rays, sensors, aux

@@ -1,0 +1,410 @@
+"""Thick-lens elements: spherical singlet/doublet/triplet and the
+cylindrical singlet.
+
+Geometry/physics layout mirrors the reference's Shape x SurfaceFunction
+composition (``elements/lens.py``, ``geom/spherics.py``, ``geom/cylindrics.py``):
+optical faces are hemisphere-clipped quadrics bounded by the lens aperture,
+edges are cylinders (or box side-planes) bounded between the adjacent faces'
+sag heights.
+
+IOR convention (see core/physics.py and PARITY.md): every surface's physics
+carries ``(ior_normal_side, ior_far_side)`` — the medium the geometric
+normal points toward, then the other side.  Faces have +z normals (into the
+next medium along the axis); edge cylinders have outward radial normals (into
+the surrounding media).  This assignment plus physical Snell reproduces the
+thick-lens analytics (``elements/lens.py:60-127``) in actual ray traces —
+which the reference itself does not (its traced rays diverge through a
+converging singlet; see PARITY.md).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from ..constants import PhysKind, SBKind, VBKind
+from ..core.table import SurfaceRec
+from ..geom.surfaces import q_cylinder, q_plane, q_quadric, q_quadric_zy, sag_z
+from .base import Element, compose_world, frame_params, zvec
+from ..geom.transform import mm
+from .ideal import paraxial_refract_mat
+
+
+def _sag_float(c, r):
+    term = max(1.0 - c * c * r * r, 0.0)
+    return (c * r * r) / (1.0 + math.sqrt(term))
+
+
+def _validate_faces(curvatures, thicknesses, aperture_r, z_list):
+    """Constructor-time physicality checks (reference geom/spherics.py:100-111,
+    176-196)."""
+    for i, c in enumerate(curvatures):
+        if abs(0.5 * c) > 1.0 / (2.0 * aperture_r):
+            raise ValueError(f"|R{i+1}| must be larger than D/2")
+    for i, t in enumerate(thicknesses):
+        if t <= 1e-6:
+            raise ValueError(f"Thickness T{i+1} must be positive")
+    sags = [_sag_float(c, aperture_r) + z for c, z in zip(curvatures, z_list)]
+    for i in range(len(sags) - 1):
+        if sags[i] > sags[i + 1]:
+            raise ValueError(f"Optical surfaces {i+1} and {i+2} intersect")
+
+
+class _SphericLens(Element):
+    """Shared machinery for spherical lens stacks (reference
+    geom/spherics.py:10-54).  Subclasses define ``_curv_names`` /
+    ``_thick_names`` / ``_ior_chain``."""
+
+    _curv_names: tuple = ()
+    _thick_names: tuple = ()
+
+    def _vertex_zs(self, p):
+        """Cumulative vertex z's centered on the element
+        (geom/spherics.py:144-156)."""
+        ts = [p[n] for n in self._thick_names]
+        z = -sum(ts) / 2.0
+        zs = [z]
+        for t in ts:
+            z = z + t
+            zs.append(z)
+        return zs
+
+    def _ior_chain(self, p):
+        raise NotImplementedError
+
+    @property
+    def n_optical(self):
+        return len(self._curv_names)
+
+    @property
+    def n_surfaces(self):
+        return 2 * self.n_optical - 1   # faces + edges
+
+    def _refract_kind(self):
+        return PhysKind.FRESNEL if self.fresnel else PhysKind.SNELL
+
+    def _edge_phys(self, p):
+        """(kind, params) for edge surfaces; overridden per lens type."""
+        iors = self._ior_chain(p)
+        return PhysKind.BLOCK, (iors[0], iors[1])
+
+    def build(self, p):
+        Re, te = frame_params(p)
+        r = p['radius']
+        zs = self._vertex_zs(p)
+        cs = [p[n] for n in self._curv_names]
+        iors = self._ior_chain(p)   # length n_optical + 1, media ... media
+        kind = self._refract_kind()
+
+        recs = []
+        for i, (c, zv) in enumerate(zip(cs, zs)):
+            q, sign = q_quadric(c, 0.0)
+            Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(zv))
+            recs.append(SurfaceRec(
+                q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                sb_kind=SBKind.HEMI, sb=(c,),
+                vb_kind=VBKind.APER_R2, vb=(r * r,),
+                ph_kind=kind, ph=(iors[i + 1], iors[i])))
+
+        edge_kind, edge_ph = self._edge_phys(p)
+        for i in range(self.n_optical - 1):
+            q, sign = q_cylinder(r)
+            Rw, tw, Rs, ts = compose_world(Re, te)
+            z_lo = sag_z(cs[i], r) + zs[i]
+            z_hi = sag_z(cs[i + 1], r) + zs[i + 1]
+            recs.append(SurfaceRec(
+                q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                vb_kind=VBKind.Z_BETWEEN, vb=(z_lo, z_hi),
+                ph_kind=edge_kind, ph=edge_ph))
+        return recs
+
+    def paraxial(self, p):
+        """Per-face refraction matrices at the vertex z's, wrapped in the
+        element decenter shifts (reference elements/lens.py:129-147; the
+        reference's Doublet/Triplet getParaxial builds curvatures from z
+        positions — a bug, lens.py:312,419 — corrected here)."""
+        f = self.frame(p)
+        t, t_inv = f.paraxial(), f.paraxial_inv()
+        zs = self._vertex_zs(p)
+        cs = [p[n] for n in self._curv_names]
+        iors = self._ior_chain(p)
+        z0 = p['trans'][2]
+        Zs = [z0 + zv for zv in zs]
+        mats = [mm(t_inv, mm(paraxial_refract_mat(c, c, iors[i], iors[i + 1]), t))
+                for i, c in enumerate(cs)]
+        return Zs, mats
+
+    def optical_zs(self, p):
+        z0 = p['trans'][2]
+        return [z0 + zv for zv in self._vertex_zs(p)]
+
+
+class SingletLens(_SphericLens):
+    """Biconvex/meniscus singlet: 2 refracting faces + edge cylinder
+    (reference elements/lens.py:13-182, geom/spherics.py:56-112)."""
+
+    _curv_names = ('c1', 'c2')
+    _thick_names = ('t',)
+
+    def __init__(self, c1, c2, d, t, ior_glass, ior_media=1.0,
+                 c1_grad=False, c2_grad=False, t_grad=False, d_grad=False,
+                 ior_glass_grad=False, ior_media_grad=False,
+                 fresnel=False, inked=False, name='singlet', **kw):
+        super().__init__(name=name, **kw)
+        _validate_faces([c1, c2], [t], d / 2.0, [-t / 2.0, t / 2.0])
+        self._init = dict(c1=c1, c2=c2, t=t, radius=d / 2.0,
+                          ior_glass=ior_glass, ior_media=ior_media)
+        self._grads = dict(c1=c1_grad, c2=c2_grad, t=t_grad, radius=d_grad,
+                           ior_glass=ior_glass_grad, ior_media=ior_media_grad)
+        self.fresnel = fresnel
+        self.inked = inked
+
+    def extra_params(self):
+        return dict(self._init)
+
+    def extra_trainable(self):
+        return dict(self._grads)
+
+    def _ior_chain(self, p):
+        return [p['ior_media'], p['ior_glass'], p['ior_media']]
+
+    def _edge_phys(self, p):
+        """Reference: edge refracts unless 'inked' (elements/lens.py:51-58).
+        Edge normal points outward into the media."""
+        if self.inked:
+            return PhysKind.BLOCK, ()
+        return self._refract_kind(), (p['ior_media'], p['ior_glass'])
+
+    # -- thick-lens analytics (reference elements/lens.py:60-127) ----------
+
+    def power1(self, p):
+        return p['c1'] * (p['ior_glass'] - p['ior_media'])
+
+    def power2(self, p):
+        return p['c2'] * (p['ior_media'] - p['ior_glass'])
+
+    def power(self, p):
+        p1, p2 = self.power1(p), self.power2(p)
+        return p1 + p2 - p1 * p2 * p['t'] / p['ior_glass']
+
+    def f(self, p):
+        return 1.0 / self.power(p)
+
+    def f_bfl(self, p):
+        return self.f(p) * (1.0 - p['t'] * self.power1(p) / p['ior_glass'])
+
+    def f_ffl(self, p):
+        return -self.f(p) * (1.0 - p['t'] * self.power2(p) / p['ior_glass'])
+
+    def R1(self, p):
+        return 1.0 / p['c1']
+
+    def R2(self, p):
+        return -1.0 / p['c2']
+
+    def principal_planes(self, p):
+        """(P1z, P2z) in the element frame (elements/lens.py:112-127)."""
+        dn = p['ior_glass'] - p['ior_media']
+        f = self.f(p)
+        h1 = -f * dn * p['t'] * p['c2'] / p['ior_glass']
+        h2 = -f * dn * p['t'] * p['c1'] / p['ior_glass']
+        return -p['t'] / 2.0 + h1, p['t'] / 2.0 + h2
+
+    def bend(self, p, delta_c):
+        """Power-preserving curvature redistribution (elements/lens.py:150-182).
+        Returns an updated params dict."""
+        power = self.power(p)
+        k = p['ior_glass'] - p['ior_media']
+        D = p['t'] * k / p['ior_glass']
+        target_s = power / k
+        c1_new = p['c1'] + delta_c
+        c2_new = (target_s - c1_new) / (1.0 - D * c1_new)
+        out = dict(p)
+        out['c1'], out['c2'] = c1_new, c2_new
+        return out
+
+
+class DoubletLens(_SphericLens):
+    """Cemented doublet: 3 faces + 2 blocked edges (reference
+    elements/lens.py:231-322; the reference appends Block edges
+    unconditionally, :278-280)."""
+
+    _curv_names = ('c1', 'c2', 'c3')
+    _thick_names = ('t1', 't2')
+
+    def __init__(self, c1, c2, c3, d, t1, t2, ior_glass1, ior_glass2,
+                 ior_media=1.0, c1_grad=False, c2_grad=False, c3_grad=False,
+                 t1_grad=False, t2_grad=False, d_grad=False,
+                 ior_glass1_grad=False, ior_glass2_grad=False,
+                 ior_media_grad=False, fresnel=False, name='doublet', **kw):
+        super().__init__(name=name, **kw)
+        tt = t1 + t2
+        zs = [-tt / 2.0, -tt / 2.0 + t1, tt / 2.0]
+        _validate_faces([c1, c2, c3], [t1, t2], d / 2.0, zs)
+        self._init = dict(c1=c1, c2=c2, c3=c3, t1=t1, t2=t2, radius=d / 2.0,
+                          ior_glass1=ior_glass1, ior_glass2=ior_glass2,
+                          ior_media=ior_media)
+        self._grads = dict(c1=c1_grad, c2=c2_grad, c3=c3_grad, t1=t1_grad,
+                           t2=t2_grad, radius=d_grad,
+                           ior_glass1=ior_glass1_grad,
+                           ior_glass2=ior_glass2_grad,
+                           ior_media=ior_media_grad)
+        self.fresnel = fresnel
+
+    def extra_params(self):
+        return dict(self._init)
+
+    def extra_trainable(self):
+        return dict(self._grads)
+
+    def _ior_chain(self, p):
+        return [p['ior_media'], p['ior_glass1'], p['ior_glass2'],
+                p['ior_media']]
+
+    def _edge_phys(self, p):
+        return PhysKind.BLOCK, ()
+
+    def R1(self, p):
+        return 1.0 / p['c1']
+
+    def R2(self, p):
+        return 1.0 / p['c2']
+
+    def R3(self, p):
+        return -1.0 / p['c3']
+
+
+class TripletLens(_SphericLens):
+    """Triplet: 4 faces + 3 blocked edges (reference elements/lens.py:325-428)."""
+
+    _curv_names = ('c1', 'c2', 'c3', 'c4')
+    _thick_names = ('t1', 't2', 't3')
+
+    def __init__(self, c1, c2, c3, c4, d, t1, t2, t3, ior_glass1, ior_glass2,
+                 ior_glass3, ior_media=1.0, c1_grad=False, c2_grad=False,
+                 c3_grad=False, c4_grad=False, t1_grad=False, t2_grad=False,
+                 t3_grad=False, d_grad=False, ior_glass1_grad=False,
+                 ior_glass2_grad=False, ior_glass3_grad=False,
+                 ior_media_grad=False, fresnel=False, name='triplet', **kw):
+        super().__init__(name=name, **kw)
+        tt = t1 + t2 + t3
+        zs = [-tt / 2.0]
+        for t in (t1, t2, t3):
+            zs.append(zs[-1] + t)
+        _validate_faces([c1, c2, c3, c4], [t1, t2, t3], d / 2.0, zs)
+        self._init = dict(c1=c1, c2=c2, c3=c3, c4=c4, t1=t1, t2=t2, t3=t3,
+                          radius=d / 2.0, ior_glass1=ior_glass1,
+                          ior_glass2=ior_glass2, ior_glass3=ior_glass3,
+                          ior_media=ior_media)
+        self._grads = dict(c1=c1_grad, c2=c2_grad, c3=c3_grad, c4=c4_grad,
+                           t1=t1_grad, t2=t2_grad, t3=t3_grad, radius=d_grad,
+                           ior_glass1=ior_glass1_grad,
+                           ior_glass2=ior_glass2_grad,
+                           ior_glass3=ior_glass3_grad,
+                           ior_media=ior_media_grad)
+        self.fresnel = fresnel
+
+    def extra_params(self):
+        return dict(self._init)
+
+    def extra_trainable(self):
+        return dict(self._grads)
+
+    def _ior_chain(self, p):
+        return [p['ior_media'], p['ior_glass1'], p['ior_glass2'],
+                p['ior_glass3'], p['ior_media']]
+
+    def _edge_phys(self, p):
+        return PhysKind.BLOCK, ()
+
+
+# Outward-normal rotations for the 4 side planes of a box edge
+# (+x, -x, +y, -y); see elements/solids.py for the full box.
+_SIDE_ROTS = (
+    (0.0, math.pi / 2.0, 0.0),
+    (0.0, -math.pi / 2.0, 0.0),
+    (-math.pi / 2.0, 0.0, 0.0),
+    (math.pi / 2.0, 0.0, 0.0),
+)
+
+
+class CylSingletLens(SingletLens):
+    """Cylindrical singlet: 2 HalfCyl faces (curvature in Y) + 4 side planes
+    (reference elements/lens.py:185-228, geom/cylindrics.py:58-119)."""
+
+    def __init__(self, c1, c2, height, width, t, ior_glass, ior_media=1.0,
+                 c1_grad=False, c2_grad=False, t_grad=False,
+                 height_grad=False, width_grad=False, ior_glass_grad=False,
+                 ior_media_grad=False, fresnel=False, inked=False,
+                 name='cyl_singlet', **kw):
+        Element.__init__(self, name=name, **kw)
+        if abs(0.5 * c1) > 1.0 / height or abs(0.5 * c2) > 1.0 / height:
+            raise ValueError("|R| must be larger than Height/2")
+        if _sag_float(c1, height / 2) - t / 2 > _sag_float(c2, height / 2) + t / 2:
+            raise ValueError("Front and back surfaces intersecting")
+        self._init = dict(c1=c1, c2=c2, t=t, half_w=width / 2.0,
+                          half_h=height / 2.0, ior_glass=ior_glass,
+                          ior_media=ior_media)
+        self._grads = dict(c1=c1_grad, c2=c2_grad, t=t_grad,
+                           half_w=width_grad, half_h=height_grad,
+                           ior_glass=ior_glass_grad,
+                           ior_media=ior_media_grad)
+        self.fresnel = fresnel
+        self.inked = inked
+
+    @property
+    def n_surfaces(self):
+        return 6
+
+    def build(self, p):
+        from ..geom.transform import rodrigues
+        Re, te = frame_params(p)
+        hw, hh, t = p['half_w'], p['half_h'], p['t']
+        cs = [p['c1'], p['c2']]
+        zs = [-t / 2.0, t / 2.0]
+        iors = self._ior_chain(p)
+        kind = self._refract_kind()
+        rect = (-hw, hw, -hh, hh)
+
+        recs = []
+        for i, (c, zv) in enumerate(zip(cs, zs)):
+            q, sign = q_quadric_zy(c, 0.0)
+            Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(zv))
+            recs.append(SurfaceRec(
+                q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                sb_kind=SBKind.HEMI, sb=(c,),
+                vb_kind=VBKind.RECT, vb=rect,
+                ph_kind=kind, ph=(iors[i + 1], iors[i])))
+
+        edge_kind, edge_ph = self._edge_phys(p)
+        edge_vb = (p['c1'], zs[0], p['c2'], zs[1]) + rect
+        offsets = [zvec(0).at[0].set(hw), zvec(0).at[0].set(-hw),
+                   zvec(0).at[1].set(hh), zvec(0).at[1].set(-hh)]
+        for rot, off in zip(_SIDE_ROTS, offsets):
+            q, sign = q_plane()
+            Rp = rodrigues(jnp.asarray(rot, te.dtype))
+            Rw, tw, Rs, ts = compose_world(Re, te, Rp, off)
+            recs.append(SurfaceRec(
+                q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                vb_kind=VBKind.CYL_EDGE, vb=edge_vb,
+                ph_kind=edge_kind, ph=edge_ph))
+        return recs
+
+    def paraxial(self, p):
+        """Cylindrical paraxial: no power in x (reference
+        elements/lens.py:210-228)."""
+        f = self.frame(p)
+        t, t_inv = f.paraxial(), f.paraxial_inv()
+        z0 = p['trans'][2]
+        zs = [-p['t'] / 2.0, p['t'] / 2.0]
+        iors = self._ior_chain(p)
+        zero = jnp.zeros_like(p['c1'])
+        mats = [mm(t_inv, mm(paraxial_refract_mat(zero, p[f'c{i+1}'], iors[i],
+                                                  iors[i + 1]), t))
+                for i in range(2)]
+        return [z0 + zv for zv in zs], mats
+
+    def optical_zs(self, p):
+        z0 = p['trans'][2]
+        return [z0 - p['t'] / 2.0, z0 + p['t'] / 2.0]

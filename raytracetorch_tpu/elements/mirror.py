@@ -1,0 +1,154 @@
+"""Mirror elements (reference ``elements/mirror.py``)."""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from ..constants import PhysKind, SBKind
+from ..core.table import SurfaceRec
+from ..geom.surfaces import q_quadric, q_quadric_zy
+from ..geom.transform import rodrigues
+from .base import Element, compose_world, frame_params
+from ..geom.transform import mm
+from .ideal import paraxial_mirror_mat
+
+
+class _MirrorBase(Element):
+    @property
+    def n_surfaces(self):
+        return 1
+
+    def extra_params(self):
+        return {'c': self._c_init}
+
+    def extra_trainable(self):
+        return {'c': self._c_grad}
+
+    def R(self, p):
+        return 1.0 / p['c']
+
+    def f(self, p):
+        return 1.0 / (2.0 * p['c'])
+
+    def _mirror_mat(self, p):
+        return paraxial_mirror_mat(p['c'], p['c'])
+
+    def paraxial(self, p):
+        f = self.frame(p)
+        t, t_inv = f.paraxial(), f.paraxial_inv()
+        return [p['trans'][2]], [mm(t_inv, mm(self._mirror_mat(p), t))]
+
+
+class SphericalMirror(_MirrorBase):
+    """Hemisphere-clipped spherical mirror with optional aperture diameter
+    (reference elements/mirror.py:22-52, geom/bounded.py:142-159)."""
+
+    def __init__(self, c1, d, diameter=float('inf'), c1_grad=False,
+                 d_grad=False, diameter_grad=False, name='sph_mirror', **kw):
+        super().__init__(name=name, **kw)
+        self._c_init, self._c_grad = float(c1), c1_grad
+        self._d_init, self._d_grad = float(d), d_grad
+        self._diam_init, self._diam_grad = float(diameter), diameter_grad
+
+    def extra_params(self):
+        return {'c': self._c_init, 'd': self._d_init,
+                'diameter': min(self._diam_init, 1e18)}
+
+    def extra_trainable(self):
+        return {'c': self._c_grad, 'd': self._d_grad,
+                'diameter': self._diam_grad}
+
+    def build(self, p):
+        Re, te = frame_params(p)
+        q, sign = q_quadric(p['c'], 0.0)
+        Rw, tw, Rs, ts = compose_world(Re, te)
+        return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                           sb_kind=SBKind.HEMI_APER,
+                           sb=(p['c'], (p['diameter'] / 2.0) ** 2),
+                           ph_kind=PhysKind.REFLECT)]
+
+
+class CylindricalMirror(_MirrorBase):
+    """Cylindrical mirror — curves in Y, invariant in X (reference
+    elements/mirror.py:55-88)."""
+
+    def __init__(self, c1, d, c1_grad=False, d_grad=False,
+                 name='cyl_mirror', **kw):
+        super().__init__(name=name, **kw)
+        self._c_init, self._c_grad = float(c1), c1_grad
+        self._d_init, self._d_grad = float(d), d_grad
+
+    def extra_params(self):
+        return {'c': self._c_init, 'd': self._d_init}
+
+    def extra_trainable(self):
+        return {'c': self._c_grad, 'd': self._d_grad}
+
+    def build(self, p):
+        Re, te = frame_params(p)
+        q, sign = q_quadric_zy(p['c'], 0.0)
+        Rw, tw, Rs, ts = compose_world(Re, te)
+        return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                           sb_kind=SBKind.HEMI, sb=(p['c'],),
+                           ph_kind=PhysKind.REFLECT)]
+
+    def _mirror_mat(self, p):
+        zero = jnp.zeros_like(p['c'])
+        return paraxial_mirror_mat(zero, p['c'])   # no power in X (ref :79-88)
+
+
+class ParabolicMirror(_MirrorBase):
+    """Paraboloid of revolution: quadric with k = -1 (reference
+    elements/mirror.py:91-123)."""
+
+    def __init__(self, c1, d, c1_grad=False, d_grad=False,
+                 name='parabolic_mirror', **kw):
+        super().__init__(name=name, **kw)
+        self._c_init, self._c_grad = float(c1), c1_grad
+        self._d_init, self._d_grad = float(d), d_grad
+
+    def extra_params(self):
+        return {'c': self._c_init, 'd': self._d_init}
+
+    def extra_trainable(self):
+        return {'c': self._c_grad, 'd': self._d_grad}
+
+    def build(self, p):
+        Re, te = frame_params(p)
+        q, sign = q_quadric(p['c'], -1.0)
+        Rw, tw, Rs, ts = compose_world(Re, te)
+        return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                           ph_kind=PhysKind.REFLECT)]
+
+
+class ParabolicMirrorXZ(_MirrorBase):
+    """Parabolic trough focusing in X: QuadricZY(k=-1) rotated 90 deg about Z
+    (reference elements/mirror.py:126-164; like the reference, the user
+    transform's rotation is replaced by the fixed 90-degree frame and only
+    its translation is kept, :136-138)."""
+
+    def __init__(self, c1, d, c1_grad=False, d_grad=False,
+                 name='parabolic_mirror_xz', **kw):
+        super().__init__(name=name, **kw)
+        self._c_init, self._c_grad = float(c1), c1_grad
+        self._d_init, self._d_grad = float(d), d_grad
+        self._rot_init = [0.0, 0.0, math.pi / 2.0]
+
+    def extra_params(self):
+        return {'c': self._c_init, 'd': self._d_init}
+
+    def extra_trainable(self):
+        return {'c': self._c_grad, 'd': self._d_grad}
+
+    def build(self, p):
+        Re, te = frame_params(p)
+        q, sign = q_quadric_zy(p['c'], -1.0)
+        Rw, tw, Rs, ts = compose_world(Re, te)
+        return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                           ph_kind=PhysKind.REFLECT)]
+
+    def _mirror_mat(self, p):
+        zero = jnp.zeros_like(p['c'])
+        return paraxial_mirror_mat(p['c'], zero)   # curves in X (ref :155-164)

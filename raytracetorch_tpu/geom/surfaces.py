@@ -1,0 +1,188 @@
+"""Unified analytic surface representation and branchless intersection solver.
+
+Every surface family in the reference (``geom/primitives.py``: Plane, Sphere,
+Cylinder, Quadric, QuadricZY, Cone) is a special case of the diagonal implicit
+quadric
+
+    F(p) = qx*x^2 + qy*y^2 + qz*z^2 + lz*z + q0 = 0
+
+so the whole geometry engine reduces to ONE coefficient build + ONE quadratic
+solve + ONE gradient-normal formula, evaluated densely for all (ray, surface)
+pairs — no per-type dispatch, no dynamic shapes, pure VPU-friendly FMAs.
+
+Encodings (verified against the reference's per-class ``_solve_t``):
+
+=============  =========================================  ======  ==========
+kind           q = (qx, qy, qz, lz, q0)                   n_sign  reference
+=============  =========================================  ======  ==========
+PLANE          (0, 0, 0, -2, 0)                           -1      :119
+SPHERE(R)      (1, 1, 1, 0, -R^2)                         +1      :146
+CYLINDER(R)    (1, 1, 0, 0, -R^2)                         +1      :190
+QUADRIC(c,k)   (c, c, c(1+k), -2, 0)                      -1      :244
+QUADRICZY(c,k) (0, c, c(1+k), -2, 0)                      -1      :346
+CONE(s)        (-s^2, -s^2, 1, 0, 0)                      +1      :398
+=============  =========================================  ======  ==========
+
+``n_sign`` matches each reference class's normal orientation choice (e.g.
+Quadric returns the *negated* normalized gradient, primitives.py:343; Sphere
+returns ``pos/R`` = +gradient, :185).
+
+Solver semantics (matches reference ``_solve_quadratic``, primitives.py:290):
+- discriminant < 0 -> miss (both roots invalid)
+- |A| < eps  -> linear fallback t = -C / B_safe
+- roots <= INTERSECT_EPS rejected by the caller (min-positive selection)
+
+All miss handling uses (value, valid) pairs with finite sentinels instead of
+inf, so forward AND backward passes are NaN-free (the reference relies on
+inf masking which is grad-hazardous; see SURVEY.md §7 hazard checklist).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..constants import BIG, INTERSECT_EPS, NORMAL_EPS, SOLVER_EPS
+
+
+# ---------------------------------------------------------------------------
+# Coefficient constructors (used by the element spec layer at table build)
+# ---------------------------------------------------------------------------
+
+def q_plane():
+    return jnp.array([0.0, 0.0, 0.0, -2.0, 0.0]), -1.0
+
+
+def q_sphere(radius):
+    r2 = radius * radius
+    one = jnp.ones_like(r2)
+    zero = jnp.zeros_like(r2)
+    return jnp.stack([one, one, one, zero, -r2]), 1.0
+
+
+def q_cylinder(radius):
+    r2 = radius * radius
+    one = jnp.ones_like(r2)
+    zero = jnp.zeros_like(r2)
+    return jnp.stack([one, one, zero, zero, -r2]), 1.0
+
+
+def q_quadric(c, k):
+    c = jnp.asarray(c, dtype=jnp.result_type(float))
+    k = jnp.asarray(k, dtype=c.dtype)
+    zero = jnp.zeros_like(c)
+    return jnp.stack([c, c, c * (1.0 + k), jnp.full_like(c, -2.0), zero]), -1.0
+
+
+def q_quadric_zy(c, k):
+    c = jnp.asarray(c, dtype=jnp.result_type(float))
+    k = jnp.asarray(k, dtype=c.dtype)
+    zero = jnp.zeros_like(c)
+    return jnp.stack([zero, c, c * (1.0 + k), jnp.full_like(c, -2.0), zero]), -1.0
+
+
+def q_cone(slope):
+    s2 = slope * slope
+    one = jnp.ones_like(s2)
+    zero = jnp.zeros_like(s2)
+    return jnp.stack([-s2, -s2, one, zero, zero]), 1.0
+
+
+# ---------------------------------------------------------------------------
+# Intersection
+# ---------------------------------------------------------------------------
+
+def ray_coeffs(q, o, d):
+    """Quadratic coefficients A t^2 + B t + C = 0 of F(o + t d) = 0.
+
+    Broadcasts: ``q [..., 5]``, ``o/d [..., 3]`` -> ``A,B,C [...]``.
+    """
+    qx, qy, qz, lz, q0 = (q[..., i] for i in range(5))
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    A = qx * dx * dx + qy * dy * dy + qz * dz * dz
+    B = 2.0 * (qx * ox * dx + qy * oy * dy + qz * oz * dz) + lz * dz
+    C = qx * ox * ox + qy * oy * oy + qz * oz * oz + lz * oz + q0
+    return A, B, C
+
+
+def solve_roots(q, o, d):
+    """Both candidate ray parameters, as ((t1, v1), (t2, v2)).
+
+    Invalid roots carry ``valid=False`` and a sanitized finite ``t`` so any
+    downstream arithmetic on the unselected branch stays NaN-free.
+    """
+    A, B, C = ray_coeffs(q, o, d)
+    disc = B * B - 4.0 * A * C
+    hit = disc >= 0.0
+    # Double-where keeps miss-branch gradients clean; the tiny epsilon keeps
+    # d sqrt/d disc finite at disc == 0 exactly (tangent hits and degenerate
+    # zero-direction rays), which would otherwise NaN-poison masked branches
+    # via 0 * inf in the backward pass.
+    sqrt_delta = jnp.sqrt(jnp.where(hit, disc, 1.0) + 1e-24)
+
+    linear = jnp.abs(A) < SOLVER_EPS
+    A_safe = jnp.where(linear, 1.0, A)
+    B_safe = jnp.where(jnp.abs(B) < SOLVER_EPS, SOLVER_EPS, B)
+
+    t1 = (-B - sqrt_delta) / (2.0 * A_safe)
+    t2 = (-B + sqrt_delta) / (2.0 * A_safe)
+    t_lin = -C / B_safe
+
+    t1 = jnp.where(linear, t_lin, t1)
+    t2 = jnp.where(linear, t_lin, t2)
+    # Degenerate rays (A ~ 0 AND B ~ 0) have no real solution: mark invalid.
+    # (The reference's paths diverge here — Quadric keeps a huge-t pseudo-hit,
+    # Cylinder NaNs into a miss; a clean miss is strictly more correct.)
+    lin_ok = linear & (jnp.abs(B) >= SOLVER_EPS)
+    v1 = jnp.where(linear, lin_ok, hit)
+    v2 = v1
+    return (t1, v1), (t2, v2)
+
+
+def min_positive(roots):
+    """Min-positive-root selection (reference ``_check_t``,
+    primitives.py:28-36): reject t <= INTERSECT_EPS and invalid roots; return
+    ``(t, valid)`` with ``t`` sanitized to 0 when no root survives.
+
+    ``roots`` is an iterable of ``(t, valid)`` pairs (valid may already
+    include surface-local bound checks, cf. bounded.py:20-36).
+    """
+    t_best = None
+    for t, v in roots:
+        keep = v & (t > INTERSECT_EPS)
+        t_masked = jnp.where(keep, t, BIG)
+        t_best = t_masked if t_best is None else jnp.minimum(t_best, t_masked)
+    valid = t_best < BIG * 0.5
+    return jnp.where(valid, t_best, 0.0), valid
+
+
+def surface_normal(q, n_sign, p_local):
+    """Unit normal from the implicit gradient, with the per-family orientation
+    sign and the degenerate-gradient guard defaulting to +Z (reference
+    Cone._getNormal, primitives.py:468-497; Quadric normalization :330-343).
+    """
+    qx, qy, qz, lz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    gx = 2.0 * qx * p_local[..., 0]
+    gy = 2.0 * qy * p_local[..., 1]
+    gz = 2.0 * qz * p_local[..., 2] + lz
+    g = jnp.stack([gx, gy, gz], axis=-1)
+    g2 = jnp.sum(g * g, axis=-1, keepdims=True)
+    degen = g2 < NORMAL_EPS * NORMAL_EPS
+    norm = jnp.sqrt(jnp.where(degen, 1.0, g2))
+    n = jnp.where(n_sign[..., None] < 0, -g, g) / (norm + NORMAL_EPS)
+    ez = jnp.zeros_like(n).at[..., 2].set(1.0)
+    return jnp.where(degen, ez, n)
+
+
+def sag_z(c, r):
+    """Sag (z height above the vertex) of a curvature-c surface at radial
+    coordinate r (reference HalfSphere.sagittalZ, bounded.py:129-139; the
+    relu clamp keeps the sqrt differentiable past the hemisphere rim)."""
+    r2 = r * r
+    term = jax_relu(1.0 - c * c * r2)
+    denom = 1.0 + jnp.sqrt(term + 1e-24)
+    return (c * r2) / denom
+
+
+def jax_relu(x):
+    return jnp.maximum(x, 0.0)

@@ -1,0 +1,156 @@
+"""Scene assembly: element specs + bundles -> jitted trace programs.
+
+TPU-native equivalent of the reference's ``Scene`` / ``SequentialScene``
+(``scene/base.py:8``, ``scene/sequential.py:6``): the scene holds *static*
+structure (element specs, bundle list, bounce budget) and compiles pure
+functions of the differentiable parameter pytree.  The reference's
+index-map flattening (``scene/base.py:96-123``) becomes the SurfaceTable
+build; its Python bounce/step loops become the drivers in core/trace.py.
+
+Unified simulate signature (the reference's diverging ``simulate()`` vs
+``simulate(rays)`` wart — SURVEY.md §2.8 — is resolved: both scene types
+take ``(params, rays, key)`` and return ``(rays, sensors, aux)``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.sensor import SensorConfig
+from ..core.table import stack_records
+from ..core.trace import trace_nonsequential, trace_sequential
+from ..elements.ideal import paraxial_dist_mat
+from ..geom.transform import mm
+from ..rays.sources import sample_bundles
+
+
+class Scene:
+    """Non-sequential scene: nearest-hit bounce simulation."""
+
+    sequential = False
+
+    def __init__(self, elements=None, n_bounces=100):
+        self.elements = list(elements or [])
+        self.bundles = []          # list of (Bundle pytree, n_rays)
+        self.n_bounces = n_bounces
+        self.grid_shape = ()
+        self.grid_half_extent = 1.0
+
+    # -- population (reference scene/base.py:25-33) ------------------------
+
+    def add_element(self, element):
+        self.elements.append(element)
+        return element
+
+    def add_bundle(self, bundle, n_rays=200):
+        self.bundles.append((bundle, n_rays))
+        return bundle
+
+    def find_element(self, name):
+        for el in self.elements:
+            if el.name == name:
+                return el
+        raise KeyError(f"No element named {name!r}")
+
+    # -- parameters --------------------------------------------------------
+
+    def init_params(self, dtype=jnp.float32):
+        return {el.name: el.init_params(dtype) for el in self.elements}
+
+    def trainable(self):
+        return {el.name: el.trainable() for el in self.elements}
+
+    # -- compilation -------------------------------------------------------
+
+    @property
+    def n_sensors(self):
+        return sum(1 for el in self.elements if el.is_sensor)
+
+    @property
+    def n_bundles(self):
+        return max(len(self.bundles), 1)
+
+    def sensor_config(self, n_bundles=None):
+        return SensorConfig(
+            n_sensors=self.n_sensors,
+            n_bundles=n_bundles if n_bundles is not None else self.n_bundles,
+            grid_shape=self.grid_shape,
+            grid_half_extent=self.grid_half_extent,
+        )
+
+    def build_table(self, params):
+        """Flatten all elements into the SurfaceTable (runs inside jit)."""
+        recs, elem_ids, surf_ids = [], [], []
+        slot = 0
+        for k, el in enumerate(self.elements):
+            el_recs = el.build(params[el.name])
+            if el.is_sensor:
+                for r in el_recs:
+                    r.sensor_slot = slot
+                slot += 1
+            recs.extend(el_recs)
+            elem_ids.extend([k] * len(el_recs))
+            surf_ids.extend(range(len(el_recs)))
+        return stack_records(recs, elem_ids, surf_ids)
+
+    # -- simulation --------------------------------------------------------
+
+    def sample_rays(self, key, bundles=None):
+        """Sample and merge all registered bundles.  ``bundles`` may override
+        the stored pytrees (e.g. reparameterized under grad)."""
+        spec = bundles if bundles is not None else self.bundles
+        return sample_bundles(key, spec)
+
+    def simulate(self, params, rays, key, n_bundles=None, **kw):
+        table = self.build_table(params)
+        cfg = self.sensor_config(n_bundles)
+        return trace_nonsequential(table, rays, key, self.n_bounces, cfg, **kw)
+
+    # -- conversions (reference scene/base.py:261-289, sequential.py:80-105)
+
+    def to_sequential(self, params=None):
+        params = params or self.init_params()
+        order = sorted(self.elements,
+                       key=lambda el: float(params[el.name]['trans'][2]))
+        seq = SequentialScene(order, n_bounces=self.n_bounces)
+        seq.bundles = list(self.bundles)
+        seq.grid_shape = self.grid_shape
+        seq.grid_half_extent = self.grid_half_extent
+        return seq
+
+
+class SequentialScene(Scene):
+    """Ordered surface-by-surface propagation (reference
+    scene/sequential.py:6-36) — the lens-design workhorse and the benchmark
+    configuration."""
+
+    sequential = True
+
+    def simulate(self, params, rays, key, n_bundles=None, **kw):
+        table = self.build_table(params)
+        cfg = self.sensor_config(n_bundles)
+        return trace_sequential(table, rays, key, cfg, **kw)
+
+    def paraxial(self, params):
+        """Full-system 5x5 paraxial matrix: chain every element's surface
+        matrices with free-space gap matrices (reference
+        scene/sequential.py:38-62)."""
+        all_z, all_m = [], []
+        for el in self.elements:
+            zs, mats = el.paraxial(params[el.name])
+            all_z.extend(zs)
+            all_m.extend(mats)
+        m_sys = all_m[0]
+        for i in range(len(all_m) - 1):
+            dz = all_z[i + 1] - all_z[i]
+            m_sys = mm(paraxial_dist_mat(dz), m_sys)
+            m_sys = mm(all_m[i + 1], m_sys)
+        return m_sys
+
+    def to_base(self):
+        base = Scene(self.elements, n_bounces=self.n_bounces)
+        base.bundles = list(self.bundles)
+        base.grid_shape = self.grid_shape
+        base.grid_half_extent = self.grid_half_extent
+        return base
