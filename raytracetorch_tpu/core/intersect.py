@@ -50,7 +50,9 @@ def intersect(row, pos, direction):
     v1 = v1 & sb_check_inverted(row.sb_kind, row.sb, row.sb_invert, hit1)
     v2 = v2 & sb_check_inverted(row.sb_kind, row.sb, row.sb_invert, hit2)
 
-    t, valid = min_positive([(t1, v1), (t2, v2)])
+    scale = jnp.sqrt(jnp.sum(o_s * o_s, axis=-1) + 1e-12)
+    t, valid = min_positive([(t1, v1), (t2, v2)],
+                            scale=jax.lax.stop_gradient(scale))
 
     hit_s = o_s + t[..., None] * d_s
     hit_e = _mul_vec_mat(hit_s, _transpose(row.Rs)) + row.ts

@@ -139,17 +139,30 @@ def solve_roots(q, o, d):
     return (t1, v1), (t2, v2)
 
 
-def min_positive(roots):
+REL_EPS = 1e-5   # see min_positive: float32 self-intersection headroom
+
+
+def min_positive(roots, scale=None):
     """Min-positive-root selection (reference ``_check_t``,
-    primitives.py:28-36): reject t <= INTERSECT_EPS and invalid roots; return
+    primitives.py:28-36): reject t <= eps and invalid roots; return
     ``(t, valid)`` with ``t`` sanitized to 0 when no root survives.
 
     ``roots`` is an iterable of ``(t, valid)`` pairs (valid may already
     include surface-local bound checks, cf. bounded.py:20-36).
+
+    ``scale`` (optional, [...]): magnitude of the ray origin in the surface
+    frame.  The reject threshold becomes ``INTERSECT_EPS + REL_EPS*scale``:
+    a float32 hit point recomputed at coordinates ~|o| lies O(ulp * |o|) off
+    the surface, so a purely absolute epsilon (the reference's 1e-6,
+    primitives.py:6) lets the *next* bounce re-hit the same surface at
+    t ~ 1e-6 and double-apply its physics.  The relative term keeps
+    self-intersection rejection robust at any scene scale while remaining
+    far below any legitimate inter-surface distance.
     """
+    eps = INTERSECT_EPS if scale is None else INTERSECT_EPS + REL_EPS * scale
     t_best = None
     for t, v in roots:
-        keep = v & (t > INTERSECT_EPS)
+        keep = v & (t > eps)
         t_masked = jnp.where(keep, t, BIG)
         t_best = t_masked if t_best is None else jnp.minimum(t_best, t_masked)
     valid = t_best < BIG * 0.5

@@ -1,0 +1,66 @@
+"""SPMD ray sharding over a TPU device mesh.
+
+The parallel substrate of this framework (SURVEY.md §2.12): ray batches are
+data-parallel along N, parameters (dozens of scalars) are replicated, and
+the only cross-device traffic is the psum of sensor moment / irradiance /
+loss reductions — inserted automatically by XLA from the shardings below,
+riding ICI.  There is deliberately no port of a comms library: the
+reference has none (no torch.distributed anywhere), and on TPU the XLA
+runtime *is* the comms backend.
+
+Mesh convention: 2-D ('data', 'rays').  Bundles x rays both shard the ray
+axis; a 1-D mesh is the n_data=1 special case.  The scene trace is pure
+elementwise over N plus [B]- or [H,W]-shaped scatter-add reductions, so a
+NamedSharding on the ray inputs is all XLA needs — every intermediate
+shards along N and the accumulators come out replicated after psum.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..rays.ray import Rays
+
+RAY_AXES = ('data', 'rays')
+
+
+def make_mesh(n_devices=None, n_data=None):
+    """A ('data', 'rays') mesh over the first n_devices.  ``n_data`` splits
+    the devices between the two axes (default: most-square split with
+    n_data <= n_rays)."""
+    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        n_data = 1
+        for cand in range(int(np.sqrt(n)), 0, -1):
+            if n % cand == 0:
+                n_data = cand
+                break
+    grid = np.asarray(devices).reshape(n_data, n // n_data)
+    return Mesh(grid, RAY_AXES)
+
+
+def ray_sharding(mesh):
+    """NamedSharding placing the ray axis over BOTH mesh axes (fully
+    data-parallel over all devices)."""
+    return NamedSharding(mesh, P(RAY_AXES))
+
+
+def shard_rays(rays: Rays, mesh) -> Rays:
+    """Device-put a ray batch with its N axis sharded across the mesh.
+    N must divide by the device count."""
+    s3 = NamedSharding(mesh, P(RAY_AXES, None))
+    s1 = NamedSharding(mesh, P(RAY_AXES))
+    return Rays(
+        pos=jax.device_put(rays.pos, s3),
+        dir=jax.device_put(rays.dir, s3),
+        intensity=jax.device_put(rays.intensity, s1),
+        ray_id=jax.device_put(rays.ray_id, s1),
+        wavelength=jax.device_put(rays.wavelength, s1),
+    )
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())

@@ -1,0 +1,103 @@
+"""Non-sequential (nearest-hit bounce) scene tests: parity with the
+sequential driver on ordered systems, mirror fold paths, bounce budgets
+(reference scene/base.py:129-235; the 'naive scene' config of BASELINE.json).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracetorch_tpu import (CircularAperture, CollimatedDisk, Rays,
+                               SensorElement, Scene, SequentialScene,
+                               SingletLens, SphericalMirror)
+
+
+def _elements():
+    return [
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    name='lens'),
+        CircularAperture(radius=5.0, translation=[0.0, 0.0, 10.0],
+                         name='stop'),
+        SensorElement(radius=6.0, translation=[0.0, 0.0, 19.0],
+                      name='sensor'),
+    ]
+
+
+def test_nonsequential_matches_sequential_on_ordered_system(key):
+    seq = SequentialScene(_elements())
+    non = Scene(_elements(), n_bounces=8)
+    p = seq.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0.0, 0.0, -10.0]).sample(key, 2048)
+
+    out_s, sens_s, _ = seq.simulate(p, rays, key)
+    out_n, sens_n, _ = non.simulate(p, rays, key)
+
+    np.testing.assert_allclose(out_n.pos, out_s.pos, atol=1e-4)
+    np.testing.assert_allclose(out_n.dir, out_s.dir, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sens_n.moments),
+                               np.asarray(sens_s.moments), rtol=1e-4,
+                               atol=1e-4)   # f32 accumulation-order noise
+
+
+def test_mirror_fold_path(key):
+    """A spherical mirror folds rays back to a sensor behind the source —
+    inherently non-sequential (z-ordering breaks)."""
+    scene = Scene([
+        SphericalMirror(c1=-0.025, d=0.0, translation=[0.0, 0.0, 40.0],
+                        name='mirror'),
+        SensorElement(radius=10.0, translation=[0.0, 0.0, 0.5],
+                      name='sensor'),
+    ], n_bounces=4)
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0)).sample(key, 512)
+    out, sensors, _ = scene.simulate(p, rays, key)
+
+    # R = -40 -> f = |R|/2 = 20: collimated light focuses at z = 40 - 20 = 20,
+    # then diverges back through the sensor plane at z = 0.5.
+    assert float(jnp.mean(out.dir[:, 2])) < 0.0     # rays travel backwards
+    w = float(sensors.total_weight(0)[0])
+    assert w > 500
+    # Spot at z=0.5 after focusing at 20: radius ~ 2 * (19.5/20) ~ 1.95
+    rms = float(sensors.spot_rms(0)[0])
+    assert 1.0 < rms < 2.0
+
+
+def test_bounce_budget_masks_dead_rays(key):
+    """Rays that leave the scene stop interacting; extra bounces are no-ops."""
+    scene4 = Scene(_elements(), n_bounces=4)
+    scene16 = Scene(_elements(), n_bounces=16)
+    p = scene4.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0.0, 0.0, -10.0]).sample(key, 512)
+    out4, _, _ = scene4.simulate(p, rays, key)
+    out16, _, _ = scene16.simulate(p, rays, key)
+    np.testing.assert_allclose(out4.pos, out16.pos, atol=1e-5)
+
+
+def test_nonsequential_gradients(key):
+    scene = Scene(_elements(), n_bounces=6)
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(3.0),
+                               translation=[0.0, 0.0, -10.0]).sample(key, 256)
+
+    def loss(pp):
+        _, sensors, _ = scene.simulate(pp, rays, key)
+        return sensors.spot_rms(0)[0]
+
+    g = jax.grad(loss)(p)
+    g1 = float(g['lens']['c1'])
+    assert np.isfinite(g1) and g1 != 0.0
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_to_sequential_sorts_by_z(key):
+    scene = Scene([
+        SensorElement(radius=6.0, translation=[0.0, 0.0, 19.0],
+                      name='sensor'),
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    name='lens'),
+    ])
+    seq = scene.to_sequential()
+    assert [el.name for el in seq.elements] == ['lens', 'sensor']
