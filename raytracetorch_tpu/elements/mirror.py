@@ -90,8 +90,12 @@ class CylindricalMirror(_MirrorBase):
         Re, te = frame_params(p)
         q, sign = q_quadric_zy(p['c'], 0.0)
         Rw, tw, Rs, ts = compose_world(Re, te)
+        if self._d_init > 0:
+            sb_kind, sb = SBKind.HEMI_APER, (p['c'], (p['d'] / 2.0) ** 2)
+        else:
+            sb_kind, sb = SBKind.HEMI, (p['c'],)
         return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
-                           sb_kind=SBKind.HEMI, sb=(p['c'],),
+                           sb_kind=sb_kind, sb=sb,
                            ph_kind=PhysKind.REFLECT)]
 
     def _mirror_mat(self, p):
@@ -119,7 +123,16 @@ class ParabolicMirror(_MirrorBase):
         Re, te = frame_params(p)
         q, sign = q_quadric(p['c'], -1.0)
         Rw, tw, Rs, ts = compose_world(Re, te)
+        # d > 0 bounds the mirror to its aperture diameter.  (The reference
+        # stores d but never bounds with it, elements/mirror.py:101 — an
+        # unbounded paraboloid re-intersects its own reflected rays at far
+        # field in non-sequential scenes; see PARITY.md §12.)
+        if self._d_init > 0:
+            sb_kind, sb = SBKind.DISK, ((p['d'] / 2.0) ** 2,)
+        else:
+            sb_kind, sb = SBKind.NONE, ()
         return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                           sb_kind=sb_kind, sb=sb,
                            ph_kind=PhysKind.REFLECT)]
 
 
@@ -146,7 +159,12 @@ class ParabolicMirrorXZ(_MirrorBase):
         Re, te = frame_params(p)
         q, sign = q_quadric_zy(p['c'], -1.0)
         Rw, tw, Rs, ts = compose_world(Re, te)
+        if self._d_init > 0:
+            sb_kind, sb = SBKind.DISK, ((p['d'] / 2.0) ** 2,)
+        else:
+            sb_kind, sb = SBKind.NONE, ()
         return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                           sb_kind=sb_kind, sb=sb,
                            ph_kind=PhysKind.REFLECT)]
 
     def _mirror_mat(self, p):
