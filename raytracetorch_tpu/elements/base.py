@@ -51,7 +51,40 @@ def zvec(z, dtype=jnp.float32):
 
 class Element:
     """Base element spec.  Subclasses add parameters via ``extra_params`` /
-    ``extra_trainable`` and implement ``build``."""
+    ``extra_trainable`` and implement ``build``.
+
+    Every subclass's ``__init__`` is wrapped to capture its bound arguments
+    into ``self._ctor_config`` — the zero-boilerplate serialization hook
+    behind the project-file registry (see config.py; the reference instead
+    reverse-engineers constructors via GUI form introspection,
+    config.py:30-60)."""
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        import functools
+        import inspect
+        orig = cls.__dict__.get('__init__')
+        if orig is None or getattr(orig, '_captures_config', False):
+            return
+
+        @functools.wraps(orig)
+        def wrapped(self, *args, **kwargs):
+            if not hasattr(self, '_ctor_config'):
+                try:
+                    bound = inspect.signature(orig).bind(self, *args, **kwargs)
+                    bound.apply_defaults()
+                    cfg = dict(bound.arguments)
+                    cfg.pop('self', None)
+                    extra = cfg.pop('kw', None)
+                    if isinstance(extra, dict):
+                        cfg.update(extra)
+                    self._ctor_config = cfg
+                except TypeError:
+                    self._ctor_config = {}
+            orig(self, *args, **kwargs)
+
+        wrapped._captures_config = True
+        cls.__init__ = wrapped
 
     def __init__(self, name='element', rotation=None, translation=None,
                  rot_grad=False, trans_grad=False, rot_mask=None,

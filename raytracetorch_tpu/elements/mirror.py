@@ -53,8 +53,15 @@ class SphericalMirror(_MirrorBase):
         self._diam_init, self._diam_grad = float(diameter), diameter_grad
 
     def extra_params(self):
-        return {'c': self._c_init, 'd': self._d_init,
-                'diameter': min(self._diam_init, 1e18)}
+        # Effective aperture: explicit `diameter` wins; else `d` (> 0); else
+        # unbounded (see PARITY.md §12 — the reference never bounds with d).
+        if self._diam_init != float('inf'):
+            aperture = self._diam_init
+        elif self._d_init > 0:
+            aperture = self._d_init
+        else:
+            aperture = 1e18
+        return {'c': self._c_init, 'd': self._d_init, 'diameter': aperture}
 
     def extra_trainable(self):
         return {'c': self._c_grad, 'd': self._d_grad,
