@@ -10,7 +10,7 @@ from .core.sensor import SensorConfig, SensorState
 from .core.table import SurfaceRec, SurfaceTable
 from .core.trace import trace_nonsequential, trace_sequential
 from .elements.aperture import (CircularAperture, EllipticAperture,
-                                RectangularAperture)
+                                FuzzyAperture, RectangularAperture)
 from .elements.base import Element, ElementCustom
 from .elements.ideal import (IdealCylThinLens, IdealMirror, IdealThinLens,
                              LinearElement, paraxial_dist_mat,

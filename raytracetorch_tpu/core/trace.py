@@ -38,7 +38,7 @@ from .sensor import SensorConfig, SensorState
 
 
 def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
-                  sensors: SensorState):
+                  sensors: SensorState, fuzzy_fn=None):
     """Apply one surface interaction to the full ray batch (masked)."""
     res = intersect(row, rays.pos, rays.dir)
     active = res['valid'] & (rays.intensity > 0)
@@ -48,6 +48,9 @@ def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
     new_dir, imod = apply_physics(
         row.ph_kind, row.ph, row.Rw, row.sb_kind, row.sb,
         res['hit_s'], rays.dir, n_w, u)
+    if fuzzy_fn is not None:
+        # Custom apodization of a Fuzzy surface (reference phys/filter.py:36-50)
+        imod = imod * fuzzy_fn(res['hit_s'])
 
     # Differentiable global hit recompute (reference shape.py:81): the t used
     # here is the same differentiable scalar chosen by the bound-masked
@@ -67,7 +70,8 @@ def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
 def trace_sequential(table, rays: Rays, key,
                      cfg: SensorConfig = SensorConfig(),
                      record_paths: bool = False,
-                     record_hits: bool = False):
+                     record_hits: bool = False,
+                     fuzzy_fns=None):
     """Ordered pass over every surface row (reference SequentialScene).
 
     Returns ``(rays, sensors, aux)`` where ``aux`` optionally carries
@@ -81,10 +85,12 @@ def trace_sequential(table, rays: Rays, key,
     paths = [rays.pos] if record_paths else None
     hits, hit_w = ([], []) if record_hits else (None, None)
 
+    fuzzy_fns = fuzzy_fns or {}
     for k in range(k_surf):
         row = table.row(k)
         rays, sensors, active, res = _surface_step(row, rays, keys[k], cfg,
-                                                   sensors)
+                                                   sensors,
+                                                   fuzzy_fn=fuzzy_fns.get(k))
         if record_paths:
             paths.append(rays.pos)
         if record_hits:
@@ -118,7 +124,7 @@ def nearest_hit(table, rays: Rays):
 
 
 def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
-                sensors: SensorState):
+                sensors: SensorState, fuzzy_fns=None):
     """One non-sequential physics bounce (reference ``Scene.step``,
     scene/base.py:180-235) — fully batched, no per-(element,surface) Python
     dispatch: gather each ray's winning row and recompute differentiably."""
@@ -132,6 +138,8 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
     new_dir, imod = apply_physics(
         rows.ph_kind, rows.ph, rows.Rw, rows.sb_kind, rows.sb,
         res['hit_s'], rays.dir, n_w, u)
+    for idx, fn in (fuzzy_fns or {}).items():
+        imod = jnp.where(win == idx, imod * fn(res['hit_s']), imod)
     new_pos = rays.pos + res['t'][..., None] * rays.dir
 
     w = jnp.where(active & rows.is_sensor, rays.intensity, 0.0)
@@ -144,7 +152,8 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
 def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
                         cfg: SensorConfig = SensorConfig(),
                         record_paths: bool = False,
-                        remat: bool = False):
+                        remat: bool = False,
+                        fuzzy_fns=None):
     """Bounce loop until the static bounce budget (reference
     ``Scene.simulate``, scene/base.py:129-142; the early-exit host sync
     becomes masked no-op bounces — wrong-free and jit-clean)."""
@@ -152,7 +161,8 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
 
     def body(carry, k_key):
         rays, sensors = carry
-        rays, sensors, _ = bounce_step(table, rays, k_key, cfg, sensors)
+        rays, sensors, _ = bounce_step(table, rays, k_key, cfg, sensors,
+                                       fuzzy_fns=fuzzy_fns)
         ys = rays.pos if record_paths else None
         return (rays, sensors), ys
 

@@ -40,6 +40,33 @@ class _ApertureBase(Element):
                            ph_kind=PhysKind.APERTURE)]
 
 
+class FuzzyAperture(Element):
+    """Arbitrary-apodization plane: transmits with a user-supplied intensity
+    modulation ``intensity_fn(hit_local [N,3]) -> [N]`` (reference ``Fuzzy``,
+    phys/filter.py:36-50).  The callable is static scene structure (it is
+    traced into the jitted program), so it is not serializable to project
+    files."""
+
+    def __init__(self, intensity_fn, name='fuzzy', **kw):
+        super().__init__(name=name, **kw)
+        self.intensity_fn = intensity_fn
+
+    @property
+    def n_surfaces(self):
+        return 1
+
+    @property
+    def is_aperture(self):
+        return True
+
+    def build(self, p):
+        Re, te = frame_params(p)
+        q, sign = q_plane()
+        Rw, tw, Rs, ts = compose_world(Re, te)
+        return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                           ph_kind=PhysKind.TRANSMIT)]
+
+
 class CircularAperture(_ApertureBase):
     """Disk-bounded plane + aperture filter (reference
     elements/aperture.py:8-21)."""

@@ -102,9 +102,22 @@ class Scene:
         spec = bundles if bundles is not None else self.bundles
         return sample_bundles(key, spec)
 
+    def fuzzy_fns(self):
+        """Static {flat_surface_index: callable} map of Fuzzy apodization
+        surfaces (reference phys/filter.py:36-50)."""
+        out, k = {}, 0
+        for el in self.elements:
+            fn = getattr(el, 'intensity_fn', None)
+            if fn is not None:
+                for j in range(el.n_surfaces):
+                    out[k + j] = fn
+            k += el.n_surfaces
+        return out
+
     def simulate(self, params, rays, key, n_bundles=None, **kw):
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
+        kw.setdefault('fuzzy_fns', self.fuzzy_fns())
         return trace_nonsequential(table, rays, key, self.n_bounces, cfg, **kw)
 
     # -- conversions (reference scene/base.py:261-289, sequential.py:80-105)
@@ -130,6 +143,7 @@ class SequentialScene(Scene):
     def simulate(self, params, rays, key, n_bundles=None, **kw):
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
+        kw.setdefault('fuzzy_fns', self.fuzzy_fns())
         return trace_sequential(table, rays, key, cfg, **kw)
 
     def paraxial(self, params):
