@@ -203,6 +203,18 @@ class SingletLens(_SphericLens):
     def R2(self, p):
         return -1.0 / p['c2']
 
+    def T(self, p):
+        """Center thickness (reference elements/lens.py:104-106)."""
+        return p['t']
+
+    def T_edge(self, p):
+        """Edge thickness: axial extent of the barrel between the faces'
+        sag heights at the aperture radius (reference elements/lens.py:108-110,
+        geom/spherics.py:52-54)."""
+        r = p['radius']
+        return ((sag_z(p['c2'], r) + p['t'] / 2.0)
+                - (sag_z(p['c1'], r) - p['t'] / 2.0))
+
     def principal_planes(self, p):
         """(P1z, P2z) in the element frame (elements/lens.py:112-127)."""
         dn = p['ior_glass'] - p['ior_media']

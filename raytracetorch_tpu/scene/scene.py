@@ -47,6 +47,24 @@ class Scene:
         self.bundles.append((bundle, n_rays))
         return bundle
 
+    def clear_elements(self):
+        """Drop all elements (reference scene/base.py:38-41)."""
+        self.elements = []
+
+    def clear_bundles(self):
+        """Drop all bundles (reference scene/base.py:43-47)."""
+        self.bundles = []
+
+    def ray_cast(self, params, rays):
+        """Nearest-hit query: (winner_surface_idx, hit_mask) plus the
+        (element, surface) decomposition via the table's index maps
+        (reference Scene.ray_cast, scene/base.py:144-178)."""
+        from ..core.trace import nearest_hit
+        table = self.build_table(params)
+        win, hit = nearest_hit(table, rays)
+        return dict(surface=win, element=table.elem_id[win],
+                    surf_in_element=table.surf_id[win], hit=hit)
+
     def find_element(self, name):
         for el in self.elements:
             if el.name == name:
