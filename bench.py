@@ -5,13 +5,20 @@ configuration (reference benchmarks/sim_benchmark.py:56-95 — CollimatedDisk
 r=4 -> SingletLens(c=+/-0.05, d=10, t=3, n=1.5) + CircularAperture(r=5) +
 Sensor disk r=6 @ z=19) traced sequentially over 1M rays.
 
+Timing methodology: under the axon remote backend, ``block_until_ready`` is
+asynchronous and each dispatch pays a ~26 ms RPC round trip, so naive
+per-call timing is meaningless.  We therefore time M traces CHAINED ON
+DEVICE inside one jit (each iteration consumes the previous output, so
+nothing can be elided), force completion by fetching a result-dependent
+scalar, and subtract the measured dispatch+fetch floor.  This reports true
+device throughput.
+
 Baseline: the reference's own code on torch-CPU measured by
 benchmarks/reference_cpu_baseline.py on this machine: 1,000,000 rays in
 1896 ms = 527,292 rays/s (see BASELINE.md).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": rays/s, "unit": "rays/s", "vs_baseline": x}
-plus auxiliary fields (trace ms, grad-step ms) in the same object.
+  {"metric": ..., "value": rays/s, "unit": "rays/s", "vs_baseline": x, ...}
 """
 
 import json
@@ -27,8 +34,8 @@ from raytracetorch_tpu.optim.goals import spot_size_loss
 
 BASELINE_RAYS_PER_S = 527_292.0     # reference torch-CPU, this machine
 N_RAYS = 1_000_000
-REPEATS = 20
-WARMUP = 3
+CHAIN = 20
+REPEATS = 5
 
 
 def build_scene():
@@ -42,46 +49,63 @@ def build_scene():
     ])
 
 
+def _median_fetch_ms(fn, *args, reps=REPEATS):
+    """Median wall time of fn(*args) forced by fetching its scalar result."""
+    float(fn(*args))     # warmup / compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts) * 1e3
+
+
 def main():
     scene = build_scene()
     params = scene.init_params()
     key = jax.random.PRNGKey(0)
     bundle = CollimatedDisk.make(radius=jnp.float32(4.0),
                                  translation=[0.0, 0.0, -10.0])
-    rays = jax.block_until_ready(bundle.sample(key, N_RAYS))
+    rays = bundle.sample(key, N_RAYS)
 
-    trace = jax.jit(lambda p, r, k: scene.simulate(p, r, k))
+    shift = jnp.array([0.0, 0.0, 30.0])
 
-    def grad_step(p, r, k):
-        def loss(pp):
-            _, sensors, _ = scene.simulate(pp, r, k)
+    def chained_trace(p, r, k):
+        def body(rr, _):
+            fresh = rr.replace(pos=rr.pos - shift,
+                               intensity=jnp.ones_like(rr.intensity))
+            out, _, _ = scene.simulate(p, fresh, k)
+            return out, None
+        out, _ = jax.lax.scan(body, r, None, length=CHAIN)
+        return jnp.sum(out.pos)
+
+    def chained_grad(p, r, k):
+        def loss(pp, rr):
+            _, sensors, _ = scene.simulate(pp, rr, k)
             return spot_size_loss(sensors)
-        return jax.value_and_grad(loss)(p)
 
-    grad = jax.jit(grad_step)
+        def body(carry, _):
+            pp, rr = carry
+            val, g = jax.value_and_grad(loss)(pp, rr)
+            # feed the value back so no step can be elided
+            pp = jax.tree_util.tree_map(lambda a: a + 0.0 * val, pp)
+            return (pp, rr), val
+        (_, _), vals = jax.lax.scan(body, (p, r), None, length=CHAIN)
+        return jnp.sum(vals)
 
-    for _ in range(WARMUP):
-        out, sensors, _ = trace(params, rays, key)
-        jax.block_until_ready(out.pos)
+    floor_fn = jax.jit(lambda r: r.intensity[0] + 1.0)
+    floor_ms = _median_fetch_ms(floor_fn, rays)
 
-    times = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        out, sensors, _ = trace(params, rays, key)
-        jax.block_until_ready(out.pos)
-        times.append(time.perf_counter() - t0)
-    trace_ms = statistics.mean(times) * 1e3
+    trace_total = _median_fetch_ms(jax.jit(chained_trace), params, rays, key)
+    trace_ms = max((trace_total - floor_ms) / CHAIN, 1e-6)
 
-    for _ in range(WARMUP):
-        val, g = grad(params, rays, key)
-        jax.block_until_ready(val)
-    gtimes = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        val, g = grad(params, rays, key)
-        jax.block_until_ready(val)
-        gtimes.append(time.perf_counter() - t0)
-    grad_ms = statistics.mean(gtimes) * 1e3
+    grad_total = _median_fetch_ms(jax.jit(chained_grad), params, rays, key)
+    grad_ms = max((grad_total - floor_ms) / CHAIN, 1e-6)
+
+    # single trace for the sensor stats
+    _, sensors, _ = jax.jit(
+        lambda p, r, k: scene.simulate(p, r, k))(params, rays, key)
+    rms = float(sensors.spot_rms(0)[0])
 
     rays_per_s = N_RAYS / (trace_ms / 1e3)
     print(json.dumps({
@@ -92,8 +116,10 @@ def main():
         'trace_ms': round(trace_ms, 3),
         'grad_step_ms': round(grad_ms, 3),
         'n_rays': N_RAYS,
+        'chain': CHAIN,
+        'dispatch_floor_ms': round(floor_ms, 2),
         'device': str(jax.devices()[0]),
-        'spot_rms': round(float(sensors.spot_rms(0)[0]), 5),
+        'spot_rms': round(rms, 5),
     }))
 
 

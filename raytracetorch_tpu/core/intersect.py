@@ -1,4 +1,4 @@
-"""Ray-surface intersection against SurfaceTable rows.
+"""Ray-surface intersection against SurfaceTable rows (component-planar).
 
 One code path serves both trace drivers:
 
@@ -12,6 +12,9 @@ positive root (geom/primitives.py:28-36), then the element-volume bound on
 the chosen hit (geom/shape.py:25-59).  The t value for an accepted hit is
 identical between cheap test and differentiable recompute, so we compute it
 once, differentiably, and take stop-gradient only of the discrete masks.
+
+All ray/hit/normal vectors are component tuples (x, y, z) — geom/vec3.py
+explains why this layout is ~20x faster than [N, 3] arrays on TPU.
 """
 
 from __future__ import annotations
@@ -19,66 +22,74 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..geom import vec3 as v3
 from ..geom.bounds import sb_check_inverted, vb_check
 from ..geom.surfaces import min_positive, solve_roots, surface_normal
 
 
-def intersect(row, pos, direction):
+def intersect(row, pos, direction, static_meta=None):
     """Intersect rays with table row(s).
 
     Args:
       row: SurfaceTable (or a row view) whose leading dims broadcast with the
         ray batch: scalars for one surface, [K] against [N, K] rays, or [N]
         gathered winners.
-      pos, direction: [..., 3] world-frame ray state.
+      pos, direction: component tuples of [...] world-frame ray state.
+      static_meta: optional StaticRowMeta — when the row's kinds are
+        compile-time constants (sequential trace), evaluate only the one
+        bound formula each instead of the dense compute-all-select.
 
     Returns dict with:
-      t        [...]   ray parameter (0 where invalid — sanitized)
-      valid    [...]   bool hit mask (bounds + positivity)
-      hit_s    [..., 3] hit point, surface frame
-      hit_e    [..., 3] hit point, element frame
-      o_s, d_s [..., 3] ray in the surface frame (for normals / reuse)
+      t        [...]  ray parameter (0 where invalid — sanitized)
+      valid    [...]  bool hit mask (bounds + positivity)
+      hit_s    tuple  hit point, surface frame
+      hit_e    tuple  hit point, element frame
+      o_s, d_s tuple  ray in the surface frame (for normals / reuse)
     """
-    o_s = _mul_vec_mat(pos - row.tw, row.Rw)
-    d_s = _mul_vec_mat(direction, row.Rw)
+    o_s = v3.rot(v3.sub(pos, v3.from_array(row.tw)), row.Rw)
+    d_s = v3.rot(direction, row.Rw)
 
     (t1, v1), (t2, v2) = solve_roots(row.q, o_s, d_s)
 
-    # Per-root surface-local bounds (SurfaceBounded._check_t)
-    hit1 = o_s + t1[..., None] * d_s
-    hit2 = o_s + t2[..., None] * d_s
-    v1 = v1 & sb_check_inverted(row.sb_kind, row.sb, row.sb_invert, hit1)
-    v2 = v2 & sb_check_inverted(row.sb_kind, row.sb, row.sb_invert, hit2)
+    if static_meta is not None:
+        from .static_dispatch import sb_check_one, vb_check_one
 
-    scale = jnp.sqrt(jnp.sum(o_s * o_s, axis=-1) + 1e-12)
+        def sb(hit):
+            return sb_check_one(static_meta.sb, row.sb, hit) ^ row.sb_invert
+
+        def vb(hit):
+            return vb_check_one(static_meta.vb, row.vb, row.hp_n, row.hp_d,
+                                row.hp_mask, hit)
+    else:
+        def sb(hit):
+            return sb_check_inverted(row.sb_kind, row.sb, row.sb_invert, hit)
+
+        def vb(hit):
+            return vb_check(row.vb_kind, row.vb, row.hp_n, row.hp_d,
+                            row.hp_mask, hit)
+
+    # Per-root surface-local bounds (SurfaceBounded._check_t)
+    v1 = v1 & sb(v3.fma(o_s, t1, d_s))
+    v2 = v2 & sb(v3.fma(o_s, t2, d_s))
+
+    scale = jnp.sqrt(v3.norm2(o_s) + 1e-12)
     t, valid = min_positive([(t1, v1), (t2, v2)],
                             scale=jax.lax.stop_gradient(scale))
 
-    hit_s = o_s + t[..., None] * d_s
-    hit_e = _mul_vec_mat(hit_s, _transpose(row.Rs)) + row.ts
+    hit_s = v3.fma(o_s, t, d_s)
+    # element frame: e = s @ Rs.T + ts
+    hit_e = v3.add(v3.rot_t(hit_s, row.Rs), v3.from_array(row.ts))
 
     # Element-volume bound on the chosen hit (Shape.inBounds)
-    valid = valid & vb_check(row.vb_kind, row.vb, row.hp_n, row.hp_d,
-                             row.hp_mask, hit_e)
+    valid = valid & vb(hit_e)
     return dict(t=t, valid=valid, hit_s=hit_s, hit_e=hit_e, o_s=o_s, d_s=d_s)
 
 
 def normal_world(row, hit_s):
-    """World-frame unit normal at a surface-frame hit point.
+    """World-frame unit normal (component tuple) at a surface-frame hit.
 
     n_world = n_local @ Rw.T — the composed form of the reference's two
     rotations (primitives.py:94, shape.py:85)."""
     n_sign = jnp.asarray(row.n_sign)
-    n_local = surface_normal(row.q, jnp.broadcast_to(n_sign, hit_s.shape[:-1]),
-                             hit_s)
-    return _mul_vec_mat(n_local, _transpose(row.Rw))
-
-
-def _transpose(m):
-    return jnp.swapaxes(m, -1, -2)
-
-
-def _mul_vec_mat(v, m):
-    """Row-vector times matrix with broadcasting: v [..., 3] @ m [..., 3, 3]."""
-    return jnp.einsum('...i,...ij->...j', v, m,
-                      precision=jax.lax.Precision.HIGHEST)
+    n_local = surface_normal(row.q, n_sign, hit_s)
+    return v3.rot_t(n_local, row.Rw)

@@ -54,14 +54,27 @@ class SensorState(struct.PyTreeNode):
     def record(self, cfg: SensorConfig, slot, ray_id, hit_local, weight):
         """Accumulate hits (weight already masked to zero for non-hits and
         non-sensor surfaces).  ``slot`` may be a scalar (sequential trace) or
-        [N] (non-sequential winners)."""
-        x, y = hit_local[..., 0], hit_local[..., 1]
-        basis = jnp.stack(
-            [weight, weight * x, weight * y, weight * x * x,
-             weight * y * y, weight * x * y,
-             (weight > 0).astype(weight.dtype)], axis=-1)
-        slot_b = jnp.broadcast_to(slot, ray_id.shape)
-        moments = self.moments.at[slot_b, ray_id].add(basis)
+        [N] (non-sequential winners).  ``hit_local`` is a component tuple.
+
+        For few bundles (the common case) the per-bundle reduction is a set
+        of masked sums — dense, lane-packed, psum-friendly; large bundle
+        counts fall back to scatter-add."""
+        x, y = hit_local[0], hit_local[1]
+        terms = (weight, weight * x, weight * y, weight * x * x,
+                 weight * y * y, weight * x * y,
+                 (weight > 0).astype(weight.dtype))
+
+        if cfg.n_bundles <= 8 and jnp.ndim(slot) == 0:
+            cols = []
+            for b in range(cfg.n_bundles):
+                wb = jnp.where(ray_id == b, 1.0, 0.0)
+                cols.append(jnp.stack([jnp.sum(t * wb) for t in terms]))
+            delta = jnp.stack(cols)                      # [B, 7]
+            moments = self.moments.at[slot].add(delta)
+        else:
+            basis = jnp.stack(terms, axis=-1)
+            slot_b = jnp.broadcast_to(slot, ray_id.shape)
+            moments = self.moments.at[slot_b, ray_id].add(basis)
 
         grid = self.grid
         if cfg.grid_shape:
@@ -69,6 +82,7 @@ class SensorState(struct.PyTreeNode):
             e = cfg.grid_half_extent
             ix = jnp.clip(((x + e) / (2 * e) * w).astype(jnp.int32), 0, w - 1)
             iy = jnp.clip(((y + e) / (2 * e) * h).astype(jnp.int32), 0, h - 1)
+            slot_b = jnp.broadcast_to(slot, ray_id.shape)
             grid = grid.at[slot_b, iy, ix].add(weight)
         return self.replace(moments=moments, grid=grid)
 

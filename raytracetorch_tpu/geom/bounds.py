@@ -36,11 +36,11 @@ from .surfaces import sag_z
 def sb_check(sb_kind, sb, hit_local):
     """Raw (non-inverted) surface-local bound check.
 
-    ``sb_kind [...]`` int32, ``sb [..., 4]`` params, ``hit_local [..., 3]``.
-    Returns a bool mask; see :class:`~raytracetorch_tpu.constants.SBKind`
-    for the parameter layout of each kind.
+    ``sb_kind [...]`` int32, ``sb [..., 4]`` params, ``hit_local`` a
+    component tuple (x, y, z).  Returns a bool mask; see
+    :class:`~raytracetorch_tpu.constants.SBKind` for parameter layouts.
     """
-    x, y, z = hit_local[..., 0], hit_local[..., 1], hit_local[..., 2]
+    x, y, z = hit_local
     p0, p1, p2 = sb[..., 0], sb[..., 1], sb[..., 2]
     r2 = x * x + y * y
 
@@ -77,8 +77,9 @@ def vb_check(vb_kind, vb, hp_n, hp_d, hp_mask, hit_elem):
 
     ``vb [..., 8]`` params, ``hp_n [..., P, 3]`` / ``hp_d [..., P]`` /
     ``hp_mask [..., P]`` padded half-space data (convex polyhedra only).
+    ``hit_elem`` is a component tuple.
     """
-    x, y, z = hit_elem[..., 0], hit_elem[..., 1], hit_elem[..., 2]
+    x, y, z = hit_elem
     p = [vb[..., i] for i in range(8)]
 
     aper_r2 = (x * x + y * y) <= p[0]                          # spherics.py:43-46
@@ -108,7 +109,8 @@ def vb_check(vb_kind, vb, hp_n, hp_d, hp_mask, hit_elem):
     # Convex polyhedron: hit must be on the inner side of every (valid)
     # bounding plane except the surface's own (shape.py:122-132; the self-
     # exemption is baked into hp_mask at table build time).
-    signed = jnp.sum(hp_n * hit_elem[..., None, :], axis=-1) - hp_d
+    signed = (hp_n[..., 0] * x[..., None] + hp_n[..., 1] * y[..., None]
+              + hp_n[..., 2] * z[..., None]) - hp_d
     half = jnp.all((signed < CVX_EPS) | ~hp_mask, axis=-1)
 
     res = jnp.full(jnp.broadcast_shapes(vb_kind.shape, x.shape), True)

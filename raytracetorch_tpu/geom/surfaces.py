@@ -94,11 +94,12 @@ def q_cone(slope):
 def ray_coeffs(q, o, d):
     """Quadratic coefficients A t^2 + B t + C = 0 of F(o + t d) = 0.
 
-    Broadcasts: ``q [..., 5]``, ``o/d [..., 3]`` -> ``A,B,C [...]``.
+    ``q [..., 5]``; ``o``/``d`` are component tuples (x, y, z) of [...]
+    arrays (see geom/vec3.py for why the planar layout).
     """
     qx, qy, qz, lz, q0 = (q[..., i] for i in range(5))
-    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
-    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    ox, oy, oz = o
+    dx, dy, dz = d
     A = qx * dx * dx + qy * dy * dy + qz * dz * dz
     B = 2.0 * (qx * ox * dx + qy * oy * dy + qz * oz * dz) + lz * dz
     C = qx * ox * ox + qy * oy * oy + qz * oz * oz + lz * oz + q0
@@ -170,21 +171,22 @@ def min_positive(roots, scale=None):
 
 
 def surface_normal(q, n_sign, p_local):
-    """Unit normal from the implicit gradient, with the per-family orientation
-    sign and the degenerate-gradient guard defaulting to +Z (reference
-    Cone._getNormal, primitives.py:468-497; Quadric normalization :330-343).
-    """
+    """Unit normal (component tuple) from the implicit gradient, with the
+    per-family orientation sign and the degenerate-gradient guard defaulting
+    to +Z (reference Cone._getNormal, primitives.py:468-497; Quadric
+    normalization :330-343).  ``p_local`` is a component tuple."""
     qx, qy, qz, lz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    gx = 2.0 * qx * p_local[..., 0]
-    gy = 2.0 * qy * p_local[..., 1]
-    gz = 2.0 * qz * p_local[..., 2] + lz
-    g = jnp.stack([gx, gy, gz], axis=-1)
-    g2 = jnp.sum(g * g, axis=-1, keepdims=True)
+    gx = 2.0 * qx * p_local[0]
+    gy = 2.0 * qy * p_local[1]
+    gz = 2.0 * qz * p_local[2] + lz
+    g2 = gx * gx + gy * gy + gz * gz
     degen = g2 < NORMAL_EPS * NORMAL_EPS
-    norm = jnp.sqrt(jnp.where(degen, 1.0, g2))
-    n = jnp.where(n_sign[..., None] < 0, -g, g) / (norm + NORMAL_EPS)
-    ez = jnp.zeros_like(n).at[..., 2].set(1.0)
-    return jnp.where(degen, ez, n)
+    inv = jnp.where(n_sign < 0, -1.0, 1.0) / (
+        jnp.sqrt(jnp.where(degen, 1.0, g2)) + NORMAL_EPS)
+    nx = jnp.where(degen, 0.0, gx * inv)
+    ny = jnp.where(degen, 0.0, gy * inv)
+    nz = jnp.where(degen, jnp.ones_like(gz), gz * inv)
+    return nx, ny, nz
 
 
 def sag_z(c, r):

@@ -34,6 +34,17 @@ def mm(a, b):
     return jnp.matmul(a, b, precision=PREC)
 
 
+def vec_mat(v, m):
+    """v [..., 3] @ m [..., 3, 3] as explicit FMAs — avoids the padded MXU
+    dot_general a small-dim einsum lowers to (see core/intersect.py)."""
+    vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack([
+        vx * m[..., 0, 0] + vy * m[..., 1, 0] + vz * m[..., 2, 0],
+        vx * m[..., 0, 1] + vy * m[..., 1, 1] + vz * m[..., 2, 1],
+        vx * m[..., 0, 2] + vy * m[..., 1, 2] + vz * m[..., 2, 2],
+    ], axis=-1)
+
+
 def skew(r):
     """Skew matrix K(r) with the reference's sign layout
     (``geom/transform.py:52-56``): K = [[0,-z,y],[z,0,-x],[-y,x,0]]."""
@@ -97,12 +108,12 @@ class Frame(struct.PyTreeNode):
     def to_local(self, pos, direction):
         """World -> local (reference ``transform_``, geom/transform.py:75)."""
         R = self.rot
-        return mm(pos - self.trans, R), mm(direction, R)
+        return vec_mat(pos - self.trans, R), vec_mat(direction, R)
 
     def to_world(self, pos, direction):
         """Local -> world (reference ``invTransform_``, geom/transform.py:101)."""
         R = self.rot
-        return mm(pos, R.T) + self.trans, mm(direction, R.T)
+        return vec_mat(pos, R.T) + self.trans, vec_mat(direction, R.T)
 
     # -- bundle semantics (reference RayTransformBundle) -------------------
     def place(self, pos, direction):
@@ -110,7 +121,7 @@ class Frame(struct.PyTreeNode):
         world (reference ``RayTransformBundle.transform_``,
         geom/transform.py:247-264)."""
         R = self.rot
-        return mm(pos, R.T) + self.trans, mm(direction, R.T)
+        return vec_mat(pos, R.T) + self.trans, vec_mat(direction, R.T)
 
     # -- paraxial 5x5 decenter matrices ------------------------------------
     def paraxial(self):

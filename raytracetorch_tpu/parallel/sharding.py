@@ -50,16 +50,10 @@ def ray_sharding(mesh):
 
 def shard_rays(rays: Rays, mesh) -> Rays:
     """Device-put a ray batch with its N axis sharded across the mesh.
-    N must divide by the device count."""
-    s3 = NamedSharding(mesh, P(RAY_AXES, None))
+    N must divide by the device count.  (All Rays leaves are [N] component
+    arrays — see rays/ray.py.)"""
     s1 = NamedSharding(mesh, P(RAY_AXES))
-    return Rays(
-        pos=jax.device_put(rays.pos, s3),
-        dir=jax.device_put(rays.dir, s3),
-        intensity=jax.device_put(rays.intensity, s1),
-        ray_id=jax.device_put(rays.ray_id, s1),
-        wavelength=jax.device_put(rays.wavelength, s1),
-    )
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, s1), rays)
 
 
 def replicated(mesh):

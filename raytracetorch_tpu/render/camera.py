@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..constants import BIG, PhysKind
 from ..core.intersect import intersect, normal_world
+from ..geom import vec3 as v3
 from ..rays.ray import Rays
 
 # Reference base colors (render/camera.py:270-301)
@@ -167,15 +168,18 @@ class Renderer:
         table = self.scene.build_table(params)
         keep = self._render_mask()
 
-        res = intersect(table, rays.pos[:, None, :], rays.dir[:, None, :])
+        pos = tuple(c[:, None] for c in v3.from_array(rays.pos))
+        direction = tuple(c[:, None] for c in v3.from_array(rays.dir))
+        res = intersect(table, pos, direction)
         t_all = jnp.where(res['valid'] & keep, res['t'], BIG)   # [N, K]
         win = jnp.argmin(t_all, axis=1)
         t_min = jnp.take_along_axis(t_all, win[:, None], axis=1)[:, 0]
         hit = t_min < BIG * 0.5
 
         rows = table.gather(win)
-        wres = intersect(rows, rays.pos, rays.dir)
-        n = normal_world(rows, wres['hit_s'])
+        wres = intersect(rows, v3.from_array(rays.pos),
+                         v3.from_array(rays.dir))
+        n = v3.to_array(normal_world(rows, wres['hit_s']))
 
         ior_max = jnp.maximum(rows.ph[:, 0], rows.ph[:, 1])
         refr_col = ior_color(ior_max)
@@ -208,12 +212,12 @@ class Renderer:
 
         coords = jnp.linspace(bounds[0], bounds[1], num_points)
         zeros = jnp.zeros_like(coords)
+        zs = jnp.full_like(coords, z_start)
         if axis == 'x':
-            origins = jnp.stack([coords, zeros,
-                                 jnp.full_like(coords, z_start)], axis=1)
+            origin = (coords[:, None], zeros[:, None], zs[:, None])
         else:
-            origins = jnp.stack([zeros, coords,
-                                 jnp.full_like(coords, z_start)], axis=1)
-        dirs = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), origins.shape)
-        res = intersect(rows, origins[:, None, :], dirs[:, None, :])
+            origin = (zeros[:, None], coords[:, None], zs[:, None])
+        ones = jnp.ones_like(coords)[:, None]
+        zero = jnp.zeros_like(coords)[:, None]
+        res = intersect(rows, origin, (zero, zero, ones))
         return coords, z_start + res['t'], res['valid']

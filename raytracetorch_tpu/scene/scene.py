@@ -41,6 +41,7 @@ class Scene:
 
     def add_element(self, element):
         self.elements.append(element)
+        self._static_meta = None
         return element
 
     def add_bundle(self, bundle, n_rays=200):
@@ -50,6 +51,7 @@ class Scene:
     def clear_elements(self):
         """Drop all elements (reference scene/base.py:38-41)."""
         self.elements = []
+        self._static_meta = None
 
     def clear_bundles(self):
         """Drop all bundles (reference scene/base.py:43-47)."""
@@ -120,6 +122,20 @@ class Scene:
         spec = bundles if bundles is not None else self.bundles
         return sample_bundles(key, spec)
 
+    def static_meta(self):
+        """Per-surface compile-time kinds for the specialized sequential
+        path (core/static_dispatch.py).  Kinds are structural (they do not
+        depend on parameter values), so they are read off a throwaway build
+        with the initial params, once, outside jit."""
+        if getattr(self, '_static_meta', None) is None:
+            from ..core.static_dispatch import StaticRowMeta
+            meta = []
+            for el in self.elements:
+                for r in el.build(el.init_params()):
+                    meta.append(StaticRowMeta(r.ph_kind, r.sb_kind, r.vb_kind))
+            self._static_meta = meta
+        return self._static_meta
+
     def fuzzy_fns(self):
         """Static {flat_surface_index: callable} map of Fuzzy apodization
         surfaces (reference phys/filter.py:36-50)."""
@@ -162,6 +178,7 @@ class SequentialScene(Scene):
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
         kw.setdefault('fuzzy_fns', self.fuzzy_fns())
+        kw.setdefault('static_meta', self.static_meta())
         return trace_sequential(table, rays, key, cfg, **kw)
 
     def paraxial(self, params):

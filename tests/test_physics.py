@@ -6,7 +6,41 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raytracetorch_tpu.core import physics as P
+from raytracetorch_tpu.core import physics as _P
+from raytracetorch_tpu.geom import vec3 as v3
+
+
+class _ArrayAPI:
+    """Array-in / array-out adapter over the component-planar physics."""
+
+    @staticmethod
+    def reflect_dir(d, n):
+        return v3.to_array(_P.reflect_dir(v3.from_array(d), v3.from_array(n)))
+
+    @staticmethod
+    def snell_dir(d, n, a, b):
+        return v3.to_array(_P.snell_dir(v3.from_array(d), v3.from_array(n),
+                                        a, b))
+
+    @staticmethod
+    def fresnel_dir(d, n, a, b, u):
+        return v3.to_array(_P.fresnel_dir(v3.from_array(d), v3.from_array(n),
+                                          a, b, u))
+
+    @staticmethod
+    def linear_dir(d, hit, Rw, cx, cy, dx, dy):
+        return v3.to_array(_P.linear_dir(v3.from_array(d), v3.from_array(hit),
+                                         Rw, cx, cy, dx, dy))
+
+    @staticmethod
+    def apply_physics(kinds, ph, Rw, sbk, sb, hit, d, n, u):
+        out, imod = _P.apply_physics(kinds, ph, Rw, sbk, sb,
+                                     v3.from_array(hit), v3.from_array(d),
+                                     v3.from_array(n), u)
+        return v3.to_array(out), imod
+
+
+P = _ArrayAPI
 
 
 def _unit(v):

@@ -12,12 +12,13 @@ import numpy as np
 import pytest
 
 from raytracetorch_tpu.geom import surfaces as S
+from raytracetorch_tpu.geom import vec3 as v3
 from raytracetorch_tpu.geom.transform import Frame, compose, rodrigues
 from raytracetorch_tpu.constants import BIG
 
 
 def _solve_min_positive(q, o, d):
-    roots = S.solve_roots(q, o, d)
+    roots = S.solve_roots(q, v3.from_array(o), v3.from_array(d))
     return S.min_positive(roots)
 
 
@@ -85,23 +86,26 @@ def test_sphere_miss_marked_invalid():
 def test_normals_match_reference_orientation():
     """Normal orientation per family matches the reference classes
     (primitives.py:138,183,233,330,468)."""
+    def normal(q, s, p):
+        return v3.to_array(S.surface_normal(
+            q, jnp.full((1,), s), v3.from_array(jnp.asarray(p))))
+
     # Plane: +z
     q, s = S.q_plane()
-    n = S.surface_normal(q, jnp.full((1,), s), jnp.array([[0.3, -0.2, 0.0]]))
-    np.testing.assert_allclose(n, [[0.0, 0.0, 1.0]], atol=1e-6)
+    np.testing.assert_allclose(normal(q, s, [[0.3, -0.2, 0.0]]),
+                               [[0.0, 0.0, 1.0]], atol=1e-6)
     # Sphere: radial outward p/R
     q, s = S.q_sphere(jnp.float32(2.0))
-    p = jnp.array([[0.0, 2.0, 0.0]])
-    n = S.surface_normal(q, jnp.full((1,), s), p)
-    np.testing.assert_allclose(n, [[0.0, 1.0, 0.0]], atol=1e-6)
+    np.testing.assert_allclose(normal(q, s, [[0.0, 2.0, 0.0]]),
+                               [[0.0, 1.0, 0.0]], atol=1e-6)
     # Quadric at vertex: +z (negated gradient)
     q, s = S.q_quadric(jnp.float32(0.05), jnp.float32(0.0))
-    n = S.surface_normal(q, jnp.full((1,), s), jnp.array([[0.0, 0.0, 0.0]]))
-    np.testing.assert_allclose(n, [[0.0, 0.0, 1.0]], atol=1e-6)
+    np.testing.assert_allclose(normal(q, s, [[0.0, 0.0, 0.0]]),
+                               [[0.0, 0.0, 1.0]], atol=1e-6)
     # Cone apex: degenerate-gradient guard defaults +z
     q, s = S.q_cone(jnp.float32(0.5))
-    n = S.surface_normal(q, jnp.full((1,), s), jnp.array([[0.0, 0.0, 0.0]]))
-    np.testing.assert_allclose(n, [[0.0, 0.0, 1.0]], atol=1e-6)
+    np.testing.assert_allclose(normal(q, s, [[0.0, 0.0, 0.0]]),
+                               [[0.0, 0.0, 1.0]], atol=1e-6)
 
 
 def test_quadric_translation_gradient():
