@@ -34,7 +34,8 @@ from raytracetorch_tpu.optim.goals import spot_size_loss
 
 BASELINE_RAYS_PER_S = 527_292.0     # reference torch-CPU, this machine
 N_RAYS = 1_000_000
-CHAIN = 20
+CHAIN = 200     # large enough that CHAIN * t_trace >> RPC-floor noise
+GRAD_CHAIN = 50
 REPEATS = 5
 
 
@@ -72,12 +73,12 @@ def main():
 
     def chained_trace(p, r, k):
         def body(rr, _):
-            fresh = rr.replace(pos=rr.pos - shift,
+            fresh = rr.replace(pz=rr.pz - shift[2],
                                intensity=jnp.ones_like(rr.intensity))
             out, _, _ = scene.simulate(p, fresh, k)
             return out, None
         out, _ = jax.lax.scan(body, r, None, length=CHAIN)
-        return jnp.sum(out.pos)
+        return jnp.sum(out.px) + jnp.sum(out.py) + jnp.sum(out.pz)
 
     def chained_grad(p, r, k):
         def loss(pp, rr):
@@ -90,7 +91,7 @@ def main():
             # feed the value back so no step can be elided
             pp = jax.tree_util.tree_map(lambda a: a + 0.0 * val, pp)
             return (pp, rr), val
-        (_, _), vals = jax.lax.scan(body, (p, r), None, length=CHAIN)
+        (_, _), vals = jax.lax.scan(body, (p, r), None, length=GRAD_CHAIN)
         return jnp.sum(vals)
 
     floor_fn = jax.jit(lambda r: r.intensity[0] + 1.0)
@@ -100,7 +101,7 @@ def main():
     trace_ms = max((trace_total - floor_ms) / CHAIN, 1e-6)
 
     grad_total = _median_fetch_ms(jax.jit(chained_grad), params, rays, key)
-    grad_ms = max((grad_total - floor_ms) / CHAIN, 1e-6)
+    grad_ms = max((grad_total - floor_ms) / GRAD_CHAIN, 1e-6)
 
     # single trace for the sensor stats
     _, sensors, _ = jax.jit(

@@ -1,12 +1,14 @@
 """Benchmark suite over the five BASELINE.json configs.
 
-Each config prints one JSON line; run on the default device (TPU under
-axon, CPU if forced).  The headline driver metric stays in bench.py.
+Timing methodology matches bench.py: chained on-device iterations inside one
+jit (nothing elidable), forced by a scalar fetch, minus the measured
+dispatch+fetch floor (the axon tunnel's block_until_ready is async and each
+dispatch costs ~26 ms RPC).
 
   1. singlet sequential   — 1M-ray collimated beam through the benchmark
                             singlet + aperture + sensor (sim_benchmark.py)
-  2. mixed surfaces       — cylindrical singlet + rect aperture + parabolic
-                            mirror + sensor, sequential
+  2. mixed surfaces       — cylindrical singlet + rect aperture + second
+                            singlet + sensor, sequential (10 surfaces)
   3. naive scene          — the same singlet scene traced by the
                             non-sequential nearest-hit bounce loop
   4. sensor render        — 1024x1024 single-bounce camera render
@@ -21,31 +23,39 @@ import jax
 import jax.numpy as jnp
 
 from raytracetorch_tpu import (CircularAperture, CollimatedDisk,
-                               CylSingletLens, ParabolicMirror,
-                               RectangularAperture, Scene, SensorElement,
-                               SequentialScene, SingletLens)
+                               CylSingletLens, RectangularAperture, Scene,
+                               SensorElement, SequentialScene, SingletLens)
 from raytracetorch_tpu.optim.goals import spot_size_loss
 from raytracetorch_tpu.render.camera import Camera, Renderer
 
 N = 1_000_000
-REPEATS = 10
+CHAIN = 10
+REPEATS = 5
 
 
-def timeit(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def fetch_ms(fn, *args):
+    float(fn(*args))
     ts = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        float(fn(*args))
         ts.append(time.perf_counter() - t0)
     return statistics.median(ts) * 1e3
 
 
-def emit(name, ms, unit='ms', **extra):
-    print(json.dumps({'config': name, 'value': round(ms, 3), 'unit': unit,
-                      **extra}), flush=True)
+def chained(step, out_of):
+    """Chain ``step`` CHAIN times on device; return a jitted scalar fn."""
+    def run(*args):
+        def body(carry, _):
+            return step(carry, *args[1:]), None
+        carry, _ = jax.lax.scan(body, args[0], None, length=CHAIN)
+        return out_of(carry)
+    return jax.jit(run)
+
+
+def emit(name, ms, **extra):
+    print(json.dumps({'config': name, 'ms': round(ms, 3), **extra}),
+          flush=True)
 
 
 def singlet_scene(sequential=True):
@@ -60,17 +70,25 @@ def singlet_scene(sequential=True):
 
 def main():
     key = jax.random.PRNGKey(0)
-    rays = jax.block_until_ready(CollimatedDisk.make(
-        radius=jnp.float32(4.0), translation=[0, 0, -10.0]).sample(key, N))
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0, 0, -10.0]).sample(key, N)
+
+    floor = fetch_ms(jax.jit(lambda r: r.intensity[0] + 1.0), rays)
+    emit('dispatch_floor', floor)
+
+    def reset(rr, dz=30.0):
+        return rr.replace(pz=rr.pz - dz,
+                          intensity=jnp.ones_like(rr.intensity))
 
     # 1. singlet sequential
     scene = singlet_scene()
     p = scene.init_params()
-    f = jax.jit(lambda pp, r: scene.simulate(pp, r, key)[0].pos)
-    ms = timeit(f, p, rays)
+    f = chained(lambda rr, pp: scene.simulate(pp, reset(rr), key)[0],
+                lambda rr: jnp.sum(rr.px))
+    ms = (fetch_ms(f, rays, p) - floor) / CHAIN
     emit('singlet_sequential_1M', ms, rays_per_s=round(N / ms * 1e3))
 
-    # 2. mixed surfaces sequential
+    # 2. mixed surfaces sequential (10 surfaces)
     mixed = SequentialScene([
         CylSingletLens(c1=0.04, c2=-0.04, height=12.0, width=14.0, t=3.0,
                        ior_glass=1.5, name='cyl'),
@@ -81,8 +99,9 @@ def main():
         SensorElement(radius=10.0, translation=[0, 0, 40.0], name='sensor'),
     ])
     pm = mixed.init_params()
-    fm = jax.jit(lambda pp, r: mixed.simulate(pp, r, key)[0].pos)
-    ms = timeit(fm, pm, rays)
+    fm = chained(lambda rr, pp: mixed.simulate(pp, reset(rr), key)[0],
+                 lambda rr: jnp.sum(rr.px))
+    ms = (fetch_ms(fm, rays, pm) - floor) / CHAIN
     emit('mixed_surfaces_sequential_1M', ms, rays_per_s=round(N / ms * 1e3),
          n_surfaces=sum(e.n_surfaces for e in mixed.elements))
 
@@ -90,25 +109,40 @@ def main():
     naive = singlet_scene(sequential=False)
     naive.n_bounces = 8
     pn = naive.init_params()
-    fn = jax.jit(lambda pp, r: naive.simulate(pp, r, key)[0].pos)
-    ms = timeit(fn, pn, rays)
+    fn = chained(lambda rr, pp: naive.simulate(pp, reset(rr), key)[0],
+                 lambda rr: jnp.sum(rr.px))
+    ms = (fetch_ms(fn, rays, pn) - floor) / CHAIN
     emit('naive_scene_1M_8bounce', ms,
          ray_bounces_per_s=round(N * 8 / ms * 1e3))
 
     # 4. sensor render 1024x1024
     cam = Camera(position=[25.0, 18.0, -25.0], look_at=[0.0, 0.0, 10.0],
                  fov_deg=45.0, width=1024, height=1024)
-    r = Renderer(scene)
-    fr = r.jit_render(cam)
-    ms = timeit(fr, pn)
+    r = Renderer(naive)
+
+    def render_chain(pp):
+        def body(acc, _):
+            img = r.render_3d(jax.tree_util.tree_map(
+                lambda a: a + 0.0 * acc, pp), cam)
+            return jnp.sum(img) * 1e-12, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=CHAIN)
+        return acc
+    ms = (fetch_ms(jax.jit(render_chain), pn) - floor) / CHAIN
     emit('render_1024x1024', ms, fps=round(1e3 / ms, 1))
 
     # 5. differentiable design step
-    def loss(pp, r):
-        _, sensors, _ = scene.simulate(pp, r, key)
-        return spot_size_loss(sensors)
-    fg = jax.jit(jax.value_and_grad(loss))
-    ms = timeit(fg, p, rays)
+    def grad_chain(pp, rr):
+        def loss(q):
+            _, sensors, _ = scene.simulate(q, rr, key)
+            return spot_size_loss(sensors)
+
+        def body(q, _):
+            val, g = jax.value_and_grad(loss)(q)
+            q = jax.tree_util.tree_map(lambda a: a + 0.0 * val, q)
+            return q, val
+        q, vals = jax.lax.scan(body, pp, None, length=CHAIN)
+        return jnp.sum(vals)
+    ms = (fetch_ms(jax.jit(grad_chain), p, rays) - floor) / CHAIN
     emit('grad_step_1M', ms)
 
 
