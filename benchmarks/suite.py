@@ -16,8 +16,12 @@ dispatch costs ~26 ms RPC).
 """
 
 import json
+import os
 import statistics
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import jax
 import jax.numpy as jnp

@@ -52,14 +52,23 @@ def intersect(row, pos, direction, static_meta=None):
     (t1, v1), (t2, v2) = solve_roots(row.q, o_s, d_s)
 
     if static_meta is not None:
+        from ..constants import SBKind, VBKind
         from .static_dispatch import sb_check_one, vb_check_one
 
-        def sb(hit):
-            return sb_check_one(static_meta.sb, row.sb, hit) ^ row.sb_invert
+        if static_meta.sb == SBKind.NONE:
+            sb = None      # statically no bound — skip entirely
+        else:
+            def sb(hit):
+                keep = sb_check_one(static_meta.sb, row.sb, hit)
+                # the invert flag is static scene structure
+                return ~keep if static_meta.invert else keep
 
-        def vb(hit):
-            return vb_check_one(static_meta.vb, row.vb, row.hp_n, row.hp_d,
-                                row.hp_mask, hit)
+        if static_meta.vb == VBKind.NONE:
+            vb = None
+        else:
+            def vb(hit):
+                return vb_check_one(static_meta.vb, row.vb, row.hp_n,
+                                    row.hp_d, row.hp_mask, hit)
     else:
         def sb(hit):
             return sb_check_inverted(row.sb_kind, row.sb, row.sb_invert, hit)
@@ -69,8 +78,9 @@ def intersect(row, pos, direction, static_meta=None):
                             row.hp_mask, hit)
 
     # Per-root surface-local bounds (SurfaceBounded._check_t)
-    v1 = v1 & sb(v3.fma(o_s, t1, d_s))
-    v2 = v2 & sb(v3.fma(o_s, t2, d_s))
+    if sb is not None:
+        v1 = v1 & sb(v3.fma(o_s, t1, d_s))
+        v2 = v2 & sb(v3.fma(o_s, t2, d_s))
 
     scale = jnp.sqrt(v3.norm2(o_s) + 1e-12)
     t, valid = min_positive([(t1, v1), (t2, v2)],
@@ -81,7 +91,8 @@ def intersect(row, pos, direction, static_meta=None):
     hit_e = v3.add(v3.rot_t(hit_s, row.Rs), v3.from_array(row.ts))
 
     # Element-volume bound on the chosen hit (Shape.inBounds)
-    valid = valid & vb(hit_e)
+    if vb is not None:
+        valid = valid & vb(hit_e)
     return dict(t=t, valid=valid, hit_s=hit_s, hit_e=hit_e, o_s=o_s, d_s=d_s)
 
 

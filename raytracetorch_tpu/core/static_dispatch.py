@@ -74,10 +74,12 @@ class StaticRowMeta:
     """Compile-time kinds of one surface row, read off the element specs
     before tracing (Scene.static_meta)."""
 
-    __slots__ = ('ph', 'sb', 'vb')
+    __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert')
 
-    def __init__(self, ph, sb, vb):
+    def __init__(self, ph, sb, vb, sensor=False, invert=False):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
+        self.sensor = bool(sensor)
+        self.invert = bool(invert)
 
 
 def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u):

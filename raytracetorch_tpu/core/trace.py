@@ -122,50 +122,86 @@ def trace_sequential(table, rays: Rays, key,
     return pr, sensors, aux
 
 
-def nearest_hit(table, pos, direction):
+def nearest_hit(table, pos, direction, static_meta=None):
     """All-surface nearest-hit query (reference ``Scene.ray_cast``,
     scene/base.py:144-178), under stop_gradient like the reference's
     ``torch.no_grad``.  ``pos``/``direction`` are component tuples of [N].
 
+    Computed as a statically unrolled loop over the K rows producing a
+    [K, N] distance stack (N on the minor/lane axis — an [N, K] orientation
+    wastes 127/128 lanes and measured ~100x slower), then argmin over K.
+
     Returns (winner_idx [N], hit_mask [N]).
     """
     def t_of():
-        p = tuple(c[:, None] for c in pos)
-        d = tuple(c[:, None] for c in direction)
-        res = intersect(table, p, d)
-        return jnp.where(res['valid'], res['t'], BIG)   # [N, K]
+        ts = []
+        for k in range(table.n_surfaces):
+            row = table.row(k)
+            meta = static_meta[k] if static_meta is not None else None
+            res = intersect(row, pos, direction, static_meta=meta)
+            ts.append(jnp.where(res['valid'], res['t'], BIG))
+        return jnp.stack(ts)                       # [K, N]
 
     t_all = lax.stop_gradient(t_of())
-    win = jnp.argmin(t_all, axis=1)
-    t_min = jnp.take_along_axis(t_all, win[:, None], axis=1)[:, 0]
+    win = jnp.argmin(t_all, axis=0)
+    t_min = jnp.min(t_all, axis=0)
     return win, t_min < BIG * 0.5
 
 
 def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
-                sensors: SensorState, fuzzy_fns=None):
+                sensors: SensorState, fuzzy_fns=None, static_meta=None):
     """One non-sequential physics bounce (reference ``Scene.step``,
-    scene/base.py:180-235) — fully batched, no per-(element,surface) Python
-    dispatch: gather each ray's winning row and recompute differentiably."""
-    win, hit = nearest_hit(table, rays.pos_c, rays.dir_c)
-    rows = table.gather(win)    # [N, ...] — index is stop-gradient
-    res = intersect(rows, rays.pos_c, rays.dir_c)
-    active = hit & res['valid'] & (rays.intensity > 0)
+    scene/base.py:180-235).
 
-    n_w = normal_world(rows, res['hit_s'])
-    u = jax.random.uniform(key, rays.intensity.shape)
-    new_dir, imod = apply_physics(
-        rows.ph_kind, rows.ph, rows.Rw, rows.sb_kind, rows.sb,
-        res['hit_s'], rays.dir_c, n_w, u)
-    for idx, fn in (fuzzy_fns or {}).items():
-        imod = jnp.where(win == idx, imod * fn(v3.to_array(res['hit_s'])),
-                         imod)
-    new_pos = v3.fma(rays.pos_c, res['t'], rays.dir_c)
+    The winner recompute is a statically unrolled masked loop over the K
+    surface rows (the vectorized form of the reference's static
+    (element, surface) double loop, scene/base.py:213-226): each row's
+    differentiable intersection + physics is evaluated for all rays and
+    where-merged for the rays whose argmin selected it.  No per-ray table
+    gathers — gathering [N, 3, 3] frames loses the planar layout and
+    measured orders of magnitude slower; the extra dense compute is cheap.
+    """
+    win, hit = nearest_hit(table, rays.pos_c, rays.dir_c, static_meta)
 
-    w = jnp.where(active & rows.is_sensor, rays.intensity, 0.0)
-    sensors = sensors.record(cfg, rows.sensor_slot, rays.ray_id,
-                             res['hit_s'], w)
-    rays = rays.masked_update(active, new_pos, new_dir, imod)
-    return rays, sensors, active
+    pos, d = rays.pos_c, rays.dir_c
+    new_pos, new_dir = pos, d
+    imod_all = jnp.ones_like(rays.intensity)
+    active_any = jnp.zeros_like(rays.intensity, bool)
+    fuzzy_fns = fuzzy_fns or {}
+
+    for k in range(table.n_surfaces):
+        row = table.row(k)
+        meta = static_meta[k] if static_meta is not None else None
+        res = intersect(row, pos, d, static_meta=meta)
+        mask = (win == k) & hit & res['valid'] & (rays.intensity > 0)
+        n_w = normal_world(row, res['hit_s'])
+        u = jax.random.uniform(jax.random.fold_in(key, k),
+                               rays.intensity.shape)
+        if meta is not None:
+            from .static_dispatch import apply_physics_one
+            dir_k, imod_k = apply_physics_one(meta, row, res['hit_s'], d,
+                                              n_w, u)
+        else:
+            dir_k, imod_k = apply_physics(
+                row.ph_kind, row.ph, row.Rw, row.sb_kind, row.sb,
+                res['hit_s'], d, n_w, u)
+        if k in fuzzy_fns:
+            imod_k = imod_k * fuzzy_fns[k](v3.to_array(res['hit_s']))
+
+        pos_k = v3.fma(pos, res['t'], d)
+        new_pos = v3.where(mask, pos_k, new_pos)
+        new_dir = v3.where(mask, dir_k, new_dir)
+        imod_all = jnp.where(mask, imod_k, imod_all)
+        active_any = active_any | mask
+
+        is_sensor = meta.sensor if meta is not None else row.is_sensor
+        if meta is None or meta.sensor:
+            w = jnp.where(mask & is_sensor, rays.intensity, 0.0)
+            sensors = sensors.record(cfg, row.sensor_slot, rays.ray_id,
+                                     res['hit_s'], w)
+
+    rays = rays.masked_update(active_any, new_pos, new_dir, imod_all)
+    return rays, sensors, active_any
 
 
 def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
@@ -177,14 +213,14 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
     """Bounce loop until the static bounce budget (reference
     ``Scene.simulate``, scene/base.py:129-142; the early-exit host sync
     becomes masked no-op bounces — wrong-free and jit-clean)."""
-    del static_meta   # kinds are traced per ray here; dense dispatch applies
     sensors = SensorState.init(cfg, dtype=rays.px.dtype)
     pr = rays
 
     def body(carry, k_key):
         pr, sensors = carry
         pr, sensors, _ = bounce_step(table, pr, k_key, cfg, sensors,
-                                     fuzzy_fns=fuzzy_fns)
+                                     fuzzy_fns=fuzzy_fns,
+                                     static_meta=static_meta)
         ys = v3.to_array(pr.pos_c) if record_paths else None
         return (pr, sensors), ys
 

@@ -135,7 +135,9 @@ def solve_roots(q, o, d):
     # (The reference's paths diverge here — Quadric keeps a huge-t pseudo-hit,
     # Cylinder NaNs into a miss; a clean miss is strictly more correct.)
     lin_ok = linear & (jnp.abs(B) >= SOLVER_EPS)
-    v1 = jnp.where(linear, lin_ok, hit)
+    # pure boolean select (a where over bools lowers to an unsupported
+    # i8->i1 truncation in Mosaic)
+    v1 = lin_ok | (~linear & hit)
     v2 = v1
     return (t1, v1), (t2, v2)
 

@@ -1,0 +1,173 @@
+"""Pallas fused sequential-trace kernel.
+
+The XLA sequential trace is already one fused elementwise program over
+component-planar arrays (~0.30 ms / 1M rays / 5 surfaces on v5e), but XLA
+still materializes the ray state between some fusion boundaries.  This
+kernel pins the whole surface chain in VMEM: each grid step loads a tile of
+the seven ray-state components, runs the *same* statically-specialized
+surface loop as the XLA path (core/intersect.py + core/static_dispatch.py
+operate on plain component tuples, so the kernel body literally reuses
+them), accumulates per-tile sensor moment partials in place, and writes the
+final state once — a single HBM round trip for the entire trace.
+
+Scope: forward only (Monte-Carlo simulation, rendering, tolerancing).  The
+design loop keeps the XLA path, which `jax.grad` differentiates; pallas
+kernels have no automatic VJP.  `trace_sequential_pallas` falls back to the
+XLA driver automatically off-TPU (or under `interpret=True` for tests).
+
+Limitations vs the XLA driver (asserted): no fuzzy callables, no path/hit
+recording, no irradiance grid — use the XLA path for those.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:                                    # TPU-only import guard
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except Exception:                       # pragma: no cover
+    _HAS_PLTPU = False
+
+from ..core.intersect import intersect, normal_world
+from ..core.sensor import N_MOMENTS, SensorConfig, SensorState
+from ..core.static_dispatch import apply_physics_one
+from ..rays.ray import Rays
+
+TILE = 8 * 4096    # rays per grid step (~896 KB of ray state in VMEM)
+
+
+def _kernel(treedef, n_leaves, static_meta, cfg, n_pad,
+            *refs):
+    """One tile: full surface chain + moment partials.
+
+    ``refs`` = [table leaves (full small arrays)..., ray-component blocks,
+    output blocks, moment partials [1, B*N_MOMENTS]].
+    """
+    import jax.tree_util as jtu
+    table = jtu.tree_unflatten(treedef, [r[:] for r in refs[:n_leaves]])
+    (px, py, pz, dx, dy, dz, ii, rid,
+     opx, opy, opz, odx, ody, odz, oii, mom) = refs[n_leaves:]
+    pos = (px[:], py[:], pz[:])
+    d = (dx[:], dy[:], dz[:])
+    intensity = ii[:]
+    ray_id = rid[:]
+
+    # Mask tail padding: padded rays carry zero intensity
+    idx = jax.lax.broadcasted_iota(jnp.int32, (pos[0].shape[0], 1), 0)[:, 0]
+    base = pl.program_id(0) * pos[0].shape[0]
+    intensity = jnp.where(base + idx < n_pad, intensity, 0.0)
+
+    # Python-side accumulator of traced scalars (no scatter in Mosaic)
+    partials = [[jnp.float32(0.0)] * N_MOMENTS
+                for _ in range(cfg.n_bundles)]
+
+    for k in range(table.q.shape[0]):
+        row = jax.tree_util.tree_map(lambda a: a[k], table)
+        row = row.replace(hp_mask=row.hp_mask != 0)
+        meta = static_meta[k]
+        res = intersect(row, pos, d, static_meta=meta)
+        active = res['valid'] & (intensity > 0)
+        n_w = normal_world(row, res['hit_s'])
+        u = jnp.zeros_like(intensity)           # FRESNEL unsupported here
+        new_dir, imod = apply_physics_one(meta, row, res['hit_s'], d, n_w, u)
+        new_pos = (pos[0] + res['t'] * d[0], pos[1] + res['t'] * d[1],
+                   pos[2] + res['t'] * d[2])
+
+        if meta.sensor:
+            w = jnp.where(active, intensity, 0.0)
+            x, y = res['hit_s'][0], res['hit_s'][1]
+            terms = (w, w * x, w * y, w * x * x, w * y * y, w * x * y,
+                     (w > 0).astype(w.dtype))
+            for b in range(cfg.n_bundles):
+                wb = jnp.where(ray_id == b, 1.0, 0.0)
+                for m, t in enumerate(terms):
+                    partials[b][m] = partials[b][m] + jnp.sum(t * wb)
+
+        pos = tuple(jnp.where(active, np_, p_) for np_, p_ in
+                    zip(new_pos, pos))
+        d = tuple(jnp.where(active, nd_, d_) for nd_, d_ in
+                  zip(new_dir, d))
+        intensity = jnp.where(active, intensity * imod, intensity)
+
+    opx[:], opy[:], opz[:] = pos
+    odx[:], ody[:], odz[:] = d
+    oii[:] = intensity
+    # TPU tiling wants (8, 128)-shaped output blocks: park the B*7 partial
+    # moments in the first lanes of an (8, 128) tile (concat, not scatter —
+    # Mosaic has no scatter lowering).
+    vec = jnp.stack([partials[b][m] for b in range(cfg.n_bundles)
+                     for m in range(N_MOMENTS)])
+    row0 = jnp.concatenate([vec, jnp.zeros(128 - vec.size, jnp.float32)])
+    flat = jnp.concatenate([row0[None, :], jnp.zeros((7, 128), jnp.float32)])
+    mom[0] = flat
+
+
+def trace_sequential_pallas(table, rays: Rays, key,
+                            cfg: SensorConfig = SensorConfig(),
+                            static_meta=None, interpret=False):
+    """Fused forward sequential trace.  Same contract as
+    ``core.trace.trace_sequential`` minus recording/fuzzy/Fresnel features
+    (asserted); returns ``(rays, sensors, {})``."""
+    assert static_meta is not None, "pallas path needs scene static_meta"
+    assert not cfg.grid_shape, "irradiance grid: use the XLA path"
+    for m in static_meta:
+        assert m.ph != 4, "Fresnel (stochastic) surfaces: use the XLA path"
+
+    n = rays.px.shape[0]
+    grid = max(1, -(-n // TILE))
+    n_padded = grid * TILE
+
+    def pad(a, fill=0):
+        return jnp.pad(a, (0, n_padded - n), constant_values=fill)
+
+    ins = [pad(rays.px), pad(rays.py), pad(rays.pz),
+           pad(rays.dx), pad(rays.dy), pad(rays.dz),
+           pad(rays.intensity), pad(rays.ray_id)]
+
+    block = pl.BlockSpec((TILE,), lambda i: (i,))
+    assert cfg.n_bundles * N_MOMENTS <= 128, "too many bundles for kernel"
+    out_shapes = ([jax.ShapeDtypeStruct((n_padded,), jnp.float32)] * 7
+                  + [jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32)])
+    out_specs = ([block] * 7
+                 + [pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))])
+
+    # every bool leaf travels as int32 (Mosaic cannot squeeze bool scalars
+    # out of arrays; row flags that matter are static in static_meta)
+    leaves, treedef = jax.tree_util.tree_flatten(table)
+    leaves = [l.astype(jnp.int32) if l.dtype == jnp.bool_ else l
+              for l in leaves]
+    leaf_specs = [pl.BlockSpec(l.shape, lambda i, nd=l.ndim: (0,) * nd)
+                  for l in leaves]
+    kern = functools.partial(_kernel, treedef, len(leaves),
+                             static_meta, cfg, n)
+    compiler_params = None
+    if _HAS_PLTPU and not interpret:
+        # the unrolled surface chain carries many live temporaries; the
+        # default 16 MB scoped-vmem limit is too tight (v5e has 128 MB)
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    outs = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=leaf_specs + [block] * 8,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(*leaves, *ins)
+
+    opx, opy, opz, odx, ody, odz, oii, mom = outs
+    out_rays = rays.replace(px=opx[:n], py=opy[:n], pz=opz[:n],
+                            dx=odx[:n], dy=ody[:n], dz=odz[:n],
+                            intensity=oii[:n])
+    sensors = SensorState.init(cfg)
+    nb = cfg.n_bundles * N_MOMENTS
+    sensors = sensors.replace(
+        moments=jnp.sum(mom[:, 0, :nb], axis=0).reshape(
+            1, cfg.n_bundles, N_MOMENTS))
+    return out_rays, sensors, {}

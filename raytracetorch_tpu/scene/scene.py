@@ -132,7 +132,9 @@ class Scene:
             meta = []
             for el in self.elements:
                 for r in el.build(el.init_params()):
-                    meta.append(StaticRowMeta(r.ph_kind, r.sb_kind, r.vb_kind))
+                    meta.append(StaticRowMeta(r.ph_kind, r.sb_kind,
+                                              r.vb_kind, r.is_sensor,
+                                              r.sb_invert))
             self._static_meta = meta
         return self._static_meta
 
@@ -152,6 +154,7 @@ class Scene:
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
         kw.setdefault('fuzzy_fns', self.fuzzy_fns())
+        kw.setdefault('static_meta', self.static_meta())
         return trace_nonsequential(table, rays, key, self.n_bounces, cfg, **kw)
 
     # -- conversions (reference scene/base.py:261-289, sequential.py:80-105)

@@ -1,0 +1,39 @@
+"""Pallas fused-trace kernel: parity with the XLA sequential driver
+(interpret mode on CPU; the real-TPU path is exercised by bench tooling)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracetorch_tpu import (CircularAperture, CollimatedDisk,
+                               SensorElement, SequentialScene, SingletLens)
+from raytracetorch_tpu.ops.pallas_trace import trace_sequential_pallas
+
+
+def test_pallas_matches_xla(key):
+    scene = SequentialScene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    name='lens'),
+        CircularAperture(radius=5.0, name='stop'),
+        SensorElement(radius=6.0, translation=[0, 0, 19.0], name='sensor'),
+    ])
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0, 0, -10.0]).sample(key, 3000)
+
+    out_ref, sens_ref, _ = scene.simulate(p, rays, key)
+
+    table = scene.build_table(p)
+    out_pl, sens_pl, _ = trace_sequential_pallas(
+        table, rays, key, scene.sensor_config(), scene.static_meta(),
+        interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out_pl.pos),
+                               np.asarray(out_ref.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_pl.dir),
+                               np.asarray(out_ref.dir), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_pl.intensity),
+                               np.asarray(out_ref.intensity), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sens_pl.moments),
+                               np.asarray(sens_ref.moments), rtol=1e-5,
+                               atol=1e-3)
