@@ -16,8 +16,8 @@ from .elements.ideal import (IdealCylThinLens, IdealMirror, IdealThinLens,
                              LinearElement, paraxial_dist_mat,
                              paraxial_lens_mat, paraxial_mirror_mat,
                              paraxial_refract_mat)
-from .elements.lens import (CylSingletLens, DoubletLens, SingletLens,
-                            TripletLens)
+from .elements.lens import (AsphericLens, CylSingletLens, DoubletLens,
+                            SingletLens, TripletLens)
 from .elements.mirror import (CylindricalMirror, ParabolicMirror,
                               ParabolicMirrorXZ, SphericalMirror)
 from .elements.sensor import SensorElement

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from ..geom import vec3 as v3
 from ..geom.bounds import sb_check_inverted, vb_check
-from ..geom.surfaces import min_positive, solve_roots, surface_normal
+from ..geom.surfaces import (asph_normal, asph_refine, min_positive,
+                             solve_roots, surface_normal)
 
 
 def intersect(row, pos, direction, static_meta=None):
@@ -50,6 +51,16 @@ def intersect(row, pos, direction, static_meta=None):
     d_s = v3.rot(direction, row.Rw)
 
     (t1, v1), (t2, v2) = solve_roots(row.q, o_s, d_s)
+
+    if static_meta is not None and static_meta.asph:
+        # Even asphere: Newton-refine the base-conic roots onto the aspheric
+        # surface (reference geom/complex.py stubs this; see
+        # geom/surfaces.py::asph_refine)
+        c = row.q[..., 0]
+        kc2 = row.q[..., 2] * c
+        coeffs = [row.asph[..., i] for i in range(4)]
+        t1, v1 = asph_refine(c, kc2, coeffs, o_s, d_s, t1, v1)
+        t2, v2 = asph_refine(c, kc2, coeffs, o_s, d_s, t2, v2)
 
     if static_meta is not None:
         from ..constants import SBKind, VBKind
@@ -96,11 +107,17 @@ def intersect(row, pos, direction, static_meta=None):
     return dict(t=t, valid=valid, hit_s=hit_s, hit_e=hit_e, o_s=o_s, d_s=d_s)
 
 
-def normal_world(row, hit_s):
+def normal_world(row, hit_s, static_meta=None):
     """World-frame unit normal (component tuple) at a surface-frame hit.
 
     n_world = n_local @ Rw.T — the composed form of the reference's two
     rotations (primitives.py:94, shape.py:85)."""
-    n_sign = jnp.asarray(row.n_sign)
-    n_local = surface_normal(row.q, n_sign, hit_s)
+    if static_meta is not None and static_meta.asph:
+        c = row.q[..., 0]
+        kc2 = row.q[..., 2] * c
+        coeffs = [row.asph[..., i] for i in range(4)]
+        n_local = asph_normal(c, kc2, coeffs, hit_s)
+    else:
+        n_sign = jnp.asarray(row.n_sign)
+        n_local = surface_normal(row.q, n_sign, hit_s)
     return v3.rot_t(n_local, row.Rw)

@@ -74,12 +74,13 @@ class StaticRowMeta:
     """Compile-time kinds of one surface row, read off the element specs
     before tracing (Scene.static_meta)."""
 
-    __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert')
+    __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph')
 
-    def __init__(self, ph, sb, vb, sensor=False, invert=False):
+    def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
+        self.asph = bool(asph)
 
 
 def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u):

@@ -48,7 +48,7 @@ def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
     res = intersect(row, rays.pos_c, rays.dir_c, static_meta=static_meta)
     active = res['valid'] & (rays.intensity > 0)
 
-    n_w = normal_world(row, res['hit_s'])
+    n_w = normal_world(row, res['hit_s'], static_meta)
     needs_u = static_meta is None or static_meta.ph == 4   # FRESNEL
     u = (jax.random.uniform(key, rays.intensity.shape) if needs_u
          else jnp.zeros_like(rays.intensity))
@@ -174,7 +174,7 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
         meta = static_meta[k] if static_meta is not None else None
         res = intersect(row, pos, d, static_meta=meta)
         mask = (win == k) & hit & res['valid'] & (rays.intensity > 0)
-        n_w = normal_world(row, res['hit_s'])
+        n_w = normal_world(row, res['hit_s'], meta)
         u = jax.random.uniform(jax.random.fold_in(key, k),
                                rays.intensity.shape)
         if meta is not None:

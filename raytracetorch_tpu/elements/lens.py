@@ -420,3 +420,63 @@ class CylSingletLens(SingletLens):
     def optical_zs(self, p):
         z0 = p['trans'][2]
         return [z0 - p['t'] / 2.0, z0 + p['t'] / 2.0]
+
+
+class AsphericLens(SingletLens):
+    """Singlet whose faces are even aspheres: conic + a4 r^4 .. a10 r^10
+    polynomial terms per face.
+
+    The reference stubs aspheric surfaces (geom/complex.py:6-10 raises);
+    this build solves them with a differentiable fixed-iteration Newton
+    refinement from the base-conic root (geom/surfaces.py::asph_refine).
+    Conic constants k1/k2 and polynomial coefficients are trainable — the
+    standard extra degrees of freedom of modern lens design.
+    """
+
+    def __init__(self, c1, c2, d, t, ior_glass, ior_media=1.0,
+                 k1=0.0, k2=0.0, a1=(), a2=(),
+                 c1_grad=False, c2_grad=False, t_grad=False, d_grad=False,
+                 k1_grad=False, k2_grad=False, a1_grad=False, a2_grad=False,
+                 ior_glass_grad=False, ior_media_grad=False,
+                 fresnel=False, inked=False, name='asphere', **kw):
+        super().__init__(c1, c2, d, t, ior_glass, ior_media=ior_media,
+                         c1_grad=c1_grad, c2_grad=c2_grad, t_grad=t_grad,
+                         d_grad=d_grad, ior_glass_grad=ior_glass_grad,
+                         ior_media_grad=ior_media_grad, fresnel=fresnel,
+                         inked=inked, name=name, **kw)
+        def pad4(a):
+            a = list(a)
+            return a + [0.0] * (4 - len(a))
+        self._init.update(k1=float(k1), k2=float(k2),
+                          a1=pad4(a1), a2=pad4(a2))
+        self._grads.update(k1=k1_grad, k2=k2_grad, a1=a1_grad, a2=a2_grad)
+
+    def build(self, p):
+        Re, te = frame_params(p)
+        r = p['radius']
+        zs = [-p['t'] / 2.0, p['t'] / 2.0]
+        iors = self._ior_chain(p)
+        kind = self._refract_kind()
+
+        recs = []
+        for i, (cn, kn, an, zv) in enumerate(
+                [('c1', 'k1', 'a1', zs[0]), ('c2', 'k2', 'a2', zs[1])]):
+            q, sign = q_quadric(p[cn], p[kn])
+            Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(zv))
+            recs.append(SurfaceRec(
+                q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                sb_kind=SBKind.HEMI, sb=(p[cn],),
+                vb_kind=VBKind.APER_R2, vb=(r * r,),
+                ph_kind=kind, ph=(iors[i + 1], iors[i]),
+                asph=tuple(p[an][j] for j in range(4)), is_asphere=True))
+
+        edge_kind, edge_ph = self._edge_phys(p)
+        q, sign = q_cylinder(r)
+        Rw, tw, Rs, ts = compose_world(Re, te)
+        z_lo = sag_z(p['c1'], r) + zs[0]
+        z_hi = sag_z(p['c2'], r) + zs[1]
+        recs.append(SurfaceRec(
+            q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+            vb_kind=VBKind.Z_BETWEEN, vb=(z_lo, z_hi),
+            ph_kind=edge_kind, ph=edge_ph))
+        return recs

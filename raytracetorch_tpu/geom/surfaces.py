@@ -191,6 +191,83 @@ def surface_normal(q, n_sign, p_local):
     return nx, ny, nz
 
 
+def asph_sag(c, kc2, coeffs, r2):
+    """Even-asphere sag: conic term + polynomial r^4..r^10 terms.
+
+    z(r) = c r^2 / (1 + sqrt(1 - (1+k) c^2 r^2)) + a4 r^4 + a6 r^6 + ...
+    with ``kc2 = (1+k) c^2`` (the product form stays well-defined as c -> 0).
+    The industry-standard surface the reference stubs out
+    (geom/complex.py:6-10 raises NotImplementedError).
+    """
+    term = jnp.maximum(1.0 - kc2 * r2, 0.0)
+    z = c * r2 / (1.0 + jnp.sqrt(term + 1e-24))
+    rp = r2 * r2
+    for a in coeffs:
+        z = z + a * rp
+        rp = rp * r2
+    return z
+
+
+def asph_refine(c, kc2, coeffs, o, d, t0, valid, n_iter=8):
+    """Newton-refine a conic-surface root onto the aspheric surface.
+
+    Solves G(t) = z(t) - sag(r(t)^2) = 0 along the ray starting from the
+    base-conic hit ``t0``; fixed iteration count keeps it jit-static and
+    differentiable (implicit-function gradients flow through the final
+    residual evaluation).  Returns (t, still_valid).
+    """
+    def G_and_dG(t):
+        x = o[0] + t * d[0]
+        y = o[1] + t * d[1]
+        z = o[2] + t * d[2]
+        r2 = x * x + y * y
+        g = z - asph_sag(c, kc2, coeffs, r2)
+        # dG/dt = dz - sag'(r2) * dr2  with dr2 = 2 (x dx + y dy)
+        term = jnp.maximum(1.0 - kc2 * r2, 0.0)
+        sq = jnp.sqrt(term + 1e-24)
+        dsag = c / (1.0 + sq) + c * r2 * kc2 / (
+            2.0 * sq * (1.0 + sq) ** 2)
+        rp, i = r2, 2.0
+        for a in coeffs:
+            dsag = dsag + i * a * rp
+            rp = rp * r2
+            i = i + 1.0
+        dr2 = 2.0 * (x * d[0] + y * d[1])
+        dg = d[2] - dsag * dr2
+        return g, dg
+
+    t = t0
+    for _ in range(n_iter):
+        g, dg = G_and_dG(t)
+        dg_safe = jnp.where(jnp.abs(dg) < 1e-9, 1e-9, dg)
+        t = t - g / dg_safe
+    g, _ = G_and_dG(t)
+    converged = jnp.abs(g) < 1e-4
+    return t, valid & converged & (t > INTERSECT_EPS)
+
+
+def asph_normal(c, kc2, coeffs, p_local):
+    """Unit normal of the aspheric surface, oriented like the reference
+    quadrics (+z at the vertex): gradient of G = z - sag(r^2)."""
+    x, y, z = p_local
+    r2 = x * x + y * y
+    term = jnp.maximum(1.0 - kc2 * r2, 0.0)
+    sq = jnp.sqrt(term + 1e-24)
+    dsag = c / (1.0 + sq) + c * r2 * kc2 / (
+        2.0 * sq * (1.0 + sq) ** 2)
+    rp, i = r2, 2.0
+    for a in coeffs:
+        dsag = dsag + i * a * rp
+        rp = rp * r2
+        i = i + 1.0
+    # grad(z - S(r^2)) = (-S' * 2x, -S' * 2y, 1)
+    gx = -2.0 * dsag * x
+    gy = -2.0 * dsag * y
+    gz = jnp.ones_like(z)
+    inv = 1.0 / jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-24)
+    return gx * inv, gy * inv, gz * inv
+
+
 def sag_z(c, r):
     """Sag (z height above the vertex) of a curvature-c surface at radial
     coordinate r (reference HalfSphere.sagittalZ, bounded.py:129-139; the

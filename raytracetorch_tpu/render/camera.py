@@ -150,11 +150,11 @@ class Renderer:
         # Static per-element aperture exclusion (render/camera.py:203-211)
         self._renderable = [not el.is_aperture for el in scene.elements]
 
-    def _render_mask(self):
+    def _render_mask_list(self):
         mask = []
         for el, keep in zip(self.scene.elements, self._renderable):
             mask.extend([keep] * el.n_surfaces)
-        return jnp.asarray(mask)
+        return mask
 
     def jit_render(self, camera: Camera):
         """A jitted render function closed over the (static) camera:
@@ -166,36 +166,55 @@ class Renderer:
         state — jit via :meth:`jit_render` or a closure."""
         rays = camera.generate_rays()
         table = self.scene.build_table(params)
-        keep = self._render_mask()
+        renderable = self._render_mask_list()
+        static_meta = self.scene.static_meta()
+        pos, direction = rays.pos_c, rays.dir_c
+        light = self.light
 
-        pos = tuple(c[:, None] for c in v3.from_array(rays.pos))
-        direction = tuple(c[:, None] for c in v3.from_array(rays.dir))
-        res = intersect(table, pos, direction)
-        t_all = jnp.where(res['valid'] & keep, res['t'], BIG)   # [N, K]
-        win = jnp.argmin(t_all, axis=1)
-        t_min = jnp.take_along_axis(t_all, win[:, None], axis=1)[:, 0]
-        hit = t_min < BIG * 0.5
+        # Nearest hit + per-row masked shading, statically unrolled like the
+        # trace drivers (a dense [N, K] pass loses the planar layout).
+        ts = []
+        for k in range(table.n_surfaces):
+            if not renderable[k]:
+                ts.append(jnp.full_like(pos[0], BIG))
+                continue
+            row = table.row(k)
+            res = intersect(row, pos, direction, static_meta=static_meta[k])
+            ts.append(jnp.where(res['valid'], res['t'], BIG))
+        t_all = jnp.stack(ts)                        # [K, N]
+        win = jnp.argmin(t_all, axis=0)
+        hit = jnp.min(t_all, axis=0) < BIG * 0.5
 
-        rows = table.gather(win)
-        wres = intersect(rows, v3.from_array(rays.pos),
-                         v3.from_array(rays.dir))
-        n = v3.to_array(normal_world(rows, wres['hit_s']))
+        r = jnp.where(hit, self.bg[0], self.bg[0])
+        g = jnp.where(hit, self.bg[1], self.bg[1])
+        b = jnp.where(hit, self.bg[2], self.bg[2])
+        for k in range(table.n_surfaces):
+            if not renderable[k]:
+                continue
+            row = table.row(k)
+            meta = static_meta[k]
+            res = intersect(row, pos, direction, static_meta=meta)
+            mask = hit & (win == k) & res['valid']
+            n = normal_world(row, res['hit_s'], meta)
+            # per-row base color is a compile-time choice
+            if meta.ph == PhysKind.REFLECT:
+                base = _COLOR_REFLECT
+            elif meta.ph == PhysKind.BLOCK:
+                base = _COLOR_BLOCK
+            elif meta.ph in (PhysKind.TRANSMIT, PhysKind.LINEAR):
+                base = _COLOR_TRANSMIT
+            elif meta.ph in (PhysKind.SNELL, PhysKind.FRESNEL):
+                base = ior_color(jnp.maximum(row.ph[0], row.ph[1]))
+            else:
+                base = _COLOR_OTHER
+            diffuse = jnp.abs(n[0] * light[0] + n[1] * light[1]
+                              + n[2] * light[2])
+            shading = 0.3 + 0.7 * diffuse
+            r = jnp.where(mask, base[0] * shading, r)
+            g = jnp.where(mask, base[1] * shading, g)
+            b = jnp.where(mask, base[2] * shading, b)
 
-        ior_max = jnp.maximum(rows.ph[:, 0], rows.ph[:, 1])
-        refr_col = ior_color(ior_max)
-        kind = rows.ph_kind[:, None]
-        base = jnp.broadcast_to(_COLOR_OTHER, n.shape)
-        base = jnp.where(kind == PhysKind.REFLECT, _COLOR_REFLECT, base)
-        base = jnp.where(kind == PhysKind.BLOCK, _COLOR_BLOCK, base)
-        base = jnp.where(kind == PhysKind.TRANSMIT, _COLOR_TRANSMIT, base)
-        base = jnp.where(kind == PhysKind.LINEAR, _COLOR_TRANSMIT, base)
-        base = jnp.where((kind == PhysKind.SNELL) | (kind == PhysKind.FRESNEL),
-                         refr_col, base)
-
-        diffuse = jnp.abs(jnp.sum(n * self.light, axis=-1, keepdims=True))
-        shading = 0.3 + 0.7 * diffuse
-        color = jnp.where(hit[:, None], base * shading, self.bg)
-        img = jnp.clip(color, 0.0, 1.0)
+        img = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
         return img.reshape(camera.height, camera.width, 3)
 
     def scan_profile(self, params, element_index, axis='x', num_points=200,
