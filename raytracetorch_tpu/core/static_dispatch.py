@@ -74,20 +74,41 @@ class StaticRowMeta:
     """Compile-time kinds of one surface row, read off the element specs
     before tracing (Scene.static_meta)."""
 
-    __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph')
+    __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp')
 
-    def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False):
+    def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False,
+                 disp=False):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
         self.asph = bool(asph)
+        self.disp = bool(disp)
 
 
-def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u):
+def dispersive_iors(row, wavelength_um):
+    """Per-ray media indices from the Cauchy model
+    n(lambda) = n_ref + B (1/lambda^2 - 1/lambda_ref^2), lambda in um,
+    reference wavelength 0.5876 um (helium d line).  The stored ph[0]/ph[1]
+    are the d-line indices; disp[0]/disp[1] the B terms (um^2)."""
+    inv_d2 = 1.0 / (0.5876 ** 2)
+    inv_l2 = jnp.where(wavelength_um > 0,
+                       1.0 / jnp.maximum(wavelength_um * wavelength_um, 1e-6),
+                       inv_d2)
+    n_in = row.ph[..., 0] + row.disp[..., 0] * (inv_l2 - inv_d2)
+    n_out = row.ph[..., 1] + row.disp[..., 1] * (inv_l2 - inv_d2)
+    return n_in, n_out
+
+
+def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
+                      wavelength=None):
     """Single-kind physics (cf. core/physics.py::apply_physics).  ``d``,
     ``n``, ``hit_local`` are component tuples."""
     kind = meta.ph
     ones = jnp.ones(d[0].shape, dtype=d[0].dtype)
+    if meta.disp and wavelength is not None:
+        n_in, n_out = dispersive_iors(row, wavelength)
+    else:
+        n_in, n_out = row.ph[..., 0], row.ph[..., 1]
     if kind == PhysKind.TRANSMIT:
         return d, ones
     if kind == PhysKind.BLOCK:
@@ -96,9 +117,9 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u):
     if kind == PhysKind.REFLECT:
         return reflect_dir(d, n), ones
     if kind == PhysKind.SNELL:
-        return snell_dir(d, n, row.ph[..., 0], row.ph[..., 1]), ones
+        return snell_dir(d, n, n_in, n_out), ones
     if kind == PhysKind.FRESNEL:
-        return fresnel_dir(d, n, row.ph[..., 0], row.ph[..., 1], u), ones
+        return fresnel_dir(d, n, n_in, n_out, u), ones
     if kind == PhysKind.LINEAR:
         return linear_dir(d, hit_local, row.Rw, row.ph[..., 2], row.ph[..., 3],
                           row.ph[..., 4], row.ph[..., 5]), ones

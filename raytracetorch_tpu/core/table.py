@@ -48,6 +48,7 @@ class SurfaceTable(struct.PyTreeNode):
     ph_kind: jnp.ndarray    # [K] int32 physics kind
     ph: jnp.ndarray         # [K, 6] physics params
     asph: jnp.ndarray       # [K, 4] even-asphere coefficients a4..a10
+    disp: jnp.ndarray       # [K, 2] Cauchy B terms (um^2): ior_in, ior_out
     is_sensor: jnp.ndarray  # [K] bool
     sensor_slot: jnp.ndarray  # [K] int32 (0 if not a sensor)
     elem_id: jnp.ndarray    # [K] int32
@@ -92,6 +93,8 @@ class SurfaceRec:
     ph: Sequence = ()            # up to 6 entries: ior_in, ior_out, Cx, Cy, Dx, Dy
     asph: Sequence = ()          # even-asphere a4..a10 (is_asphere marks use)
     is_asphere: bool = False
+    disp: Sequence = ()          # Cauchy B (um^2) for (ior_in, ior_out)
+    is_dispersive: bool = False
     is_sensor: bool = False
     sensor_slot: int = 0
 
@@ -138,6 +141,7 @@ def stack_records(recs, elem_ids, surf_ids, dtype=jnp.float32):
         ph_kind=jnp.asarray([int(r.ph_kind) for r in recs], jnp.int32),
         ph=jnp.stack([_pad_vec(r.ph, 6, dtype) for r in recs]),
         asph=jnp.stack([_pad_vec(r.asph, 4, dtype) for r in recs]),
+        disp=jnp.stack([_pad_vec(r.disp, 2, dtype) for r in recs]),
         is_sensor=jnp.asarray([bool(r.is_sensor) for r in recs]),
         sensor_slot=jnp.asarray([int(r.sensor_slot) for r in recs], jnp.int32),
         elem_id=jnp.asarray(elem_ids, jnp.int32),

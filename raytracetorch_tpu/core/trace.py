@@ -55,7 +55,8 @@ def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
     if static_meta is not None:
         from .static_dispatch import apply_physics_one
         new_dir, imod = apply_physics_one(static_meta, row, res['hit_s'],
-                                          rays.dir_c, n_w, u)
+                                          rays.dir_c, n_w, u,
+                                          wavelength=rays.wavelength)
     else:
         new_dir, imod = apply_physics(
             row.ph_kind, row.ph, row.Rw, row.sb_kind, row.sb,
@@ -180,7 +181,8 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
         if meta is not None:
             from .static_dispatch import apply_physics_one
             dir_k, imod_k = apply_physics_one(meta, row, res['hit_s'], d,
-                                              n_w, u)
+                                              n_w, u,
+                                              wavelength=rays.wavelength)
         else:
             dir_k, imod_k = apply_physics(
                 row.ph_kind, row.ph, row.Rw, row.sb_kind, row.sb,

@@ -31,6 +31,17 @@ from ..geom.transform import mm
 from .ideal import paraxial_refract_mat
 
 
+# Cauchy 2-term model n(l) = n_d + B (1/l^2 - 1/l_d^2): the Abbe number
+# v_d = (n_d - 1)/(n_F - n_C) with F/C lines 0.4861/0.6563 um gives
+# B = (n_d - 1) / (v_d * (1/l_F^2 - 1/l_C^2)).
+_ABBE_FC = 1.0 / 0.4861 ** 2 - 1.0 / 0.6563 ** 2
+
+
+def abbe_to_cauchy_b(n_d, v_d):
+    """Cauchy B (um^2) from a d-line index and Abbe number."""
+    return (n_d - 1.0) / (v_d * _ABBE_FC)
+
+
 def _sag_float(c, r):
     term = max(1.0 - c * c * r * r, 0.0)
     return (c * r * r) / (1.0 + math.sqrt(term))
@@ -89,6 +100,11 @@ class _SphericLens(Element):
         iors = self._ior_chain(p)
         return PhysKind.BLOCK, (iors[0], iors[1])
 
+    def _b_chain(self, p):
+        """Cauchy B per medium (parallel to _ior_chain); zeros = no
+        dispersion.  Subclasses with Abbe numbers override."""
+        return None
+
     def build(self, p):
         Re, te = frame_params(p)
         r = p['radius']
@@ -97,15 +113,18 @@ class _SphericLens(Element):
         iors = self._ior_chain(p)   # length n_optical + 1, media ... media
         kind = self._refract_kind()
 
+        bs = self._b_chain(p)
         recs = []
         for i, (c, zv) in enumerate(zip(cs, zs)):
             q, sign = q_quadric(c, 0.0)
             Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(zv))
+            disp = (bs[i + 1], bs[i]) if bs is not None else ()
             recs.append(SurfaceRec(
                 q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
                 sb_kind=SBKind.HEMI, sb=(c,),
                 vb_kind=VBKind.APER_R2, vb=(r * r,),
-                ph_kind=kind, ph=(iors[i + 1], iors[i])))
+                ph_kind=kind, ph=(iors[i + 1], iors[i]),
+                disp=disp, is_dispersive=bs is not None))
 
         edge_kind, edge_ph = self._edge_phys(p)
         for i in range(self.n_optical - 1):
@@ -150,8 +169,10 @@ class SingletLens(_SphericLens):
     def __init__(self, c1, c2, d, t, ior_glass, ior_media=1.0,
                  c1_grad=False, c2_grad=False, t_grad=False, d_grad=False,
                  ior_glass_grad=False, ior_media_grad=False,
+                 abbe_vd=None,
                  fresnel=False, inked=False, name='singlet', **kw):
         super().__init__(name=name, **kw)
+        self.abbe_vd = abbe_vd
         _validate_faces([c1, c2], [t], d / 2.0, [-t / 2.0, t / 2.0])
         self._init = dict(c1=c1, c2=c2, t=t, radius=d / 2.0,
                           ior_glass=ior_glass, ior_media=ior_media)
@@ -168,6 +189,13 @@ class SingletLens(_SphericLens):
 
     def _ior_chain(self, p):
         return [p['ior_media'], p['ior_glass'], p['ior_media']]
+
+    def _b_chain(self, p):
+        if self.abbe_vd is None:
+            return None
+        b = abbe_to_cauchy_b(p['ior_glass'], self.abbe_vd)
+        zero = b * 0.0
+        return [zero, b, zero]
 
     def _edge_phys(self, p):
         """Reference: edge refracts unless 'inked' (elements/lens.py:51-58).
@@ -249,8 +277,10 @@ class DoubletLens(_SphericLens):
                  ior_media=1.0, c1_grad=False, c2_grad=False, c3_grad=False,
                  t1_grad=False, t2_grad=False, d_grad=False,
                  ior_glass1_grad=False, ior_glass2_grad=False,
-                 ior_media_grad=False, fresnel=False, name='doublet', **kw):
+                 ior_media_grad=False, abbe_vd1=None, abbe_vd2=None,
+                 fresnel=False, name='doublet', **kw):
         super().__init__(name=name, **kw)
+        self.abbe_vd1, self.abbe_vd2 = abbe_vd1, abbe_vd2
         tt = t1 + t2
         zs = [-tt / 2.0, -tt / 2.0 + t1, tt / 2.0]
         _validate_faces([c1, c2, c3], [t1, t2], d / 2.0, zs)
@@ -273,6 +303,16 @@ class DoubletLens(_SphericLens):
     def _ior_chain(self, p):
         return [p['ior_media'], p['ior_glass1'], p['ior_glass2'],
                 p['ior_media']]
+
+    def _b_chain(self, p):
+        if self.abbe_vd1 is None and self.abbe_vd2 is None:
+            return None
+        zero = p['ior_media'] * 0.0
+        b1 = (abbe_to_cauchy_b(p['ior_glass1'], self.abbe_vd1)
+              if self.abbe_vd1 else zero)
+        b2 = (abbe_to_cauchy_b(p['ior_glass2'], self.abbe_vd2)
+              if self.abbe_vd2 else zero)
+        return [zero, b1, b2, zero]
 
     def _edge_phys(self, p):
         return PhysKind.BLOCK, ()

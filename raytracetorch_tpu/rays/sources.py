@@ -23,10 +23,13 @@ TWO_PI = 2.0 * math.pi
 
 class Bundle(struct.PyTreeNode):
     """Base source: all rays at the local origin pointing +z, placed into the
-    world by the bundle frame (reference rays/bundle.py:9-37)."""
+    world by the bundle frame (reference rays/bundle.py:9-37).  ``wavelength``
+    (um) tags every sampled ray; 0 means unset (traced at the d line by
+    dispersive surfaces)."""
 
     frame: Frame
     ray_id: int = struct.field(pytree_node=False, default=0)
+    wavelength: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
     def make(cls, ray_id=0, rotation=None, translation=None, **kw):
@@ -44,7 +47,8 @@ class Bundle(struct.PyTreeNode):
         pos = self.sample_pos(kp, n)
         direction = self.sample_dir(kd, n)
         pos_g, dir_g = self.frame.place(pos, direction)
-        return Rays.create(pos_g, dir_g, ray_id=self.ray_id)
+        wl = jnp.full((n,), self.wavelength, jnp.float32)
+        return Rays.create(pos_g, dir_g, ray_id=self.ray_id, wavelength=wl)
 
 
 def disk_sample(key, n, r_inner2, r_outer2, theta_min=0.0, theta_max=TWO_PI):
@@ -184,7 +188,8 @@ class LambertianSphere(Bundle):
                 + local[:, 2:3] * normals)
 
         pos_g, dir_g = self.frame.place(pos, dirs)
-        return Rays.create(pos_g, dir_g, ray_id=self.ray_id)
+        wl = jnp.full((n,), self.wavelength, jnp.float32)
+        return Rays.create(pos_g, dir_g, ray_id=self.ray_id, wavelength=wl)
 
 
 class RayleighScatter(Bundle):

@@ -134,7 +134,8 @@ class Scene:
                 for r in el.build(el.init_params()):
                     meta.append(StaticRowMeta(r.ph_kind, r.sb_kind,
                                               r.vb_kind, r.is_sensor,
-                                              r.sb_invert, r.is_asphere))
+                                              r.sb_invert, r.is_asphere,
+                                              r.is_dispersive))
             self._static_meta = meta
         return self._static_meta
 
