@@ -58,3 +58,22 @@ def shard_rays(rays: Rays, mesh) -> Rays:
 
 def replicated(mesh):
     return NamedSharding(mesh, P())
+
+
+def init_multihost(coordinator_address=None, num_processes=None,
+                   process_id=None):
+    """Initialize multi-host JAX (DCN across slices/hosts).
+
+    The same trace programs scale across hosts unchanged: rays shard over
+    the global ('data', 'rays') mesh, parameters replicate, and XLA routes
+    the sensor/loss psums over ICI within a slice and DCN across slices.
+    On Cloud TPU pods the arguments are auto-detected from the environment;
+    pass them explicitly elsewhere.  (Single-host sessions never need this.)
+    """
+    import jax
+    kw = {}
+    if coordinator_address is not None:
+        kw.update(coordinator_address=coordinator_address,
+                  num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kw)
+    return make_mesh()

@@ -104,3 +104,36 @@ def test_param_checkpoint_roundtrip(tmp_path):
     assert set(p2.keys()) == set(p.keys())
     for el in p:
         assert set(p2[el].keys()) == set(p[el].keys())
+
+
+def test_new_elements_roundtrip(tmp_path, key):
+    """Aspheres + dispersive doublets survive project-file serialization."""
+    from raytracetorch_tpu import AsphericLens, DoubletLens
+    scene = SequentialScene([
+        AsphericLens(c1=0.0167, c2=-0.0028, d=25.4, t=4.0,
+                     ior_glass=1.5168, k1=-0.8, a1=(1e-6, 2e-9),
+                     k1_grad=True, name='asph'),
+        DoubletLens(c1=0.02, c2=-0.025, c3=-0.004, d=20.0, t1=4.0, t2=2.0,
+                    ior_glass1=1.5168, ior_glass2=1.6727,
+                    abbe_vd1=64.17, abbe_vd2=32.25, name='achro',
+                    translation=[0, 0, 30.0]),
+    ])
+    path = tmp_path / 'chromatic.rtt'
+    save_project(str(path), scene)
+    loaded = load_scene(str(path))
+    lp = loaded.init_params()
+    np.testing.assert_allclose(float(lp['asph']['k1']), -0.8, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(lp['asph']['a1'])[:2],
+                               [1e-6, 2e-9], rtol=1e-6)
+    assert loaded.find_element('achro').abbe_vd1 == 64.17
+    assert loaded.trainable()['asph']['k1'] is True
+
+    # identical physics after the round trip (chromatic ray)
+    p0 = scene.init_params()
+    from raytracetorch_tpu import Rays
+    r = Rays.create([[0.0, 2.0, -10.0]], [[0.0, 0.0, 1.0]],
+                    wavelength=[0.4861])
+    o0, _, _ = scene.simulate(p0, r, key)
+    o1, _, _ = loaded.simulate(lp, r, key)
+    np.testing.assert_allclose(np.asarray(o0.pos), np.asarray(o1.pos),
+                               atol=1e-6)
