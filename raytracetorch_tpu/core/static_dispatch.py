@@ -99,6 +99,27 @@ def dispersive_iors(row, wavelength_um):
     return n_in, n_out
 
 
+def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None):
+    """Refractive index of the medium a ray travels in AFTER this surface
+    (for optical-path-length accumulation).  Refraction moves the ray into
+    the transmission-side medium unless TIR (or a Fresnel reflection draw)
+    keeps it in the incidence medium; every other interaction leaves the
+    medium unchanged (returns None)."""
+    if meta.ph not in (PhysKind.SNELL, PhysKind.FRESNEL):
+        return None
+    from .physics import fresnel_reflectance, refract_components
+    if meta.disp and wavelength is not None:
+        n_in, n_out = dispersive_iors(row, wavelength)
+    else:
+        n_in, n_out = row.ph[..., 0], row.ph[..., 1]
+    dot, cos_i, n1, n2, mu, tir, cos_t, _ = refract_components(
+        d, n, n_in, n_out)
+    if meta.ph == PhysKind.SNELL:
+        return jnp.where(tir, n1, n2)
+    R = jnp.where(tir, 1.0, fresnel_reflectance(cos_i, cos_t, n1, n2))
+    return jnp.where(u < R, n1, n2)
+
+
 def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
                       wavelength=None):
     """Single-kind physics (cf. core/physics.py::apply_physics).  ``d``,

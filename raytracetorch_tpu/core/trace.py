@@ -84,6 +84,7 @@ def trace_sequential(table, rays: Rays, key,
                      cfg: SensorConfig = SensorConfig(),
                      record_paths: bool = False,
                      record_hits: bool = False,
+                     track_opl: bool = False,
                      fuzzy_fns=None,
                      static_meta=None):
     """Ordered pass over every surface row (reference SequentialScene).
@@ -99,15 +100,31 @@ def trace_sequential(table, rays: Rays, key,
 
     paths = [v3.to_array(pr.pos_c)] if record_paths else None
     hits, hit_w = ([], []) if record_hits else (None, None)
+    if track_opl:
+        assert static_meta is not None, "track_opl needs scene static_meta"
+        opl = jnp.zeros_like(pr.intensity)
+        n_cur = jnp.ones_like(pr.intensity)   # launch medium index 1
 
     fuzzy_fns = fuzzy_fns or {}
     for k in range(k_surf):
         row = table.row(k)
         meta = static_meta[k] if static_meta is not None else None
-        pr, sensors, active, res = _surface_step(row, pr, keys[k], cfg,
+        prev = pr
+        pr, sensors, active, res = _surface_step(row, prev, keys[k], cfg,
                                                  sensors,
                                                  fuzzy_fn=fuzzy_fns.get(k),
                                                  static_meta=meta)
+        if track_opl:
+            # accumulate n * t through the train; update the medium on
+            # refraction (wavefront-analysis building block)
+            from .static_dispatch import medium_after
+            opl = opl + jnp.where(active, n_cur * res['t'], 0.0)
+            n_w = normal_world(row, res['hit_s'], meta)
+            u = jax.random.uniform(keys[k], pr.intensity.shape)
+            n_next = medium_after(meta, row, prev.dir_c, n_w, u,
+                                  wavelength=pr.wavelength)
+            if n_next is not None:
+                n_cur = jnp.where(active, n_next, n_cur)
         if record_paths:
             paths.append(v3.to_array(pr.pos_c))
         if record_hits:
@@ -120,6 +137,9 @@ def trace_sequential(table, rays: Rays, key,
     if record_hits:
         aux['hits'] = jnp.stack(hits)
         aux['hit_weights'] = jnp.stack(hit_w)
+    if track_opl:
+        aux['opl'] = opl
+        aux['n_final'] = n_cur
     return pr, sensors, aux
 
 
