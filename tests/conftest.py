@@ -17,6 +17,9 @@ if '--xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+# Persistent compile cache: the suite is dominated by jit compiles
+jax.config.update('jax_compilation_cache_dir', '/tmp/rtt_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 import pytest  # noqa: E402
 
