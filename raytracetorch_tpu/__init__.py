@@ -29,6 +29,14 @@ from .rays.sources import (Bundle, CollimatedDisk, CollimatedLine, Fan,
                            MieScatter, PointSource, RayleighScatter,
                            RectangularPanel, RingSource, SolidAngleEmission,
                            sample_bundles)
+from .optim.constraints import (spacing_constraint, system_length_constraint,
+                                thickness_constraint)
+from .optim.fit import fit, fit_lbfgs
+from .optim.goals import focal_length_loss, spot_size_loss, spot_target_loss
+from .project import (load_params, load_project, load_scene, save_params,
+                      save_project)
 from .scene.scene import Scene, SequentialScene
+from .utils.tolerancing import monte_carlo_tolerance, per_ray_perturbed_trace
+from .utils.wavefront import best_focus, wavefront_rms
 
 __version__ = '0.1.0'

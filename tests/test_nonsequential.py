@@ -101,3 +101,32 @@ def test_to_sequential_sorts_by_z(key):
     ])
     seq = scene.to_sequential()
     assert [el.name for el in seq.elements] == ['lens', 'sensor']
+
+
+def test_glass_ball_lens(key):
+    """A glass sphere focuses per the ball-lens formula: two sequential
+    refractions through the SAME surface — the bounce loop must revisit it
+    (impossible in a one-pass sequential trace)."""
+    from raytracetorch_tpu import ElementCustom
+    from raytracetorch_tpu.constants import PhysKind
+    from raytracetorch_tpu.elements import shapes
+
+    n_glass, R = 1.5, 5.0
+    # The sphere normal points outward, so the normal-side medium is air
+    ball = ElementCustom(shapes.sphere, 1, PhysKind.SNELL,
+                         ph=(1.0, n_glass), extra={'radius': R},
+                         translation=[0.0, 0.0, 20.0], name='ball')
+    scene = Scene([ball], n_bounces=4)
+    p = scene.init_params()
+
+    h = 0.4
+    rays = Rays.create([[0.0, h, 0.0]], [[0.0, 0.0, 1.0]])
+    out, _, _ = scene.simulate(p, rays, key)
+    t_ax = -out.pos[0, 1] / out.dir[0, 1]
+    z_cross = float(out.pos[0, 2] + t_ax * out.dir[0, 2])
+    # Ball lens BFL from the back surface: R(2-n)/(2(n-1)); back vertex at 25
+    bfl = R * (2 - n_glass) / (2 * (n_glass - 1))
+    np.testing.assert_allclose(z_cross, 25.0 + bfl, rtol=2e-2)
+    # The ray exited the glass (unit direction, forward)
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(out.dir[0])), 1.0, atol=1e-5)
