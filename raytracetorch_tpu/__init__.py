@@ -17,9 +17,10 @@ from .elements.ideal import (IdealCylThinLens, IdealMirror, IdealThinLens,
                              paraxial_lens_mat, paraxial_mirror_mat,
                              paraxial_refract_mat)
 from .elements.lens import (AsphericLens, CylSingletLens, DoubletLens,
-                            SingletLens, TripletLens)
+                            SingletLens, TripletLens, WedgePrism)
 from .elements.mirror import (CylindricalMirror, ParabolicMirror,
-                              ParabolicMirrorXZ, SphericalMirror)
+                              ParabolicMirrorOffAxis, ParabolicMirrorXZ,
+                              SphericalMirror)
 from .elements.sensor import SensorElement
 from .elements.solids import Box4SideElement, BoxElement
 from .geom.transform import Frame, rodrigues

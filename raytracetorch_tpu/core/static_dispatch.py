@@ -27,7 +27,9 @@ def sb_check_one(kind: int, sb, hit):
     if kind == SBKind.NONE:
         return jnp.ones(x.shape, bool)
     if kind == SBKind.DISK:
-        return x * x + y * y <= p0
+        dx_ = x - p1
+        dy_ = y - p2
+        return dx_ * dx_ + dy_ * dy_ <= p0
     if kind == SBKind.RECT:
         return (jnp.abs(x) <= p0) & (jnp.abs(y) <= p1)
     if kind == SBKind.ELLIPSE:

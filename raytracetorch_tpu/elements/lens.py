@@ -520,3 +520,57 @@ class AsphericLens(SingletLens):
             vb_kind=VBKind.Z_BETWEEN, vb=(z_lo, z_hi),
             ph_kind=edge_kind, ph=edge_ph))
         return recs
+
+
+class WedgePrism(Element):
+    """Thin wedge prism: flat entrance face + exit face tilted by
+    ``wedge_angle`` about x, refracting with the glass index.  Small-angle
+    beam deviation = (n - 1) * wedge_angle.  (The reference's WedgeYZ
+    surface is a stub that raises, geom/primitives.py:500-503.)
+    """
+
+    def __init__(self, wedge_angle, d, t, ior_glass, ior_media=1.0,
+                 wedge_angle_grad=False, ior_glass_grad=False,
+                 name='wedge', **kw):
+        super().__init__(name=name, **kw)
+        self._init = dict(wedge_angle=float(wedge_angle), radius=d / 2.0,
+                          t=float(t), ior_glass=float(ior_glass),
+                          ior_media=float(ior_media))
+        self._grads = dict(wedge_angle=wedge_angle_grad, radius=False,
+                           t=False, ior_glass=ior_glass_grad,
+                           ior_media=False)
+
+    @property
+    def n_surfaces(self):
+        return 2
+
+    def extra_params(self):
+        return dict(self._init)
+
+    def extra_trainable(self):
+        return dict(self._grads)
+
+    def build(self, p):
+        from ..geom.transform import rodrigues
+        Re, te = frame_params(p)
+        r2 = p['radius'] ** 2
+        zero = p['t'] * 0.0
+
+        recs = []
+        # entrance face: plane at -t/2, normal +z (into the glass)
+        q, sign = q_plane()
+        Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(-p['t'] / 2.0))
+        recs.append(SurfaceRec(
+            q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+            sb_kind=SBKind.DISK, sb=(r2,),
+            ph_kind=PhysKind.SNELL, ph=(p['ior_glass'], p['ior_media'])))
+
+        # exit face: plane at +t/2 tilted about x by the wedge angle
+        rot = jnp.stack([p['wedge_angle'], zero, zero])
+        Rt = rodrigues(rot)
+        Rw, tw, Rs, ts = compose_world(Re, te, Rt, zvec(p['t'] / 2.0))
+        recs.append(SurfaceRec(
+            q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+            sb_kind=SBKind.DISK, sb=(r2,),
+            ph_kind=PhysKind.SNELL, ph=(p['ior_media'], p['ior_glass'])))
+        return recs

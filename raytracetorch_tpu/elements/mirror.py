@@ -177,3 +177,42 @@ class ParabolicMirrorXZ(_MirrorBase):
     def _mirror_mat(self, p):
         zero = jnp.zeros_like(p['c'])
         return paraxial_mirror_mat(p['c'], zero)   # curves in X (ref :155-164)
+
+
+class ParabolicMirrorOffAxis(_MirrorBase):
+    """Off-axis parabolic (OAP) segment: the parent paraboloid bounded by a
+    circular aperture decentered by ``off_axis`` along +y.
+
+    A beam parallel to the parent axis striking the segment folds to the
+    parent focus at z = vertex + 1/(2c) — aberration-free on axis.  The
+    reference stubs this element (elements/mirror.py:167-172 raises).
+
+    The element frame sits at the PARENT VERTEX; ``off_axis`` is the
+    distance from the parent axis to the segment center (so the beam
+    centerline should be aimed at (0, off_axis) in the element frame).
+    """
+
+    def __init__(self, c1, d, off_axis, c1_grad=False, d_grad=False,
+                 off_axis_grad=False, name='oap', **kw):
+        super().__init__(name=name, **kw)
+        self._c_init, self._c_grad = float(c1), c1_grad
+        self._d_init, self._d_grad = float(d), d_grad
+        self._off_init, self._off_grad = float(off_axis), off_axis_grad
+
+    def extra_params(self):
+        return {'c': self._c_init, 'd': self._d_init,
+                'off_axis': self._off_init}
+
+    def extra_trainable(self):
+        return {'c': self._c_grad, 'd': self._d_grad,
+                'off_axis': self._off_grad}
+
+    def build(self, p):
+        Re, te = frame_params(p)
+        q, sign = q_quadric(p['c'], -1.0)
+        Rw, tw, Rs, ts = compose_world(Re, te)
+        zero = p['c'] * 0.0
+        return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                           sb_kind=SBKind.DISK,
+                           sb=((p['d'] / 2.0) ** 2, zero, p['off_axis']),
+                           ph_kind=PhysKind.REFLECT)]

@@ -44,7 +44,11 @@ def sb_check(sb_kind, sb, hit_local):
     p0, p1, p2 = sb[..., 0], sb[..., 1], sb[..., 2]
     r2 = x * x + y * y
 
-    disk = r2 <= p0                                            # bounded.py:60
+    # DISK params: [radius^2, center_x, center_y] — offset center supports
+    # off-axis segments (cx = cy = 0 reproduces the reference Disk)
+    dx_ = x - p1
+    dy_ = y - p2
+    disk = dx_ * dx_ + dy_ * dy_ <= p0                         # bounded.py:60
     rect = (jnp.abs(x) <= p0) & (jnp.abs(y) <= p1)             # bounded.py:77
     cos_r, sin_r = jnp.cos(p2), jnp.sin(p2)                    # bounded.py:98
     u = x * cos_r - y * sin_r
