@@ -209,20 +209,45 @@ class RayleighScatter(Bundle):
 
 
 class MieScatter(Bundle):
-    """Mie-scattering point source — parameter container only; sampling
-    requires a Mie solver backend, matching the reference stub
-    (rays/particle.py:127-163)."""
+    """Point source with the exact Mie-scattering angular distribution.
+
+    The reference stubs this pending an external solver
+    (rays/particle.py:127-163); here the Bohren & Huffman series is built in
+    (rays/mie.py): the phase function |S1|^2 + |S2|^2 is tabulated once at
+    construction into an inverse CDF that the jitted sampler interpolates.
+    +z is the forward-scattering axis.  Sizes/wavelengths in nm.
+    """
 
     particle_size_nm: float = struct.field(pytree_node=False, default=0.0)
     wavelength_nm: float = struct.field(pytree_node=False, default=0.0)
     particle_ior: float = struct.field(pytree_node=False, default=1.0)
     environment_ior: float = struct.field(pytree_node=False, default=1.0)
+    mie_u: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros(0, jnp.float32))
+    mie_mu: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros(0, jnp.float32))
+
+    @classmethod
+    def make(cls, ray_id=0, rotation=None, translation=None,
+             particle_size_nm=0.0, wavelength_nm=0.0, particle_ior=1.0,
+             environment_ior=1.0, **kw):
+        from .mie import mie_inverse_cdf
+        u, mu = mie_inverse_cdf(particle_size_nm, wavelength_nm,
+                                particle_ior, environment_ior)
+        return cls(frame=Frame.create(rotation, translation), ray_id=ray_id,
+                   particle_size_nm=particle_size_nm,
+                   wavelength_nm=wavelength_nm, particle_ior=particle_ior,
+                   environment_ior=environment_ior,
+                   mie_u=jnp.asarray(u), mie_mu=jnp.asarray(mu), **kw)
 
     def sample_dir(self, key, n):
-        raise NotImplementedError(
-            "MieScatter requires a Mie-theory solver for its phase-function "
-            "CDF (reference rays/particle.py:159-163)."
-        )
+        ku, kp = jax.random.split(key)
+        u = jax.random.uniform(ku, (n,))
+        cos_t = jnp.interp(u, self.mie_u, self.mie_mu)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t ** 2, 0.0))
+        phi = TWO_PI * jax.random.uniform(kp, (n,))
+        return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
+                          cos_t], axis=1)
 
 
 class SolidAngleEmission(struct.PyTreeNode):

@@ -110,14 +110,15 @@ def test_rect_panel_and_ring(key):
     assert rad.min() >= 1.0 - 1e-5 and rad.max() <= 2.0 + 1e-5
 
 
-def test_mie_raises(key):
+def test_mie_samples(key):
+    """MieScatter now has a built-in solver (the reference raises) —
+    detailed physics tests live in tests/test_mie.py."""
     b = MieScatter.make(particle_size_nm=500.0, wavelength_nm=532.0,
                         particle_ior=1.59, environment_ior=1.33)
-    try:
-        b.sample(key, 8)
-        raise AssertionError("expected NotImplementedError")
-    except NotImplementedError:
-        pass
+    r = b.sample(key, 64)
+    assert np.isfinite(np.asarray(r.dir)).all()
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(r.dir), axis=1),
+                               1.0, atol=1e-5)
 
 
 def test_bundle_transform_and_merge(key):
