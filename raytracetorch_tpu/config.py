@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .elements.base import Element
-from .geom.transform import Frame
 from .rays import sources
 
 

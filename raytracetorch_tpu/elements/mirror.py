@@ -9,7 +9,6 @@ import jax.numpy as jnp
 from ..constants import PhysKind, SBKind
 from ..core.table import SurfaceRec
 from ..geom.surfaces import q_quadric, q_quadric_zy
-from ..geom.transform import rodrigues
 from .base import Element, compose_world, frame_params
 from ..geom.transform import mm
 from .ideal import paraxial_mirror_mat

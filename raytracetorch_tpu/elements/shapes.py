@@ -15,7 +15,6 @@ cones.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 from ..constants import SBKind
 from ..core.table import SurfaceRec

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 from ..constants import BIG, PhysKind
 from ..core.intersect import intersect, normal_world
-from ..geom import vec3 as v3
 from ..rays.ray import Rays
 
 # Reference base colors (render/camera.py:270-301)

@@ -21,7 +21,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.sensor import SensorConfig
 
 
 def _sample_deltas(key, noise, n=None):
