@@ -37,6 +37,8 @@ from .optim.goals import focal_length_loss, spot_size_loss, spot_target_loss
 from .project import (load_params, load_project, load_scene, save_params,
                       save_project)
 from .scene.scene import Scene, SequentialScene
+from .scene.scene import describe
+from .utils.glass import glass, glass_pair
 from .utils.tolerancing import monte_carlo_tolerance, per_ray_perturbed_trace
 from .utils.wavefront import best_focus, wavefront_rms
 

@@ -498,16 +498,19 @@ class AsphericLens(SingletLens):
         iors = self._ior_chain(p)
         kind = self._refract_kind()
 
+        bs = self._b_chain(p)
         recs = []
         for i, (cn, kn, an, zv) in enumerate(
                 [('c1', 'k1', 'a1', zs[0]), ('c2', 'k2', 'a2', zs[1])]):
             q, sign = q_quadric(p[cn], p[kn])
             Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(zv))
+            disp = (bs[i + 1], bs[i]) if bs is not None else ()
             recs.append(SurfaceRec(
                 q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
                 sb_kind=SBKind.HEMI, sb=(p[cn],),
                 vb_kind=VBKind.APER_R2, vb=(r * r,),
                 ph_kind=kind, ph=(iors[i + 1], iors[i]),
+                disp=disp, is_dispersive=bs is not None,
                 asph=tuple(p[an][j] for j in range(4)), is_asphere=True))
 
         edge_kind, edge_ph = self._edge_phys(p)

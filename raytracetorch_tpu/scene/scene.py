@@ -207,3 +207,45 @@ class SequentialScene(Scene):
         base.grid_shape = self.grid_shape
         base.grid_half_extent = self.grid_half_extent
         return base
+
+
+def describe(scene, params=None):
+    """Human-readable surface table of a scene (the lens-design 'prescription'
+    view).  Returns a string; print it."""
+    import numpy as np
+    from ..constants import PhysKind, SBKind, VBKind
+    params = params or scene.init_params()
+    meta = scene.static_meta()
+    lines = [f"{'#':>3} {'element':<14} {'phys':<9} {'z':>9} "
+             f"{'R':>10} {'notes'}"]
+    k = 0
+    for el in scene.elements:
+        recs = el.build(params[el.name])
+        for j, r in enumerate(recs):
+            q = np.asarray(r.q)
+            if abs(q[3]) < 1e-12 and abs(q[0]) > 1e-12:
+                # pure quadratic (sphere/cylinder/cone): show sqrt(-q0)
+                r0 = -q[4] / q[0]
+                radius = (f"{np.sqrt(r0):8.3f}*" if r0 > 0 else "     cone")
+            else:
+                c = q[0] if abs(q[0]) > 1e-12 else q[1]
+                radius = (f"{1.0 / c:9.3f}" if abs(c) > 1e-12
+                          else "     flat")
+            z = float(np.asarray(r.tw)[2])
+            ph = PhysKind(meta[k].ph).name.lower()
+            notes = []
+            if meta[k].asph:
+                notes.append('asphere')
+            if meta[k].disp:
+                notes.append('dispersive')
+            if meta[k].sensor:
+                notes.append('sensor')
+            if meta[k].sb != SBKind.NONE:
+                notes.append(SBKind(meta[k].sb).name.lower())
+            if meta[k].vb != VBKind.NONE:
+                notes.append(VBKind(meta[k].vb).name.lower())
+            name = el.name if j == 0 else ''
+            lines.append(f"{k:>3} {name:<14} {ph:<9} {z:>9.3f} "
+                         f"{radius} {' '.join(notes)}")
+            k += 1
+    return "\n".join(lines)
