@@ -91,8 +91,11 @@ class LinearElement(Element):
                            ph=(0.0, 0.0, cx, cy, dx, dy))]
 
     def _paraxial_mat(self, p):
+        # reference LinearElement._paraxial = ParaxialLensMat(-Cx, -Cy)
+        # (ideal.py:58-62), i.e. M[1,0] = +Cx = -P_sys — same sign
+        # convention as the refraction-matrix chain
         cx, cy, _, _ = self._abcd(p)
-        return paraxial_lens_mat(cx, cy)   # M[1,0] = -(-Cx) = Cx, cf. ref :58-62
+        return paraxial_lens_mat(-cx, -cy)
 
     def paraxial(self, p):
         f = self.frame(p)

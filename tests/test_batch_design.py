@@ -95,3 +95,15 @@ def test_decentered_ideal_lens_paraxial(key):
     M = scene.paraxial(p)
     # paraxial state [x, tx, y, ty, 1]: axial ray in -> theta_x = M[1, 4]
     np.testing.assert_allclose(float(M[1, 4]), dx / 50.0, rtol=1e-4)
+
+
+def test_ideal_lens_paraxial_sign(key):
+    """System power of an ideal thin lens has the refraction-chain sign
+    convention: P_sys = -M[1,0] = 1/f (regression for a dropped negation
+    vs reference elements/ideal.py:58-62)."""
+    from raytracetorch_tpu.optim.goals import focal_length_loss
+    scene = SequentialScene([IdealThinLens(focal=50.0, name='lens')])
+    p = scene.init_params()
+    M = scene.paraxial(p)
+    np.testing.assert_allclose(float(-M[1, 0]), 1.0 / 50.0, rtol=1e-6)
+    assert float(focal_length_loss(scene, p, 50.0)) < 1e-12
