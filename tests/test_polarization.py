@@ -1,0 +1,98 @@
+"""Polarization ray tracing tests: Fresnel transmission vs analytic s/p
+coefficients, Brewster angle, normal-incidence energy, TIR unitarity."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracetorch_tpu import ElementCustom, Rays, SequentialScene, SingletLens
+from raytracetorch_tpu.constants import PhysKind
+from raytracetorch_tpu.elements import shapes
+from raytracetorch_tpu.utils.polarization import polarized_sequential_trace
+
+N_GLASS = 1.5
+
+
+def _interface_scene():
+    """A single infinite refracting plane at z=0 (air -> glass)."""
+    el = ElementCustom(shapes.plane, 1, PhysKind.SNELL, ph=(N_GLASS, 1.0),
+                       name='iface')
+    return SequentialScene([el])
+
+
+def _trace_pol(scene, theta_i, E0, key):
+    p = scene.init_params()
+    d = [0.0, math.sin(theta_i), math.cos(theta_i)]
+    rays = Rays.create([[0.0, -10.0 * d[1], -10.0 * d[2]]], [d])
+    out, power, E = polarized_sequential_trace(scene, p, rays, key, E0)
+    return float(power[0])
+
+
+def _T_analytic(theta_i, pol):
+    n1, n2 = 1.0, N_GLASS
+    ci = math.cos(theta_i)
+    st = n1 / n2 * math.sin(theta_i)
+    ct = math.sqrt(1 - st * st)
+    if pol == 's':
+        t = 2 * n1 * ci / (n1 * ci + n2 * ct)
+    else:
+        t = 2 * n1 * ci / (n2 * ci + n1 * ct)
+    return (n2 * ct) / (n1 * ci) * t * t
+
+
+def test_normal_incidence_transmission(key):
+    scene = _interface_scene()
+    T = _trace_pol(scene, 0.0, [[1.0, 0.0, 0.0]], key)
+    np.testing.assert_allclose(T, 4 * N_GLASS / (1 + N_GLASS) ** 2, rtol=1e-5)
+
+
+def test_s_and_p_transmission_at_angle(key):
+    scene = _interface_scene()
+    theta = 0.8
+    # s-pol: E along x (perpendicular to the y-z plane of incidence)
+    Ts = _trace_pol(scene, theta, [[1.0, 0.0, 0.0]], key)
+    np.testing.assert_allclose(Ts, _T_analytic(theta, 's'), rtol=1e-4)
+    # p-pol: E in the plane of incidence, perpendicular to d
+    Ep = [[0.0, math.cos(theta), -math.sin(theta)]]
+    Tp = _trace_pol(scene, theta, Ep, key)
+    np.testing.assert_allclose(Tp, _T_analytic(theta, 'p'), rtol=1e-4)
+    assert Tp > Ts     # p transmits more approaching Brewster
+
+
+def test_brewster_angle(key):
+    """At Brewster incidence p-polarized light transmits completely."""
+    scene = _interface_scene()
+    theta_b = math.atan(N_GLASS)
+    Ep = [[0.0, math.cos(theta_b), -math.sin(theta_b)]]
+    Tp = _trace_pol(scene, theta_b, Ep, key)
+    np.testing.assert_allclose(Tp, 1.0, atol=1e-5)
+
+
+def test_lens_polarized_power_matches_two_faces(key):
+    """Through a singlet near normal incidence: T_face^2."""
+    scene = SequentialScene([SingletLens(
+        c1=0.016667, c2=-0.00283, d=25.4, t=4.0, ior_glass=N_GLASS,
+        name='lens')])
+    p = scene.init_params()
+    rays = Rays.create([[0.0, 0.5, -10.0]], [[0.0, 0.0, 1.0]])
+    out, power, _ = polarized_sequential_trace(
+        scene, p, rays, key, [[1.0, 0.0, 0.0]])
+    T1 = 4 * N_GLASS / (1 + N_GLASS) ** 2
+    np.testing.assert_allclose(float(power[0]), T1 * T1, rtol=1e-3)
+
+
+def test_tir_keeps_unit_power(key):
+    """Past the critical angle the TIR reflection is unitary: |E|^2 = 1."""
+    el = ElementCustom(shapes.plane, 1, PhysKind.SNELL, ph=(1.0, N_GLASS),
+                       name='iface')   # normal side = air, ray inside glass
+    scene = SequentialScene([el])
+    p = scene.init_params()
+    theta = 0.9   # > critical angle asin(1/1.5) = 0.7297
+    d = [0.0, math.sin(theta), math.cos(theta)]
+    rays = Rays.create([[0.0, -5.0 * d[1], -5.0 * d[2]]], [d])
+    out, power, _ = polarized_sequential_trace(
+        scene, p, rays, key, [[1.0, 0.0, 0.0]])
+    np.testing.assert_allclose(float(power[0]), 1.0, rtol=1e-5)
+    assert float(out.dir[0, 2]) < 0    # geometrically reflected
