@@ -1,0 +1,40 @@
+"""Geometric MTF from sensor irradiance grids.
+
+The modulation transfer function estimated as the normalized magnitude of
+the Fourier transform of the geometric point-spread function (the sensor's
+irradiance image of a point/collimated source).  Valid where geometric
+blur dominates diffraction — the regime a ray tracer models.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def geometric_mtf(psf, pixel_pitch):
+    """MTF along x and y from a [H, W] PSF image.
+
+    Returns (freqs_cyc_per_unit [K], mtf_x [K], mtf_y [K]) where K = W//2
+    (x) resp. H//2 (y) truncated to the shorter; frequencies in cycles per
+    length unit of ``pixel_pitch``.
+    """
+    psf = jnp.maximum(psf, 0.0)
+    total = jnp.maximum(jnp.sum(psf), 1e-12)
+    otf = jnp.abs(jnp.fft.fft2(psf / total))
+    h, w = psf.shape
+    k = min(h, w) // 2
+    mtf_x = otf[0, :k]
+    mtf_y = otf[:k, 0]
+    freqs = jnp.arange(k) / (w * pixel_pitch)
+    return freqs, mtf_x, mtf_y
+
+
+def mtf50(freqs, mtf):
+    """Frequency where the MTF first drops below 0.5 (linear interp)."""
+    below = mtf < 0.5
+    idx = jnp.argmax(below)
+    idx = jnp.clip(idx, 1, mtf.shape[0] - 1)
+    f0, f1 = freqs[idx - 1], freqs[idx]
+    m0, m1 = mtf[idx - 1], mtf[idx]
+    t = (0.5 - m0) / jnp.where(jnp.abs(m1 - m0) < 1e-12, 1e-12, m1 - m0)
+    return f0 + t * (f1 - f0)

@@ -51,3 +51,63 @@ def wavefront_rms(rays, opl, point=None, weights=None, n_medium=1.0):
     mean = jnp.sum(total * w) / wsum
     var = jnp.sum(w * (total - mean) ** 2) / wsum
     return jnp.sqrt(jnp.maximum(var, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Zernike decomposition
+# ---------------------------------------------------------------------------
+
+# (n, m) indices of the first 15 Noll-ordered Zernike terms
+_NOLL_NM = [(0, 0), (1, 1), (1, -1), (2, 0), (2, -2), (2, 2), (3, -1),
+            (3, 1), (3, -3), (3, 3), (4, 0), (4, 2), (4, -2), (4, 4),
+            (4, -4)]
+
+ZERNIKE_NAMES = ['piston', 'tilt x', 'tilt y', 'defocus', 'astig 45',
+                 'astig 0', 'coma y', 'coma x', 'trefoil y', 'trefoil x',
+                 'spherical', 'astig2 0', 'astig2 45', 'quadrafoil 0',
+                 'quadrafoil 45']
+
+
+def _zernike_radial(n, m, rho):
+    m = abs(m)
+    out = jnp.zeros_like(rho)
+    for s in range((n - m) // 2 + 1):
+        import math
+        c = ((-1) ** s * math.factorial(n - s)
+             / (math.factorial(s) * math.factorial((n + m) // 2 - s)
+                * math.factorial((n - m) // 2 - s)))
+        out = out + c * rho ** (n - 2 * s)
+    return out
+
+
+def zernike_basis(x, y, radius, n_terms=15):
+    """[N, n_terms] Zernike values (Noll order, unit normalization omitted —
+    coefficients are in the same length units as the OPD) over the pupil
+    coordinates (x, y) normalized by ``radius``."""
+    rho = jnp.sqrt(x * x + y * y) / radius
+    theta = jnp.arctan2(y, x)
+    cols = []
+    for n, m in _NOLL_NM[:n_terms]:
+        r = _zernike_radial(n, m, rho)
+        if m == 0:
+            cols.append(r)
+        elif m > 0:
+            cols.append(r * jnp.cos(m * theta))
+        else:
+            cols.append(r * jnp.sin(-m * theta))
+    return jnp.stack(cols, axis=-1)
+
+
+def zernike_fit(pupil_xy, opd, radius, weights=None, n_terms=15):
+    """Weighted least-squares Zernike coefficients of an OPD map sampled at
+    pupil coordinates ``pupil_xy [N, 2]``.
+
+    Returns coefficients [n_terms] (same units as ``opd``); see
+    ZERNIKE_NAMES for the Noll ordering.  The classic aberration report:
+    defocus = index 3, primary spherical = index 10.
+    """
+    Z = zernike_basis(pupil_xy[:, 0], pupil_xy[:, 1], radius, n_terms)
+    w = jnp.ones(opd.shape) if weights is None else weights
+    sw = jnp.sqrt(jnp.maximum(w, 0.0))[:, None]
+    coef, *_ = jnp.linalg.lstsq(Z * sw, (opd * sw[:, 0])[:, None])
+    return coef[:, 0]
