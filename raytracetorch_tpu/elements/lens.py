@@ -491,6 +491,15 @@ class AsphericLens(SingletLens):
                           a1=pad4(a1), a2=pad4(a2))
         self._grads.update(k1=k1_grad, k2=k2_grad, a1=a1_grad, a2=a2_grad)
 
+    def param_scales(self):
+        """Natural optimization magnitudes: a_{2i+4} scales like
+        r_aperture^-(2i+4) (so a normalized step changes the edge sag by
+        O(1) length units) — pass to fit(scales=...) for joint
+        conic+polynomial design."""
+        r = self._init['radius']
+        poly = [r ** -(2 * i + 4) for i in range(4)]
+        return {'a1': poly, 'a2': list(poly)}
+
     def build(self, p):
         Re, te = frame_params(p)
         r = p['radius']
