@@ -12,7 +12,8 @@ from .core.trace import trace_nonsequential, trace_sequential
 from .elements.aperture import (CircularAperture, EllipticAperture,
                                 FuzzyAperture, RectangularAperture)
 from .elements.base import Element, ElementCustom
-from .elements.ideal import (IdealCylThinLens, IdealMirror, IdealThinLens,
+from .elements.ideal import (DiffractionGrating, IdealCylThinLens,
+                             IdealMirror, IdealThinLens,
                              LinearElement, paraxial_dist_mat,
                              paraxial_lens_mat, paraxial_mirror_mat,
                              paraxial_refract_mat)

@@ -82,3 +82,4 @@ class PhysKind(enum.IntEnum):
     FRESNEL = 4      # phys/std.py:148
     LINEAR = 5       # phys/std.py:35
     APERTURE = 6     # phys/filter.py:10
+    GRATING = 7      # (beyond reference) linear diffraction grating

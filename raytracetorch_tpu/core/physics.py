@@ -92,6 +92,32 @@ def fresnel_dir(d, n, ior_in, ior_out, u):
     return v3.where(reflect_mask, v_reflect, v_refract)
 
 
+def grating_dir(d, n, Rw, period_um, order, reflective, wavelength_um):
+    """Linear diffraction grating (beyond the reference): grooves along the
+    surface-local y axis, grating vector along local x with period
+    ``period_um``.  Vector grating equation: the tangential direction
+    component picks up m * lambda / period; the normal component restores
+    unit length (sign kept for transmission gratings, flipped for
+    reflection).  Orders that would be evanescent return ``ok=False``
+    (the trace zeroes those rays' intensity).  Ideal efficiency (1.0) into
+    the configured order.  Unset wavelengths (0) diffract at the d line.
+
+    Returns (new_dir tuple, ok mask)."""
+    dl = v3.rot(d, Rw)
+    wl = jnp.where(wavelength_um > 0, wavelength_um, 0.5876)
+    shift = order * wl / jnp.maximum(period_um, 1e-12)
+    tx = dl[0] + shift
+    ty = dl[1]
+    t2 = tx * tx + ty * ty
+    ok = t2 < 1.0
+    tz2 = jnp.maximum(1.0 - t2, 0.0)
+    tz = jnp.sqrt(jnp.where(ok, tz2, 1.0))
+    sign = jnp.sign(jnp.where(jnp.abs(dl[2]) < 1e-12, 1.0, dl[2]))
+    tz = tz * sign * jnp.where(reflective > 0.5, -1.0, 1.0)
+    out_local = (tx, ty, jnp.where(ok, tz, dl[2]))
+    return v3.rot_t(out_local, Rw), ok
+
+
 def linear_dir(d, hit_local, Rw, Cx, Cy, Dx, Dy):
     """Ideal ABCD optic (phys/std.py:35-88): rotate the direction into the
     surface frame, normalize to dz=1, apply the per-axis linear map on
@@ -111,6 +137,11 @@ def apply_physics(ph_kind, ph, Rw, sb_kind, sb, hit_local, d, n, u):
     path).  All vectors are component tuples.
 
     Returns (new_dir tuple, intensity_mod [...]).
+
+    NOTE: GRATING is only handled by the statically-specialized path
+    (static_dispatch.apply_physics_one) because it needs per-ray
+    wavelengths; every Scene/SequentialScene entry point supplies static
+    metadata, so this dense fallback never sees gratings in practice.
     """
     ior_in, ior_out = ph[..., 0], ph[..., 1]
     Cx, Cy, Dx, Dy = ph[..., 2], ph[..., 3], ph[..., 4], ph[..., 5]

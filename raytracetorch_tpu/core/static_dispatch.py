@@ -151,4 +151,11 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
         mod = sb_check_one(meta.sb, row.sb, hit_local).astype(d[0].dtype)
         from ..geom import vec3 as v3
         return v3.scale(d, mod), mod
+    if kind == PhysKind.GRATING:
+        from .physics import grating_dir
+        wl = (wavelength if wavelength is not None
+              else jnp.zeros_like(d[0]))
+        out, ok = grating_dir(d, n, row.Rw, row.ph[..., 2], row.ph[..., 3],
+                              row.ph[..., 4], wl)
+        return out, ok.astype(d[0].dtype)
     raise ValueError(f"unknown PhysKind {kind}")

@@ -168,3 +168,53 @@ class IdealMirror(LinearElement):
 
     def _paraxial_mat(self, p):
         return paraxial_mirror_mat(-p['Px'] / 2.0, -p['Py'] / 2.0)
+
+
+class DiffractionGrating(Element):
+    """Planar linear diffraction grating (beyond the reference): grooves
+    along local y, grating vector along local x, diffracting the configured
+    order with ideal efficiency.  Transmissive by default; ``reflective=True``
+    folds the beam.  ``period_um`` is the groove period in the same units as
+    ray wavelengths (um), so different wavelengths disperse per
+    sin(theta_out) = sin(theta_in) + m * lambda / period."""
+
+    def __init__(self, period_um, order=1, reflective=False,
+                 diameter=float('inf'), period_grad=False,
+                 name='grating', **kw):
+        super().__init__(name=name, **kw)
+        self._period_init = float(period_um)
+        self._period_grad = period_grad
+        self.order = int(order)
+        self.reflective = bool(reflective)
+        self.diameter = float(diameter)
+
+    @property
+    def n_surfaces(self):
+        return 1
+
+    @property
+    def is_aperture(self):
+        return False
+
+    def extra_params(self):
+        return {'period_um': self._period_init}
+
+    def extra_trainable(self):
+        return {'period_um': self._period_grad}
+
+    def build(self, p):
+        from ..constants import PhysKind, SBKind
+        from ..core.table import SurfaceRec
+        Re, te = frame_params(p)
+        q, sign = q_plane()
+        Rw, tw, Rs, ts = compose_world(Re, te)
+        if self.diameter == float('inf'):
+            sb_kind, sb = SBKind.NONE, ()
+        else:
+            sb_kind, sb = SBKind.DISK, ((self.diameter / 2.0) ** 2,)
+        return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                           sb_kind=sb_kind, sb=sb,
+                           ph_kind=PhysKind.GRATING,
+                           ph=(0.0, 0.0, p['period_um'],
+                               float(self.order),
+                               1.0 if self.reflective else 0.0))]
