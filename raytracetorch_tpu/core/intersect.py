@@ -50,7 +50,20 @@ def intersect(row, pos, direction, static_meta=None):
     o_s = v3.rot(v3.sub(pos, v3.from_array(row.tw)), row.Rw)
     d_s = v3.rot(direction, row.Rw)
 
-    (t1, v1), (t2, v2) = solve_roots(row.q, o_s, d_s)
+    if static_meta is not None and static_meta.plane:
+        # Static plane specialization: q = (0,0,0,-2,0) always takes
+        # solve_roots' linear branch, so inline exactly that branch
+        # (B = -2 dz, C = -2 oz -> t = -C/B_safe) and skip the quadric
+        # solver, discriminant sqrt, and second root entirely.  Bitwise
+        # identical to the general path for plane rows.
+        from ..constants import SOLVER_EPS
+        B = -2.0 * d_s[2]
+        B_safe = jnp.where(jnp.abs(B) < SOLVER_EPS, SOLVER_EPS, B)
+        t1 = (2.0 * o_s[2]) / B_safe
+        v1 = jnp.abs(B) >= SOLVER_EPS
+        t2, v2 = t1, v1
+    else:
+        (t1, v1), (t2, v2) = solve_roots(row.q, o_s, d_s)
 
     if static_meta is not None and static_meta.asph:
         # Even asphere: Newton-refine the base-conic roots onto the aspheric
@@ -94,8 +107,9 @@ def intersect(row, pos, direction, static_meta=None):
         v2 = v2 & sb(v3.fma(o_s, t2, d_s))
 
     scale = jnp.sqrt(v3.norm2(o_s) + 1e-12)
-    t, valid = min_positive([(t1, v1), (t2, v2)],
-                            scale=jax.lax.stop_gradient(scale))
+    roots = ([(t1, v1)] if static_meta is not None and static_meta.plane
+             else [(t1, v1), (t2, v2)])
+    t, valid = min_positive(roots, scale=jax.lax.stop_gradient(scale))
 
     hit_s = v3.fma(o_s, t, d_s)
     # element frame: e = s @ Rs.T + ts
@@ -117,6 +131,12 @@ def normal_world(row, hit_s, static_meta=None):
         kc2 = row.q[..., 2] * c
         coeffs = [row.asph[..., i] for i in range(4)]
         n_local = asph_normal(c, kc2, coeffs, hit_s)
+    elif static_meta is not None and static_meta.plane:
+        # plane normal is +z in the surface frame (the general formula's
+        # 2/(2+NORMAL_EPS) rounds to exactly 1.0f); n @ Rw.T = Rw[:, 2]
+        return (row.Rw[..., 0, 2] + 0.0 * hit_s[0],
+                row.Rw[..., 1, 2] + 0.0 * hit_s[1],
+                row.Rw[..., 2, 2] + 0.0 * hit_s[2])
     else:
         n_sign = jnp.asarray(row.n_sign)
         n_local = surface_normal(row.q, n_sign, hit_s)

@@ -76,15 +76,17 @@ class StaticRowMeta:
     """Compile-time kinds of one surface row, read off the element specs
     before tracing (Scene.static_meta)."""
 
-    __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp')
+    __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp',
+                 'plane')
 
     def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False,
-                 disp=False):
+                 disp=False, plane=False):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
         self.asph = bool(asph)
         self.disp = bool(disp)
+        self.plane = bool(plane)
 
 
 def dispersive_iors(row, wavelength_um):

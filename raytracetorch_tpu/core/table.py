@@ -97,6 +97,7 @@ class SurfaceRec:
     is_dispersive: bool = False
     is_sensor: bool = False
     sensor_slot: int = 0
+    is_plane: bool = False       # static: row is a z=0 plane (fast path)
 
 
 def _pad_vec(values, width, dtype=jnp.float32):

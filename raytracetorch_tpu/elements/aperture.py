@@ -36,7 +36,7 @@ class _ApertureBase(Element):
         Rw, tw, Rs, ts = compose_world(Re, te)
         return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
                            sb_kind=self.sb_kind, sb=self._sb_params(p),
-                           sb_invert=self.invert,
+                           sb_invert=self.invert, is_plane=True,
                            ph_kind=PhysKind.APERTURE)]
 
 
@@ -64,7 +64,7 @@ class FuzzyAperture(Element):
         q, sign = q_plane()
         Rw, tw, Rs, ts = compose_world(Re, te)
         return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
-                           ph_kind=PhysKind.TRANSMIT)]
+                           is_plane=True, ph_kind=PhysKind.TRANSMIT)]
 
 
 class CircularAperture(_ApertureBase):

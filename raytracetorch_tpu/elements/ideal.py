@@ -86,7 +86,7 @@ class LinearElement(Element):
         else:
             sb_kind, sb = SBKind.DISK, ((self.diameter / 2.0) ** 2,)
         return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
-                           sb_kind=sb_kind, sb=sb,
+                           sb_kind=sb_kind, sb=sb, is_plane=True,
                            ph_kind=PhysKind.LINEAR,
                            ph=(0.0, 0.0, cx, cy, dx, dy))]
 
@@ -213,7 +213,7 @@ class DiffractionGrating(Element):
         else:
             sb_kind, sb = SBKind.DISK, ((self.diameter / 2.0) ** 2,)
         return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
-                           sb_kind=sb_kind, sb=sb,
+                           sb_kind=sb_kind, sb=sb, is_plane=True,
                            ph_kind=PhysKind.GRATING,
                            ph=(0.0, 0.0, p['period_um'],
                                float(self.order),

@@ -439,7 +439,7 @@ class CylSingletLens(SingletLens):
             Rw, tw, Rs, ts = compose_world(Re, te, Rp, off)
             recs.append(SurfaceRec(
                 q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
-                vb_kind=VBKind.CYL_EDGE, vb=edge_vb,
+                vb_kind=VBKind.CYL_EDGE, vb=edge_vb, is_plane=True,
                 ph_kind=edge_kind, ph=edge_ph))
         return recs
 
@@ -574,7 +574,7 @@ class WedgePrism(Element):
         Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(-p['t'] / 2.0))
         recs.append(SurfaceRec(
             q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
-            sb_kind=SBKind.DISK, sb=(r2,),
+            sb_kind=SBKind.DISK, sb=(r2,), is_plane=True,
             ph_kind=PhysKind.SNELL, ph=(p['ior_glass'], p['ior_media'])))
 
         # exit face: plane at +t/2 tilted about x by the wedge angle
@@ -583,6 +583,6 @@ class WedgePrism(Element):
         Rw, tw, Rs, ts = compose_world(Re, te, Rt, zvec(p['t'] / 2.0))
         recs.append(SurfaceRec(
             q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
-            sb_kind=SBKind.DISK, sb=(r2,),
+            sb_kind=SBKind.DISK, sb=(r2,), is_plane=True,
             ph_kind=PhysKind.SNELL, ph=(p['ior_media'], p['ior_glass'])))
         return recs

@@ -59,5 +59,5 @@ class SensorElement(Element):
         else:
             sb_kind, sb = SBKind.NONE, ()
         return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
-                           sb_kind=sb_kind, sb=sb,
+                           sb_kind=sb_kind, sb=sb, is_plane=True,
                            ph_kind=PhysKind.TRANSMIT, is_sensor=True)]

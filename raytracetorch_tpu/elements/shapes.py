@@ -24,29 +24,30 @@ from .base import compose_world
 
 
 def _one(q, sign, Re, te, sb_kind=SBKind.NONE, sb=(), sb_invert=False,
-         Rs=None, ts=None):
+         Rs=None, ts=None, is_plane=False):
     Rw, tw, Rs, ts = compose_world(Re, te, Rs, ts)
     return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
-                       sb_kind=sb_kind, sb=sb, sb_invert=sb_invert)]
+                       sb_kind=sb_kind, sb=sb, sb_invert=sb_invert,
+                       is_plane=is_plane)]
 
 
 def plane(p, Re, te):
     q, s = q_plane()
-    return _one(q, s, Re, te)
+    return _one(q, s, Re, te, is_plane=True)
 
 
 def disk(p, Re, te):
     """Bounded plane; params: radius, optional invert (bounded.py:51)."""
     q, s = q_plane()
     return _one(q, s, Re, te, SBKind.DISK, (p['radius'] ** 2,),
-                bool(p.get('invert', False)))
+                bool(p.get('invert', False)), is_plane=True)
 
 
 def rectangle(p, Re, te):
     """params: half_x, half_y (bounded.py:67)."""
     q, s = q_plane()
     return _one(q, s, Re, te, SBKind.RECT, (p['half_x'], p['half_y']),
-                bool(p.get('invert', False)))
+                bool(p.get('invert', False)), is_plane=True)
 
 
 def ellipse(p, Re, te):
@@ -54,7 +55,7 @@ def ellipse(p, Re, te):
     q, s = q_plane()
     return _one(q, s, Re, te, SBKind.ELLIPSE,
                 (p['r_major'], p['r_minor'], p.get('rot', 0.0)),
-                bool(p.get('invert', False)))
+                bool(p.get('invert', False)), is_plane=True)
 
 
 def sphere(p, Re, te):

@@ -56,7 +56,7 @@ def box_face_recs(faces, ph_kind=PhysKind.BLOCK, ph=(), dtype=jnp.float32):
         recs.append(SurfaceRec(
             q=q_plane()[0], n_sign=q_plane()[1], Rw=None, tw=None,
             Rs=Rp, ts=ts, vb_kind=VBKind.HALFSPACES, halfspaces=halfspaces,
-            ph_kind=ph_kind, ph=ph))
+            is_plane=True, ph_kind=ph_kind, ph=ph))
     return recs
 
 

@@ -184,3 +184,203 @@ def trace_sequential_pallas(table, rays: Rays, key,
         moments=jnp.sum(mom[:, 0, :nb], axis=0).reshape(
             1, cfg.n_bundles, N_MOMENTS))
     return out_rays, sensors, {}
+
+
+# ---------------------------------------------------------------------------
+# v2: scalar-prefetched table + 2D ray tiles
+# ---------------------------------------------------------------------------
+#
+# v1 feeds ~20 small table leaves through the grid pipeline every step and
+# tiles rays 1D; v2 instead flattens all per-row float data into one [K, 64]
+# array delivered ONCE via scalar prefetch (SMEM), reconstructs row views as
+# lazy scalar reads (zero vector registers spent on table data), and moves
+# ray state in (rows, 512)-shaped 2D blocks.
+
+LANE = 512
+_ROW_FIELDS = (            # (name, shape) — row-major into the flat vector
+    ('q', (5,)), ('n_sign', ()), ('Rw', (3, 3)), ('tw', (3,)),
+    ('Rs', (3, 3)), ('ts', (3,)), ('sb', (4,)), ('vb', (8,)),
+    ('ph', (6,)), ('asph', (4,)), ('disp', (2,)),
+)
+ROW_WIDTH = 64             # padded flat width (sum of sizes = 54)
+
+
+def flatten_table_rows(table):
+    """[K, ROW_WIDTH] float32 flat table (the scalar-prefetch operand)."""
+    cols = []
+    for name, shape in _ROW_FIELDS:
+        a = getattr(table, name).astype(jnp.float32)
+        cols.append(a.reshape(a.shape[0], -1))
+    flat = jnp.concatenate(cols, axis=1)
+    pad = ROW_WIDTH - flat.shape[1]
+    return jnp.pad(flat, ((0, 0), (0, pad)))
+
+
+class _SmemView:
+    """Lazy indexable view of one row field inside the SMEM flat table.
+
+    Supports exactly the access patterns the trace helpers use:
+    ``f[..., i]`` and ``f[..., i, j]`` with static indices — each returns a
+    scalar SMEM read, which Mosaic splats into vector ops for free."""
+
+    __slots__ = ('ref', 'k', 'base', 'shape')
+
+    def __init__(self, ref, k, base, shape):
+        self.ref, self.k, self.base, self.shape = ref, k, base, shape
+
+    def __getitem__(self, idx):
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        if idx and idx[0] is Ellipsis:
+            idx = idx[1:]
+        assert len(idx) == len(self.shape), (idx, self.shape)
+        off = 0
+        for i, s in zip(idx, self.shape):
+            off = off * s + i
+        return self.ref[self.k, self.base + off]
+
+
+class _SmemRow:
+    """Duck-typed SurfaceTable row over the SMEM flat table."""
+
+    def __init__(self, ref, k):
+        base = 0
+        for name, shape in _ROW_FIELDS:
+            size = 1
+            for s in shape:
+                size *= s
+            if shape == ():
+                setattr(self, name, ref[k, base])
+            else:
+                setattr(self, name, _SmemView(ref, k, base, shape))
+            base += size
+        self.hp_n = self.hp_d = self.hp_mask = None   # HALFSPACES unsupported
+
+
+def _kernel_v2(static_meta, cfg, n_valid, tab, *refs):
+    (px, py, pz, dx, dy, dz, ii, wl, rid,
+     opx, opy, opz, odx, ody, odz, oii, mom) = refs
+    pos = (px[:], py[:], pz[:])
+    d = (dx[:], dy[:], dz[:])
+    intensity = ii[:]
+    wavelength = wl[:]
+    ray_id = rid[:]
+
+    shape = pos[0].shape
+    rows, lanes = shape
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    flat = (pl.program_id(0) * rows + r_idx) * lanes + l_idx
+    intensity = jnp.where(flat < n_valid, intensity, 0.0)
+
+    partials = [[jnp.float32(0.0)] * N_MOMENTS for _ in range(cfg.n_bundles)]
+
+    for k, meta in enumerate(static_meta):
+        row = _SmemRow(tab, k)
+        res = intersect(row, pos, d, static_meta=meta)
+        active = res['valid'] & (intensity > 0)
+        n_w = normal_world(row, res['hit_s'], static_meta=meta)
+        u = jnp.zeros_like(intensity)
+        new_dir, imod = apply_physics_one(meta, row, res['hit_s'], d, n_w, u,
+                                          wavelength=wavelength)
+        new_pos = tuple(p_ + res['t'] * d_ for p_, d_ in zip(pos, d))
+
+        if meta.sensor:
+            w = jnp.where(active, intensity, 0.0)
+            x, y = res['hit_s'][0], res['hit_s'][1]
+            terms = (w, w * x, w * y, w * x * x, w * y * y, w * x * y,
+                     (w > 0).astype(w.dtype))
+            for b in range(cfg.n_bundles):
+                wb = jnp.where(ray_id == b, 1.0, 0.0)
+                for m, t in enumerate(terms):
+                    partials[b][m] = partials[b][m] + jnp.sum(t * wb)
+
+        pos = tuple(jnp.where(active, a, b) for a, b in zip(new_pos, pos))
+        d = tuple(jnp.where(active, a, b) for a, b in zip(new_dir, d))
+        intensity = jnp.where(active, intensity * imod, intensity)
+
+    opx[:], opy[:], opz[:] = pos
+    odx[:], ody[:], odz[:] = d
+    oii[:] = intensity
+    vec = jnp.stack([partials[b][m] for b in range(cfg.n_bundles)
+                     for m in range(N_MOMENTS)])
+    row0 = jnp.concatenate([vec, jnp.zeros(128 - vec.size, jnp.float32)])
+    mom[0] = jnp.concatenate([row0[None, :], jnp.zeros((7, 128), jnp.float32)])
+
+
+def trace_sequential_pallas_v2(table, rays: Rays, key,
+                               cfg: SensorConfig = SensorConfig(),
+                               static_meta=None, interpret=False,
+                               block_rows=64):
+    """Fused forward sequential trace, v2 (see module notes above).  Same
+    contract/limitations as v1, plus: no HALFSPACES volume bounds, but
+    dispersion and gratings ARE supported (wavelength rides the tile)."""
+    from ..constants import VBKind
+    assert static_meta is not None, "pallas path needs scene static_meta"
+    assert not cfg.grid_shape, "irradiance grid: use the XLA path"
+    for m in static_meta:
+        assert m.ph != 4, "Fresnel (stochastic) surfaces: use the XLA path"
+        assert m.vb != VBKind.HALFSPACES, "box volumes: use the XLA path"
+
+    n = rays.px.shape[0]
+    tile = block_rows * LANE
+    grid = max(1, -(-n // tile))
+    n_padded = grid * tile
+
+    def pad2(a, dtype=None):
+        a = jnp.pad(a, (0, n_padded - n))
+        a = a.astype(dtype) if dtype else a
+        return a.reshape(grid * block_rows, LANE)
+
+    ins = [pad2(rays.px), pad2(rays.py), pad2(rays.pz),
+           pad2(rays.dx), pad2(rays.dy), pad2(rays.dz),
+           pad2(rays.intensity), pad2(rays.wavelength),
+           pad2(rays.ray_id)]
+
+    assert cfg.n_bundles * N_MOMENTS <= 128, "too many bundles for kernel"
+    out_shapes = ([jax.ShapeDtypeStruct((grid * block_rows, LANE),
+                                        jnp.float32)] * 7
+                  + [jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32)])
+
+    kern = functools.partial(_kernel_v2, static_meta, cfg, n)
+    flat_tab = flatten_table_rows(table)
+
+    if _HAS_PLTPU and not interpret:
+        # index maps receive the scalar-prefetch operand as a trailing arg
+        block = pl.BlockSpec((block_rows, LANE), lambda i, tab: (i, 0))
+        out_specs = ([block] * 7
+                     + [pl.BlockSpec((1, 8, 128), lambda i, tab: (i, 0, 0))])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(grid,),
+            in_specs=[block] * 9, out_specs=out_specs)
+        outs = pl.pallas_call(
+            kern, grid_spec=grid_spec, out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(flat_tab, *ins)
+    else:
+        block = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0))
+        out_specs = ([block] * 7
+                     + [pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))])
+        outs = pl.pallas_call(
+            kern, grid=(grid,),
+            in_specs=[pl.BlockSpec(flat_tab.shape,
+                                   lambda i: (0, 0))] + [block] * 9,
+            out_specs=out_specs, out_shape=out_shapes,
+            interpret=True,
+        )(flat_tab, *ins)
+
+    opx, opy, opz, odx, ody, odz, oii, mom = outs
+
+    def unpad(a):
+        return a.reshape(-1)[:n]
+
+    out_rays = rays.replace(px=unpad(opx), py=unpad(opy), pz=unpad(opz),
+                            dx=unpad(odx), dy=unpad(ody), dz=unpad(odz),
+                            intensity=unpad(oii))
+    sensors = SensorState.init(cfg)
+    nb = cfg.n_bundles * N_MOMENTS
+    sensors = sensors.replace(
+        moments=jnp.sum(mom[:, 0, :nb], axis=0).reshape(
+            1, cfg.n_bundles, N_MOMENTS))
+    return out_rays, sensors, {}

@@ -135,7 +135,8 @@ class Scene:
                     meta.append(StaticRowMeta(r.ph_kind, r.sb_kind,
                                               r.vb_kind, r.is_sensor,
                                               r.sb_invert, r.is_asphere,
-                                              r.is_dispersive))
+                                              r.is_dispersive,
+                                              plane=r.is_plane))
             self._static_meta = meta
         return self._static_meta
 
