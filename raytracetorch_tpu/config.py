@@ -72,16 +72,37 @@ def element_config(el: Element) -> dict:
     return {'name': el.name, 'class': type(el).__name__, 'params': params}
 
 
+def _pytree_config(v) -> dict:
+    """Recursively serialize a nested dataclass pytree (emission models etc.)
+    to ``{'class', 'params'}`` — the reference's recursive CLASS config
+    (config.py:156-235).  Fields named in the class's ``_derived_fields``
+    (precomputed tables rebuilt by ``make``) are skipped."""
+    skip = set(getattr(type(v), '_derived_fields', ()))
+    params = {}
+    for f in dataclasses.fields(v):
+        if f.name in skip:
+            continue
+        x = getattr(v, f.name)
+        params[f.name] = (_pytree_config(x) if dataclasses.is_dataclass(x)
+                          else _jsonable(x))
+    return {'class': type(v).__name__, 'params': params}
+
+
 def bundle_config(b) -> dict:
-    """Serialize a bundle pytree from its dataclass fields."""
+    """Serialize a bundle pytree from its dataclass fields.  Nested
+    dataclass fields (e.g. RectangularPanel.emission) serialize recursively
+    with their full parameterization."""
+    skip = set(getattr(type(b), '_derived_fields', ()))
     params = {}
     for f in dataclasses.fields(b):
+        if f.name in skip:
+            continue
         v = getattr(b, f.name)
         if f.name == 'frame':
             params['rotation'] = _jsonable(v.rot_vec)
             params['translation'] = _jsonable(v.trans)
         elif dataclasses.is_dataclass(v):
-            params[f.name] = {'class': type(v).__name__, 'params': {}}
+            params[f.name] = _pytree_config(v)
         else:
             params[f.name] = _jsonable(v)
     return {'class': type(b).__name__, 'params': params}
@@ -101,6 +122,19 @@ def instantiate_element(config: dict) -> Element:
     return cls(**params)
 
 
+def _instantiate_nested(d: dict):
+    """{'class','params'} -> live nested pytree (bottom-up, like the
+    reference's recursive CLASS instantiation, config.py:175-235)."""
+    cls = getattr(sources, d['class'])
+    kw = {}
+    for k, v in d.get('params', {}).items():
+        # Plain Python numbers stay plain: weak-typed floats trace
+        # identically to jnp.float32 in the f32 sampling math, and host-side
+        # table builders (MieScatter.make) need the exact float64 value.
+        kw[k] = _instantiate_nested(v) if isinstance(v, dict) and 'class' in v else v
+    return cls(**kw)
+
+
 def instantiate_bundle(config: dict):
     cls = find_class(config['class'])
     params = dict(config.get('params', {}))
@@ -108,12 +142,8 @@ def instantiate_bundle(config: dict):
     translation = params.pop('translation', None)
     params.pop('frame', None)
     ray_id = params.pop('ray_id', 0)
-    emission = params.pop('emission', None)
-    kw = {k: jnp.float32(v) if isinstance(v, (int, float)) else v
+    kw = {k: (_instantiate_nested(v) if isinstance(v, dict) and 'class' in v
+              else v)
           for k, v in params.items()}
-    if emission is not None and isinstance(emission, dict):
-        ecls = getattr(sources, emission['class'])
-        kw['emission'] = ecls(**{k: jnp.float32(v) for k, v in
-                                 emission.get('params', {}).items()})
     return cls.make(ray_id=ray_id, rotation=rotation,
                     translation=translation, **kw)

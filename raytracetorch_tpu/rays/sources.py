@@ -218,6 +218,10 @@ class MieScatter(Bundle):
     +z is the forward-scattering axis.  Sizes/wavelengths in nm.
     """
 
+    # Tabulated inverse CDF is derived state: rebuilt by ``make``, skipped
+    # by config serialization (config.py::_pytree_config).
+    _derived_fields = ('mie_u', 'mie_mu')
+
     particle_size_nm: float = struct.field(pytree_node=False, default=0.0)
     wavelength_nm: float = struct.field(pytree_node=False, default=0.0)
     particle_ior: float = struct.field(pytree_node=False, default=1.0)
