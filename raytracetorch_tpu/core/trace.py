@@ -231,25 +231,60 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
                         record_paths: bool = False,
                         remat: bool = False,
                         fuzzy_fns=None,
-                        static_meta=None):
+                        static_meta=None,
+                        early_exit: bool = True):
     """Bounce loop until the static bounce budget (reference
-    ``Scene.simulate``, scene/base.py:129-142; the early-exit host sync
-    becomes masked no-op bounces — wrong-free and jit-clean)."""
+    ``Scene.simulate``, scene/base.py:129-142).
+
+    The reference early-exits via a host-synced ``.any()`` per bounce;
+    ``lax.while_loop`` would match it but is not reverse-differentiable, so
+    the loop stays a ``lax.scan`` whose body is guarded by a device-side
+    ``lax.cond``: once no ray interacted in a bounce (all dead or all
+    missing), remaining iterations skip the full [N, K] intersect/physics
+    pass and pay only the scalar predicate + branch dispatch.  A scene with
+    a 100-bounce budget whose rays settle after 8 runs ~the 8-bounce cost;
+    gradients flow through the taken branches unchanged.  ``early_exit=False``
+    restores the unconditional scan (useful for profiling fixed work)."""
     sensors = SensorState.init(cfg, dtype=rays.px.dtype)
     pr = rays
 
-    def body(carry, k_key):
-        pr, sensors = carry
-        pr, sensors, _ = bounce_step(table, pr, k_key, cfg, sensors,
-                                     fuzzy_fns=fuzzy_fns,
-                                     static_meta=static_meta)
-        ys = v3.to_array(pr.pos_c) if record_paths else None
-        return (pr, sensors), ys
+    if early_exit:
+        def body(carry, k_key):
+            pr, sensors, alive = carry
 
-    if remat:
-        body = jax.checkpoint(body)
+            def live(op):
+                pr, sensors = op
+                pr, sensors, act = bounce_step(table, pr, k_key, cfg,
+                                               sensors, fuzzy_fns=fuzzy_fns,
+                                               static_meta=static_meta)
+                return pr, sensors, jnp.any(act)
 
-    keys = jax.random.split(key, n_bounces)
-    (pr, sensors), ys = lax.scan(body, (pr, sensors), keys)
+            def dead(op):
+                pr, sensors = op
+                return pr, sensors, jnp.zeros((), bool)
+
+            pr, sensors, alive = lax.cond(alive, live, dead, (pr, sensors))
+            ys = v3.to_array(pr.pos_c) if record_paths else None
+            return (pr, sensors, alive), ys
+
+        if remat:
+            body = jax.checkpoint(body)
+        keys = jax.random.split(key, n_bounces)
+        (pr, sensors, _), ys = lax.scan(
+            body, (pr, sensors, jnp.ones((), bool)), keys)
+    else:
+        def body(carry, k_key):
+            pr, sensors = carry
+            pr, sensors, _ = bounce_step(table, pr, k_key, cfg, sensors,
+                                         fuzzy_fns=fuzzy_fns,
+                                         static_meta=static_meta)
+            ys = v3.to_array(pr.pos_c) if record_paths else None
+            return (pr, sensors), ys
+
+        if remat:
+            body = jax.checkpoint(body)
+        keys = jax.random.split(key, n_bounces)
+        (pr, sensors), ys = lax.scan(body, (pr, sensors), keys)
+
     aux = {'paths': ys} if record_paths else {}
     return pr, sensors, aux
