@@ -23,7 +23,8 @@ from .elements.mirror import (CylindricalMirror, ParabolicMirror,
                               ParabolicMirrorOffAxis, ParabolicMirrorXZ,
                               SphericalMirror)
 from .elements.sensor import SensorElement
-from .elements.solids import Box4SideElement, BoxElement
+from .elements.solids import (Box4SideElement, BoxElement,
+                              CvxPolyhedronElement)
 from .geom.transform import Frame, rodrigues
 from .rays.ray import Rays
 from .rays.sources import (Bundle, CollimatedDisk, CollimatedLine, Fan,

@@ -57,6 +57,11 @@ EXEMPLARS = {
     'SensorElement': dict(radius=6.0),
     'BoxElement': dict(length=2.0, width=3.0, height=4.0),
     'Box4SideElement': dict(width=3.0, height=4.0),
+    'CvxPolyhedronElement': dict(
+        normals=[[0, 0, 1], [0, 0, -1], [1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                 [0, -1, 0], [0.577, 0.577, 0.577]],
+        offsets=[1.0, 1.0, 1.5, 1.5, 2.0, 2.0, 2.5],
+        ior_glass=1.5, offsets_grad=True),
 }
 
 # Classes that take callables (static scene structure) — documented as not
