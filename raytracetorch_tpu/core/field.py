@@ -1,0 +1,203 @@
+"""Electric-field (polarization) transport as optional ray state.
+
+A capability beyond the reference (whose Fresnel functor is intensity-only
+and stochastic, phys/std.py:148): each ray can carry a complex E-vector
+perpendicular to its direction; every refraction decomposes E into s/p
+components, applies the flux-normalized Fresnel transmission amplitudes
+(complex under TIR), and rebuilds E around the outgoing direction.  |E|^2
+is then the polarization-resolved transmitted power fraction — Brewster-
+angle zero p-reflection, s/p splitting and TIR phase fall out exactly.
+
+Integrated into the main drivers like ``track_opl``: pass
+``track_field=True`` (optionally ``E0=[N, 3]``, real or complex) to
+``trace_sequential`` / ``trace_nonsequential`` / ``Scene.simulate`` and the
+trace carries a :class:`FieldState` alongside the rays; sensor moments and
+irradiance grids are then weighted by the polarization-resolved power, and
+``aux['field']`` / ``aux['field_power']`` expose the final state.
+``utils/polarization.py`` remains the thin analysis layer.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..constants import PhysKind
+from ..geom import vec3 as v3
+
+
+def sp_basis(d, n):
+    """s/p basis of an interaction: s = normalize(d x n) (any stable
+    perpendicular at normal incidence), p = s x d (so (s, p, d) is
+    right-handed).  All args are component tuples of [N]."""
+    sx = d[1] * n[2] - d[2] * n[1]
+    sy = d[2] * n[0] - d[0] * n[2]
+    sz = d[0] * n[1] - d[1] * n[0]
+    s2 = sx * sx + sy * sy + sz * sz
+    degen = s2 < 1e-12
+    inv = 1.0 / jnp.sqrt(jnp.where(degen, 1.0, s2))
+    # normal incidence: any unit vector perpendicular to d works and s/p
+    # coefficients coincide; build one from the smallest d component
+    ax = jnp.where(jnp.abs(d[0]) < 0.9, 1.0, 0.0)
+    ay = 1.0 - ax
+    fx = ay * d[2] - 0.0
+    fy = 0.0 - ax * d[2]
+    fz = ax * d[1] - ay * d[0]
+    f2 = jnp.sqrt(fx * fx + fy * fy + fz * fz + 1e-24)
+    s = (jnp.where(degen, fx / f2, sx * inv),
+         jnp.where(degen, fy / f2, sy * inv),
+         jnp.where(degen, fz / f2, sz * inv))
+    p = (s[1] * d[2] - s[2] * d[1],
+         s[2] * d[0] - s[0] * d[2],
+         s[0] * d[1] - s[1] * d[0])
+    return s, p
+
+
+def fresnel_amplitudes(n1, n2, cos_i, sin2_t):
+    """Flux-normalized complex transmission and reflection amplitudes.
+
+    Under TIR (sin2_t > 1) cos_t is imaginary: t = 0 and |r| = 1 with the
+    TIR phase shift.  Returns (ts, tp) real flux-normalized transmission
+    magnitudes, (rs, rp) complex reflections as (real, imag) pairs, and the
+    TIR mask."""
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(1.0 - sin2_t, 0.0)))
+    kappa = jnp.sqrt(jnp.where(tir, jnp.maximum(sin2_t - 1.0, 0.0), 0.0))
+
+    # propagating case: real coefficients
+    ts = 2 * n1 * cos_i / (n1 * cos_i + n2 * cos_t + 1e-12)
+    tp = 2 * n1 * cos_i / (n2 * cos_i + n1 * cos_t + 1e-12)
+    flux = jnp.sqrt(jnp.maximum(n2 * cos_t, 0.0)
+                    / jnp.maximum(n1 * cos_i, 1e-12))
+    ts_flux = jnp.where(tir, 0.0, ts * flux)
+    tp_flux = jnp.where(tir, 0.0, tp * flux)
+
+    rs_r = (n1 * cos_i - n2 * cos_t) / (n1 * cos_i + n2 * cos_t + 1e-12)
+    rp_r = (n2 * cos_i - n1 * cos_t) / (n2 * cos_i + n1 * cos_t + 1e-12)
+
+    # TIR: rs = (n1 cos_i - i n2 kappa)/(n1 cos_i + i n2 kappa), |rs| = 1
+    def _tir_r(a, b):
+        den = a * a + b * b + 1e-24
+        return (a * a - b * b) / den, -2.0 * a * b / den
+
+    rs_tr, rs_ti = _tir_r(n1 * cos_i, n2 * kappa)
+    rp_tr, rp_ti = _tir_r(n2 * cos_i, n1 * kappa)
+    rs = (jnp.where(tir, rs_tr, rs_r), jnp.where(tir, rs_ti, 0.0))
+    rp = (jnp.where(tir, rp_tr, rp_r), jnp.where(tir, rp_ti, 0.0))
+    return ts_flux, tp_flux, rs, rp, tir
+
+
+class FieldState(struct.PyTreeNode):
+    """Complex E-field per ray, component-planar: six [N] arrays."""
+
+    erx: jnp.ndarray
+    ery: jnp.ndarray
+    erz: jnp.ndarray
+    eix: jnp.ndarray
+    eiy: jnp.ndarray
+    eiz: jnp.ndarray
+
+    @property
+    def r_c(self):
+        return (self.erx, self.ery, self.erz)
+
+    @property
+    def i_c(self):
+        return (self.eix, self.eiy, self.eiz)
+
+    def power(self):
+        """|E|^2 — the polarization-resolved power fraction, [N]."""
+        return v3.norm2(self.r_c) + v3.norm2(self.i_c)
+
+    def masked(self, mask, Er_new, Ei_new):
+        Er = v3.where(mask, Er_new, self.r_c)
+        Ei = v3.where(mask, Ei_new, self.i_c)
+        return FieldState(erx=Er[0], ery=Er[1], erz=Er[2],
+                          eix=Ei[0], eiy=Ei[1], eiz=Ei[2])
+
+    @classmethod
+    def init(cls, rays, E0=None):
+        """Build the launch field: ``E0`` is [N, 3] (or broadcastable
+        [1, 3] / [3]); real arrays mean linear polarization, complex mean
+        elliptical.  ``None`` defaults to x-polarization.  The field is
+        projected perpendicular to the launch directions and normalized so
+        |E|^2 = 1 per ray."""
+        d = rays.dir_c
+        n = rays.px.shape[0]
+        dt = rays.px.dtype
+        if E0 is None:
+            Er = (jnp.ones((n,), dt), jnp.zeros((n,), dt),
+                  jnp.zeros((n,), dt))
+            Ei = (jnp.zeros((n,), dt),) * 3
+        else:
+            E0 = jnp.asarray(E0)
+            if E0.ndim == 1:
+                E0 = E0[None, :]
+            E0 = jnp.broadcast_to(E0, (n, 3))
+            if jnp.iscomplexobj(E0):
+                Er = v3.from_array(jnp.real(E0).astype(dt))
+                Ei = v3.from_array(jnp.imag(E0).astype(dt))
+            else:
+                Er = v3.from_array(E0.astype(dt))
+                Ei = (jnp.zeros((n,), dt),) * 3
+        # project out any component along d and normalize power
+        Er = tuple(e - v3.dot(Er, d) * dd for e, dd in zip(Er, d))
+        Ei = tuple(e - v3.dot(Ei, d) * dd for e, dd in zip(Ei, d))
+        norm = jnp.sqrt(jnp.maximum(v3.norm2(Er) + v3.norm2(Ei), 1e-24))
+        Er = v3.scale(Er, 1.0 / norm)
+        Ei = v3.scale(Ei, 1.0 / norm)
+        return cls(erx=Er[0], ery=Er[1], erz=Er[2],
+                   eix=Ei[0], eiy=Ei[1], eiz=Ei[2])
+
+
+def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
+                    wavelength=None):
+    """One surface interaction applied to the E-field.
+
+    ``d_in`` is the incoming direction, ``new_dir`` the geometric outgoing
+    direction the intensity trace chose, ``imod`` its intensity modifier.
+    Returns the new (Er, Ei) component tuples (unmasked — the caller merges
+    with the interaction mask)."""
+    if meta.ph in (PhysKind.SNELL, PhysKind.FRESNEL):
+        if meta.disp and wavelength is not None:
+            from .static_dispatch import dispersive_iors
+            n_in, n_out = dispersive_iors(row, wavelength)
+        else:
+            n_in, n_out = row.ph[..., 0], row.ph[..., 1]
+        dot = v3.dot(d_in, n_w)
+        from_in = dot < 0
+        n1 = jnp.where(from_in, n_in, n_out)
+        n2 = jnp.where(from_in, n_out, n_in)
+        cos_i = jnp.abs(dot)
+        sin2_t = (n1 / n2) ** 2 * (1.0 - cos_i ** 2)
+        ts, tp, rs, rp, tir = fresnel_amplitudes(n1, n2, cos_i, sin2_t)
+
+        s_hat, p_in = sp_basis(d_in, n_w)
+        _, p_out = sp_basis(new_dir, n_w)   # same s, new p
+
+        Es_r, Es_i = v3.dot(Er, s_hat), v3.dot(Ei, s_hat)
+        Ep_r, Ep_i = v3.dot(Er, p_in), v3.dot(Ei, p_in)
+
+        # transmitted branch amplitudes; TIR -> reflected amplitudes
+        as_r = jnp.where(tir, rs[0] * Es_r - rs[1] * Es_i, ts * Es_r)
+        as_i = jnp.where(tir, rs[0] * Es_i + rs[1] * Es_r, ts * Es_i)
+        ap_r = jnp.where(tir, rp[0] * Ep_r - rp[1] * Ep_i, tp * Ep_r)
+        ap_i = jnp.where(tir, rp[0] * Ep_i + rp[1] * Ep_r, tp * Ep_i)
+
+        Er_new = v3.add(v3.scale(s_hat, as_r), v3.scale(p_out, ap_r))
+        Ei_new = v3.add(v3.scale(s_hat, as_i), v3.scale(p_out, ap_i))
+    elif meta.ph == PhysKind.REFLECT:
+        # perfect mirror: reflect the field like the direction
+        Er_new = v3.fma(Er, -2.0 * v3.dot(Er, n_w), n_w)
+        Ei_new = v3.fma(Ei, -2.0 * v3.dot(Ei, n_w), n_w)
+    elif meta.ph == PhysKind.BLOCK:
+        Er_new = (jnp.zeros_like(Er[0]),) * 3
+        Ei_new = Er_new
+    else:
+        # TRANSMIT (imod=1), APERTURE (0/1 cut), LINEAR, GRATING (valid-order
+        # mask): the geometric intensity modifier scales the field amplitude
+        # as sqrt(imod) so |E|^2 tracks the transmitted power
+        amp = jnp.sqrt(jnp.maximum(imod, 0.0))
+        Er_new = v3.scale(Er, amp)
+        Ei_new = v3.scale(Ei, amp)
+    return Er_new, Ei_new

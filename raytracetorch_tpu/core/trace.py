@@ -39,11 +39,14 @@ from .sensor import SensorConfig, SensorState
 
 
 def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
-                  sensors: SensorState, fuzzy_fn=None, static_meta=None):
+                  sensors: SensorState, fuzzy_fn=None, static_meta=None,
+                  w_scale=None):
     """Apply one surface interaction to the full ray batch (masked).
 
     With ``static_meta`` (sequential path) the bound and physics formulas
     are specialized to the row's compile-time kinds (core/static_dispatch.py).
+    ``w_scale`` optionally scales the recorded sensor weight per ray (used
+    by the polarization-aware path: weight = intensity * |E|^2).
     """
     res = intersect(row, rays.pos_c, rays.dir_c, static_meta=static_meta)
     active = res['valid'] & (rays.intensity > 0)
@@ -73,10 +76,13 @@ def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
     # Sensor accumulation uses the surface-local hit and the *incoming*
     # intensity (reference elements/sensor.py:36 records rays.intensity).
     w = jnp.where(active & row.is_sensor, rays.intensity, 0.0)
+    if w_scale is not None:
+        w = w * w_scale
     sensors = sensors.record(cfg, row.sensor_slot, rays.ray_id,
                              res['hit_s'], w)
 
     rays = rays.masked_update(active, new_pos, new_dir, imod)
+    res['n_w'], res['new_dir'], res['imod'] = n_w, new_dir, imod
     return rays, sensors, active, res
 
 
@@ -85,6 +91,8 @@ def trace_sequential(table, rays: Rays, key,
                      record_paths: bool = False,
                      record_hits: bool = False,
                      track_opl: bool = False,
+                     track_field: bool = False,
+                     E0=None,
                      fuzzy_fns=None,
                      static_meta=None):
     """Ordered pass over every surface row (reference SequentialScene).
@@ -92,6 +100,11 @@ def trace_sequential(table, rays: Rays, key,
     Returns ``(rays, sensors, aux)`` where ``aux`` optionally carries
     ``paths [K+1, N, 3]`` (the Paths proxy equivalent, rays/ray.py:100) and/or
     per-surface hit records ``(hits [K, N, 3], weights [K, N])``.
+
+    ``track_field=True`` transports a complex E-vector per ray through every
+    interaction (core/field.py): sensor moments/grids are weighted by the
+    polarization-resolved power |E|^2 and ``aux`` carries ``field`` /
+    ``field_power``.  ``E0`` sets the launch polarization (default x-linear).
     """
     k_surf = table.n_surfaces
     keys = jax.random.split(key, max(k_surf, 1))
@@ -104,27 +117,37 @@ def trace_sequential(table, rays: Rays, key,
         assert static_meta is not None, "track_opl needs scene static_meta"
         opl = jnp.zeros_like(pr.intensity)
         n_cur = jnp.ones_like(pr.intensity)   # launch medium index 1
+    field = None
+    if track_field:
+        assert static_meta is not None, "track_field needs scene static_meta"
+        from .field import FieldState, transport_field
+        field = FieldState.init(rays, E0)
 
     fuzzy_fns = fuzzy_fns or {}
     for k in range(k_surf):
         row = table.row(k)
         meta = static_meta[k] if static_meta is not None else None
         prev = pr
-        pr, sensors, active, res = _surface_step(row, prev, keys[k], cfg,
-                                                 sensors,
-                                                 fuzzy_fn=fuzzy_fns.get(k),
-                                                 static_meta=meta)
+        pr, sensors, active, res = _surface_step(
+            row, prev, keys[k], cfg, sensors,
+            fuzzy_fn=fuzzy_fns.get(k), static_meta=meta,
+            w_scale=field.power() if track_field else None)
         if track_opl:
             # accumulate n * t through the train; update the medium on
             # refraction (wavefront-analysis building block)
             from .static_dispatch import medium_after
             opl = opl + jnp.where(active, n_cur * res['t'], 0.0)
-            n_w = normal_world(row, res['hit_s'], meta)
             u = jax.random.uniform(keys[k], pr.intensity.shape)
-            n_next = medium_after(meta, row, prev.dir_c, n_w, u,
+            n_next = medium_after(meta, row, prev.dir_c, res['n_w'], u,
                                   wavelength=pr.wavelength)
             if n_next is not None:
                 n_cur = jnp.where(active, n_next, n_cur)
+        if track_field:
+            Er_new, Ei_new = transport_field(
+                meta, row, prev.dir_c, res['new_dir'], res['n_w'],
+                res['imod'], field.r_c, field.i_c,
+                wavelength=pr.wavelength)
+            field = field.masked(active, Er_new, Ei_new)
         if record_paths:
             paths.append(v3.to_array(pr.pos_c))
         if record_hits:
@@ -140,6 +163,9 @@ def trace_sequential(table, rays: Rays, key,
     if track_opl:
         aux['opl'] = opl
         aux['n_final'] = n_cur
+    if track_field:
+        aux['field'] = field
+        aux['field_power'] = field.power()
     return pr, sensors, aux
 
 
@@ -170,7 +196,8 @@ def nearest_hit(table, pos, direction, static_meta=None):
 
 
 def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
-                sensors: SensorState, fuzzy_fns=None, static_meta=None):
+                sensors: SensorState, fuzzy_fns=None, static_meta=None,
+                field=None):
     """One non-sequential physics bounce (reference ``Scene.step``,
     scene/base.py:180-235).
 
@@ -181,6 +208,9 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
     where-merged for the rays whose argmin selected it.  No per-ray table
     gathers — gathering [N, 3, 3] frames loses the planar layout and
     measured orders of magnitude slower; the extra dense compute is cheap.
+
+    With ``field`` (a FieldState), E-vectors are transported through each
+    winning interaction and sensor weights carry the |E|^2 power factor.
     """
     win, hit = nearest_hit(table, rays.pos_c, rays.dir_c, static_meta)
 
@@ -189,6 +219,10 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
     imod_all = jnp.ones_like(rays.intensity)
     active_any = jnp.zeros_like(rays.intensity, bool)
     fuzzy_fns = fuzzy_fns or {}
+    if field is not None:
+        from .field import transport_field
+        power_in = field.power()
+        Er_acc, Ei_acc = field.r_c, field.i_c
 
     for k in range(table.n_surfaces):
         row = table.row(k)
@@ -216,14 +250,26 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
         imod_all = jnp.where(mask, imod_k, imod_all)
         active_any = active_any | mask
 
+        if field is not None:
+            assert meta is not None, "track_field needs scene static_meta"
+            Er_k, Ei_k = transport_field(meta, row, d, dir_k, n_w, imod_k,
+                                         field.r_c, field.i_c,
+                                         wavelength=rays.wavelength)
+            Er_acc = v3.where(mask, Er_k, Er_acc)
+            Ei_acc = v3.where(mask, Ei_k, Ei_acc)
+
         is_sensor = meta.sensor if meta is not None else row.is_sensor
         if meta is None or meta.sensor:
             w = jnp.where(mask & is_sensor, rays.intensity, 0.0)
+            if field is not None:
+                w = w * power_in
             sensors = sensors.record(cfg, row.sensor_slot, rays.ray_id,
                                      res['hit_s'], w)
 
     rays = rays.masked_update(active_any, new_pos, new_dir, imod_all)
-    return rays, sensors, active_any
+    if field is not None:
+        field = field.masked(active_any, Er_acc, Ei_acc)
+    return rays, sensors, active_any, field
 
 
 def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
@@ -232,7 +278,9 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
                         remat: bool = False,
                         fuzzy_fns=None,
                         static_meta=None,
-                        early_exit: bool = True):
+                        early_exit: bool = True,
+                        track_field: bool = False,
+                        E0=None):
     """Bounce loop until the static bounce budget (reference
     ``Scene.simulate``, scene/base.py:129-142).
 
@@ -244,47 +292,61 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
     pass and pay only the scalar predicate + branch dispatch.  A scene with
     a 100-bounce budget whose rays settle after 8 runs ~the 8-bounce cost;
     gradients flow through the taken branches unchanged.  ``early_exit=False``
-    restores the unconditional scan (useful for profiling fixed work)."""
+    restores the unconditional scan (useful for profiling fixed work).
+
+    ``track_field=True`` / ``E0`` transport a per-ray E-vector through the
+    bounces (see ``trace_sequential``); note ``None`` is a valid (empty)
+    pytree so the field rides the scan carry only when enabled."""
     sensors = SensorState.init(cfg, dtype=rays.px.dtype)
     pr = rays
+    field = None
+    if track_field:
+        assert static_meta is not None, "track_field needs scene static_meta"
+        from .field import FieldState
+        field = FieldState.init(rays, E0)
 
     if early_exit:
         def body(carry, k_key):
-            pr, sensors, alive = carry
+            pr, sensors, field, alive = carry
 
             def live(op):
-                pr, sensors = op
-                pr, sensors, act = bounce_step(table, pr, k_key, cfg,
-                                               sensors, fuzzy_fns=fuzzy_fns,
-                                               static_meta=static_meta)
-                return pr, sensors, jnp.any(act)
+                pr, sensors, field = op
+                pr, sensors, act, field = bounce_step(
+                    table, pr, k_key, cfg, sensors, fuzzy_fns=fuzzy_fns,
+                    static_meta=static_meta, field=field)
+                return pr, sensors, field, jnp.any(act)
 
             def dead(op):
-                pr, sensors = op
-                return pr, sensors, jnp.zeros((), bool)
+                pr, sensors, field = op
+                return pr, sensors, field, jnp.zeros((), bool)
 
-            pr, sensors, alive = lax.cond(alive, live, dead, (pr, sensors))
+            pr, sensors, field, alive = lax.cond(
+                alive, live, dead, (pr, sensors, field))
             ys = v3.to_array(pr.pos_c) if record_paths else None
-            return (pr, sensors, alive), ys
+            return (pr, sensors, field, alive), ys
 
         if remat:
             body = jax.checkpoint(body)
         keys = jax.random.split(key, n_bounces)
-        (pr, sensors, _), ys = lax.scan(
-            body, (pr, sensors, jnp.ones((), bool)), keys)
+        (pr, sensors, field, _), ys = lax.scan(
+            body, (pr, sensors, field, jnp.ones((), bool)), keys)
     else:
         def body(carry, k_key):
-            pr, sensors = carry
-            pr, sensors, _ = bounce_step(table, pr, k_key, cfg, sensors,
-                                         fuzzy_fns=fuzzy_fns,
-                                         static_meta=static_meta)
+            pr, sensors, field = carry
+            pr, sensors, _, field = bounce_step(table, pr, k_key, cfg,
+                                                sensors, fuzzy_fns=fuzzy_fns,
+                                                static_meta=static_meta,
+                                                field=field)
             ys = v3.to_array(pr.pos_c) if record_paths else None
-            return (pr, sensors), ys
+            return (pr, sensors, field), ys
 
         if remat:
             body = jax.checkpoint(body)
         keys = jax.random.split(key, n_bounces)
-        (pr, sensors), ys = lax.scan(body, (pr, sensors), keys)
+        (pr, sensors, field), ys = lax.scan(body, (pr, sensors, field), keys)
 
     aux = {'paths': ys} if record_paths else {}
+    if track_field:
+        aux['field'] = field
+        aux['field_power'] = field.power()
     return pr, sensors, aux

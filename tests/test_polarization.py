@@ -96,3 +96,91 @@ def test_tir_keeps_unit_power(key):
         scene, p, rays, key, [[1.0, 0.0, 0.0]])
     np.testing.assert_allclose(float(power[0]), 1.0, rtol=1e-5)
     assert float(out.dir[0, 2]) < 0    # geometrically reflected
+
+
+# ---------------------------------------------------------------------------
+# Integrated E-field transport in the main drivers (track_field=True)
+# ---------------------------------------------------------------------------
+
+def test_track_field_sequential_aux(key):
+    """scene.simulate(track_field=True) exposes the field and power in aux
+    and weights the sensor by the polarization-resolved power."""
+    from raytracetorch_tpu import SensorElement
+
+    theta = 0.8
+    el = ElementCustom(shapes.plane, 1, PhysKind.SNELL, ph=(N_GLASS, 1.0),
+                       name='iface')
+    scene = SequentialScene([el, SensorElement(name='sensor',
+                                               translation=[0, 0, 40.0])])
+    scene.grid_shape = (16, 16)
+    scene.grid_half_extent = 60.0
+    p = scene.init_params()
+    d = [0.0, math.sin(theta), math.cos(theta)]
+    rays = Rays.create([[0.0, -10.0 * d[1], -10.0 * d[2]]], [d])
+
+    out, sensors, aux = scene.simulate(p, rays, key, track_field=True,
+                                       E0=[[1.0, 0.0, 0.0]])
+    Ts = _T_analytic(theta, 's')
+    np.testing.assert_allclose(float(aux['field_power'][0]), Ts, rtol=1e-4)
+    # sensor total weight = intensity * |E|^2 at arrival
+    np.testing.assert_allclose(float(sensors.total_weight(0)[0]), Ts,
+                               rtol=1e-4)
+    # the polarization-aware irradiance grid carries the same power
+    np.testing.assert_allclose(float(sensors.grid.sum()), Ts, rtol=1e-4)
+
+
+def test_track_field_nonsequential_tir(key):
+    """Non-sequential bounce loop transports the field: TIR keeps unit
+    power and the geometric reflection."""
+    from raytracetorch_tpu import Scene
+
+    el = ElementCustom(shapes.plane, 1, PhysKind.SNELL, ph=(1.0, N_GLASS),
+                       name='iface')
+    scene = Scene([el], n_bounces=3)
+    p = scene.init_params()
+    theta = 0.9   # > critical angle asin(1/1.5)
+    d = [0.0, math.sin(theta), math.cos(theta)]
+    rays = Rays.create([[0.0, -5.0 * d[1], -5.0 * d[2]]], [d])
+
+    out, _, aux = scene.simulate(p, rays, key, track_field=True,
+                                 E0=[[1.0, 0.0, 0.0]])
+    np.testing.assert_allclose(float(aux['field_power'][0]), 1.0, rtol=1e-5)
+    assert float(out.dir[0, 2]) < 0
+
+
+def test_track_field_nonsequential_matches_sequential(key):
+    """Ordered system: both drivers report the same transmitted power."""
+    from raytracetorch_tpu import Scene
+
+    lens = SingletLens(c1=0.016667, c2=-0.00283, d=25.4, t=4.0,
+                       ior_glass=N_GLASS, name='lens')
+    seq = SequentialScene([lens])
+    non = Scene([lens], n_bounces=4)
+    p = seq.init_params()
+    rays = Rays.create([[0.0, 0.5, -10.0]], [[0.0, 0.0, 1.0]])
+    E0 = [[1.0, 0.0, 0.0]]
+    _, _, aux_s = seq.simulate(p, rays, key, track_field=True, E0=E0)
+    _, _, aux_n = non.simulate(p, rays, key, track_field=True, E0=E0)
+    np.testing.assert_allclose(np.asarray(aux_n['field_power']),
+                               np.asarray(aux_s['field_power']), rtol=1e-5)
+
+
+def test_stokes_parameters(key):
+    """Stokes analysis: linear-x gives S1=+S0; circular gives |S3|=S0."""
+    from raytracetorch_tpu.core.field import FieldState
+    from raytracetorch_tpu.utils.polarization import (
+        degree_of_polarization, stokes_parameters)
+
+    rays = Rays.create([[0.0, 0.0, 0.0]] * 2, [[0.0, 0.0, 1.0]] * 2)
+    fx = FieldState.init(rays, [[1.0, 0.0, 0.0]])
+    s0, s1, s2, s3 = stokes_parameters(fx, rays.dir_c)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2), 0.0, atol=1e-6)
+
+    E_circ = np.array([[1.0 + 0.0j, 0.0 + 1.0j, 0.0 + 0.0j]]) / math.sqrt(2)
+    fc = FieldState.init(rays, np.broadcast_to(E_circ, (2, 3)))
+    s0, s1, s2, s3 = stokes_parameters(fc, rays.dir_c)
+    np.testing.assert_allclose(np.abs(np.asarray(s3)), np.asarray(s0),
+                               rtol=1e-6)
+    dop = degree_of_polarization(s0, s1, s2, s3)
+    np.testing.assert_allclose(np.asarray(dop), 1.0, rtol=1e-6)
