@@ -93,6 +93,9 @@ def main():
 
     for nm_ in n_millions:
         n = nm_ * 1_000_000
+        if os.environ.get('ROUND_N'):     # tile-divisible N: no pad copies
+            tile_ = int(os.environ.get('V2_BLOCK_ROWS', '64')) * 512
+            n = (n // tile_) * tile_
         rays = CollimatedDisk.make(
             radius=jnp.float32(4.0),
             translation=[0.0, 0.0, -10.0]).sample(key, n)
@@ -107,12 +110,20 @@ def main():
             out, _, _ = trace_sequential_pallas(table, r, key, cfg, meta)
             return out
 
+        block_rows = int(os.environ.get('V2_BLOCK_ROWS', '64'))
+
         def v2_fn(r):
-            out, _, _ = trace_sequential_pallas_v2(table, r, key, cfg, meta)
+            out, _, _ = trace_sequential_pallas_v2(table, r, key, cfg, meta,
+                                                   block_rows=block_rows)
             return out
 
         row = {'n_M': nm_, 'chain': chain, 'floor_ms': round(floor, 1)}
-        for name, fn in [('xla', xla_fn), ('v1', v1_fn), ('v2', v2_fn)]:
+        runs = [('xla', xla_fn), ('v1', v1_fn), ('v2', v2_fn)]
+        if os.environ.get('SKIP_V1'):
+            runs = [r for r in runs if r[0] != 'v1']
+        if os.environ.get('SKIP_XLA'):
+            runs = [r for r in runs if r[0] != 'xla']
+        for name, fn in runs:
             try:
                 total = fetch_ms(chained(fn, chain), rays)
                 ms = max((total - floor) / chain, 1e-6)

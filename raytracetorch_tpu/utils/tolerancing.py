@@ -64,26 +64,42 @@ def monte_carlo_tolerance(scene, params, rays, key, noise, n_trials,
 def per_ray_perturbed_trace(scene, params, rays, key, noise, **sim_kw):
     """Reference-equivalent per-ray pose noise: ray i traces through a scene
     whose noisy elements are displaced by that ray's own draw (frozen across
-    the whole pass, like ``freeze_noise``, transform.py:173-177).
+    the whole pass, like ``freeze_noise``, transform.py:195-200).
 
-    Returns (rays_out, sensors) where sensors' moments are summed over the
-    per-ray axis (each ray contributed its own trial)."""
+    Scales to million-ray batches: pose perturbation only changes each
+    surface row's world frame (Rw, tw) — every other table leaf is
+    parameter-identical across rays — so we build ONE SurfaceTable whose
+    frame leaves carry a per-ray axis ([K, N, 3, 3] / [K, N, 3]) and run the
+    ordinary trace once (the component-planar core indexes frames as
+    ``row.Rw[..., i, j]``, which broadcasts [N] frame entries against [N]
+    ray components elementwise — no per-ray gathers, no N scene rebuilds).
+    The batched frames come from vmapping the table build over the deltas
+    and keeping only Rw/tw (XLA dead-code-eliminates the rest).
+
+    Returns (rays_out, sensors) with the usual trace contract (each ray
+    contributed its own as-built trial to the sensor statistics)."""
+    from ..core.trace import trace_nonsequential, trace_sequential
+
     n = rays.n
     kn, kt = jax.random.split(key)
     deltas = _sample_deltas(kn, noise, n=n)
 
-    def one(ray, delta_row):
-        p = _apply_deltas(params, delta_row)
-        out, sensors, _ = scene.simulate(p, ray, kt, **sim_kw)
-        return out, sensors
+    base = scene.build_table(params)
 
-    # vmap over the ray axis: each "batch" is a 1-ray trace
-    rays_1 = jax.tree_util.tree_map(lambda a: a[:, None] if a.ndim == 1
-                                    else a[:, None, :], rays)
-    out, sensors = jax.vmap(one)(rays_1, deltas)
-    rays_out = jax.tree_util.tree_map(lambda a: a[:, 0] if a.ndim >= 2
-                                      else a, out)
-    moments = jnp.sum(sensors.moments, axis=0)
-    grid = jnp.sum(sensors.grid, axis=0)
-    sensors = sensors.replace(moments=moments, grid=grid)
-    return rays_out, sensors
+    def frames(delta_row):
+        t = scene.build_table(_apply_deltas(params, delta_row))
+        return t.Rw, t.tw
+
+    Rw, tw = jax.vmap(frames)(deltas)          # [N, K, 3, 3], [N, K, 3]
+    table = base.replace(Rw=jnp.moveaxis(Rw, 0, 1),
+                         tw=jnp.moveaxis(tw, 0, 1))
+
+    cfg = scene.sensor_config()
+    sim_kw.setdefault('fuzzy_fns', scene.fuzzy_fns())
+    sim_kw.setdefault('static_meta', scene.static_meta())
+    if scene.sequential:
+        out, sensors, _ = trace_sequential(table, rays, kt, cfg, **sim_kw)
+    else:
+        out, sensors, _ = trace_nonsequential(table, rays, kt,
+                                              scene.n_bounces, cfg, **sim_kw)
+    return out, sensors

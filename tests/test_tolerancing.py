@@ -70,3 +70,37 @@ def test_per_ray_perturbation_blurs_spot(key):
     assert rms > rms0 * 2
     w = float(s.total_weight(0)[0])
     assert w > 350
+
+
+def test_per_ray_batched_frames_match_naive_vmap(key):
+    """The single-table batched-frame implementation must be ray-for-ray
+    identical to the naive semantics (vmap a full scene rebuild per ray —
+    the reference's frozen per-ray RayTransformNoisy, transform.py:195)."""
+    from raytracetorch_tpu.utils.tolerancing import (_apply_deltas,
+                                                     _sample_deltas)
+
+    scene = _scene()
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, -10.0]).sample(key, 8)
+    noise = {'lens': ((0.1, 0.3, 0.05), (0.001, 0.002, 0.0))}
+
+    out, s = per_ray_perturbed_trace(scene, p, rays, key, noise)
+
+    kn, kt = jax.random.split(key)
+    deltas = _sample_deltas(kn, noise, n=8)
+
+    def one(ray_1, delta_row):
+        pp = _apply_deltas(p, delta_row)
+        o, _, _ = scene.simulate(pp, ray_1, kt)
+        return o
+
+    rays_1 = jax.tree_util.tree_map(lambda a: a[:, None], rays)
+    out_naive = jax.vmap(one)(rays_1, deltas)
+    out_naive = jax.tree_util.tree_map(lambda a: a[:, 0], out_naive)
+    np.testing.assert_allclose(np.asarray(out.pos),
+                               np.asarray(out_naive.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.dir),
+                               np.asarray(out_naive.dir), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.intensity),
+                               np.asarray(out_naive.intensity), atol=1e-6)
