@@ -100,7 +100,16 @@ class Scene:
         )
 
     def build_table(self, params):
-        """Flatten all elements into the SurfaceTable (runs inside jit)."""
+        """Flatten all elements into the SurfaceTable (runs inside jit).
+
+        The table dtype follows the parameter pytree, so
+        ``init_params(jnp.float64)`` under ``jax.experimental.enable_x64``
+        gives a full float64 trace (the dtype-policy option of reference
+        config.py:197; used by wavefront analysis to beat the f32 OPL
+        quantization floor)."""
+        leaves = [l for l in jax.tree_util.tree_leaves(params)
+                  if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)]
+        dtype = jnp.asarray(leaves[0]).dtype if leaves else jnp.float32
         recs, elem_ids, surf_ids = [], [], []
         slot = 0
         for k, el in enumerate(self.elements):
@@ -112,7 +121,7 @@ class Scene:
             recs.extend(el_recs)
             elem_ids.extend([k] * len(el_recs))
             surf_ids.extend(range(len(el_recs)))
-        return stack_records(recs, elem_ids, surf_ids)
+        return stack_records(recs, elem_ids, surf_ids, dtype=dtype)
 
     # -- simulation --------------------------------------------------------
 
