@@ -1,0 +1,366 @@
+"""The workbench single-page app (vanilla HTML/JS, served by server.py).
+
+Browser equivalent of the reference's three-panel Dear PyGui layout
+(gui/workbench.py): element/bundle managers with introspected forms (left),
+render viewport with orbit controls + ray-path overlay (center), spot
+diagram / metrics / optimizer / project panels (right).
+"""
+
+INDEX_HTML = r"""<!DOCTYPE html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>raytracetorch_tpu workbench</title>
+<style>
+  :root { color-scheme: dark; }
+  body { margin:0; font:13px system-ui,sans-serif; background:#15171a;
+         color:#d7dae0; display:flex; height:100vh; overflow:hidden; }
+  .panel { overflow-y:auto; padding:10px; box-sizing:border-box; }
+  #left { width:300px; background:#1c1f24; border-right:1px solid #2a2e35; }
+  #center { flex:1; display:flex; flex-direction:column; align-items:center;
+            justify-content:flex-start; padding:10px; }
+  #right { width:330px; background:#1c1f24; border-left:1px solid #2a2e35; }
+  h3 { margin:12px 0 6px; font-size:12px; text-transform:uppercase;
+       letter-spacing:.08em; color:#8b93a1; }
+  button { background:#2d6cdf; color:#fff; border:0; border-radius:4px;
+           padding:5px 10px; margin:2px; cursor:pointer; font-size:12px; }
+  button.sec { background:#3a3f48; }
+  button.danger { background:#b33; }
+  select,input { background:#23262c; color:#d7dae0; border:1px solid #3a3f48;
+                 border-radius:3px; padding:3px 5px; font-size:12px; }
+  input[type=number],input[type=text] { width:70px; }
+  .item { padding:5px 7px; margin:3px 0; background:#23262c; border-radius:4px;
+          cursor:pointer; display:flex; justify-content:space-between; }
+  .item.sel { outline:1px solid #2d6cdf; }
+  .form label { display:flex; justify-content:space-between; margin:3px 0;
+                align-items:center; gap:4px; }
+  .form .v3 input { width:46px; }
+  #viewwrap { position:relative; }
+  #view { border:1px solid #2a2e35; border-radius:4px; display:block; }
+  #overlay { position:absolute; left:0; top:0; pointer-events:none; }
+  #spot { background:#101214; border:1px solid #2a2e35; border-radius:4px; }
+  #losschart { background:#101214; border:1px solid #2a2e35; border-radius:4px; }
+  table { width:100%; border-collapse:collapse; font-size:12px; }
+  td,th { padding:2px 5px; text-align:right; border-bottom:1px solid #2a2e35; }
+  th { color:#8b93a1; }
+  #status { color:#8b93a1; margin-top:6px; min-height:16px; font-size:12px; }
+  .row { display:flex; gap:4px; align-items:center; flex-wrap:wrap; margin:3px 0; }
+</style>
+</head>
+<body>
+<div id="left" class="panel">
+  <h3>Elements</h3>
+  <div id="el-list"></div>
+  <div class="row">
+    <select id="el-class"></select>
+    <button onclick="addElement()">Add</button>
+  </div>
+  <div id="el-form" class="form"></div>
+  <h3>Sources</h3>
+  <div id="bu-list"></div>
+  <div class="row">
+    <select id="bu-class"></select>
+    <button onclick="addBundle()">Add</button>
+  </div>
+  <div id="bu-form" class="form"></div>
+  <h3>Scene</h3>
+  <div class="row">
+    <label>sequential <input type="checkbox" id="seq"
+      onchange="post('/api/settings',{sequential:this.checked}).then(refreshAll)"></label>
+    <label>bounces <input type="number" id="nbounces" style="width:52px"
+      onchange="post('/api/settings',{n_bounces:+this.value})"></label>
+  </div>
+</div>
+
+<div id="center">
+  <div id="viewwrap">
+    <img id="view" width="640" height="480">
+    <canvas id="overlay" width="640" height="480"></canvas>
+  </div>
+  <div class="row">
+    <button onclick="doTrace()">Trace</button>
+    <button class="sec" onclick="post('/api/camera',{reset:1}).then(rerender)">Reset view</button>
+    <span style="color:#8b93a1">drag: orbit · shift-drag: pan · wheel: zoom · click: pick</span>
+  </div>
+  <div id="status"></div>
+</div>
+
+<div id="right" class="panel">
+  <h3>Spot diagram</h3>
+  <canvas id="spot" width="300" height="300"></canvas>
+  <div id="metrics"></div>
+  <h3>Optimize</h3>
+  <div class="row">
+    <select id="loss"><option value="spot_size">spot size</option>
+      <option value="focal_length">focal length</option></select>
+    <input type="number" id="ftarget" placeholder="f target" style="width:70px">
+  </div>
+  <div class="row">
+    steps <input type="number" id="steps" value="100">
+    lr <input type="number" id="lr" value="0.001" step="0.0001">
+    <button onclick="doOptimize()">Run</button>
+  </div>
+  <canvas id="losschart" width="300" height="90"></canvas>
+  <h3>Project</h3>
+  <div class="row">
+    <input type="text" id="path" value="scene.rtt" style="width:150px">
+    <button class="sec" onclick="post('/api/save',{path:val('path')}).then(()=>st('saved'))">Save</button>
+    <button class="sec" onclick="post('/api/load',{path:val('path')}).then(refreshAll)">Load</button>
+  </div>
+</div>
+
+<script>
+let REG = {elements:{}, bundles:{}}, STATE = null;
+let selEl = -1, selBu = -1;
+const $ = id => document.getElementById(id);
+const val = id => $(id).value;
+const st = m => { $('status').textContent = m; };
+async function post(url, body) {
+  const r = await fetch(url, {method:'POST', body: JSON.stringify(body||{})});
+  const j = await r.json();
+  if (j.error) { st('error: ' + j.error); throw new Error(j.error); }
+  return j;
+}
+async function get(url) { const r = await fetch(url); return r.json(); }
+
+function formHtml(fields, values, prefix) {
+  let h = '';
+  for (const f of fields) {
+    const v = values && values[f.name] !== undefined ? values[f.name] : f.default;
+    const id = prefix + '-' + f.name;
+    if (f.kind === 'vec3') {
+      const a = Array.isArray(v) ? v : [0,0,0];
+      h += `<label>${f.name}<span class="v3">` +
+        [0,1,2].map(i=>`<input type="number" step="any" id="${id}-${i}" value="${a[i]}">`).join('') +
+        `</span></label>`;
+    } else if (f.kind === 'bool') {
+      h += `<label>${f.name}<input type="checkbox" id="${id}" ${v?'checked':''}></label>`;
+    } else if (f.kind === 'str') {
+      h += `<label>${f.name}<input type="text" id="${id}" value="${v==null?'':v}"></label>`;
+    } else {
+      h += `<label>${f.name}<input type="number" step="any" id="${id}" value="${v==null?'':v}"></label>`;
+    }
+  }
+  return h;
+}
+function readForm(fields, prefix) {
+  const out = {};
+  for (const f of fields) {
+    const id = prefix + '-' + f.name;
+    if (f.kind === 'vec3') {
+      out[f.name] = [0,1,2].map(i=>+($(id+'-'+i).value||0));
+    } else if (f.kind === 'bool') {
+      out[f.name] = $(id).checked;
+    } else if (f.kind === 'str') {
+      out[f.name] = $(id).value;
+    } else {
+      const x = $(id).value;
+      if (x !== '') out[f.name] = +x;
+    }
+  }
+  return out;
+}
+
+function renderLists() {
+  const el = $('el-list'); el.innerHTML = '';
+  STATE.elements.forEach((e,i)=>{
+    const d = document.createElement('div');
+    d.className = 'item' + (i===selEl?' sel':'');
+    d.innerHTML = `<span>${e.config.name} <i style="color:#8b93a1">${e.config['class']}</i></span>`;
+    d.onclick = ()=>{ selEl = i; renderLists(); showElForm(); };
+    el.appendChild(d);
+  });
+  const bu = $('bu-list'); bu.innerHTML = '';
+  STATE.bundles.forEach((b,i)=>{
+    const d = document.createElement('div');
+    d.className = 'item' + (i===selBu?' sel':'');
+    d.innerHTML = `<span>${b.config['class']} <i style="color:#8b93a1">N=${b.n_rays}</i></span>`;
+    d.onclick = ()=>{ selBu = i; renderLists(); showBuForm(); };
+    bu.appendChild(d);
+  });
+  $('seq').checked = STATE.settings.sequential;
+  $('nbounces').value = STATE.settings.n_bounces;
+}
+function showElForm() {
+  const box = $('el-form');
+  if (selEl < 0 || selEl >= STATE.elements.length) { box.innerHTML=''; return; }
+  const e = STATE.elements[selEl];
+  const fields = REG.elements[e.config['class']] || [];
+  box.innerHTML = `<h3>${e.config.name}</h3>` +
+    formHtml(fields, e.config.params, 'ef') +
+    `<button onclick="updateElement()">Update</button>
+     <button class="danger" onclick="deleteElement()">Delete</button>`;
+}
+function showBuForm() {
+  const box = $('bu-form');
+  if (selBu < 0 || selBu >= STATE.bundles.length) { box.innerHTML=''; return; }
+  const b = STATE.bundles[selBu];
+  const fields = REG.bundles[b.config['class']] || [];
+  box.innerHTML = `<h3>${b.config['class']}</h3>` +
+    `<label>n_rays<input type="number" id="bf-nrays" value="${b.n_rays}"></label>` +
+    formHtml(fields, b.config.params, 'bf') +
+    `<button onclick="updateBundle()">Update</button>
+     <button class="danger" onclick="deleteBundle()">Delete</button>`;
+}
+async function addElement() {
+  const cls = val('el-class');
+  const fields = REG.elements[cls] || [];
+  const params = {};
+  fields.forEach(f=>{ if (f.default!=null) params[f.name]=f.default; });
+  params.name = cls.toLowerCase() + '_' + (STATE.elements.length+1);
+  await post('/api/element/add', {config:{'class':cls, name:params.name, params}});
+  selEl = STATE.elements.length;
+  await refreshAll();
+}
+async function updateElement() {
+  const e = STATE.elements[selEl];
+  const fields = REG.elements[e.config['class']] || [];
+  const params = readForm(fields, 'ef');
+  if (!params.name) params.name = e.config.name;
+  await post('/api/element/update', {index:selEl,
+    config:{'class':e.config['class'], name:params.name, params}});
+  await refreshAll();
+}
+async function deleteElement() {
+  await post('/api/element/delete', {index:selEl}); selEl=-1; await refreshAll();
+}
+async function addBundle() {
+  const cls = val('bu-class');
+  const fields = REG.bundles[cls] || [];
+  const params = {};
+  fields.forEach(f=>{ if (f.default!=null) params[f.name]=f.default; });
+  await post('/api/bundle/add', {config:{'class':cls, params}, n_rays:1000});
+  selBu = STATE.bundles.length;
+  await refreshAll();
+}
+async function updateBundle() {
+  const b = STATE.bundles[selBu];
+  const fields = REG.bundles[b.config['class']] || [];
+  const params = readForm(fields, 'bf');
+  await post('/api/bundle/update', {index:selBu, n_rays:+val('bf-nrays'),
+    config:{'class':b.config['class'], params}});
+  await refreshAll();
+}
+async function deleteBundle() {
+  await post('/api/bundle/delete', {index:selBu}); selBu=-1; await refreshAll();
+}
+
+async function rerender() {
+  $('view').src = '/api/render?t=' + Date.now();
+  clearOverlay();
+}
+function clearOverlay() {
+  const c = $('overlay').getContext('2d');
+  c.clearRect(0,0,640,480);
+}
+const PALETTE = ['#ffb347','#6fd3ff','#9dff6f','#ff6f9d','#d3a4ff','#fff36f'];
+async function doTrace() {
+  st('tracing…');
+  const r = await post('/api/trace', {});
+  clearOverlay();
+  const c = $('overlay').getContext('2d');
+  c.lineWidth = 1;
+  for (const p of r.paths) {
+    if (p.pts.length < 2) continue;
+    c.strokeStyle = PALETTE[p.id % PALETTE.length] + '99';
+    c.beginPath();
+    c.moveTo(p.pts[0][0], p.pts[0][1]);
+    for (const [u,v] of p.pts.slice(1)) c.lineTo(u, v);
+    c.stroke();
+  }
+  drawSpots(r.spots);
+  let mh = '<table><tr><th>sensor</th><th>bundle</th><th>RMS</th><th>cx</th><th>cy</th><th>w</th></tr>';
+  for (const m of r.metrics)
+    m.rms.forEach((rms,b)=>{
+      mh += `<tr><td>${m.sensor}</td><td>${b}</td><td>${rms.toExponential(3)}</td>` +
+            `<td>${m.centroid[b][0].toFixed(4)}</td><td>${m.centroid[b][1].toFixed(4)}</td>` +
+            `<td>${m.weight[b].toFixed(1)}</td></tr>`;
+    });
+  $('metrics').innerHTML = mh + '</table>';
+  st(`traced ${r.n_rays} rays, ${r.n_alive} alive`);
+}
+function drawSpots(spots) {
+  const cv = $('spot'), c = cv.getContext('2d');
+  c.fillStyle = '#101214'; c.fillRect(0,0,cv.width,cv.height);
+  if (!spots.length || !spots[0].x.length) return;
+  const s = spots[0];
+  let m = 1e-12;
+  for (let i=0;i<s.x.length;i++) m = Math.max(m, Math.abs(s.x[i]), Math.abs(s.y[i]));
+  const sc = (cv.width/2 - 10) / m;
+  c.strokeStyle = '#2a2e35';
+  c.beginPath(); c.moveTo(cv.width/2,0); c.lineTo(cv.width/2,cv.height);
+  c.moveTo(0,cv.height/2); c.lineTo(cv.width,cv.height/2); c.stroke();
+  for (let i=0;i<s.x.length;i++) {
+    c.fillStyle = PALETTE[(s.id[i]||0) % PALETTE.length] + 'bb';
+    c.fillRect(cv.width/2 + s.x[i]*sc - 1, cv.height/2 - s.y[i]*sc - 1, 2, 2);
+  }
+  c.fillStyle = '#8b93a1';
+  c.fillText('±' + m.toExponential(2), 6, 12);
+}
+async function doOptimize() {
+  st('optimizing…');
+  const r = await post('/api/optimize', {loss: val('loss'), steps:+val('steps'),
+    lr:+val('lr'), f_target: val('ftarget') ? +val('ftarget') : null});
+  const cv = $('losschart'), c = cv.getContext('2d');
+  c.fillStyle = '#101214'; c.fillRect(0,0,cv.width,cv.height);
+  const L = r.losses, n = L.length;
+  const lo = Math.min(...L), hi = Math.max(...L);
+  c.strokeStyle = '#6fd3ff'; c.beginPath();
+  L.forEach((v,i)=>{
+    const x = i/(n-1) * (cv.width-10) + 5;
+    const y = cv.height - 8 - (v-lo)/Math.max(hi-lo,1e-30) * (cv.height-16);
+    i ? c.lineTo(x,y) : c.moveTo(x,y);
+  });
+  c.stroke();
+  c.fillStyle = '#8b93a1';
+  c.fillText(`loss ${L[0].toExponential(2)} → ${r.final_loss.toExponential(2)}`, 6, 12);
+  st('optimized: ' + r.final_loss.toExponential(3));
+  await refreshAll();
+}
+
+// viewport mouse controls
+(() => {
+  const v = $('view');
+  let drag = null, moved = false;
+  v.addEventListener('mousedown', e => { drag = [e.clientX, e.clientY, e.shiftKey]; moved = false; });
+  window.addEventListener('mouseup', async e => {
+    if (!drag) return;
+    const wasDrag = moved; drag = null;
+    if (!wasDrag) {
+      const rect = v.getBoundingClientRect();
+      const r = await post('/api/pick', {x: e.clientX-rect.left, y: e.clientY-rect.top});
+      if (r.element != null) { selEl = r.element; renderLists(); showElForm();
+        st('picked ' + r.name + ' surface ' + r.surface); }
+      else st('no hit');
+    }
+  });
+  window.addEventListener('mousemove', async e => {
+    if (!drag) return;
+    const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
+    if (Math.abs(dx) + Math.abs(dy) < 3) return;
+    moved = true;
+    drag[0] = e.clientX; drag[1] = e.clientY;
+    if (drag[2]) await post('/api/camera', {pan:[dx*0.05, dy*0.05]});
+    else await post('/api/camera', {orbit:[dx*0.01, dy*0.01]});
+    rerender();
+  });
+  v.addEventListener('wheel', async e => {
+    e.preventDefault();
+    await post('/api/camera', {zoom: e.deltaY > 0 ? -1 : 1});
+    rerender();
+  });
+})();
+
+async function refreshAll() {
+  [REG, STATE] = await Promise.all([get('/api/registry'), get('/api/state')]);
+  const ec = $('el-class'); ec.innerHTML =
+    Object.keys(REG.elements).map(c=>`<option>${c}</option>`).join('');
+  const bc = $('bu-class'); bc.innerHTML =
+    Object.keys(REG.bundles).map(c=>`<option>${c}</option>`).join('');
+  renderLists(); showElForm(); showBuForm(); rerender();
+}
+refreshAll();
+</script>
+</body>
+</html>
+"""

@@ -1,0 +1,526 @@
+"""Interactive workbench: a browser UI over the headless engine.
+
+TPU-native equivalent of the reference's Dear PyGui desktop app
+(gui/workbench.py:1014, gui/viewport.py:130-296, gui/forms.py:35-437,
+gui/gizmo.py:282-336): a stdlib HTTP server exposes the existing layers —
+``Renderer.render_3d`` as the viewport (orbit/pan/zoom), ``record_paths``
+as the ray-path overlay, sensor moments/hits as the spot-diagram panel,
+the auto-captured constructor configs (config.py) as introspected element
+forms, ``optim.fit`` behind the optimize button, and ``project.py`` for
+save/load — no GUI toolkit dependency, works over SSH.
+
+Run ``python -m raytracetorch_tpu.gui [project.rtt] [--port 8000]``.
+"""
+
+from __future__ import annotations
+
+import base64
+import inspect
+import json
+import threading
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfgmod
+from .. import project as projmod
+from ..optim.fit import fit
+from ..optim.goals import focal_length_loss, spot_size_loss
+from ..render.camera import Camera, OrbitCamera, Renderer
+from ..scene.scene import Scene, SequentialScene
+from .png import encode_rgb
+
+MAX_OVERLAY_RAYS = 60
+MAX_SPOT_POINTS = 3000
+
+
+def _tolist(x):
+    return np.asarray(x).tolist()
+
+
+class Workbench:
+    """Server-side state: scene + live params + orbit camera."""
+
+    def __init__(self, scene=None, width=640, height=480):
+        self.lock = threading.Lock()
+        self.width, self.height = int(width), int(height)
+        self.scene = scene if scene is not None else SequentialScene([])
+        self.params = self.scene.init_params()
+        self.key = jax.random.PRNGKey(0)
+        self._render_cache = None
+        self.reset_camera()
+
+    # -- camera ------------------------------------------------------------
+
+    def _scene_center(self):
+        zs = [float(np.asarray(p['trans'])[2])
+              for p in self.params.values()] or [0.0]
+        return (0.0, 0.0, (min(zs) + max(zs)) / 2.0)
+
+    def reset_camera(self):
+        pivot = self._scene_center()
+        span = 40.0
+        self.camera = OrbitCamera(
+            pivot=pivot,
+            position=(pivot[0] + 0.5 * span, pivot[1] + 0.4 * span,
+                      pivot[2] - 1.1 * span),
+            look_at=pivot, width=self.width, height=self.height)
+
+    # -- scene mutation ------------------------------------------------------
+
+    def _reinit_params(self):
+        """Re-init params after a structural edit, preserving optimized
+        values of untouched elements (matched by name + leaf shape)."""
+        old = self.params
+        fresh = self.scene.init_params()
+        for name, d in fresh.items():
+            if name in old:
+                for k in d:
+                    if k in old[name] and np.shape(old[name][k]) == \
+                            np.shape(d[k]):
+                        d[k] = old[name][k]
+        self.params = fresh
+        self.scene._static_meta = None
+        self._render_cache = None
+
+    def set_scene(self, scene):
+        self.scene = scene
+        self.params = scene.init_params()
+        self._render_cache = None
+        self.reset_camera()
+
+    # -- viewport ------------------------------------------------------------
+
+    def _render_fn(self):
+        """Jitted render keyed on scene structure; camera vectors are traced
+        arguments so orbiting does NOT recompile."""
+        if self._render_cache is None:
+            renderer = Renderer(self.scene)
+            cam = Camera(position=(0.0, 0.0, -1.0), look_at=(0.0, 0.0, 0.0),
+                         width=self.width, height=self.height)
+
+            def f(params, origin, forward, right, up):
+                cam.origin, cam.forward = origin, forward
+                cam.right, cam.up_cam = right, up
+                return renderer.render_3d(params, cam)
+
+            self._render_cache = jax.jit(f)
+        return self._render_cache
+
+    def render_png(self):
+        if not self.scene.elements:
+            img = np.full((self.height, self.width, 3), 0.15, np.float32)
+            return encode_rgb(img)
+        c = self.camera
+        img = self._render_fn()(self.params, c.origin, c.forward, c.right,
+                                c.up_cam)
+        return encode_rgb(np.asarray(img))
+
+    def project_points(self, pts):
+        """World [M, 3] -> pixel [M, 2] + in-front mask, matching
+        Camera.generate_rays' pixel grid."""
+        c = self.camera
+        rel = pts - np.asarray(c.origin)[None, :]
+        z = rel @ np.asarray(c.forward)
+        x = rel @ np.asarray(c.right)
+        y = rel @ np.asarray(c.up_cam)
+        sy = np.tan(np.deg2rad(c.fov_deg * 0.5))
+        sx = sy * self.width / self.height
+        ok = z > 1e-6
+        zs = np.where(ok, z, 1.0)
+        u = (x / (zs * sx) + 1.0) / 2.0 * self.width
+        v = (1.0 - y / (zs * sy)) / 2.0 * self.height
+        return np.stack([u, v], -1), ok
+
+    # -- trace / metrics ------------------------------------------------------
+
+    def trace(self):
+        if not self.scene.bundles:
+            raise ValueError("add a bundle (ray source) first")
+        k1, k2 = jax.random.split(self.key)
+        rays = self.scene.sample_rays(k1)
+        kw = dict(record_paths=True)
+        if self.scene.sequential:
+            kw['record_hits'] = True
+        out, sensors, aux = self.scene.simulate(self.params, rays, k2, **kw)
+
+        # path overlay: stride to <= MAX_OVERLAY_RAYS, project to pixels
+        paths = np.asarray(aux['paths'])              # [S(+1), N, 3]
+        if self.scene.sequential:
+            launch = np.asarray(rays.pos)[None]
+            if paths.shape[0] and paths.shape[1] == launch.shape[1] \
+                    and not np.allclose(paths[0], launch[0]):
+                paths = np.concatenate([launch, paths], 0)
+        n = paths.shape[1]
+        stride = max(1, n // MAX_OVERLAY_RAYS)
+        sel = paths[:, ::stride, :]                    # [S, M, 3]
+        ids = np.asarray(rays.ray_id)[::stride]
+        polylines = []
+        for i in range(sel.shape[1]):
+            px, ok = self.project_points(sel[:, i, :])
+            seg = [[round(float(u), 1), round(float(v), 1)]
+                   for (u, v), o in zip(px, ok) if o]
+            polylines.append({'id': int(ids[i]), 'pts': seg})
+
+        # spot diagram: sensor-local hits (sequential records them exactly;
+        # non-sequential falls back to final positions about the centroid)
+        spots = []
+        if self.scene.sequential and 'hits' in aux:
+            meta = self.scene.static_meta()
+            hits = np.asarray(aux['hits'])
+            hw = np.asarray(aux['hit_weights'])
+            rid = np.asarray(rays.ray_id)
+            for ksurf, m in enumerate(meta):
+                if not m.sensor:
+                    continue
+                w = hw[ksurf]
+                keep = w > 0
+                xy = hits[ksurf][keep][:, :2]
+                ii = rid[keep]
+                if xy.shape[0] > MAX_SPOT_POINTS:
+                    st = xy.shape[0] // MAX_SPOT_POINTS + 1
+                    xy, ii = xy[::st], ii[::st]
+                spots.append({'x': _tolist(xy[:, 0]), 'y': _tolist(xy[:, 1]),
+                              'id': _tolist(ii)})
+        else:
+            alive = np.asarray(out.intensity) > 0
+            pos = np.asarray(out.pos)[alive]
+            rid = np.asarray(out.ray_id)[alive]
+            if pos.shape[0]:
+                ctr = pos.mean(0)
+                xy = pos[:, :2] - ctr[None, :2]
+                if xy.shape[0] > MAX_SPOT_POINTS:
+                    st = xy.shape[0] // MAX_SPOT_POINTS + 1
+                    xy, rid = xy[::st], rid[::st]
+                spots.append({'x': _tolist(xy[:, 0]), 'y': _tolist(xy[:, 1]),
+                              'id': _tolist(rid)})
+
+        metrics = []
+        for slot in range(max(self.scene.n_sensors, 1)):
+            metrics.append({
+                'sensor': slot,
+                'rms': _tolist(sensors.spot_rms(slot)),
+                'centroid': _tolist(sensors.centroid(slot)),
+                'weight': _tolist(sensors.total_weight(slot)),
+            })
+        n_alive = int(np.sum(np.asarray(out.intensity) > 0))
+        return {'paths': polylines, 'spots': spots, 'metrics': metrics,
+                'n_rays': int(rays.n), 'n_alive': n_alive}
+
+    # -- optimize --------------------------------------------------------------
+
+    def optimize(self, loss_kind='spot_size', steps=50, lr=1e-3,
+                 f_target=None):
+        scene = self.scene
+        k1, k2 = jax.random.split(self.key)
+        if loss_kind == 'focal_length':
+            if not scene.sequential:
+                raise ValueError("focal-length loss needs a sequential scene")
+            if not f_target:
+                raise ValueError("set f_target for the focal-length loss")
+
+            def loss(p):
+                return focal_length_loss(scene, p, float(f_target))
+        else:
+            if not scene.bundles:
+                raise ValueError("add a bundle (ray source) first")
+            rays = scene.sample_rays(k1)
+
+            def loss(p):
+                _, sensors, _ = scene.simulate(p, rays, k2)
+                return spot_size_loss(sensors)
+
+        new_params, losses = fit(loss, self.params,
+                                 trainable=scene.trainable(),
+                                 steps=int(steps), lr=float(lr))
+        self.params = new_params
+        return {'losses': _tolist(losses),
+                'final_loss': float(np.asarray(losses)[-1])}
+
+    # -- pick ------------------------------------------------------------------
+
+    def pick(self, px, py):
+        """Single-ray pick at a pixel -> element index (reference
+        gui/viewport.py:130-190)."""
+        from ..rays.ray import Rays
+        c = self.camera
+        sy = float(np.tan(np.deg2rad(c.fov_deg * 0.5)))
+        sx = sy * self.width / self.height
+        u = (2.0 * (px + 0.5) / self.width - 1.0) * sx
+        v = (1.0 - 2.0 * (py + 0.5) / self.height) * sy
+        d = (u * np.asarray(c.right) + v * np.asarray(c.up_cam)
+             + np.asarray(c.forward))
+        rays = Rays.create(np.asarray(c.origin)[None], d[None])
+        res = self.scene.ray_cast(self.params, rays)
+        if not bool(np.asarray(res['hit'])[0]):
+            return {'element': None}
+        el = int(np.asarray(res['element'])[0])
+        return {'element': el, 'name': self.scene.elements[el].name,
+                'surface': int(np.asarray(res['surf_in_element'])[0])}
+
+    # -- introspection -----------------------------------------------------------
+
+    def state(self):
+        els = []
+        for i, el in enumerate(self.scene.elements):
+            try:
+                cfg = cfgmod.element_config(el)
+            except ValueError:
+                cfg = {'name': el.name, 'class': type(el).__name__,
+                       'params': {}}
+            cur = {k: _tolist(v) for k, v in self.params[el.name].items()}
+            els.append({'index': i, 'config': cfg, 'current': cur,
+                        'is_sensor': bool(el.is_sensor)})
+        bundles = []
+        for i, (b, n) in enumerate(self.scene.bundles):
+            bundles.append({'index': i, 'n_rays': int(n),
+                            'config': cfgmod.bundle_config(b)})
+        return {'elements': els, 'bundles': bundles,
+                'settings': {'n_bounces': self.scene.n_bounces,
+                             'sequential': self.scene.sequential},
+                'viewport': {'width': self.width, 'height': self.height}}
+
+
+def registry():
+    """Constructor forms: {class: [{name, default, kind}]} for every
+    registered element and bundle (the reference's FormBuilder
+    introspection, gui/forms.py:35-437)."""
+    from ..elements.base import Element
+    from ..rays import sources
+
+    def element_fields(cls):
+        out = []
+        try:
+            sig = inspect.signature(cls.__init__)
+        except (TypeError, ValueError):
+            return out
+        for pname, p in sig.parameters.items():
+            if pname in ('self', 'kw', 'kwargs', 'args'):
+                continue
+            if p.kind in (inspect.Parameter.VAR_KEYWORD,
+                          inspect.Parameter.VAR_POSITIONAL):
+                continue
+            default = None if p.default is inspect.Parameter.empty \
+                else p.default
+            kind = ('bool' if isinstance(default, bool)
+                    else 'vec3' if isinstance(default, (list, tuple))
+                    or pname in ('translation', 'rotation')
+                    else 'str' if isinstance(default, str)
+                    else 'number')
+            out.append({'name': pname, 'default': cfgmod._jsonable(default),
+                        'kind': kind,
+                        'required': p.default is inspect.Parameter.empty})
+        for extra in ('translation', 'rotation'):
+            if not any(f['name'] == extra for f in out):
+                out.append({'name': extra, 'default': [0.0, 0.0, 0.0],
+                            'kind': 'vec3', 'required': False})
+        return out
+
+    import dataclasses as dc
+
+    def bundle_fields(cls):
+        out = [{'name': 'translation', 'default': [0.0, 0.0, 0.0],
+                'kind': 'vec3', 'required': False},
+               {'name': 'rotation', 'default': [0.0, 0.0, 0.0],
+                'kind': 'vec3', 'required': False},
+               {'name': 'ray_id', 'default': 0, 'kind': 'number',
+                'required': False}]
+        skip = set(getattr(cls, '_derived_fields', ())) | {'frame', 'ray_id'}
+        for f in dc.fields(cls):
+            if f.name in skip:
+                continue
+            if f.default is not dc.MISSING:
+                d = f.default
+            elif f.default_factory is not dc.MISSING:  # type: ignore
+                d = f.default_factory()                # type: ignore
+            else:
+                d = None
+            d = cfgmod._jsonable(d)
+            if isinstance(d, (dict,)) or dc.is_dataclass(d):
+                continue      # nested emission models: edit via JSON for now
+            kind = ('vec3' if isinstance(d, (list, tuple)) else 'number')
+            out.append({'name': f.name, 'default': d, 'kind': kind,
+                        'required': d is None})
+        return out
+
+    els = {c.__name__: element_fields(c)
+           for c in sorted(cfgmod.get_subclasses(Element),
+                           key=lambda c: c.__name__)
+           if not c.__name__.startswith('_')}
+    bds = {c.__name__: bundle_fields(c)
+           for c in sorted(cfgmod.get_subclasses(sources.Bundle),
+                           key=lambda c: c.__name__)
+           if not c.__name__.startswith('_')}
+    return {'elements': els, 'bundles': bds}
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer
+# ---------------------------------------------------------------------------
+
+def make_handler(wb: Workbench):
+    from .app import INDEX_HTML
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):        # quiet
+            pass
+
+        def _send(self, code, body, ctype='application/json'):
+            self.send_response(code)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, obj, code=200):
+            self._send(code, json.dumps(obj).encode())
+
+        def do_GET(self):
+            try:
+                if self.path in ('/', '/index.html'):
+                    self._send(200, INDEX_HTML.encode(),
+                               'text/html; charset=utf-8')
+                elif self.path == '/api/state':
+                    with wb.lock:
+                        self._json(wb.state())
+                elif self.path == '/api/registry':
+                    self._json(registry())
+                elif self.path == '/api/render':
+                    with wb.lock:
+                        png = wb.render_png()
+                    self._send(200, png, 'image/png')
+                else:
+                    self._json({'error': 'not found'}, 404)
+            except Exception as e:            # pragma: no cover
+                traceback.print_exc()
+                self._json({'error': str(e)}, 500)
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get('Content-Length', 0))
+                body = json.loads(self.rfile.read(length) or b'{}')
+                with wb.lock:
+                    out = self._route(body)
+                self._json(out if out is not None else {'ok': True})
+            except Exception as e:
+                traceback.print_exc()
+                self._json({'error': str(e)}, 500)
+
+        def _route(self, body):
+            p = self.path
+            if p == '/api/camera':
+                c = wb.camera
+                if body.get('reset'):
+                    wb.reset_camera()
+                if 'orbit' in body:
+                    c.orbit(float(body['orbit'][0]), float(body['orbit'][1]))
+                if 'pan' in body:
+                    c.pan(float(body['pan'][0]), float(body['pan'][1]))
+                if 'zoom' in body:
+                    c.zoom(float(body['zoom']))
+                return {'ok': True}
+            if p == '/api/render':
+                png = wb.render_png()
+                return {'png': base64.b64encode(png).decode()}
+            if p == '/api/trace':
+                return wb.trace()
+            if p == '/api/pick':
+                return wb.pick(float(body['x']), float(body['y']))
+            if p == '/api/optimize':
+                return wb.optimize(body.get('loss', 'spot_size'),
+                                   body.get('steps', 50),
+                                   body.get('lr', 1e-3),
+                                   body.get('f_target'))
+            if p == '/api/element/add':
+                el = cfgmod.instantiate_element(body['config'])
+                wb.scene.add_element(el)
+                wb._reinit_params()
+                return {'ok': True}
+            if p == '/api/element/update':
+                i = int(body['index'])
+                el = cfgmod.instantiate_element(body['config'])
+                old = wb.scene.elements[i]
+                if el.name != old.name and el.name in [
+                        e.name for e in wb.scene.elements]:
+                    raise ValueError(f"duplicate element name {el.name!r}")
+                wb.scene.elements[i] = el
+                wb.scene._static_meta = None
+                wb._reinit_params()
+                return {'ok': True}
+            if p == '/api/element/delete':
+                del wb.scene.elements[int(body['index'])]
+                wb.scene._static_meta = None
+                wb._reinit_params()
+                return {'ok': True}
+            if p == '/api/bundle/add':
+                b = cfgmod.instantiate_bundle(body['config'])
+                wb.scene.add_bundle(b, int(body.get('n_rays', 200)))
+                return {'ok': True}
+            if p == '/api/bundle/update':
+                i = int(body['index'])
+                b = cfgmod.instantiate_bundle(body['config'])
+                wb.scene.bundles[i] = (b, int(body.get('n_rays', 200)))
+                return {'ok': True}
+            if p == '/api/bundle/delete':
+                del wb.scene.bundles[int(body['index'])]
+                return {'ok': True}
+            if p == '/api/settings':
+                if 'n_bounces' in body:
+                    wb.scene.n_bounces = int(body['n_bounces'])
+                if 'sequential' in body:
+                    cls = (SequentialScene if body['sequential'] else Scene)
+                    new = cls(wb.scene.elements,
+                              n_bounces=wb.scene.n_bounces)
+                    new.bundles = wb.scene.bundles
+                    wb.scene = new
+                    wb._render_cache = None
+                return {'ok': True}
+            if p == '/api/save':
+                projmod.save_project(body['path'], wb.scene)
+                projmod.save_params(body['path'] + '.params.npz', wb.params)
+                return {'ok': True, 'path': body['path']}
+            if p == '/api/load':
+                scene = projmod.load_scene(body['path'])
+                wb.set_scene(scene)
+                import os
+                ppath = body['path'] + '.params.npz'
+                if os.path.exists(ppath):
+                    wb.params = projmod.load_params(ppath)
+                return {'ok': True}
+            raise ValueError(f'unknown endpoint {p}')
+
+    return Handler
+
+
+def serve(scene=None, port=8000, host='127.0.0.1'):
+    """Start the workbench server (blocking).  Returns never; for embedded
+    use build ``Workbench`` + ``make_handler`` directly (see tests)."""
+    try:      # persistent jit cache: interactive edits recompile warm
+        jax.config.update('jax_compilation_cache_dir', '/tmp/rtt_jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    except Exception:
+        pass
+    wb = Workbench(scene)
+    httpd = ThreadingHTTPServer((host, port), make_handler(wb))
+    print(f'raytracetorch_tpu workbench: http://{host}:{port}/')
+    httpd.serve_forever()
+
+
+def run(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description='raytracetorch_tpu workbench')
+    ap.add_argument('project', nargs='?', help='.rtt project file to open')
+    ap.add_argument('--port', type=int, default=8000)
+    ap.add_argument('--host', default='127.0.0.1')
+    ap.add_argument('--cpu', action='store_true',
+                    help='run on the CPU backend (e.g. while the TPU is '
+                         'claimed by a batch job; must be set before any '
+                         'device touch)')
+    args = ap.parse_args(argv)
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+    scene = projmod.load_scene(args.project) if args.project else None
+    serve(scene, port=args.port, host=args.host)

@@ -63,7 +63,8 @@ class Scene:
         (reference Scene.ray_cast, scene/base.py:144-178)."""
         from ..core.trace import nearest_hit
         table = self.build_table(params)
-        win, hit = nearest_hit(table, rays)
+        win, hit = nearest_hit(table, rays.pos_c, rays.dir_c,
+                               self.static_meta())
         return dict(surface=win, element=table.elem_id[win],
                     surf_in_element=table.surf_id[win], hit=hit)
 

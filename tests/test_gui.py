@@ -1,0 +1,165 @@
+"""Workbench server tests: drive the full HTTP API (state, registry,
+render PNG, camera, trace with path overlay + spot diagram, element/bundle
+CRUD via introspected forms, pick, optimize, save/load) against a live
+in-process server — the functional equivalent of the reference's GUI layer
+(gui/workbench.py, gui/viewport.py, gui/forms.py)."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from raytracetorch_tpu import (CircularAperture, CollimatedDisk,
+                               SensorElement, SequentialScene, SingletLens)
+from raytracetorch_tpu.gui.server import Workbench, make_handler, registry
+
+
+@pytest.fixture(scope='module')
+def server():
+    scene = SequentialScene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    c1_grad=True, c2_grad=True, name='lens'),
+        CircularAperture(radius=5.0, name='stop'),
+        SensorElement(radius=6.0, translation=[0.0, 0.0, 19.0],
+                      name='sensor'),
+    ])
+    scene.add_bundle(CollimatedDisk.make(radius=4.0,
+                                         translation=[0, 0, -10.0]), 2000)
+    wb = Workbench(scene, width=160, height=120)
+    httpd = ThreadingHTTPServer(('127.0.0.1', 0), make_handler(wb))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f'http://127.0.0.1:{port}', wb
+    httpd.shutdown()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=600) as r:
+        body = r.read()
+    return body
+
+
+def _post(base, path, obj):
+    req = urllib.request.Request(base + path, data=json.dumps(obj).encode(),
+                                 method='POST')
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return json.loads(r.read())
+
+
+def test_state_and_registry(server):
+    base, _ = server
+    state = json.loads(_get(base, '/api/state'))
+    assert [e['config']['name'] for e in state['elements']] == \
+        ['lens', 'stop', 'sensor']
+    assert state['settings']['sequential'] is True
+    assert state['bundles'][0]['config']['class'] == 'CollimatedDisk'
+
+    reg = json.loads(_get(base, '/api/registry'))
+    assert 'SingletLens' in reg['elements']
+    names = [f['name'] for f in reg['elements']['SingletLens']]
+    assert 'c1' in names and 'translation' in names
+    assert 'CollimatedDisk' in reg['bundles']
+
+
+def test_render_and_camera(server):
+    base, _ = server
+    png = _get(base, '/api/render')
+    assert png[:8] == b'\x89PNG\r\n\x1a\n'
+    _post(base, '/api/camera', {'orbit': [0.3, 0.1]})
+    _post(base, '/api/camera', {'zoom': 1})
+    png2 = _get(base, '/api/render')
+    assert png2[:8] == b'\x89PNG\r\n\x1a\n'
+    assert png2 != png        # the view moved
+    _post(base, '/api/camera', {'reset': True})
+
+
+def test_trace_paths_spots_metrics(server):
+    base, _ = server
+    r = _post(base, '/api/trace', {})
+    assert r['n_rays'] == 2000
+    assert r['n_alive'] > 1500
+    assert len(r['paths']) > 10
+    assert all(len(p['pts']) >= 2 for p in r['paths'][:5])
+    assert len(r['spots']) == 1 and len(r['spots'][0]['x']) > 100
+    rms = r['metrics'][0]['rms'][0]
+    assert 0 < rms < 1.0
+
+
+def test_pick(server):
+    base, wb = server
+    # the lens sits in front of the camera center after reset
+    _post(base, '/api/camera', {'reset': True})
+    r = _post(base, '/api/pick', {'x': wb.width / 2, 'y': wb.height / 2})
+    assert r['element'] is not None
+    assert r['name'] in ('lens', 'stop', 'sensor')
+
+
+def test_element_crud_and_settings(server):
+    base, _ = server
+    _post(base, '/api/element/add', {'config': {
+        'class': 'CircularAperture', 'name': 'iris',
+        'params': {'radius': 3.0, 'translation': [0, 0, 5.0]}}})
+    state = json.loads(_get(base, '/api/state'))
+    assert state['elements'][-1]['config']['name'] == 'iris'
+
+    _post(base, '/api/element/update', {'index': 3, 'config': {
+        'class': 'CircularAperture', 'name': 'iris',
+        'params': {'radius': 2.0, 'translation': [0, 0, 5.0]}}})
+    state = json.loads(_get(base, '/api/state'))
+    assert state['elements'][3]['config']['params']['radius'] == 2.0
+
+    _post(base, '/api/element/delete', {'index': 3})
+    state = json.loads(_get(base, '/api/state'))
+    assert len(state['elements']) == 3
+
+    _post(base, '/api/settings', {'n_bounces': 42})
+    state = json.loads(_get(base, '/api/state'))
+    assert state['settings']['n_bounces'] == 42
+
+
+def test_bundle_crud(server):
+    base, _ = server
+    _post(base, '/api/bundle/add', {'n_rays': 500, 'config': {
+        'class': 'PointSource', 'params': {'na': 0.05,
+                                           'translation': [0, 0, -8.0]}}})
+    state = json.loads(_get(base, '/api/state'))
+    assert len(state['bundles']) == 2
+    _post(base, '/api/bundle/delete', {'index': 1})
+    state = json.loads(_get(base, '/api/state'))
+    assert len(state['bundles']) == 1
+
+
+def test_optimize_reduces_loss(server):
+    base, wb = server
+    before = np.asarray(wb.params['lens']['c1']).copy()
+    r = _post(base, '/api/optimize', {'loss': 'spot_size', 'steps': 30,
+                                      'lr': 1e-4})
+    losses = r['losses']
+    assert losses[-1] < losses[0]
+    after = np.asarray(wb.params['lens']['c1'])
+    assert not np.allclose(before, after)     # trainable param moved
+
+
+def test_save_load_roundtrip(server, tmp_path):
+    base, _ = server
+    path = str(tmp_path / 'wb.rtt')
+    _post(base, '/api/save', {'path': path})
+    r = _post(base, '/api/load', {'path': path})
+    assert r['ok']
+    state = json.loads(_get(base, '/api/state'))
+    assert [e['config']['name'] for e in state['elements']] == \
+        ['lens', 'stop', 'sensor']
+
+
+def test_registry_covers_all_elements():
+    reg = registry()
+    # every public element and bundle class is form-buildable
+    for cls in ('SingletLens', 'DoubletLens', 'TripletLens', 'SensorElement',
+                'CircularAperture', 'SphericalMirror', 'IdealThinLens'):
+        assert cls in reg['elements'], cls
+    for cls in ('CollimatedDisk', 'PointSource', 'GaussianBeam', 'Fan'):
+        assert cls in reg['bundles'], cls
