@@ -14,19 +14,33 @@ Scope: forward only (Monte-Carlo simulation, rendering, tolerancing).  The
 design loop keeps the XLA path, which `jax.grad` differentiates; pallas
 kernels have no automatic VJP.  Run under `interpret=True` for CPU tests.
 
-MEASURED FINDING (v5e, 1M rays, 5 surfaces): the XLA fusion path runs this
-workload at 0.30 ms; this kernel at ~10 ms.  The trace is a pure
-elementwise chain over planar arrays — exactly what XLA's fusion autotuner
-already schedules optimally — while Mosaic's conservative codegen for the
-fully unrolled chain (22 MB scoped-vmem stack at 4K-ray tiles, forcing
-small tiles and 245 pipeline steps) loses badly.  The kernel is kept as a
-working reference for when fusion-breaking features (per-bounce RDMA,
-in-kernel compaction) need hand scheduling; for the plain trace, use the
-XLA driver.  Porting notes that were needed to get Mosaic to compile this
-kernel at all: no bool scalar extraction from arrays (bools travel as
-int32; static flags moved to StaticRowMeta), no jnp.where over bool
-vectors (i8->i1 truncation unsupported), no scatter (.at adds become
-Python-side scalar accumulation + concat), raised vmem_limit_bytes.
+MEASURED FINDINGS (v5e, 5-surface singlet chain, chained device timing):
+
+- v1 (1D tiles, table through the grid pipeline): 10 ms @ 1M rays vs XLA's
+  0.30 ms — Mosaic's conservative codegen for the unrolled chain (22 MB
+  scoped-vmem stack at 4K-ray tiles => 245 tiny pipeline steps) loses 31x.
+  Kept as the minimal working reference.
+- v2 (scalar-prefetched SMEM table + (rows, 512) 2D tiles + uneven row
+  grid, below): **wins wherever the ray state no longer fits VMEM** —
+  the XLA path is at the per-surface HBM-round-trip roofline there, while
+  v2 makes ONE round trip for the whole chain:
+
+      N rays   XLA ms   v2 ms   speedup
+      1 M      0.34     0.49    0.7x (XLA state stays in VMEM — use XLA)
+      4 M      3.59     1.94    1.9x
+      16 M     19.1     8.46    2.3x
+      64 M     77.4     33.8    2.3x   (1.9 G rays/s sustained)
+
+  Exposed as ``SequentialScene.simulate_fused``.  Zero pad/unpad copies
+  when N % 512 == 0 (the row grid may divide unevenly; the tail block is
+  masked) — the full-array pad otherwise costs ~17 ms at 64M.
+
+Porting notes that were needed to get Mosaic to compile these kernels at
+all: no bool scalar extraction from arrays (bools travel as int32; static
+flags moved to StaticRowMeta), no jnp.where over bool vectors (i8->i1
+truncation unsupported), no scatter (.at adds become Python-side scalar
+accumulation + concat), raised vmem_limit_bytes, and 0 * NaN sanitization
+before block reductions (uneven-grid tail rows read garbage VMEM).
 
 Limitations vs the XLA driver (asserted): no fuzzy callables, no path/hit
 recording, no irradiance grid — use the XLA path for those.
@@ -93,7 +107,8 @@ def _kernel(treedef, n_leaves, static_meta, cfg, n_pad,
 
         if meta.sensor:
             w = jnp.where(active, intensity, 0.0)
-            x, y = res['hit_s'][0], res['hit_s'][1]
+            x = jnp.where(w > 0, res['hit_s'][0], 0.0)
+            y = jnp.where(w > 0, res['hit_s'][1], 0.0)
             terms = (w, w * x, w * y, w * x * x, w * y * y, w * x * y,
                      (w > 0).astype(w.dtype))
             for b in range(cfg.n_bundles):
@@ -287,7 +302,10 @@ def _kernel_v2(static_meta, cfg, n_valid, tab, *refs):
 
         if meta.sensor:
             w = jnp.where(active, intensity, 0.0)
-            x, y = res['hit_s'][0], res['hit_s'][1]
+            # sanitize: rows past the uneven grid tail read garbage VMEM,
+            # and 0 * NaN = NaN would poison the block reduction
+            x = jnp.where(w > 0, res['hit_s'][0], 0.0)
+            y = jnp.where(w > 0, res['hit_s'][1], 0.0)
             terms = (w, w * x, w * y, w * x * x, w * y * y, w * x * y,
                      (w > 0).astype(w.dtype))
             for b in range(cfg.n_bundles):
@@ -323,14 +341,18 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
         assert m.vb != VBKind.HALFSPACES, "box volumes: use the XLA path"
 
     n = rays.px.shape[0]
-    tile = block_rows * LANE
-    grid = max(1, -(-n // tile))
-    n_padded = grid * tile
+    # Rows only need LANE alignment: the grid may unevenly divide the row
+    # count (Pallas masks the tail block, and the kernel zeroes tail-ray
+    # intensity via n_valid), so a LANE-aligned N runs with ZERO pad/unpad
+    # copies — measured ~17 ms of full-array copies saved at 64M rays.
+    rows_total = max(1, -(-n // LANE))
+    n_padded = rows_total * LANE
+    grid = max(1, -(-rows_total // block_rows))
 
-    def pad2(a, dtype=None):
-        a = jnp.pad(a, (0, n_padded - n))
-        a = a.astype(dtype) if dtype else a
-        return a.reshape(grid * block_rows, LANE)
+    def pad2(a):
+        if n_padded != n:
+            a = jnp.pad(a, (0, n_padded - n))
+        return a.reshape(rows_total, LANE)
 
     ins = [pad2(rays.px), pad2(rays.py), pad2(rays.pz),
            pad2(rays.dx), pad2(rays.dy), pad2(rays.dz),
@@ -338,7 +360,7 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
            pad2(rays.ray_id)]
 
     assert cfg.n_bundles * N_MOMENTS <= 128, "too many bundles for kernel"
-    out_shapes = ([jax.ShapeDtypeStruct((grid * block_rows, LANE),
+    out_shapes = ([jax.ShapeDtypeStruct((rows_total, LANE),
                                         jnp.float32)] * 7
                   + [jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32)])
 

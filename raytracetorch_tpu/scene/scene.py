@@ -196,6 +196,26 @@ class SequentialScene(Scene):
         kw.setdefault('static_meta', self.static_meta())
         return trace_sequential(table, rays, key, cfg, **kw)
 
+    def simulate_fused(self, params, rays, key, n_bundles=None,
+                       interpret=None, block_rows=64):
+        """Forward-only fused Pallas trace: the whole surface chain runs in
+        VMEM tiles — ONE HBM round trip for the ray state, vs one per
+        surface for the XLA path.  Measured on v5e: 2.3x faster at 64M rays
+        (33.8 vs 77.4 ms), ~2x at 4-16M; below ~2M rays XLA keeps the state
+        in VMEM anyway and wins — use plain ``simulate`` there, and for
+        anything needing gradients, recording, Fresnel MC, fuzzy apodization
+        or irradiance grids (asserted in ops/pallas_trace.py)."""
+        import jax as _jax
+
+        from ..ops.pallas_trace import trace_sequential_pallas_v2
+        if interpret is None:
+            interpret = _jax.devices()[0].platform != 'tpu'
+        table = self.build_table(params)
+        cfg = self.sensor_config(n_bundles)
+        return trace_sequential_pallas_v2(
+            table, rays, key, cfg, static_meta=self.static_meta(),
+            interpret=interpret, block_rows=block_rows)
+
     def paraxial(self, params):
         """Full-system 5x5 paraxial matrix: chain every element's surface
         matrices with free-space gap matrices (reference

@@ -37,3 +37,52 @@ def test_pallas_matches_xla(key):
     np.testing.assert_allclose(np.asarray(sens_pl.moments),
                                np.asarray(sens_ref.moments), rtol=1e-5,
                                atol=1e-3)
+
+
+def test_pallas_v2_matches_xla(key):
+    """v2 kernel (scalar-prefetched table, 2D tiles, uneven row grid):
+    parity incl. a LANE-unaligned N exercising the masked tail."""
+    from raytracetorch_tpu.ops.pallas_trace import trace_sequential_pallas_v2
+
+    scene = SequentialScene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    name='lens'),
+        CircularAperture(radius=5.0, name='stop'),
+        SensorElement(radius=6.0, translation=[0, 0, 19.0], name='sensor'),
+    ])
+    p = scene.init_params()
+    for n in (2999, 4096):
+        rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                                   translation=[0, 0, -10.0]).sample(key, n)
+        out_ref, sens_ref, _ = scene.simulate(p, rays, key)
+        table = scene.build_table(p)
+        out_pl, sens_pl, _ = trace_sequential_pallas_v2(
+            table, rays, key, scene.sensor_config(), scene.static_meta(),
+            interpret=True, block_rows=4)
+        np.testing.assert_allclose(np.asarray(out_pl.pos),
+                                   np.asarray(out_ref.pos), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_pl.intensity),
+                                   np.asarray(out_ref.intensity), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sens_pl.moments),
+                                   np.asarray(sens_ref.moments), rtol=1e-5,
+                                   atol=1e-3)
+
+
+def test_scene_simulate_fused_api(key):
+    """SequentialScene.simulate_fused: the user-facing fused path matches
+    simulate (interpret mode on CPU; TPU numbers in BASELINE.md)."""
+    scene = SequentialScene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    name='lens'),
+        SensorElement(radius=6.0, translation=[0, 0, 19.0], name='sensor'),
+    ])
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0, 0, -10.0]).sample(key, 1500)
+    out_ref, sens_ref, _ = scene.simulate(p, rays, key)
+    out_f, sens_f, _ = scene.simulate_fused(p, rays, key, block_rows=2)
+    np.testing.assert_allclose(np.asarray(out_f.pos),
+                               np.asarray(out_ref.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sens_f.moments),
+                               np.asarray(sens_ref.moments), rtol=1e-5,
+                               atol=1e-3)
