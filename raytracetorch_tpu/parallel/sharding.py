@@ -69,6 +69,10 @@ def init_multihost(coordinator_address=None, num_processes=None,
     the sensor/loss psums over ICI within a slice and DCN across slices.
     On Cloud TPU pods the arguments are auto-detected from the environment;
     pass them explicitly elsewhere.  (Single-host sessions never need this.)
+
+    Verified by a 2-process CPU simulation (Gloo collectives standing in
+    for DCN): tests/test_multihost.py shards one trace over a 2-host x
+    2-device global mesh and reproduces single-process sensor moments.
     """
     import jax
     kw = {}
