@@ -13,6 +13,8 @@ dispatch costs ~26 ms RPC).
                             non-sequential nearest-hit bounce loop
   4. sensor render        — 1024x1024 single-bounce camera render
   5. differentiable design— value_and_grad of the spot-size loss (singlet)
+  6. fused large batch    — 16M-ray forward trace via the Pallas kernel
+                            (SequentialScene.simulate_fused) vs plain XLA
 """
 
 import json
@@ -148,6 +150,24 @@ def main():
         return jnp.sum(vals)
     ms = (fetch_ms(jax.jit(grad_chain), p, rays) - floor) / CHAIN
     emit('grad_step_1M', ms)
+
+    # 6. fused large-batch forward trace (16M rays, Pallas vs XLA)
+    n_big = 16 * 1024 * 1024          # LANE-aligned: zero pad copies
+    rays_big = CollimatedDisk.make(
+        radius=jnp.float32(4.0),
+        translation=[0, 0, -10.0]).sample(key, n_big)
+    chain_big = 5
+    for name, sim in (('xla', scene.simulate),
+                      ('pallas_fused', scene.simulate_fused)):
+        def run(rr, pp, sim=sim):
+            def body(r2, _):
+                out, _, _ = sim(pp, reset(r2), key)
+                return out, None
+            out, _ = jax.lax.scan(body, rr, None, length=chain_big)
+            return jnp.sum(out.px)
+        ms = (fetch_ms(jax.jit(run), rays_big, p) - floor) / chain_big
+        emit(f'large_batch_16M_{name}', ms,
+             rays_per_s=round(n_big / ms * 1e3))
 
 
 if __name__ == '__main__':

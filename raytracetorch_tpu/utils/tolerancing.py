@@ -44,6 +44,49 @@ def _apply_deltas(params, deltas):
     return out
 
 
+class _PlanarView:
+    """Indexable view presenting a planar array ``[d0, d1, N]`` through the
+    trace core's ``R[..., i, j]`` / ``t[..., i]`` access pattern: trailing
+    static indices select the leading dims, returning a contiguous [N]
+    slice (the component-planar rule, geom/vec3.py)."""
+
+    __slots__ = ('a',)
+
+    def __init__(self, a):
+        self.a = a
+
+    def __getitem__(self, idx):
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        if idx and idx[0] is Ellipsis:
+            idx = idx[1:]
+        return self.a[idx]
+
+
+class _PerRayFrameTable:
+    """SurfaceTable facade whose world frames carry a per-ray minor axis
+    (Rw [K, 3, 3, N], tw [K, 3, N]); all other fields come from the base
+    table.  Quacks like SurfaceTable for the trace drivers (n_surfaces +
+    row)."""
+
+    def __init__(self, base, Rw, tw):
+        self._base, self._Rw, self._tw = base, Rw, tw
+
+    @property
+    def n_surfaces(self):
+        return self._base.n_surfaces
+
+    def row(self, k):
+        import dataclasses
+        import types
+        r = self._base.row(k)
+        ns = types.SimpleNamespace(
+            **{f.name: getattr(r, f.name) for f in dataclasses.fields(r)})
+        ns.Rw = _PlanarView(self._Rw[k])
+        ns.tw = _PlanarView(self._tw[k])
+        return ns
+
+
 def monte_carlo_tolerance(scene, params, rays, key, noise, n_trials,
                           **sim_kw):
     """Run ``n_trials`` perturbed traces; returns the stacked SensorStates
@@ -90,9 +133,12 @@ def per_ray_perturbed_trace(scene, params, rays, key, noise, **sim_kw):
         t = scene.build_table(_apply_deltas(params, delta_row))
         return t.Rw, t.tw
 
-    Rw, tw = jax.vmap(frames)(deltas)          # [N, K, 3, 3], [N, K, 3]
-    table = base.replace(Rw=jnp.moveaxis(Rw, 0, 1),
-                         tw=jnp.moveaxis(tw, 0, 1))
+    # out_axes=-1: frames come out PLANAR ([K, 3, 3, N] / [K, 3, N], ray
+    # axis minor) — a [N, 3, 3] layout would stride every R[..., i, j]
+    # access across 9-element records and waste 8/9 of each vector load
+    # (measured 126x slower than the clean trace; planar is ~2x).
+    Rw, tw = jax.vmap(frames, out_axes=-1)(deltas)
+    table = _PerRayFrameTable(base, Rw, tw)
 
     cfg = scene.sensor_config()
     sim_kw.setdefault('fuzzy_fns', scene.fuzzy_fns())
