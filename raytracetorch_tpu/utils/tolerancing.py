@@ -44,33 +44,63 @@ def _apply_deltas(params, deltas):
     return out
 
 
-class _PlanarView:
-    """Indexable view presenting a planar array ``[d0, d1, N]`` through the
-    trace core's ``R[..., i, j]`` / ``t[..., i]`` access pattern: trailing
-    static indices select the leading dims, returning a contiguous [N]
-    slice (the component-planar rule, geom/vec3.py)."""
+class _Planar:
+    """Indexable facade over component-planar data (nested tuples of [N]
+    arrays) serving the trace core's ``R[..., i, j]`` / ``t[..., i]``
+    access pattern: trailing static indices walk the nesting, returning a
+    contiguous [N] component (the planar rule, geom/vec3.py)."""
 
-    __slots__ = ('a',)
+    __slots__ = ('v',)
 
-    def __init__(self, a):
-        self.a = a
+    def __init__(self, v):
+        self.v = v
 
     def __getitem__(self, idx):
         if not isinstance(idx, tuple):
             idx = (idx,)
         if idx and idx[0] is Ellipsis:
             idx = idx[1:]
-        return self.a[idx]
+        out = self.v
+        for i in idx:
+            out = out[i]
+        return out
+
+
+def _rodrigues_planar(rx, ry, rz):
+    """Rodrigues rotation as a 3x3 nested tuple of [N] components.
+
+    Identical math to geom.transform.rodrigues (R = I + aK + bK^2) but with
+    K^2 expanded analytically (K^2 = r r^T - theta^2 I) into pure planar
+    FMAs — no [N, 3, 3] arrays, no batched 3x3 matmuls, fully fusable."""
+    r = (rx, ry, rz)
+    theta2 = rx * rx + ry * ry + rz * rz
+    small = theta2 < 1e-12
+    t2s = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(t2s)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / t2s)
+    zero = jnp.zeros_like(rx)
+    K = ((zero, -rz, ry), (rz, zero, -rx), (-ry, rx, zero))
+    return tuple(
+        tuple((1.0 if i == j else 0.0) + a * K[i][j]
+              + b * (r[i] * r[j] - (theta2 if i == j else 0.0))
+              for j in range(3))
+        for i in range(3))
 
 
 class _PerRayFrameTable:
-    """SurfaceTable facade whose world frames carry a per-ray minor axis
-    (Rw [K, 3, 3, N], tw [K, 3, N]); all other fields come from the base
-    table.  Quacks like SurfaceTable for the trace drivers (n_surfaces +
-    row)."""
+    """SurfaceTable facade whose world frames are built lazily per row from
+    per-ray perturbed element frames: Rw = Re @ Rs and tw = te + ts @ Re.T
+    (the compose_world convention, elements/base.py:33-42) expanded into
+    planar FMAs over [N] components so XLA fuses the whole frame
+    construction into the trace — nothing [K, N, 3, 3]-shaped is ever
+    materialized.  Rows of unperturbed elements keep the base scalars."""
 
-    def __init__(self, base, Rw, tw):
-        self._base, self._Rw, self._tw = base, Rw, tw
+    def __init__(self, base, pert, row_elem):
+        self._base = base
+        self._pert = pert          # {elem name: (Re 3x3 planar, te 3 planar)}
+        self._row_elem = row_elem  # static row -> element-name list
 
     @property
     def n_surfaces(self):
@@ -80,10 +110,20 @@ class _PerRayFrameTable:
         import dataclasses
         import types
         r = self._base.row(k)
+        name = self._row_elem[k]
+        if name not in self._pert:
+            return r
         ns = types.SimpleNamespace(
             **{f.name: getattr(r, f.name) for f in dataclasses.fields(r)})
-        ns.Rw = _PlanarView(self._Rw[k])
-        ns.tw = _PlanarView(self._tw[k])
+        Re, te = self._pert[name]
+        Rs, ts = r.Rs, r.ts        # [3, 3] / [3] traced scalars
+        ns.Rw = _Planar(tuple(
+            tuple(sum(Re[i][m] * Rs[m, j] for m in range(3))
+                  for j in range(3))
+            for i in range(3)))
+        ns.tw = _Planar(tuple(
+            te[j] + sum(ts[m] * Re[j][m] for m in range(3))
+            for j in range(3)))
         return ns
 
 
@@ -129,16 +169,18 @@ def per_ray_perturbed_trace(scene, params, rays, key, noise, **sim_kw):
 
     base = scene.build_table(params)
 
-    def frames(delta_row):
-        t = scene.build_table(_apply_deltas(params, delta_row))
-        return t.Rw, t.tw
+    # per-element planar perturbed frames (Re components are [N] arrays)
+    pert = {}
+    for name, d in deltas.items():
+        rv = jnp.asarray(params[name]['rot_vec'])[None, :] + d['rot_vec']
+        tr = jnp.asarray(params[name]['trans'])[None, :] + d['trans']
+        Re = _rodrigues_planar(rv[:, 0], rv[:, 1], rv[:, 2])
+        pert[name] = (Re, (tr[:, 0], tr[:, 1], tr[:, 2]))
 
-    # out_axes=-1: frames come out PLANAR ([K, 3, 3, N] / [K, 3, N], ray
-    # axis minor) — a [N, 3, 3] layout would stride every R[..., i, j]
-    # access across 9-element records and waste 8/9 of each vector load
-    # (measured 126x slower than the clean trace; planar is ~2x).
-    Rw, tw = jax.vmap(frames, out_axes=-1)(deltas)
-    table = _PerRayFrameTable(base, Rw, tw)
+    row_elem = []
+    for el in scene.elements:
+        row_elem.extend([el.name] * el.n_surfaces)
+    table = _PerRayFrameTable(base, pert, row_elem)
 
     cfg = scene.sensor_config()
     sim_kw.setdefault('fuzzy_fns', scene.fuzzy_fns())
