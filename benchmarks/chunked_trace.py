@@ -5,7 +5,15 @@ round trip per surface), but a 1M-ray chunk's state stays in VMEM across
 the whole fused chain (measured 3 G rays/s at 1M).  Mapping the chunk
 program over 64 chunks should then approach one-HBM-round-trip performance
 using pure XLA — with gradients for free, unlike the Pallas kernel.
-"""
+
+MEASURED: REFUTED on v5e.  64M rays, chunk=1M: monolithic 83.8 ms vs
+chunked 305 ms (4x WORSE).  lax.map's per-iteration dynamic-slice in and
+out of the [n_chunks, chunk] arrays is itself a full HBM round trip per
+chunk, and XLA does not keep the loop-carried chunk resident in VMEM
+across the scan boundary — the explicit VMEM pinning of the Pallas v2
+kernel (ops/pallas_trace.py, 33.8 ms) is the real mechanism, not an
+artifact a pure-XLA loop can reproduce.  Kept as the recorded negative
+result."""
 
 import os
 import statistics
