@@ -273,8 +273,10 @@ class _SmemRow:
 
 
 def _kernel_v2(static_meta, cfg, n_valid, tab, *refs):
-    (px, py, pz, dx, dy, dz, ii, wl, rid,
-     opx, opy, opz, odx, ody, odz, oii, mom) = refs
+    n_f = sum(1 for m in static_meta if m.ph == 4)     # FRESNEL rows
+    (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
+    u_refs = refs[9:9 + n_f]        # pre-drawn uniforms, one per Fresnel row
+    (opx, opy, opz, odx, ody, odz, oii, mom) = refs[9 + n_f:]
     pos = (px[:], py[:], pz[:])
     d = (dx[:], dy[:], dz[:])
     intensity = ii[:]
@@ -290,12 +292,17 @@ def _kernel_v2(static_meta, cfg, n_valid, tab, *refs):
 
     partials = [[jnp.float32(0.0)] * N_MOMENTS for _ in range(cfg.n_bundles)]
 
+    f_idx = 0
     for k, meta in enumerate(static_meta):
         row = _SmemRow(tab, k)
         res = intersect(row, pos, d, static_meta=meta)
         active = res['valid'] & (intensity > 0)
         n_w = normal_world(row, res['hit_s'], static_meta=meta)
-        u = jnp.zeros_like(intensity)
+        if meta.ph == 4:                # FRESNEL: stochastic branch draw
+            u = u_refs[f_idx][:]
+            f_idx += 1
+        else:
+            u = jnp.zeros_like(intensity)
         new_dir, imod = apply_physics_one(meta, row, res['hit_s'], d, n_w, u,
                                           wavelength=wavelength)
         new_pos = tuple(p_ + res['t'] * d_ for p_, d_ in zip(pos, d))
@@ -331,13 +338,16 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
                                static_meta=None, interpret=False,
                                block_rows=64):
     """Fused forward sequential trace, v2 (see module notes above).  Same
-    contract/limitations as v1, plus: no HALFSPACES volume bounds, but
-    dispersion and gratings ARE supported (wavelength rides the tile)."""
+    contract/limitations as v1 except: dispersion, gratings AND stochastic
+    Fresnel are supported (wavelength rides the tile; Fresnel branch
+    uniforms are pre-drawn outside the kernel with trace_sequential's
+    exact key schedule, so results are BITWISE identical to the XLA
+    driver).  Still unsupported: HALFSPACES volume bounds, irradiance
+    grids, fuzzy callables, recording."""
     from ..constants import VBKind
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert not cfg.grid_shape, "irradiance grid: use the XLA path"
     for m in static_meta:
-        assert m.ph != 4, "Fresnel (stochastic) surfaces: use the XLA path"
         assert m.vb != VBKind.HALFSPACES, "box volumes: use the XLA path"
 
     n = rays.px.shape[0]
@@ -359,6 +369,15 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
            pad2(rays.intensity), pad2(rays.wavelength),
            pad2(rays.ray_id)]
 
+    # Fresnel branch uniforms: same split/fold as trace_sequential
+    # (core/trace.py keys[k]) for bitwise parity with the XLA driver
+    if any(m.ph == 4 for m in static_meta):
+        keys = jax.random.split(key, max(len(static_meta), 1))
+        for k, m in enumerate(static_meta):
+            if m.ph == 4:
+                ins.append(pad2(jax.random.uniform(
+                    keys[k], rays.intensity.shape)))
+
     assert cfg.n_bundles * N_MOMENTS <= 128, "too many bundles for kernel"
     out_shapes = ([jax.ShapeDtypeStruct((rows_total, LANE),
                                         jnp.float32)] * 7
@@ -374,7 +393,7 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
                      + [pl.BlockSpec((1, 8, 128), lambda i, tab: (i, 0, 0))])
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(grid,),
-            in_specs=[block] * 9, out_specs=out_specs)
+            in_specs=[block] * len(ins), out_specs=out_specs)
         outs = pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shapes,
             compiler_params=pltpu.CompilerParams(
@@ -387,7 +406,7 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
         outs = pl.pallas_call(
             kern, grid=(grid,),
             in_specs=[pl.BlockSpec(flat_tab.shape,
-                                   lambda i: (0, 0))] + [block] * 9,
+                                   lambda i: (0, 0))] + [block] * len(ins),
             out_specs=out_specs, out_shape=out_shapes,
             interpret=True,
         )(flat_tab, *ins)

@@ -203,8 +203,10 @@ class SequentialScene(Scene):
         surface for the XLA path.  Measured on v5e: 2.3x faster at 64M rays
         (33.8 vs 77.4 ms), ~2x at 4-16M; below ~2M rays XLA keeps the state
         in VMEM anyway and wins — use plain ``simulate`` there, and for
-        anything needing gradients, recording, Fresnel MC, fuzzy apodization
-        or irradiance grids (asserted in ops/pallas_trace.py)."""
+        anything needing gradients, recording, fuzzy apodization or
+        irradiance grids (asserted in ops/pallas_trace.py).  Stochastic
+        Fresnel IS supported and bitwise-matches ``simulate``: the branch
+        uniforms are pre-drawn with the XLA driver's key schedule."""
         import jax as _jax
 
         from ..ops.pallas_trace import trace_sequential_pallas_v2

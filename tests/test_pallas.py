@@ -86,3 +86,40 @@ def test_scene_simulate_fused_api(key):
     np.testing.assert_allclose(np.asarray(sens_f.moments),
                                np.asarray(sens_ref.moments), rtol=1e-5,
                                atol=1e-3)
+
+
+def test_pallas_v2_fresnel_bitwise_parity(key):
+    """Stochastic Fresnel in the fused kernel: uniforms are pre-drawn with
+    trace_sequential's key schedule, so the Monte-Carlo branch choices —
+    and therefore every output — match the XLA driver bitwise."""
+    from raytracetorch_tpu import ElementCustom
+    from raytracetorch_tpu.constants import PhysKind
+    from raytracetorch_tpu.elements import shapes
+    from raytracetorch_tpu.ops.pallas_trace import trace_sequential_pallas_v2
+
+    scene = SequentialScene([
+        ElementCustom(shapes.plane, 1, PhysKind.FRESNEL, ph=(1.5, 1.0),
+                      name='iface'),
+        SensorElement(radius=50.0, translation=[0, 0, 25.0], name='sensor'),
+    ])
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(3.0),
+                               translation=[0, 0, -10.0],
+                               rotation=[0.4, 0.0, 0.0]).sample(key, 4000)
+    out_ref, sens_ref, _ = scene.simulate(p, rays, key)
+    table = scene.build_table(p)
+    out_pl, sens_pl, _ = trace_sequential_pallas_v2(
+        table, rays, key, scene.sensor_config(), scene.static_meta(),
+        interpret=True, block_rows=4)
+    # directions bitwise equal => every ray took the SAME reflect/refract
+    # branch as the XLA driver (the u streams match exactly)
+    np.testing.assert_array_equal(np.asarray(out_pl.dir),
+                                  np.asarray(out_ref.dir))
+    np.testing.assert_allclose(np.asarray(out_pl.pos),
+                               np.asarray(out_ref.pos), rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sens_pl.moments),
+                               np.asarray(sens_ref.moments), rtol=1e-6,
+                               atol=1e-4)
+    # sanity: both reflected and refracted populations exist
+    dz = np.asarray(out_pl.dir)[:, 2]
+    assert (dz > 0).sum() > 100 and (dz < 0).sum() > 100
