@@ -77,16 +77,17 @@ class StaticRowMeta:
     before tracing (Scene.static_meta)."""
 
     __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp',
-                 'plane')
+                 'plane', 'slot')
 
     def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False,
-                 disp=False, plane=False):
+                 disp=False, plane=False, slot=0):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
         self.asph = bool(asph)
         self.disp = bool(disp)
         self.plane = bool(plane)
+        self.slot = int(slot)       # sensor slot index (0 if not a sensor)
 
 
 def dispersive_iors(row, wavelength_um):

@@ -90,8 +90,9 @@ def _kernel(treedef, n_leaves, static_meta, cfg, n_pad,
     intensity = jnp.where(base + idx < n_pad, intensity, 0.0)
 
     # Python-side accumulator of traced scalars (no scatter in Mosaic)
-    partials = [[jnp.float32(0.0)] * N_MOMENTS
-                for _ in range(cfg.n_bundles)]
+    n_slots = max(cfg.n_sensors, 1)
+    partials = [[[jnp.float32(0.0)] * N_MOMENTS
+                 for _ in range(cfg.n_bundles)] for _ in range(n_slots)]
 
     for k in range(table.q.shape[0]):
         row = jax.tree_util.tree_map(lambda a: a[k], table)
@@ -111,10 +112,11 @@ def _kernel(treedef, n_leaves, static_meta, cfg, n_pad,
             y = jnp.where(w > 0, res['hit_s'][1], 0.0)
             terms = (w, w * x, w * y, w * x * x, w * y * y, w * x * y,
                      (w > 0).astype(w.dtype))
+            ps = partials[meta.slot]
             for b in range(cfg.n_bundles):
                 wb = jnp.where(ray_id == b, 1.0, 0.0)
                 for m, t in enumerate(terms):
-                    partials[b][m] = partials[b][m] + jnp.sum(t * wb)
+                    ps[b][m] = ps[b][m] + jnp.sum(t * wb)
 
         pos = tuple(jnp.where(active, np_, p_) for np_, p_ in
                     zip(new_pos, pos))
@@ -125,14 +127,19 @@ def _kernel(treedef, n_leaves, static_meta, cfg, n_pad,
     opx[:], opy[:], opz[:] = pos
     odx[:], ody[:], odz[:] = d
     oii[:] = intensity
-    # TPU tiling wants (8, 128)-shaped output blocks: park the B*7 partial
-    # moments in the first lanes of an (8, 128) tile (concat, not scatter —
+    # TPU tiling wants (8, 128)-shaped output blocks: park slot s's B*7
+    # moment partials in the lanes of tile row s (concat, not scatter —
     # Mosaic has no scatter lowering).
-    vec = jnp.stack([partials[b][m] for b in range(cfg.n_bundles)
-                     for m in range(N_MOMENTS)])
-    row0 = jnp.concatenate([vec, jnp.zeros(128 - vec.size, jnp.float32)])
-    flat = jnp.concatenate([row0[None, :], jnp.zeros((7, 128), jnp.float32)])
-    mom[0] = flat
+    rows_out = []
+    for s in range(8):
+        if s < n_slots:
+            vec = jnp.stack([partials[s][b][m] for b in range(cfg.n_bundles)
+                             for m in range(N_MOMENTS)])
+            rows_out.append(jnp.concatenate(
+                [vec, jnp.zeros(128 - vec.size, jnp.float32)]))
+        else:
+            rows_out.append(jnp.zeros(128, jnp.float32))
+    mom[0] = jnp.stack(rows_out)
 
 
 def trace_sequential_pallas(table, rays: Rays, key,
@@ -143,6 +150,7 @@ def trace_sequential_pallas(table, rays: Rays, key,
     (asserted); returns ``(rays, sensors, {})``."""
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert not cfg.grid_shape, "irradiance grid: use the XLA path"
+    assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
     for m in static_meta:
         assert m.ph != 4, "Fresnel (stochastic) surfaces: use the XLA path"
 
@@ -194,10 +202,12 @@ def trace_sequential_pallas(table, rays: Rays, key,
                             dx=odx[:n], dy=ody[:n], dz=odz[:n],
                             intensity=oii[:n])
     sensors = SensorState.init(cfg)
+    n_slots = max(cfg.n_sensors, 1)
     nb = cfg.n_bundles * N_MOMENTS
+    mom_sum = jnp.sum(mom, axis=0)                     # (8, 128)
     sensors = sensors.replace(
-        moments=jnp.sum(mom[:, 0, :nb], axis=0).reshape(
-            1, cfg.n_bundles, N_MOMENTS))
+        moments=mom_sum[:n_slots, :nb].reshape(
+            n_slots, cfg.n_bundles, N_MOMENTS))
     return out_rays, sensors, {}
 
 
@@ -274,9 +284,12 @@ class _SmemRow:
 
 def _kernel_v2(static_meta, cfg, n_valid, tab, *refs):
     n_f = sum(1 for m in static_meta if m.ph == 4)     # FRESNEL rows
+    capture = bool(cfg.grid_shape)  # sensor-hit capture for the grid pass
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     u_refs = refs[9:9 + n_f]        # pre-drawn uniforms, one per Fresnel row
-    (opx, opy, opz, odx, ody, odz, oii, mom) = refs[9 + n_f:]
+    outs = refs[9 + n_f:]
+    (opx, opy, opz, odx, ody, odz, oii, mom) = outs[:8]
+    cap_refs = outs[8:]             # (x, y, w) triplet per sensor row
     pos = (px[:], py[:], pz[:])
     d = (dx[:], dy[:], dz[:])
     intensity = ii[:]
@@ -290,9 +303,11 @@ def _kernel_v2(static_meta, cfg, n_valid, tab, *refs):
     flat = (pl.program_id(0) * rows + r_idx) * lanes + l_idx
     intensity = jnp.where(flat < n_valid, intensity, 0.0)
 
-    partials = [[jnp.float32(0.0)] * N_MOMENTS for _ in range(cfg.n_bundles)]
+    n_slots = max(cfg.n_sensors, 1)
+    partials = [[[jnp.float32(0.0)] * N_MOMENTS
+                 for _ in range(cfg.n_bundles)] for _ in range(n_slots)]
 
-    f_idx = 0
+    f_idx = cap_i = 0
     for k, meta in enumerate(static_meta):
         row = _SmemRow(tab, k)
         res = intersect(row, pos, d, static_meta=meta)
@@ -315,10 +330,16 @@ def _kernel_v2(static_meta, cfg, n_valid, tab, *refs):
             y = jnp.where(w > 0, res['hit_s'][1], 0.0)
             terms = (w, w * x, w * y, w * x * x, w * y * y, w * x * y,
                      (w > 0).astype(w.dtype))
+            ps = partials[meta.slot]
             for b in range(cfg.n_bundles):
                 wb = jnp.where(ray_id == b, 1.0, 0.0)
                 for m, t in enumerate(terms):
-                    partials[b][m] = partials[b][m] + jnp.sum(t * wb)
+                    ps[b][m] = ps[b][m] + jnp.sum(t * wb)
+            if capture:             # local hits out for the XLA grid pass
+                cap_refs[3 * cap_i][:] = x
+                cap_refs[3 * cap_i + 1][:] = y
+                cap_refs[3 * cap_i + 2][:] = w
+                cap_i += 1
 
         pos = tuple(jnp.where(active, a, b) for a, b in zip(new_pos, pos))
         d = tuple(jnp.where(active, a, b) for a, b in zip(new_dir, d))
@@ -327,10 +348,17 @@ def _kernel_v2(static_meta, cfg, n_valid, tab, *refs):
     opx[:], opy[:], opz[:] = pos
     odx[:], ody[:], odz[:] = d
     oii[:] = intensity
-    vec = jnp.stack([partials[b][m] for b in range(cfg.n_bundles)
-                     for m in range(N_MOMENTS)])
-    row0 = jnp.concatenate([vec, jnp.zeros(128 - vec.size, jnp.float32)])
-    mom[0] = jnp.concatenate([row0[None, :], jnp.zeros((7, 128), jnp.float32)])
+    # mom tile row s carries slot s's B*7 moment partials in its lanes
+    rows_out = []
+    for s in range(8):
+        if s < n_slots:
+            vec = jnp.stack([partials[s][b][m] for b in range(cfg.n_bundles)
+                             for m in range(N_MOMENTS)])
+            rows_out.append(jnp.concatenate(
+                [vec, jnp.zeros(128 - vec.size, jnp.float32)]))
+        else:
+            rows_out.append(jnp.zeros(128, jnp.float32))
+    mom[0] = jnp.stack(rows_out)
 
 
 def trace_sequential_pallas_v2(table, rays: Rays, key,
@@ -338,15 +366,17 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
                                static_meta=None, interpret=False,
                                block_rows=64):
     """Fused forward sequential trace, v2 (see module notes above).  Same
-    contract/limitations as v1 except: dispersion, gratings AND stochastic
-    Fresnel are supported (wavelength rides the tile; Fresnel branch
-    uniforms are pre-drawn outside the kernel with trace_sequential's
-    exact key schedule, so results are BITWISE identical to the XLA
-    driver).  Still unsupported: HALFSPACES volume bounds, irradiance
-    grids, fuzzy callables, recording."""
+    contract/limitations as v1 except: dispersion, gratings, stochastic
+    Fresnel, multi-sensor scenes (per-slot moments) and irradiance grids
+    are all supported.  Fresnel branch uniforms are pre-drawn outside the
+    kernel with trace_sequential's exact key schedule, so results are
+    BITWISE identical to the XLA driver; grids capture sensor-local hits
+    in-kernel and scatter-add outside (Mosaic has no scatter lowering).
+    Still unsupported: HALFSPACES volume bounds, fuzzy callables,
+    path/hit recording."""
     from ..constants import VBKind
     assert static_meta is not None, "pallas path needs scene static_meta"
-    assert not cfg.grid_shape, "irradiance grid: use the XLA path"
+    assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
     for m in static_meta:
         assert m.vb != VBKind.HALFSPACES, "box volumes: use the XLA path"
 
@@ -379,9 +409,12 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
                     keys[k], rays.intensity.shape)))
 
     assert cfg.n_bundles * N_MOMENTS <= 128, "too many bundles for kernel"
-    out_shapes = ([jax.ShapeDtypeStruct((rows_total, LANE),
-                                        jnp.float32)] * 7
-                  + [jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32)])
+    n_cap = (3 * sum(1 for m in static_meta if m.sensor)
+             if cfg.grid_shape else 0)
+    ray_block = jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
+    out_shapes = ([ray_block] * 7
+                  + [jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32)]
+                  + [ray_block] * n_cap)
 
     kern = functools.partial(_kernel_v2, static_meta, cfg, n)
     flat_tab = flatten_table_rows(table)
@@ -390,7 +423,8 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
         # index maps receive the scalar-prefetch operand as a trailing arg
         block = pl.BlockSpec((block_rows, LANE), lambda i, tab: (i, 0))
         out_specs = ([block] * 7
-                     + [pl.BlockSpec((1, 8, 128), lambda i, tab: (i, 0, 0))])
+                     + [pl.BlockSpec((1, 8, 128), lambda i, tab: (i, 0, 0))]
+                     + [block] * n_cap)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(grid,),
             in_specs=[block] * len(ins), out_specs=out_specs)
@@ -402,7 +436,8 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
     else:
         block = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0))
         out_specs = ([block] * 7
-                     + [pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))])
+                     + [pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))]
+                     + [block] * n_cap)
         outs = pl.pallas_call(
             kern, grid=(grid,),
             in_specs=[pl.BlockSpec(flat_tab.shape,
@@ -411,7 +446,8 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
             interpret=True,
         )(flat_tab, *ins)
 
-    opx, opy, opz, odx, ody, odz, oii, mom = outs
+    opx, opy, opz, odx, ody, odz, oii, mom = outs[:8]
+    cap_outs = outs[8:]
 
     def unpad(a):
         return a.reshape(-1)[:n]
@@ -420,8 +456,96 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
                             dx=unpad(odx), dy=unpad(ody), dz=unpad(odz),
                             intensity=unpad(oii))
     sensors = SensorState.init(cfg)
+    n_slots = max(cfg.n_sensors, 1)
     nb = cfg.n_bundles * N_MOMENTS
+    mom_sum = jnp.sum(mom, axis=0)                     # (8, 128)
     sensors = sensors.replace(
-        moments=jnp.sum(mom[:, 0, :nb], axis=0).reshape(
-            1, cfg.n_bundles, N_MOMENTS))
+        moments=mom_sum[:n_slots, :nb].reshape(
+            n_slots, cfg.n_bundles, N_MOMENTS))
+    if cfg.grid_shape:
+        # scatter the captured sensor-local hits outside the kernel —
+        # identical binning to SensorState.record (core/sensor.py)
+        h, w_ = cfg.grid_shape
+        e = cfg.grid_half_extent
+        g = sensors.grid
+        cap_i = 0
+        for m in static_meta:
+            if not m.sensor:
+                continue
+            hx = unpad(cap_outs[3 * cap_i])
+            hy = unpad(cap_outs[3 * cap_i + 1])
+            hw = unpad(cap_outs[3 * cap_i + 2])
+            ix = jnp.clip(((hx + e) / (2 * e) * w_).astype(jnp.int32),
+                          0, w_ - 1)
+            iy = jnp.clip(((hy + e) / (2 * e) * h).astype(jnp.int32),
+                          0, h - 1)
+            g = g.at[m.slot, iy, ix].add(hw)
+            cap_i += 1
+        sensors = sensors.replace(grid=g)
     return out_rays, sensors, {}
+
+
+# ---------------------------------------------------------------------------
+# Gradients: Pallas forward, XLA-recompute backward
+# ---------------------------------------------------------------------------
+#
+# Pallas kernels have no automatic VJP.  Rather than hand-derive (and
+# maintain) a reverse kernel for the whole intersect+physics chain, the
+# backward pass re-runs the XLA sequential trace under jax.vjp — the two
+# paths compute the same function with the same key schedule (bitwise
+# for the Fresnel branch choices), so the recomputed gradients are exact.
+# Forward-only callers pay nothing; a grad call costs one XLA fwd+bwd on
+# top of the fused forward (i.e. design loops at small N should keep
+# using `simulate`, which CLAUDE.md's perf notes already prescribe —
+# this wrapper exists so `simulate_fused` composes with jax.grad instead
+# of erroring, e.g. inside a loss that's usually evaluated forward-only).
+
+
+def _zero_key_cotangent(key):
+    import numpy as np
+    from jax import dtypes as jdtypes
+
+    def z(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(x.shape, jdtypes.float0)
+
+    return jax.tree_util.tree_map(z, key)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def fused_trace_grad(cfg, static_meta, opts, table, rays, key):
+    """`trace_sequential_pallas_v2` with gradient support.
+
+    ``static_meta`` must be a tuple (hashability); ``opts`` is the static
+    ``(interpret, block_rows)`` pair.  Differentiable w.r.t. ``table`` and
+    ``rays``; the backward pass is the VJP of the XLA driver."""
+    interpret, block_rows = opts
+    return trace_sequential_pallas_v2(table, rays, key, cfg,
+                                      static_meta=list(static_meta),
+                                      interpret=interpret,
+                                      block_rows=block_rows)
+
+
+def _fused_fwd(cfg, static_meta, opts, table, rays, key):
+    out = fused_trace_grad(cfg, static_meta, opts, table, rays, key)
+    return out, (table, rays, key)
+
+
+def _fused_bwd(cfg, static_meta, opts, res, g):
+    from ..core.trace import trace_sequential
+    table, rays, key = res
+
+    def xla_run(table, rays):
+        out_r, sens, _ = trace_sequential(table, rays, key, cfg,
+                                          static_meta=list(static_meta))
+        return out_r, sens
+
+    _, vjp = jax.vjp(xla_run, table, rays)
+    g_rays, g_sens, _ = g           # aux cotangent is the empty dict
+    g_table, g_rays_in = vjp((g_rays, g_sens))
+    return g_table, g_rays_in, _zero_key_cotangent(key)
+
+
+fused_trace_grad.defvjp(_fused_fwd, _fused_bwd)

@@ -139,14 +139,18 @@ class Scene:
         with the initial params, once, outside jit."""
         if getattr(self, '_static_meta', None) is None:
             from ..core.static_dispatch import StaticRowMeta
-            meta = []
+            meta, slot = [], 0
             for el in self.elements:
                 for r in el.build(el.init_params()):
                     meta.append(StaticRowMeta(r.ph_kind, r.sb_kind,
                                               r.vb_kind, r.is_sensor,
                                               r.sb_invert, r.is_asphere,
                                               r.is_dispersive,
-                                              plane=r.is_plane))
+                                              plane=r.is_plane,
+                                              slot=slot if el.is_sensor
+                                              else 0))
+                if el.is_sensor:    # mirrors build_table's slot assignment
+                    slot += 1
             self._static_meta = meta
         return self._static_meta
 
@@ -198,25 +202,26 @@ class SequentialScene(Scene):
 
     def simulate_fused(self, params, rays, key, n_bundles=None,
                        interpret=None, block_rows=64):
-        """Forward-only fused Pallas trace: the whole surface chain runs in
-        VMEM tiles — ONE HBM round trip for the ray state, vs one per
-        surface for the XLA path.  Measured on v5e: 2.3x faster at 64M rays
-        (33.8 vs 77.4 ms), ~2x at 4-16M; below ~2M rays XLA keeps the state
-        in VMEM anyway and wins — use plain ``simulate`` there, and for
-        anything needing gradients, recording, fuzzy apodization or
-        irradiance grids (asserted in ops/pallas_trace.py).  Stochastic
-        Fresnel IS supported and bitwise-matches ``simulate``: the branch
-        uniforms are pre-drawn with the XLA driver's key schedule."""
+        """Fused Pallas trace: the whole surface chain runs in VMEM tiles —
+        ONE HBM round trip for the ray state, vs one per surface for the
+        XLA path.  Measured on v5e: 2.3x faster at 64M rays (33.8 vs
+        77.4 ms), ~2x at 4-16M; below ~2M rays XLA keeps the state in VMEM
+        anyway and wins — use plain ``simulate`` there, and for recording
+        or fuzzy apodization (asserted in ops/pallas_trace.py).
+        Stochastic Fresnel, multi-sensor scenes and irradiance grids are
+        supported with bitwise/parity-exact results vs ``simulate``.
+        ``jax.grad`` works: the backward pass is the VJP of the XLA driver
+        (Pallas forward + XLA-recompute backward; see
+        ops/pallas_trace.py::fused_trace_grad)."""
         import jax as _jax
 
-        from ..ops.pallas_trace import trace_sequential_pallas_v2
+        from ..ops.pallas_trace import fused_trace_grad
         if interpret is None:
             interpret = _jax.devices()[0].platform != 'tpu'
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
-        return trace_sequential_pallas_v2(
-            table, rays, key, cfg, static_meta=self.static_meta(),
-            interpret=interpret, block_rows=block_rows)
+        return fused_trace_grad(cfg, tuple(self.static_meta()),
+                                (interpret, block_rows), table, rays, key)
 
     def paraxial(self, params):
         """Full-system 5x5 paraxial matrix: chain every element's surface
