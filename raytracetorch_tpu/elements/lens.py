@@ -467,7 +467,7 @@ class AsphericLens(SingletLens):
     polynomial terms per face.
 
     The reference stubs aspheric surfaces (geom/complex.py:6-10 raises);
-    this build solves them with a differentiable fixed-iteration Newton
+    this build solves them with a differentiable fixed-iteration Halley
     refinement from the base-conic root (geom/surfaces.py::asph_refine).
     Conic constants k1/k2 and polynomial coefficients are trainable — the
     standard extra degrees of freedom of modern lens design.

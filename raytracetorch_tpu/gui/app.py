@@ -80,7 +80,10 @@ INDEX_HTML = r"""<!DOCTYPE html>
   <div class="row">
     <button onclick="doTrace()">Trace</button>
     <button class="sec" onclick="post('/api/camera',{reset:1}).then(rerender)">Reset view</button>
-    <span style="color:#8b93a1">drag: orbit · shift-drag: pan · wheel: zoom · click: pick</span>
+    <button class="sec" onclick="doUndo()">Undo</button>
+    <button class="sec" onclick="doRedo()">Redo</button>
+    <span style="color:#8b93a1">drag: orbit · shift: pan · wheel: zoom · click: pick ·
+      ctrl-drag: move picked (R toggles rotate) · ctrl-Z/Y: undo/redo</span>
   </div>
   <div id="status"></div>
 </div>
@@ -318,20 +321,40 @@ async function doOptimize() {
   await refreshAll();
 }
 
-// viewport mouse controls
+// undo / redo
+async function doUndo() {
+  try { await post('/api/undo', {}); st('undone'); await refreshAll(); }
+  catch (e) {}
+}
+async function doRedo() {
+  try { await post('/api/redo', {}); st('redone'); await refreshAll(); }
+  catch (e) {}
+}
+
+// viewport mouse controls + pose gizmo
+let gizmoRotate = false;
 (() => {
   const v = $('view');
-  let drag = null, moved = false;
-  v.addEventListener('mousedown', e => { drag = [e.clientX, e.clientY, e.shiftKey]; moved = false; });
+  let drag = null, moved = false, gizmo = false, gizmoBegun = false;
+  v.addEventListener('mousedown', e => {
+    drag = [e.clientX, e.clientY, e.shiftKey];
+    gizmo = e.ctrlKey && selEl >= 0;
+    gizmoBegun = false;
+    moved = false;
+  });
   window.addEventListener('mouseup', async e => {
     if (!drag) return;
-    const wasDrag = moved; drag = null;
+    const wasDrag = moved, wasGizmo = gizmo;
+    drag = null; gizmo = false;
     if (!wasDrag) {
       const rect = v.getBoundingClientRect();
       const r = await post('/api/pick', {x: e.clientX-rect.left, y: e.clientY-rect.top});
       if (r.element != null) { selEl = r.element; renderLists(); showElForm();
-        st('picked ' + r.name + ' surface ' + r.surface); }
+        st('picked ' + r.name + ' surface ' + r.surface +
+           ' — ctrl-drag to ' + (gizmoRotate ? 'rotate' : 'move')); }
       else st('no hit');
+    } else if (wasGizmo) {
+      await refreshAll();        // forms pick up the new pose
     }
   });
   window.addEventListener('mousemove', async e => {
@@ -340,7 +363,14 @@ async function doOptimize() {
     if (Math.abs(dx) + Math.abs(dy) < 3) return;
     moved = true;
     drag[0] = e.clientX; drag[1] = e.clientY;
-    if (drag[2]) await post('/api/camera', {pan:[dx*0.05, dy*0.05]});
+    if (gizmo) {
+      const r = await post('/api/gizmo', {index: selEl, delta: [dx, dy],
+        mode: gizmoRotate ? 'rot' : 'trans', begin: !gizmoBegun});
+      gizmoBegun = true;
+      st((gizmoRotate ? 'rot ' : 'pos ') +
+         (gizmoRotate ? r.rot : r.trans).map(x=>x.toFixed(3)).join(', '));
+    }
+    else if (drag[2]) await post('/api/camera', {pan:[dx*0.05, dy*0.05]});
     else await post('/api/camera', {orbit:[dx*0.01, dy*0.01]});
     rerender();
   });
@@ -348,6 +378,16 @@ async function doOptimize() {
     e.preventDefault();
     await post('/api/camera', {zoom: e.deltaY > 0 ? -1 : 1});
     rerender();
+  });
+  window.addEventListener('keydown', e => {
+    if (e.target.tagName === 'INPUT' || e.target.tagName === 'SELECT') return;
+    if (e.ctrlKey && e.key === 'z' && !e.shiftKey) { e.preventDefault(); doUndo(); }
+    else if (e.ctrlKey && (e.key === 'y' || (e.key === 'Z' && e.shiftKey)))
+      { e.preventDefault(); doRedo(); }
+    else if (e.key === 'r' || e.key === 'R') {
+      gizmoRotate = !gizmoRotate;
+      st('gizmo mode: ' + (gizmoRotate ? 'rotate' : 'move'));
+    }
   });
 })();
 

@@ -44,6 +44,8 @@ def _tolist(x):
 class Workbench:
     """Server-side state: scene + live params + orbit camera."""
 
+    MAX_UNDO = 64
+
     def __init__(self, scene=None, width=640, height=480):
         self.lock = threading.Lock()
         self.width, self.height = int(width), int(height)
@@ -51,7 +53,49 @@ class Workbench:
         self.params = self.scene.init_params()
         self.key = jax.random.PRNGKey(0)
         self._render_cache = None
+        self._undo, self._redo = [], []
         self.reset_camera()
+
+    # -- undo/redo ---------------------------------------------------------
+    # Element specs are immutable (edits replace them in the list) and jax
+    # arrays are immutable, so a snapshot is shallow copies of the element/
+    # bundle lists + per-element param dicts.  Every mutating endpoint
+    # pushes one snapshot (gizmo drags coalesce: one per drag gesture).
+
+    def _snapshot(self):
+        return dict(cls=type(self.scene),
+                    elements=list(self.scene.elements),
+                    bundles=list(self.scene.bundles),
+                    n_bounces=self.scene.n_bounces,
+                    params={k: dict(v) for k, v in self.params.items()})
+
+    def push_undo(self):
+        self._undo.append(self._snapshot())
+        del self._undo[:-self.MAX_UNDO]
+        self._redo.clear()
+
+    def _restore(self, snap):
+        sc = snap['cls'](snap['elements'], n_bounces=snap['n_bounces'])
+        sc.bundles = snap['bundles']
+        sc.grid_shape = self.scene.grid_shape
+        sc.grid_half_extent = self.scene.grid_half_extent
+        self.scene = sc
+        self.params = {k: dict(v) for k, v in snap['params'].items()}
+        self._render_cache = None
+
+    def undo(self):
+        if not self._undo:
+            raise ValueError('nothing to undo')
+        self._redo.append(self._snapshot())
+        self._restore(self._undo.pop())
+        return {'undo_left': len(self._undo), 'redo_left': len(self._redo)}
+
+    def redo(self):
+        if not self._redo:
+            raise ValueError('nothing to redo')
+        self._undo.append(self._snapshot())
+        self._restore(self._redo.pop())
+        return {'undo_left': len(self._undo), 'redo_left': len(self._redo)}
 
     # -- camera ------------------------------------------------------------
 
@@ -261,6 +305,45 @@ class Workbench:
         return {'element': el, 'name': self.scene.elements[el].name,
                 'surface': int(np.asarray(res['surf_in_element'])[0])}
 
+    # -- gizmo -----------------------------------------------------------------
+
+    def gizmo(self, index, px_delta, mode='trans'):
+        """Screen-space pose gizmo (reference gui/gizmo.py:282-336, which
+        writes straight into the picked element's transform params).
+
+        ``px_delta`` = (dx, dy) in viewport pixels.  trans mode drags the
+        element in the camera plane (right/up basis, scaled to world units
+        at the orbit pivot's depth); rot mode maps dx/dy to rotations about
+        the camera's up/right axes.  Edits go into the live param pytree
+        (like the optimizer's) AND the element's captured ctor config, so
+        forms and project saves stay in sync."""
+        el = self.scene.elements[int(index)]
+        p = self.params[el.name]
+        c = self.camera
+        dx, dy = float(px_delta[0]), float(px_delta[1])
+        if mode == 'trans':
+            dist = float(np.linalg.norm(np.asarray(c.pivot)
+                                        - np.asarray(c.origin)))
+            wpp = 2.0 * np.tan(np.deg2rad(c.fov_deg * 0.5)) * \
+                max(dist, 1e-3) / self.height
+            delta = (dx * wpp * np.asarray(c.right)
+                     - dy * wpp * np.asarray(c.up_cam))
+            p['trans'] = p['trans'] + jnp.asarray(delta, p['trans'].dtype)
+        else:
+            k = 0.008        # radians per pixel
+            dvec = (dx * k * np.asarray(c.up_cam)
+                    + dy * k * np.asarray(c.right))
+            p['rot_vec'] = p['rot_vec'] + jnp.asarray(dvec,
+                                                      p['rot_vec'].dtype)
+        # keep the spec + captured ctor config consistent with the live pose
+        el._trans_init = [float(x) for x in np.asarray(p['trans'])]
+        el._rot_init = [float(x) for x in np.asarray(p['rot_vec'])]
+        cc = getattr(el, '_ctor_config', None)
+        if cc is not None:
+            cc['translation'] = list(el._trans_init)
+            cc['rotation'] = list(el._rot_init)
+        return {'trans': _tolist(p['trans']), 'rot': _tolist(p['rot_vec'])}
+
     # -- introspection -----------------------------------------------------------
 
     def state(self):
@@ -429,17 +512,29 @@ def make_handler(wb: Workbench):
                 return wb.trace()
             if p == '/api/pick':
                 return wb.pick(float(body['x']), float(body['y']))
+            if p == '/api/gizmo':
+                if body.get('begin'):     # one undo entry per drag gesture
+                    wb.push_undo()
+                return wb.gizmo(body['index'], body['delta'],
+                                body.get('mode', 'trans'))
+            if p == '/api/undo':
+                return wb.undo()
+            if p == '/api/redo':
+                return wb.redo()
             if p == '/api/optimize':
+                wb.push_undo()
                 return wb.optimize(body.get('loss', 'spot_size'),
                                    body.get('steps', 50),
                                    body.get('lr', 1e-3),
                                    body.get('f_target'))
             if p == '/api/element/add':
+                wb.push_undo()
                 el = cfgmod.instantiate_element(body['config'])
                 wb.scene.add_element(el)
                 wb._reinit_params()
                 return {'ok': True}
             if p == '/api/element/update':
+                wb.push_undo()
                 i = int(body['index'])
                 el = cfgmod.instantiate_element(body['config'])
                 old = wb.scene.elements[i]
@@ -451,23 +546,28 @@ def make_handler(wb: Workbench):
                 wb._reinit_params()
                 return {'ok': True}
             if p == '/api/element/delete':
+                wb.push_undo()
                 del wb.scene.elements[int(body['index'])]
                 wb.scene._static_meta = None
                 wb._reinit_params()
                 return {'ok': True}
             if p == '/api/bundle/add':
+                wb.push_undo()
                 b = cfgmod.instantiate_bundle(body['config'])
                 wb.scene.add_bundle(b, int(body.get('n_rays', 200)))
                 return {'ok': True}
             if p == '/api/bundle/update':
+                wb.push_undo()
                 i = int(body['index'])
                 b = cfgmod.instantiate_bundle(body['config'])
                 wb.scene.bundles[i] = (b, int(body.get('n_rays', 200)))
                 return {'ok': True}
             if p == '/api/bundle/delete':
+                wb.push_undo()
                 del wb.scene.bundles[int(body['index'])]
                 return {'ok': True}
             if p == '/api/settings':
+                wb.push_undo()
                 if 'n_bounces' in body:
                     wb.scene.n_bounces = int(body['n_bounces'])
                 if 'sequential' in body:
@@ -483,6 +583,7 @@ def make_handler(wb: Workbench):
                 projmod.save_params(body['path'] + '.params.npz', wb.params)
                 return {'ok': True, 'path': body['path']}
             if p == '/api/load':
+                wb.push_undo()
                 scene = projmod.load_scene(body['path'])
                 wb.set_scene(scene)
                 import os

@@ -163,3 +163,42 @@ def test_registry_covers_all_elements():
         assert cls in reg['elements'], cls
     for cls in ('CollimatedDisk', 'PointSource', 'GaussianBeam', 'Fan'):
         assert cls in reg['bundles'], cls
+
+
+def test_gizmo_drag_and_undo_redo(server):
+    """Pose gizmo (reference gui/gizmo.py:282-336): a ctrl-drag updates the
+    picked element's live trans params AND its captured ctor config; undo/
+    redo restore/replay whole snapshots (one per drag gesture)."""
+    base, wb = server
+    before = np.asarray(wb.params['lens']['trans']).copy()
+    r = _post(base, '/api/gizmo', {'index': 0, 'delta': [40, 0],
+                                   'mode': 'trans', 'begin': True})
+    moved = np.asarray(r['trans'])
+    assert not np.allclose(moved, before)
+    # second move of the same gesture coalesces (no new undo entry)
+    r = _post(base, '/api/gizmo', {'index': 0, 'delta': [0, 25],
+                                   'mode': 'trans'})
+    moved2 = np.asarray(r['trans'])
+    assert not np.allclose(moved2, moved)
+    # forms/save see the new pose
+    state = json.loads(_get(base, '/api/state'))
+    assert np.allclose(state['elements'][0]['config']['params']['translation'],
+                       moved2, atol=1e-6)
+    # one undo reverts the whole gesture
+    _post(base, '/api/undo', {})
+    assert np.allclose(np.asarray(wb.params['lens']['trans']), before)
+    # redo replays it
+    _post(base, '/api/redo', {})
+    assert np.allclose(np.asarray(wb.params['lens']['trans']), moved2)
+    _post(base, '/api/undo', {})          # leave the shared scene unmoved
+    assert np.allclose(np.asarray(wb.params['lens']['trans']), before)
+
+
+def test_gizmo_rotate_mode(server):
+    base, wb = server
+    before = np.asarray(wb.params['lens']['rot_vec']).copy()
+    r = _post(base, '/api/gizmo', {'index': 0, 'delta': [30, 0],
+                                   'mode': 'rot', 'begin': True})
+    assert not np.allclose(np.asarray(r['rot']), before)
+    _post(base, '/api/undo', {})
+    assert np.allclose(np.asarray(wb.params['lens']['rot_vec']), before)
