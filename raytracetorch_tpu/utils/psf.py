@@ -1,0 +1,99 @@
+"""Diffraction PSF / MTF from traced optical path lengths (FFT method).
+
+Physical-optics complement to the geometric MTF (utils/mtf.py): the traced
+per-ray OPD (``track_opl=True``, utils/wavefront.py) is binned onto a pupil
+grid, the complex pupil function ``A exp(i 2 pi W / lambda)`` is zero-padded
+and Fourier-transformed, and ``|FFT|^2`` gives the diffraction point-spread
+function — the standard "FFT PSF" of lens-design codes, valid for modest
+numerical apertures where the Fraunhofer/Fourier-optics approximation holds.
+The reference has no physical-optics layer (geometric spot diagrams only,
+elements/sensor.py:67-176); this goes beyond it, like utils/wavefront.py.
+
+All FFTs map onto the TPU MXU; everything is jit- and grad-safe except the
+pupil binning's scatter-add indices (stop-gradiented like any histogram).
+
+Units: lengths in the trace's units (mm by convention); pass wavelength in
+the SAME units (e.g. 0.5876e-3 for the helium d line in mm).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .wavefront import best_focus, opl_to_point
+
+
+def pupil_from_trace(launch_rays, out_rays, opl, pupil_radius, n=64,
+                     point=None, n_medium=1.0, weights=None):
+    """Bin per-ray OPD + intensity onto an [n, n] pupil grid.
+
+    ``launch_rays`` give each ray's pupil coordinate (its launch x/y for a
+    collimated bundle filling the entrance pupil); ``out_rays``/``opl`` are
+    the sequential-trace outputs with ``track_opl=True``.  The OPD is
+    referenced to the intensity-weighted mean OPL at closest approach to
+    ``point`` (default: the bundle's best focus).
+
+    Returns ``(opd [n, n], amp [n, n])`` — amp is the per-cell weight sum
+    normalized to peak 1 (the apodization); empty cells carry amp 0.
+    """
+    if point is None:
+        point = best_focus(out_rays)
+    total = opl_to_point(out_rays, opl, point, n_medium)
+    w = out_rays.intensity if weights is None else weights
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    opd_ray = total - jnp.sum(total * w) / wsum
+
+    u = launch_rays.px / pupil_radius
+    v = launch_rays.py / pupil_radius
+    ix = jnp.clip(((u + 1.0) * 0.5 * n).astype(jnp.int32), 0, n - 1)
+    iy = jnp.clip(((v + 1.0) * 0.5 * n).astype(jnp.int32), 0, n - 1)
+    den = jnp.zeros((n, n), w.dtype).at[iy, ix].add(w)
+    num = jnp.zeros((n, n), w.dtype).at[iy, ix].add(w * opd_ray)
+    opd = num / jnp.maximum(den, 1e-12)
+    amp = den / jnp.maximum(jnp.max(den), 1e-12)
+    return opd, amp
+
+
+def diffraction_psf(opd, amp, wavelength, f_number, pad=4):
+    """PSF intensity from a pupil-grid OPD map (Fraunhofer FFT).
+
+    ``opd``/``amp`` are [n, n] pupil maps whose n cells span the full pupil
+    diameter; ``f_number`` is the working f-number (focal distance over
+    pupil diameter); ``pad`` zero-pads the FFT for image-plane resolution.
+
+    Returns ``(psf [N, N], dx)`` with N = pad * n, PSF normalized to unit
+    total energy, and dx the image-plane pixel pitch ``lambda * F# * n/N``
+    (the Airy first zero lands at 1.22 lambda F# = 1.22 * pad pixels).
+    """
+    n = opd.shape[0]
+    pupil = amp * jnp.exp(2j * jnp.pi * opd / wavelength)
+    big = jnp.zeros((pad * n, pad * n), pupil.dtype)
+    big = big.at[:n, :n].set(pupil)
+    field = jnp.fft.fftshift(jnp.fft.fft2(big))
+    psf = jnp.abs(field) ** 2
+    psf = psf / jnp.maximum(jnp.sum(psf), 1e-24)
+    dx = wavelength * f_number * n / (pad * n)
+    return psf, dx
+
+
+def strehl_ratio(opd, amp, wavelength):
+    """Peak of the aberrated PSF over the unaberrated peak (same pupil).
+
+    Equals ``|sum A e^{i phi}|^2 / (sum A)^2`` — no FFT needed; for small
+    aberrations approaches the Marechal estimate exp(-(2 pi sigma)^2).
+    """
+    phase = 2.0 * jnp.pi * opd / wavelength
+    num = jnp.abs(jnp.sum(amp * jnp.exp(1j * phase))) ** 2
+    den = jnp.maximum(jnp.sum(amp) ** 2, 1e-24)
+    return num / den
+
+
+def diffraction_mtf(opd, amp, wavelength, f_number, pad=4):
+    """Diffraction MTF along x/y: normalized |FFT| of the PSF.
+
+    Returns ``(freqs, mtf_x, mtf_y)`` in cycles per length unit; the
+    incoherent cutoff is ``1 / (lambda * F#)``.
+    """
+    from .mtf import geometric_mtf
+    psf, dx = diffraction_psf(opd, amp, wavelength, f_number, pad=pad)
+    return geometric_mtf(psf, dx)
