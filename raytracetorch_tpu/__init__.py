@@ -42,6 +42,8 @@ from .scene.scene import Scene, SequentialScene
 from .scene.scene import describe
 from .utils.glass import glass, glass_pair
 from .utils.tolerancing import monte_carlo_tolerance, per_ray_perturbed_trace
+from .utils.psf import (diffraction_mtf, diffraction_psf,
+                        pupil_from_trace, strehl_ratio)
 from .utils.wavefront import best_focus, wavefront_rms
 
 __version__ = '0.1.0'
