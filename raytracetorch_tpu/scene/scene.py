@@ -223,6 +223,57 @@ class SequentialScene(Scene):
         return fused_trace_grad(cfg, tuple(self.static_meta()),
                                 (interpret, block_rows), table, rays, key)
 
+    def simulate_fused_sharded(self, params, rays, key, mesh,
+                               n_bundles=None, interpret=None,
+                               block_rows=64):
+        """``simulate_fused`` across a device mesh: shard_map runs the
+        Pallas kernel per-shard on the local ray slice (pallas_call does
+        not auto-shard like the XLA trace does), then psums the sensor
+        moments/grids over the mesh — the production path for >>10M-ray
+        batches on multi-chip slices.  Differentiable like simulate_fused.
+
+        The PRNG key is folded with the shard index so stochastic Fresnel
+        draws decorrelate across shards (results therefore match an
+        unsharded trace statistically, not bitwise, for Fresnel scenes).
+        """
+        import jax as _jax
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax.experimental.shard_map import shard_map
+        except ImportError:                      # newer jax
+            from jax.sharding import shard_map
+        from ..ops.pallas_trace import fused_trace_grad
+        from ..parallel.sharding import RAY_AXES
+
+        if interpret is None:
+            interpret = _jax.devices()[0].platform != 'tpu'
+        table = self.build_table(params)
+        cfg = self.sensor_config(n_bundles)
+        meta_t = tuple(self.static_meta())
+        axes = tuple(a for a in RAY_AXES if a in mesh.axis_names)
+
+        def local(table, rays_shard, key):
+            idx = _jax.lax.axis_index(axes[0])
+            for a in axes[1:]:
+                idx = idx * mesh.shape[a] + _jax.lax.axis_index(a)
+            k_local = jax.random.fold_in(key, idx)
+            out, sens, _ = fused_trace_grad(
+                cfg, meta_t, (interpret, block_rows), table, rays_shard,
+                k_local)
+            sens = sens.replace(
+                moments=_jax.lax.psum(sens.moments, axes),
+                grid=(_jax.lax.psum(sens.grid, axes)
+                      if cfg.grid_shape else sens.grid))
+            return out, sens
+
+        f = shard_map(local, mesh=mesh,
+                      in_specs=(P(), P(axes), P()),
+                      out_specs=(P(axes), P()),
+                      check_rep=False)
+        out, sens = f(table, rays, key)
+        return out, sens, {}
+
     def paraxial(self, params):
         """Full-system 5x5 paraxial matrix: chain every element's surface
         matrices with free-space gap matrices (reference

@@ -79,3 +79,28 @@ def test_graft_dryrun():
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
     ge.dryrun_multichip(8)
+
+
+def test_sharded_fused_trace_matches(key):
+    """simulate_fused_sharded: the Pallas kernel under shard_map (per-shard
+    tiles + psum'd moments/grid) reproduces the unsharded XLA trace on the
+    8-device virtual mesh."""
+    scene = _scene()
+    scene.grid_shape = (16, 16)
+    scene.grid_half_extent = 2.0
+    params = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0.0, 0.0, -10.0]).sample(key,
+                                                                     4096)
+    out_ref, s_ref, _ = scene.simulate(params, rays, key)
+    mesh = make_mesh(8)
+    out_sh, s_sh, _ = jax.jit(lambda p, r, k: scene.simulate_fused_sharded(
+        p, r, k, mesh, block_rows=1))(params, shard_rays(rays, mesh), key)
+    np.testing.assert_allclose(np.asarray(out_sh.pos),
+                               np.asarray(out_ref.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_sh.moments),
+                               np.asarray(s_ref.moments), rtol=1e-5,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s_sh.grid),
+                               np.asarray(s_ref.grid), rtol=1e-5, atol=1e-4)
+    scene.grid_shape = ()
