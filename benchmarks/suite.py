@@ -15,6 +15,10 @@ dispatch costs ~26 ms RPC).
   5. differentiable design— value_and_grad of the spot-size loss (singlet)
   6. fused large batch    — 16M-ray forward trace via the Pallas kernel
                             (SequentialScene.simulate_fused) vs plain XLA
+  7. asphere trace        — 1M rays through an AsphericLens (Halley-4
+                            root refinement, geom/surfaces.py::asph_refine)
+  8. irradiance grid      — 1M rays + 256x256 sensor grid, fused
+                            (in-kernel hit capture) vs XLA scatter-add
 """
 
 import json
@@ -168,6 +172,33 @@ def main():
         ms = (fetch_ms(jax.jit(run), rays_big, p) - floor) / chain_big
         emit(f'large_batch_16M_{name}', ms,
              rays_per_s=round(n_big / ms * 1e3))
+
+    # 7. asphere trace (Halley-4 refinement; was Newton-8: 1.74 ms)
+    from raytracetorch_tpu.elements.lens import AsphericLens
+    asph = SequentialScene([
+        AsphericLens(c1=0.05, k1=-0.6, a1=[2.5e-4, 1e-6, 0.0, 0.0],
+                     c2=-0.02, d=10.0, t=3.0, ior_glass=1.5, name='asph'),
+        SensorElement(radius=8.0, translation=[0, 0, 19.0], name='sensor'),
+    ])
+    pa = asph.init_params()
+    fa = chained(lambda rr, pp: asph.simulate(pp, reset(rr), key)[0],
+                 lambda rr: jnp.sum(rr.px))
+    ms = (fetch_ms(fa, rays, pa) - floor) / CHAIN
+    emit('asphere_sequential_1M', ms, rays_per_s=round(N / ms * 1e3))
+
+    # 8. irradiance grid: fused in-kernel hit capture vs XLA scatter
+    gscene = singlet_scene()
+    gscene.grid_shape = (256, 256)
+    gscene.grid_half_extent = 1.0
+    pg = gscene.init_params()
+    for name, sim in (('xla', gscene.simulate),
+                      ('pallas_fused', gscene.simulate_fused)):
+        def gstep(rr, pp, sim=sim):
+            out, s, _ = sim(pp, reset(rr), key)
+            return out.replace(px=out.px + s.grid[0, 0, 0] * 1e-30)
+        fg = chained(gstep, lambda rr: jnp.sum(rr.px))
+        ms = (fetch_ms(fg, rays, pg) - floor) / CHAIN
+        emit(f'grid_256_1M_{name}', ms)
 
 
 if __name__ == '__main__':

@@ -11,6 +11,18 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _dft_mag(marginal, k):
+    """|DFT| of a 1-D marginal for the first k frequencies, as a real
+    cos/sin matmul (complex64 is unsupported on some TPU runtimes — the
+    axon tunnel rejects any complex array; see utils/psf.py)."""
+    n = marginal.shape[0]
+    ang = (-2.0 * jnp.pi / n) * jnp.arange(k)[:, None] * \
+        jnp.arange(n)[None, :]
+    re = jnp.matmul(jnp.cos(ang), marginal, precision='highest')
+    im = jnp.matmul(jnp.sin(ang), marginal, precision='highest')
+    return jnp.sqrt(re * re + im * im + 1e-30)
+
+
 def geometric_mtf(psf, pixel_pitch):
     """MTF along x and y from a [H, W] PSF image.
 
@@ -20,11 +32,11 @@ def geometric_mtf(psf, pixel_pitch):
     """
     psf = jnp.maximum(psf, 0.0)
     total = jnp.maximum(jnp.sum(psf), 1e-12)
-    otf = jnp.abs(jnp.fft.fft2(psf / total))
     h, w = psf.shape
     k = min(h, w) // 2
-    mtf_x = otf[0, :k]
-    mtf_y = otf[:k, 0]
+    # the OTF's x/y axis cuts are the DFTs of the PSF's marginals
+    mtf_x = _dft_mag(jnp.sum(psf / total, axis=0), k)
+    mtf_y = _dft_mag(jnp.sum(psf / total, axis=1), k)
     freqs = jnp.arange(k) / (w * pixel_pitch)
     return freqs, mtf_x, mtf_y
 

@@ -9,8 +9,13 @@ numerical apertures where the Fraunhofer/Fourier-optics approximation holds.
 The reference has no physical-optics layer (geometric spot diagrams only,
 elements/sensor.py:67-176); this goes beyond it, like utils/wavefront.py.
 
-All FFTs map onto the TPU MXU; everything is jit- and grad-safe except the
-pupil binning's scatter-add indices (stop-gradiented like any histogram).
+TPU note: the transforms are computed as real cos/sin DFT matmuls on the
+MXU rather than ``jnp.fft`` — complex64 is unsupported on some TPU
+runtimes (the axon tunnel rejects any complex array), and at pupil-grid
+sizes (N <= 1024) two [N, n] x [n, n] matmul pairs beat an FFT's memory
+shuffles on the systolic array anyway.  Everything is jit- and grad-safe
+except the pupil binning's scatter indices (stop-gradient like any
+histogram).
 
 Units: lengths in the trace's units (mm by convention); pass wavelength in
 the SAME units (e.g. 0.5876e-3 for the helium d line in mm).
@@ -21,6 +26,32 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .wavefront import best_focus, opl_to_point
+
+
+def _dft_mats(n_in, n_out, dtype=jnp.float32):
+    """Real/imag parts of the centered DFT matrix E[u, x] =
+    exp(-2 pi i (u - n_out//2) x / n_out), shape [n_out, n_in] — the output
+    index u is already 'fftshifted' (DC lands at n_out//2)."""
+    u = jnp.arange(n_out) - n_out // 2
+    x = jnp.arange(n_in)
+    ang = (-2.0 * jnp.pi / n_out) * u[:, None] * x[None, :]
+    return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision='highest')
+
+
+def dft2_intensity(re, im, n_out):
+    """|centered 2-D DFT|^2 of the complex field (re + i im) [n, n], zero-
+    padded to n_out, via four real MXU matmuls per axis (no complex dtype)."""
+    n = re.shape[0]
+    C, S = _dft_mats(n, n_out, re.dtype)
+    r1 = _mm(C, re) + _mm(S, im)          # rows transformed: E @ P
+    i1 = _mm(C, im) - _mm(S, re)
+    fr = _mm(r1, C.T) + _mm(i1, S.T)      # columns: (...) @ E^T
+    fi = _mm(i1, C.T) - _mm(r1, S.T)
+    return fr * fr + fi * fi
 
 
 def pupil_from_trace(launch_rays, out_rays, opl, pupil_radius, n=64,
@@ -66,11 +97,9 @@ def diffraction_psf(opd, amp, wavelength, f_number, pad=4):
     (the Airy first zero lands at 1.22 lambda F# = 1.22 * pad pixels).
     """
     n = opd.shape[0]
-    pupil = amp * jnp.exp(2j * jnp.pi * opd / wavelength)
-    big = jnp.zeros((pad * n, pad * n), pupil.dtype)
-    big = big.at[:n, :n].set(pupil)
-    field = jnp.fft.fftshift(jnp.fft.fft2(big))
-    psf = jnp.abs(field) ** 2
+    phase = 2.0 * jnp.pi * opd / wavelength
+    psf = dft2_intensity(amp * jnp.cos(phase), amp * jnp.sin(phase),
+                         pad * n)
     psf = psf / jnp.maximum(jnp.sum(psf), 1e-24)
     dx = wavelength * f_number * n / (pad * n)
     return psf, dx
@@ -83,7 +112,8 @@ def strehl_ratio(opd, amp, wavelength):
     aberrations approaches the Marechal estimate exp(-(2 pi sigma)^2).
     """
     phase = 2.0 * jnp.pi * opd / wavelength
-    num = jnp.abs(jnp.sum(amp * jnp.exp(1j * phase))) ** 2
+    num = (jnp.sum(amp * jnp.cos(phase)) ** 2
+           + jnp.sum(amp * jnp.sin(phase)) ** 2)
     den = jnp.maximum(jnp.sum(amp) ** 2, 1e-24)
     return num / den
 
