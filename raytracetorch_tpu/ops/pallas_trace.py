@@ -46,7 +46,8 @@ accumulation + concat), raised vmem_limit_bytes, and 0 * NaN sanitization
 before block reductions (uneven-grid tail rows read garbage VMEM).
 
 Limitations vs the XLA driver (asserted): no fuzzy callables, no path/hit
-recording, no irradiance grid — use the XLA path for those.
+recording, no HALFSPACES volume bounds — use the XLA path for those.
+(v1 additionally lacks Fresnel/multi-sensor/grids; v2 supports them.)
 """
 
 from __future__ import annotations
