@@ -490,6 +490,203 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
 
 
 # ---------------------------------------------------------------------------
+# Non-sequential fused kernel: the whole bounce loop in VMEM
+# ---------------------------------------------------------------------------
+#
+# The XLA bounce loop (core/trace.py::trace_nonsequential) round-trips the
+# ray state through HBM once per bounce at large N.  This kernel runs the
+# ENTIRE simulation per tile: a lax.fori_loop over bounces (keeps code size
+# independent of the bounce budget) whose body does the incremental
+# nearest-hit winner merge — for each surface row, "this row is the new
+# nearest" = valid & t < best_t, and the proposed state/sensor writes are
+# where-overwritten, which reproduces the argmin-with-first-tie semantics
+# of bounce_step exactly.  Sensor moments ride the loop carry as an
+# (8, 128) tile (slot s in row s, like the sequential kernel).
+#
+# v1 scope (asserted): no stochastic Fresnel rows, no irradiance grids, no
+# fuzzy callables, no HALFSPACES volumes, no early exit (the kernel always
+# runs the full bounce budget — size it honestly for large-N runs).
+
+
+def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, *refs):
+    (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
+    (opx, opy, opz, odx, ody, odz, oii, mom) = refs[9:]
+
+    shape = px[:].shape
+    rows, lanes = shape
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    flat = (pl.program_id(0) * rows + r_idx) * lanes + l_idx
+    mask = flat < n_valid
+
+    pos0 = (px[:], py[:], pz[:])
+    d0 = (dx[:], dy[:], dz[:])
+    ii0 = jnp.where(mask, ii[:], 0.0)
+    wavelength = wl[:]
+    ray_id = rid[:]
+    n_slots = max(cfg.n_sensors, 1)
+
+    from ..constants import BIG
+
+    def bounce(_, carry):
+        pos, d, intensity, mom_acc = carry
+        best_t = jnp.full(shape, BIG, jnp.float32)
+        new_px, new_py, new_pz = pos
+        new_dx, new_dy, new_dz = d
+        imod_b = jnp.ones_like(intensity)
+        slot_sel = jnp.full(shape, -1.0, jnp.float32)
+        hitx = jnp.zeros(shape, jnp.float32)
+        hity = jnp.zeros(shape, jnp.float32)
+        anyhit = jnp.zeros(shape, bool)
+
+        for k, meta in enumerate(static_meta):
+            row = _SmemRow(tab, k)
+            res = intersect(row, pos, d, static_meta=meta)
+            cand = res['valid'] & (intensity > 0)
+            better = cand & (res['t'] < best_t)
+            best_t = jnp.where(better, res['t'], best_t)
+            n_w = normal_world(row, res['hit_s'], static_meta=meta)
+            u = jnp.zeros_like(intensity)
+            dir_k, imod_k = apply_physics_one(meta, row, res['hit_s'], d,
+                                              n_w, u, wavelength=wavelength)
+            new_px = jnp.where(better, pos[0] + res['t'] * d[0], new_px)
+            new_py = jnp.where(better, pos[1] + res['t'] * d[1], new_py)
+            new_pz = jnp.where(better, pos[2] + res['t'] * d[2], new_pz)
+            new_dx = jnp.where(better, dir_k[0], new_dx)
+            new_dy = jnp.where(better, dir_k[1], new_dy)
+            new_dz = jnp.where(better, dir_k[2], new_dz)
+            imod_b = jnp.where(better, imod_k, imod_b)
+            anyhit = anyhit | better
+            if meta.sensor:
+                slot_sel = jnp.where(better, float(meta.slot), slot_sel)
+                # sanitize like the sequential kernel: tail rows read
+                # garbage VMEM and 0 * NaN would poison the reductions
+                hitx = jnp.where(better & mask, res['hit_s'][0], hitx)
+                hity = jnp.where(better & mask, res['hit_s'][1], hity)
+            else:
+                slot_sel = jnp.where(better, -1.0, slot_sel)
+
+        # sensor moments: the *final* winner decides, with the incoming
+        # intensity as weight (bounce_step records the same way)
+        rows_out = []
+        for s in range(8):
+            if s < n_slots:
+                cols = []
+                for b in range(cfg.n_bundles):
+                    wmask = (slot_sel == s) & (ray_id == b)
+                    w = jnp.where(wmask, intensity, 0.0)
+                    x = jnp.where(w > 0, hitx, 0.0)
+                    y = jnp.where(w > 0, hity, 0.0)
+                    cols += [jnp.sum(w), jnp.sum(w * x), jnp.sum(w * y),
+                             jnp.sum(w * x * x), jnp.sum(w * y * y),
+                             jnp.sum(w * x * y),
+                             jnp.sum((w > 0).astype(w.dtype))]
+                vec = jnp.stack(cols)
+                rows_out.append(jnp.concatenate(
+                    [vec, jnp.zeros(128 - vec.size, jnp.float32)]))
+            else:
+                rows_out.append(jnp.zeros(128, jnp.float32))
+        mom_acc = mom_acc + jnp.stack(rows_out)
+
+        pos = (jnp.where(anyhit, new_px, pos[0]),
+               jnp.where(anyhit, new_py, pos[1]),
+               jnp.where(anyhit, new_pz, pos[2]))
+        d = (jnp.where(anyhit, new_dx, d[0]),
+             jnp.where(anyhit, new_dy, d[1]),
+             jnp.where(anyhit, new_dz, d[2]))
+        intensity = jnp.where(anyhit, intensity * imod_b, intensity)
+        return pos, d, intensity, mom_acc
+
+    mom0 = jnp.zeros((8, 128), jnp.float32)
+    pos, d, intensity, mom_acc = jax.lax.fori_loop(
+        0, n_bounces, bounce, (pos0, d0, ii0, mom0))
+
+    opx[:], opy[:], opz[:] = pos
+    odx[:], ody[:], odz[:] = d
+    oii[:] = intensity
+    mom[0] = mom_acc
+
+
+def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
+                        cfg: SensorConfig = SensorConfig(),
+                        static_meta=None, interpret=False, block_rows=64):
+    """Fused forward non-sequential trace (see section notes above).
+    Contract of ``core.trace.trace_nonsequential(early_exit=False)`` minus
+    recording/Fresnel/fuzzy/grids (asserted); returns ``(rays, sensors,
+    {})``."""
+    from ..constants import VBKind
+    assert static_meta is not None, "pallas path needs scene static_meta"
+    assert not cfg.grid_shape, "irradiance grid: use the XLA path"
+    assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
+    for m in static_meta:
+        assert m.ph != 4, "Fresnel (stochastic): use the XLA path"
+        assert m.vb != VBKind.HALFSPACES, "box volumes: use the XLA path"
+
+    n = rays.px.shape[0]
+    rows_total = max(1, -(-n // LANE))
+    n_padded = rows_total * LANE
+    grid = max(1, -(-rows_total // block_rows))
+
+    def pad2(a):
+        if n_padded != n:
+            a = jnp.pad(a, (0, n_padded - n))
+        return a.reshape(rows_total, LANE)
+
+    ins = [pad2(rays.px), pad2(rays.py), pad2(rays.pz),
+           pad2(rays.dx), pad2(rays.dy), pad2(rays.dz),
+           pad2(rays.intensity), pad2(rays.wavelength),
+           pad2(rays.ray_id)]
+
+    ray_block = jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
+    out_shapes = ([ray_block] * 7
+                  + [jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32)])
+
+    kern = functools.partial(_kernel_nonseq, static_meta, cfg, n, n_bounces)
+    flat_tab = flatten_table_rows(table)
+
+    if _HAS_PLTPU and not interpret:
+        block = pl.BlockSpec((block_rows, LANE), lambda i, tab: (i, 0))
+        out_specs = ([block] * 7
+                     + [pl.BlockSpec((1, 8, 128), lambda i, tab: (i, 0, 0))])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(grid,),
+            in_specs=[block] * len(ins), out_specs=out_specs)
+        outs = pl.pallas_call(
+            kern, grid_spec=grid_spec, out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(flat_tab, *ins)
+    else:
+        block = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0))
+        out_specs = ([block] * 7
+                     + [pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))])
+        outs = pl.pallas_call(
+            kern, grid=(grid,),
+            in_specs=[pl.BlockSpec(flat_tab.shape,
+                                   lambda i: (0, 0))] + [block] * len(ins),
+            out_specs=out_specs, out_shape=out_shapes,
+            interpret=True,
+        )(flat_tab, *ins)
+
+    opx, opy, opz, odx, ody, odz, oii, mom = outs
+
+    def unpad(a):
+        return a.reshape(-1)[:n]
+
+    out_rays = rays.replace(px=unpad(opx), py=unpad(opy), pz=unpad(opz),
+                            dx=unpad(odx), dy=unpad(ody), dz=unpad(odz),
+                            intensity=unpad(oii))
+    sensors = SensorState.init(cfg)
+    n_slots = max(cfg.n_sensors, 1)
+    nb = cfg.n_bundles * N_MOMENTS
+    mom_sum = jnp.sum(mom, axis=0)
+    sensors = sensors.replace(
+        moments=mom_sum[:n_slots, :nb].reshape(
+            n_slots, cfg.n_bundles, N_MOMENTS))
+    return out_rays, sensors, {}
+
+
+# ---------------------------------------------------------------------------
 # Backward kernel: fused reverse-mode over the whole chain
 # ---------------------------------------------------------------------------
 #

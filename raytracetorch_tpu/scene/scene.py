@@ -173,6 +173,27 @@ class Scene:
         kw.setdefault('static_meta', self.static_meta())
         return trace_nonsequential(table, rays, key, self.n_bounces, cfg, **kw)
 
+    def simulate_fused(self, params, rays, key, n_bundles=None,
+                       interpret=None, block_rows=64):
+        """Forward-only fused non-sequential trace: the ENTIRE bounce loop
+        runs per VMEM tile (ops/pallas_trace.py::trace_nonseq_pallas) — at
+        large N the XLA loop round-trips the ray state through HBM once
+        per bounce, this kernel once total.  Always runs the full
+        ``n_bounces`` budget (no early exit — size it honestly);
+        recording, Fresnel MC, fuzzy, grids and HALFSPACES volumes stay on
+        ``simulate`` (asserted)."""
+        import jax as _jax
+
+        from ..ops.pallas_trace import trace_nonseq_pallas
+        if interpret is None:
+            interpret = _jax.devices()[0].platform != 'tpu'
+        table = self.build_table(params)
+        cfg = self.sensor_config(n_bundles)
+        return trace_nonseq_pallas(
+            table, rays, key, self.n_bounces, cfg,
+            static_meta=self.static_meta(), interpret=interpret,
+            block_rows=block_rows)
+
     # -- conversions (reference scene/base.py:261-289, sequential.py:80-105)
 
     def to_sequential(self, params=None):
