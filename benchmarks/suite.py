@@ -125,6 +125,14 @@ def main():
     emit('naive_scene_1M_8bounce', ms,
          ray_bounces_per_s=round(N * 8 / ms * 1e3))
 
+    # 3b. same scene through the fused non-sequential kernel
+    fnf = chained(lambda rr, pp: naive.simulate_fused(pp, reset(rr),
+                                                      key)[0],
+                  lambda rr: jnp.sum(rr.px))
+    ms = (fetch_ms(fnf, rays, pn) - floor) / CHAIN
+    emit('naive_scene_1M_8bounce_fused', ms,
+         ray_bounces_per_s=round(N * 8 / ms * 1e3))
+
     # 4. sensor render 1024x1024
     cam = Camera(position=[25.0, 18.0, -25.0], look_at=[0.0, 0.0, 10.0],
                  fov_deg=45.0, width=1024, height=1024)
