@@ -66,6 +66,18 @@ def vb_check_one(kind: int, vb, hp_n, hp_d, hp_mask, hit):
                 & (y <= p[7] + CYL_RECT_EPS) & (y >= p[6] - CYL_RECT_EPS))
         return rect & (z >= z_front + CYL_EDGE_EPS) & (z <= z_back - CYL_EDGE_EPS)
     if kind == VBKind.HALFSPACES:
+        if not hasattr(hp_n, 'ndim'):
+            # Scalar-view row (pallas kernels: ops/pallas_trace.py
+            # _SmemRow/_ValueRow) — unroll the padded planes with scalar
+            # reads; the mask rides the flat table as float 0/1
+            from ..constants import MAX_HALFSPACES
+            ok = jnp.ones(x.shape, bool)
+            for j in range(MAX_HALFSPACES):
+                signed = (hp_n[..., j, 0] * x + hp_n[..., j, 1] * y
+                          + hp_n[..., j, 2] * z) - hp_d[..., j]
+                active = hp_mask[..., j] > 0.5
+                ok = ok & ((signed < CVX_EPS) | ~active)
+            return ok
         signed = (hp_n[..., 0] * x[..., None] + hp_n[..., 1] * y[..., None]
                   + hp_n[..., 2] * z[..., None]) - hp_d
         return jnp.all((signed < CVX_EPS) | ~hp_mask, axis=-1)

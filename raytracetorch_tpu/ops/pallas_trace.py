@@ -46,8 +46,9 @@ accumulation + concat), raised vmem_limit_bytes, and 0 * NaN sanitization
 before block reductions (uneven-grid tail rows read garbage VMEM).
 
 Limitations vs the XLA driver (asserted): no fuzzy callables, no path/hit
-recording, no HALFSPACES volume bounds — use the XLA path for those.
-(v1 additionally lacks Fresnel/multi-sensor/grids; v2 supports them.)
+recording — use the XLA path for those.  HALFSPACES (box/polyhedron)
+volume bounds are supported via scalar plane unrolling.  (v1 additionally
+lacks Fresnel/multi-sensor/grids; v2 supports them.)
 """
 
 from __future__ import annotations
@@ -230,8 +231,9 @@ _ROW_FIELDS = (            # (name, shape) — row-major into the flat vector
     ('q', (5,)), ('n_sign', ()), ('Rw', (3, 3)), ('tw', (3,)),
     ('Rs', (3, 3)), ('ts', (3,)), ('sb', (4,)), ('vb', (8,)),
     ('ph', (6,)), ('asph', (4,)), ('disp', (2,)),
+    ('hp_n', (8, 3)), ('hp_d', (8,)), ('hp_mask', (8,)),
 )
-ROW_WIDTH = 64             # padded flat width (sum of sizes = 54)
+ROW_WIDTH = 128            # padded flat width (sum of sizes = 94)
 
 
 def flatten_table_rows(table):
@@ -283,7 +285,6 @@ class _SmemRow:
             else:
                 setattr(self, name, _SmemView(ref, k, base, shape))
             base += size
-        self.hp_n = self.hp_d = self.hp_mask = None   # HALFSPACES unsupported
 
 
 def _kernel_v2(static_meta, cfg, n_valid, tab, *refs):
@@ -375,14 +376,11 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
     are all supported.  Fresnel branch uniforms are pre-drawn outside the
     kernel with trace_sequential's exact key schedule, so results are
     BITWISE identical to the XLA driver; grids capture sensor-local hits
-    in-kernel and scatter-add outside (Mosaic has no scatter lowering).
-    Still unsupported: HALFSPACES volume bounds, fuzzy callables,
-    path/hit recording."""
-    from ..constants import VBKind
+    in-kernel and scatter-add outside (Mosaic has no scatter lowering);
+    HALFSPACES (box/polyhedron) volume bounds unroll as scalar plane
+    reads.  Still unsupported: fuzzy callables, path/hit recording."""
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
-    for m in static_meta:
-        assert m.vb != VBKind.HALFSPACES, "box volumes: use the XLA path"
 
     n = rays.px.shape[0]
     # Rows only need LANE alignment: the grid may unevenly divide the row
@@ -504,8 +502,9 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
 # (8, 128) tile (slot s in row s, like the sequential kernel).
 #
 # v1 scope (asserted): no stochastic Fresnel rows, no irradiance grids, no
-# fuzzy callables, no HALFSPACES volumes, no early exit (the kernel always
-# runs the full bounce budget — size it honestly for large-N runs).
+# fuzzy callables, no early exit (the kernel always runs the full bounce
+# budget — size it honestly for large-N runs).  HALFSPACES (box/
+# polyhedron) volumes ARE supported via scalar plane unrolling.
 
 
 def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, *refs):
@@ -612,15 +611,13 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
                         static_meta=None, interpret=False, block_rows=64):
     """Fused forward non-sequential trace (see section notes above).
     Contract of ``core.trace.trace_nonsequential(early_exit=False)`` minus
-    recording/Fresnel/fuzzy/grids (asserted); returns ``(rays, sensors,
-    {})``."""
-    from ..constants import VBKind
+    recording/Fresnel/fuzzy/grids (asserted; HALFSPACES volumes ARE
+    supported); returns ``(rays, sensors, {})``."""
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert not cfg.grid_shape, "irradiance grid: use the XLA path"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
     for m in static_meta:
         assert m.ph != 4, "Fresnel (stochastic): use the XLA path"
-        assert m.vb != VBKind.HALFSPACES, "box volumes: use the XLA path"
 
     n = rays.px.shape[0]
     rows_total = max(1, -(-n // LANE))
@@ -748,7 +745,6 @@ class _ValueRow:
             else:
                 setattr(self, name, _ValueView(vals, base, shape))
             base += size
-        self.hp_n = self.hp_d = self.hp_mask = None
 
 
 def _chain_pure(static_meta, cfg, ray_id, u_vals, rows_flat, pos, d,
@@ -864,10 +860,6 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
     returns ``(ct_table, ct_comps)`` where ct_comps is a dict of per-ray
     input cotangents (px..wavelength; the wavelength entry EXCLUDES the
     identity pass-through, added by the caller)."""
-    from ..constants import VBKind
-    for m in static_meta:
-        assert m.vb != VBKind.HALFSPACES, "box volumes: use the XLA path"
-
     n = rays.px.shape[0]
     rows_total = max(1, -(-n // LANE))
     n_padded = rows_total * LANE

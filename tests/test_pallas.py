@@ -222,3 +222,36 @@ def test_nonseq_fused_matches_xla(key):
                                np.asarray(s_ref.spot_rms(0)), rtol=1e-3)
     np.testing.assert_allclose(np.asarray(s_f.centroid(0)),
                                np.asarray(s_ref.centroid(0)), atol=1e-3)
+
+
+def test_nonseq_fused_halfspace_solids(key):
+    """HALFSPACES volume bounds in the fused kernels: a glass wedge
+    polyhedron + box absorber trace identically to the XLA driver (the
+    padded planes unroll as scalar SMEM reads in the kernel)."""
+    import math
+
+    from raytracetorch_tpu import BoxElement, CvxPolyhedronElement, Scene
+
+    alpha, n_g, t = 0.2, 1.5, 2.0
+    sa, ca = math.sin(alpha), math.cos(alpha)
+    prism = CvxPolyhedronElement(
+        normals=[(0, 0, -1), (sa, 0, ca), (0, 1, 0), (0, -1, 0),
+                 (1, 0, 0), (-1, 0, 0)],
+        offsets=[0.0, t, 5.0, 5.0, 8.0, 8.0], ior_glass=n_g, name='wedge')
+    scene = Scene([prism,
+                   BoxElement(length=2.0, width=2.0, height=2.0,
+                              name='blocker', translation=[6.0, 0.0, 15.0]),
+                   SensorElement(radius=50.0, translation=[0, 0, 30.0],
+                                 name='s')], n_bounces=6)
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, -5.0]).sample(key, 2000)
+    out_ref, s_ref, _ = scene.simulate(p, rays, key)
+    out_f, s_f, _ = scene.simulate_fused(p, rays, key, block_rows=2)
+    np.testing.assert_allclose(np.asarray(out_f.pos),
+                               np.asarray(out_ref.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f.intensity),
+                               np.asarray(out_ref.intensity), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_f.moments),
+                               np.asarray(s_ref.moments), rtol=1e-5,
+                               atol=1e-3)
