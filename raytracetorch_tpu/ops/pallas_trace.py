@@ -501,15 +501,26 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
 # of bounce_step exactly.  Sensor moments ride the loop carry as an
 # (8, 128) tile (slot s in row s, like the sequential kernel).
 #
-# v1 scope (asserted): no stochastic Fresnel rows, no irradiance grids, no
-# fuzzy callables, no early exit (the kernel always runs the full bounce
-# budget — size it honestly for large-N runs).  HALFSPACES (box/
-# polyhedron) volumes ARE supported via scalar plane unrolling.
+# Scope (asserted): no irradiance grids, no fuzzy callables, no early
+# exit (the kernel always runs the full bounce budget — size it honestly
+# for large-N runs).  HALFSPACES (box/polyhedron) volumes ARE supported
+# via scalar plane unrolling.  Stochastic Fresnel IS supported on real
+# TPU via the in-kernel PRNG (pltpu.prng_random_bits, seeded from the
+# trace key + tile id) — branch draws differ from the XLA driver's
+# threefry stream, so parity is statistical, not bitwise; interpret mode
+# has no PRNG lowering, so Fresnel scenes assert on CPU.
 
 
-def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, *refs):
+def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     (opx, opy, opz, odx, ody, odz, oii, mom) = refs[9:]
+    has_fresnel = any(m.ph == 4 for m in static_meta)
+    if has_fresnel:
+        # Mosaic takes at most 2 seed words: golden-ratio-mix the tile id
+        # into the second so tiles draw decorrelated streams
+        pltpu.prng_seed(
+            seed[0],
+            seed[1] ^ (pl.program_id(0) * jnp.int32(-1640531527)))
 
     shape = px[:].shape
     rows, lanes = shape
@@ -545,7 +556,17 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, *refs):
             better = cand & (res['t'] < best_t)
             best_t = jnp.where(better, res['t'], best_t)
             n_w = normal_world(row, res['hit_s'], static_meta=meta)
-            u = jnp.zeros_like(intensity)
+            if meta.ph == 4:      # FRESNEL: in-kernel uniform branch draw
+                bits = pltpu.prng_random_bits(shape)
+                if bits.dtype != jnp.uint32:
+                    bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
+                # top 24 bits -> [0, 1); Mosaic lacks uint->float casts so
+                # route through an int32 bitcast (top byte is zero)
+                sh = jax.lax.shift_right_logical(bits, jnp.uint32(8))
+                i24 = jax.lax.bitcast_convert_type(sh, jnp.int32)
+                u = i24.astype(jnp.float32) * (1.0 / (1 << 24))
+            else:
+                u = jnp.zeros_like(intensity)
             dir_k, imod_k = apply_physics_one(meta, row, res['hit_s'], d,
                                               n_w, u, wavelength=wavelength)
             new_px = jnp.where(better, pos[0] + res['t'] * d[0], new_px)
@@ -611,13 +632,17 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
                         static_meta=None, interpret=False, block_rows=64):
     """Fused forward non-sequential trace (see section notes above).
     Contract of ``core.trace.trace_nonsequential(early_exit=False)`` minus
-    recording/Fresnel/fuzzy/grids (asserted; HALFSPACES volumes ARE
-    supported); returns ``(rays, sensors, {})``."""
+    recording/fuzzy/grids (asserted; HALFSPACES volumes and — on real
+    TPU — stochastic Fresnel ARE supported); returns ``(rays, sensors,
+    {})``."""
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert not cfg.grid_shape, "irradiance grid: use the XLA path"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
-    for m in static_meta:
-        assert m.ph != 4, "Fresnel (stochastic): use the XLA path"
+    if interpret:
+        for m in static_meta:
+            assert m.ph != 4, \
+                "Fresnel needs the TPU in-kernel PRNG: use the XLA path " \
+                "on CPU/interpret"
 
     n = rays.px.shape[0]
     rows_total = max(1, -(-n // LANE))
@@ -640,30 +665,35 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
 
     kern = functools.partial(_kernel_nonseq, static_meta, cfg, n, n_bounces)
     flat_tab = flatten_table_rows(table)
+    # PRNG seed for in-kernel Fresnel draws (tile id decorrelates tiles)
+    seed = jax.random.key_data(key).reshape(-1)[:2].astype(jnp.int32)
 
     if _HAS_PLTPU and not interpret:
-        block = pl.BlockSpec((block_rows, LANE), lambda i, tab: (i, 0))
+        block = pl.BlockSpec((block_rows, LANE),
+                             lambda i, tab, seed: (i, 0))
         out_specs = ([block] * 7
-                     + [pl.BlockSpec((1, 8, 128), lambda i, tab: (i, 0, 0))])
+                     + [pl.BlockSpec((1, 8, 128),
+                                     lambda i, tab, seed: (i, 0, 0))])
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(grid,),
+            num_scalar_prefetch=2, grid=(grid,),
             in_specs=[block] * len(ins), out_specs=out_specs)
         outs = pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shapes,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(flat_tab, *ins)
+        )(flat_tab, seed, *ins)
     else:
         block = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0))
         out_specs = ([block] * 7
                      + [pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))])
         outs = pl.pallas_call(
             kern, grid=(grid,),
-            in_specs=[pl.BlockSpec(flat_tab.shape,
-                                   lambda i: (0, 0))] + [block] * len(ins),
+            in_specs=[pl.BlockSpec(flat_tab.shape, lambda i: (0, 0)),
+                      pl.BlockSpec(seed.shape, lambda i: (0,))]
+            + [block] * len(ins),
             out_specs=out_specs, out_shape=out_shapes,
             interpret=True,
-        )(flat_tab, *ins)
+        )(flat_tab, seed, *ins)
 
     opx, opy, opz, odx, ody, odz, oii, mom = outs
 
