@@ -106,7 +106,14 @@ def intersect(row, pos, direction, static_meta=None):
         v1 = v1 & sb(v3.fma(o_s, t1, d_s))
         v2 = v2 & sb(v3.fma(o_s, t2, d_s))
 
-    scale = jnp.sqrt(v3.norm2(o_s) + 1e-12)
+    # Self-intersection guard scale: the f32 error of a landed hit point
+    # scales with the WORLD coordinate magnitude (pos ~ tw + o_s — the
+    # subtraction above cancels catastrophically), not just the local
+    # offset.  With |o_s| alone, near-axis rays landing on a far plane
+    # (|o_s| ~ 0.1 at z ~ 19) re-hit it at t ~ 5e-6 > eps and re-apply
+    # physics — observed as >1% phantom sensor re-crossings whose count
+    # depended on how XLA fused the previous bounce's FMA.
+    scale = jnp.sqrt(v3.norm2(o_s) + v3.norm2(pos) + 1e-12)
     roots = ([(t1, v1)] if static_meta is not None and static_meta.plane
              else [(t1, v1), (t2, v2)])
     t, valid = min_positive(roots, scale=jax.lax.stop_gradient(scale))

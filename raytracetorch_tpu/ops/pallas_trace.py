@@ -501,9 +501,10 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
 # of bounce_step exactly.  Sensor moments ride the loop carry as an
 # (8, 128) tile (slot s in row s, like the sequential kernel).
 #
-# Scope (asserted): no irradiance grids, no fuzzy callables, no early
-# exit (the kernel always runs the full bounce budget — size it honestly
-# for large-N runs).  HALFSPACES (box/polyhedron) volumes ARE supported
+# Scope (asserted): no irradiance grids, no fuzzy callables.  The bounce
+# loop is a lax.while_loop with per-tile early exit (all-settled tiles
+# skip their remaining budget).  HALFSPACES (box/polyhedron) volumes ARE
+# supported
 # via scalar plane unrolling.  Stochastic Fresnel IS supported on real
 # TPU via the in-kernel PRNG (pltpu.prng_random_bits, seeded from the
 # trace key + tile id) — branch draws differ from the XLA driver's
@@ -538,8 +539,8 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
 
     from ..constants import BIG
 
-    def bounce(_, carry):
-        pos, d, intensity, mom_acc = carry
+    def bounce(carry):
+        b, _, pos, d, intensity, mom_acc = carry
         best_t = jnp.full(shape, BIG, jnp.float32)
         new_px, new_py, new_pz = pos
         new_dx, new_dy, new_dz = d
@@ -615,11 +616,21 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
              jnp.where(anyhit, new_dy, d[1]),
              jnp.where(anyhit, new_dz, d[2]))
         intensity = jnp.where(anyhit, intensity * imod_b, intensity)
-        return pos, d, intensity, mom_acc
+        alive = jnp.any(anyhit & (intensity > 0)).astype(jnp.int32)
+        return b + 1, alive, pos, d, intensity, mom_acc
+
+    # while_loop gives this TILE true early exit: once no ray interacts
+    # (or every survivor has zero intensity), remaining bounces cost
+    # nothing — the default 100-bounce budget is safe to use fused
+    # (matches trace_nonsequential's cond-guarded scan semantics).
+    def keep_going(carry):
+        b, alive, *_ = carry
+        return (b < n_bounces) & (alive > 0)
 
     mom0 = jnp.zeros((8, 128), jnp.float32)
-    pos, d, intensity, mom_acc = jax.lax.fori_loop(
-        0, n_bounces, bounce, (pos0, d0, ii0, mom0))
+    _, _, pos, d, intensity, mom_acc = jax.lax.while_loop(
+        keep_going, bounce,
+        (jnp.int32(0), jnp.int32(1), pos0, d0, ii0, mom0))
 
     opx[:], opy[:], opz[:] = pos
     odx[:], ody[:], odz[:] = d
@@ -631,10 +642,10 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
                         cfg: SensorConfig = SensorConfig(),
                         static_meta=None, interpret=False, block_rows=64):
     """Fused forward non-sequential trace (see section notes above).
-    Contract of ``core.trace.trace_nonsequential(early_exit=False)`` minus
+    Contract of ``core.trace.trace_nonsequential`` minus
     recording/fuzzy/grids (asserted; HALFSPACES volumes and — on real
-    TPU — stochastic Fresnel ARE supported); returns ``(rays, sensors,
-    {})``."""
+    TPU — stochastic Fresnel ARE supported; per-tile early exit);
+    returns ``(rays, sensors, {})``."""
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert not cfg.grid_shape, "irradiance grid: use the XLA path"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"

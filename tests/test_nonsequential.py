@@ -178,3 +178,33 @@ def test_early_exit_gradients(key):
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_no_phantom_sensor_recrossings(key):
+    """Regression: the self-intersection epsilon must scale with the WORLD
+    coordinate magnitude, not just the surface-local offset — near-axis
+    rays landing on a far sensor plane used to re-hit it at t ~ 5e-6 and
+    re-record (>1% phantom flux, dependent on how XLA fused the previous
+    bounce).  Total recorded flux of a Fresnel singlet must equal the
+    transmitted fraction (< launched) and be budget-independent."""
+    import numpy as np
+
+    from raytracetorch_tpu import (CollimatedDisk, Scene, SensorElement,
+                                   SingletLens)
+
+    r = CollimatedDisk.make(radius=jnp.float32(4.0),
+                            translation=[0, 0, -10.0]).sample(key, 10_000)
+    fluxes = []
+    for nb in (3, 6, 12):
+        scene = Scene([
+            SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0,
+                        ior_glass=1.5168, fresnel=True, name='lens'),
+            SensorElement(radius=8.0, translation=[0, 0, 19.3], name='s'),
+        ], n_bounces=nb)
+        _, sens, _ = scene.simulate(scene.init_params(), r, key)
+        fluxes.append(float(sens.moments[0, 0, 0]))
+    # < launched (Fresnel losses), > 90% (only ~4% reflects per surface),
+    # and converged by nb=6 (double-ghosts are the only late additions)
+    assert 9000 < fluxes[0] <= 10_000
+    assert abs(fluxes[2] - fluxes[1]) < 5
+    assert fluxes[2] - fluxes[0] < 50

@@ -104,3 +104,32 @@ def test_sharded_fused_trace_matches(key):
     np.testing.assert_allclose(np.asarray(s_sh.grid),
                                np.asarray(s_ref.grid), rtol=1e-5, atol=1e-4)
     scene.grid_shape = ()
+
+
+def test_sharded_nonseq_fused_matches(key):
+    """Scene.simulate_fused_sharded: the bounce-loop kernel under
+    shard_map reproduces the unsharded XLA nonseq trace on the virtual
+    mesh."""
+    from raytracetorch_tpu import Scene
+
+    scene = Scene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    name='lens'),
+        CircularAperture(radius=5.0, name='stop'),
+        SensorElement(radius=6.0, translation=[0.0, 0.0, 19.0],
+                      name='sensor'),
+    ], n_bounces=8)
+    params = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0.0, 0.0, -10.0]).sample(key,
+                                                                     4096)
+    out_ref, s_ref, _ = scene.simulate(params, rays, key)
+    mesh = make_mesh(8)
+    out_sh, s_sh, _ = jax.jit(lambda p, r, k: scene.simulate_fused_sharded(
+        p, r, k, mesh, block_rows=1))(params, shard_rays(rays, mesh), key)
+    # per-ray mismatch budget for compile-cache FP jitter (see
+    # tests/test_pallas.py::test_nonseq_fused_matches_xla)
+    dp = np.abs(np.asarray(out_sh.pos) - np.asarray(out_ref.pos)).max(1)
+    assert int(np.sum(dp > 1e-4)) <= 8
+    np.testing.assert_allclose(np.asarray(s_sh.moments)[0, 0, 0],
+                               np.asarray(s_ref.moments)[0, 0, 0], atol=8.0)
