@@ -364,9 +364,11 @@ let gizmoRotate = false;
     moved = true;
     drag[0] = e.clientX; drag[1] = e.clientY;
     if (gizmo) {
+      const first = !gizmoBegun;
+      gizmoBegun = true;   // set BEFORE the await: parallel mousemoves must
+                           // not each claim the gesture's undo snapshot
       const r = await post('/api/gizmo', {index: selEl, delta: [dx, dy],
-        mode: gizmoRotate ? 'rot' : 'trans', begin: !gizmoBegun});
-      gizmoBegun = true;
+        mode: gizmoRotate ? 'rot' : 'trans', begin: first});
       st((gizmoRotate ? 'rot ' : 'pos ') +
          (gizmoRotate ? r.rot : r.trans).map(x=>x.toFixed(3)).join(', '));
     }

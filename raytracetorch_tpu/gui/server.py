@@ -57,16 +57,26 @@ class Workbench:
         self.reset_camera()
 
     # -- undo/redo ---------------------------------------------------------
-    # Element specs are immutable (edits replace them in the list) and jax
-    # arrays are immutable, so a snapshot is shallow copies of the element/
-    # bundle lists + per-element param dicts.  Every mutating endpoint
-    # pushes one snapshot (gizmo drags coalesce: one per drag gesture).
+    # Element specs are treated as immutable by the form editors (edits
+    # replace them in the list) and jax arrays are immutable, so a snapshot
+    # is shallow copies of the element/bundle lists + per-element param
+    # dicts — EXCEPT the pose fields the gizmo mutates in place
+    # (_trans_init/_rot_init/_ctor_config translation+rotation), which are
+    # captured and restored explicitly.  Every mutating endpoint pushes one
+    # snapshot (gizmo drags coalesce: one per drag gesture).
 
     def _snapshot(self):
+        poses = []
+        for el in self.scene.elements:
+            cc = getattr(el, '_ctor_config', None)
+            poses.append((el, list(el._trans_init), list(el._rot_init),
+                          None if cc is None else cc.get('translation'),
+                          None if cc is None else cc.get('rotation')))
         return dict(cls=type(self.scene),
                     elements=list(self.scene.elements),
                     bundles=list(self.scene.bundles),
                     n_bounces=self.scene.n_bounces,
+                    poses=poses,
                     params={k: dict(v) for k, v in self.params.items()})
 
     def push_undo(self):
@@ -80,6 +90,16 @@ class Workbench:
         sc.grid_shape = self.scene.grid_shape
         sc.grid_half_extent = self.scene.grid_half_extent
         self.scene = sc
+        for el, trans, rot, cc_t, cc_r in snap['poses']:
+            el._trans_init = list(trans)
+            el._rot_init = list(rot)
+            cc = getattr(el, '_ctor_config', None)
+            if cc is not None:
+                for k, v in (('translation', cc_t), ('rotation', cc_r)):
+                    if v is None:
+                        cc.pop(k, None)
+                    else:
+                        cc[k] = list(v)
         self.params = {k: dict(v) for k, v in snap['params'].items()}
         self._render_cache = None
 

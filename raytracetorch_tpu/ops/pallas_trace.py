@@ -309,58 +309,28 @@ def _kernel_v2(static_meta, cfg, n_valid, tab, *refs):
     intensity = jnp.where(flat < n_valid, intensity, 0.0)
 
     n_slots = max(cfg.n_sensors, 1)
-    partials = [[[jnp.float32(0.0)] * N_MOMENTS
-                 for _ in range(cfg.n_bundles)] for _ in range(n_slots)]
+    rows_k = [_SmemRow(tab, k) for k in range(len(static_meta))]
+    u_vals = [u[:] for u in u_refs]
+    (pos, d, intensity), mom_vec, caps = _chain_pure(
+        static_meta, cfg, ray_id, u_vals, rows_k, pos, d, intensity,
+        wavelength, capture=capture)
 
-    f_idx = cap_i = 0
-    for k, meta in enumerate(static_meta):
-        row = _SmemRow(tab, k)
-        res = intersect(row, pos, d, static_meta=meta)
-        active = res['valid'] & (intensity > 0)
-        n_w = normal_world(row, res['hit_s'], static_meta=meta)
-        if meta.ph == 4:                # FRESNEL: stochastic branch draw
-            u = u_refs[f_idx][:]
-            f_idx += 1
-        else:
-            u = jnp.zeros_like(intensity)
-        new_dir, imod = apply_physics_one(meta, row, res['hit_s'], d, n_w, u,
-                                          wavelength=wavelength)
-        new_pos = tuple(p_ + res['t'] * d_ for p_, d_ in zip(pos, d))
-
-        if meta.sensor:
-            w = jnp.where(active, intensity, 0.0)
-            # sanitize: rows past the uneven grid tail read garbage VMEM,
-            # and 0 * NaN = NaN would poison the block reduction
-            x = jnp.where(w > 0, res['hit_s'][0], 0.0)
-            y = jnp.where(w > 0, res['hit_s'][1], 0.0)
-            terms = (w, w * x, w * y, w * x * x, w * y * y, w * x * y,
-                     (w > 0).astype(w.dtype))
-            ps = partials[meta.slot]
-            for b in range(cfg.n_bundles):
-                wb = jnp.where(ray_id == b, 1.0, 0.0)
-                for m, t in enumerate(terms):
-                    ps[b][m] = ps[b][m] + jnp.sum(t * wb)
-            if capture:             # local hits out for the XLA grid pass
-                cap_refs[3 * cap_i][:] = x
-                cap_refs[3 * cap_i + 1][:] = y
-                cap_refs[3 * cap_i + 2][:] = w
-                cap_i += 1
-
-        pos = tuple(jnp.where(active, a, b) for a, b in zip(new_pos, pos))
-        d = tuple(jnp.where(active, a, b) for a, b in zip(new_dir, d))
-        intensity = jnp.where(active, intensity * imod, intensity)
+    for cap_i, (x, y, w) in enumerate(caps):
+        cap_refs[3 * cap_i][:] = x          # hits out for the XLA grid pass
+        cap_refs[3 * cap_i + 1][:] = y
+        cap_refs[3 * cap_i + 2][:] = w
 
     opx[:], opy[:], opz[:] = pos
     odx[:], ody[:], odz[:] = d
     oii[:] = intensity
     # mom tile row s carries slot s's B*7 moment partials in its lanes
+    nb = cfg.n_bundles * N_MOMENTS
     rows_out = []
     for s in range(8):
         if s < n_slots:
-            vec = jnp.stack([partials[s][b][m] for b in range(cfg.n_bundles)
-                             for m in range(N_MOMENTS)])
             rows_out.append(jnp.concatenate(
-                [vec, jnp.zeros(128 - vec.size, jnp.float32)]))
+                [mom_vec[s * nb:(s + 1) * nb],
+                 jnp.zeros(128 - nb, jnp.float32)]))
         else:
             rows_out.append(jnp.zeros(128, jnp.float32))
     mom[0] = jnp.stack(rows_out)
@@ -747,7 +717,7 @@ def _row_size():
     return total
 
 
-_ROW_SIZE = _row_size()                                   # = 54
+_ROW_SIZE = _row_size()           # = 94 (54 core + 40 half-space)
 
 
 class _ValueView:
@@ -771,7 +741,8 @@ class _ValueView:
 
 
 class _ValueRow:
-    """Duck-typed SurfaceTable row over a flat tuple of 54 scalars —
+    """Duck-typed SurfaceTable row over a flat tuple of _ROW_SIZE
+    scalars —
     differentiable stand-in for _SmemRow (jax.vjp can't differentiate
     w.r.t. a Ref, but it can w.r.t. the values read from one)."""
 
@@ -788,15 +759,19 @@ class _ValueRow:
             base += size
 
 
-def _chain_pure(static_meta, cfg, ray_id, u_vals, rows_flat, pos, d,
-                intensity, wavelength):
-    """The fused surface chain as a pure function for jax.vjp.  Matches
-    _kernel_v2's loop exactly (same helpers, same masking); returns the
-    final ray state and the stacked sensor-moment vector."""
-    rows = [_ValueRow(v) for v in rows_flat]
+def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
+                intensity, wavelength, capture=False):
+    """The fused surface chain — the SINGLE implementation behind both
+    the forward kernel (_kernel_v2, rows = _SmemRow list) and the
+    backward transpose (rows = _ValueRow list under jax.vjp).  Returns
+    ``((pos, d, intensity), mom_vec, caps)`` where mom_vec is the
+    stacked [n_slots * B * N_MOMENTS] sensor-moment vector and ``caps``
+    holds one (x, y, w) triple per sensor row when ``capture`` (the
+    irradiance-grid hit capture)."""
     n_slots = max(cfg.n_sensors, 1)
     partials = [[[jnp.zeros((), intensity.dtype)] * N_MOMENTS
                  for _ in range(cfg.n_bundles)] for _ in range(n_slots)]
+    caps = []
     f_idx = 0
     for k, meta in enumerate(static_meta):
         row = rows[k]
@@ -813,6 +788,8 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows_flat, pos, d,
         new_pos = tuple(p_ + res['t'] * d_ for p_, d_ in zip(pos, d))
 
         if meta.sensor:
+            # sanitize: rows past the uneven grid tail read garbage VMEM,
+            # and 0 * NaN = NaN would poison the block reduction
             w = jnp.where(active, intensity, 0.0)
             x = jnp.where(w > 0, res['hit_s'][0], 0.0)
             y = jnp.where(w > 0, res['hit_s'][1], 0.0)
@@ -823,6 +800,8 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows_flat, pos, d,
                 wb = jnp.where(ray_id == b, 1.0, 0.0)
                 for m, t in enumerate(terms):
                     ps[b][m] = ps[b][m] + jnp.sum(t * wb)
+            if capture:
+                caps.append((x, y, w))
 
         pos = tuple(jnp.where(active, a, b) for a, b in zip(new_pos, pos))
         d = tuple(jnp.where(active, a, b) for a, b in zip(new_dir, d))
@@ -831,7 +810,7 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows_flat, pos, d,
     mom_vec = jnp.stack([partials[s][b][m] for s in range(n_slots)
                          for b in range(cfg.n_bundles)
                          for m in range(N_MOMENTS)])
-    return (pos, d, intensity), mom_vec
+    return (pos, d, intensity), mom_vec, caps
 
 
 def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, tab, ctm, *refs):
@@ -865,7 +844,13 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, tab, ctm, *refs):
     rows_flat = tuple(tuple(tab[k, j] for j in range(_ROW_SIZE))
                       for k in range(K))
 
-    chain = functools.partial(_chain_pure, static_meta, cfg, ray_id, u_vals)
+    def chain(rows_flat, pos, d, intensity, wavelength):
+        rows_v = [_ValueRow(v) for v in rows_flat]
+        state, mom_vec, _ = _chain_pure(static_meta, cfg, ray_id, u_vals,
+                                        rows_v, pos, d, intensity,
+                                        wavelength)
+        return state, mom_vec
+
     _, vjp = jax.vjp(chain, rows_flat, pos, d, intensity, wavelength)
 
     gp = (jnp.where(mask, gpx[:], 0.0), jnp.where(mask, gpy[:], 0.0),
@@ -966,7 +951,7 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
         return a.reshape(-1)[:n]
 
     cpx, cpy, cpz, cdx, cdy, cdz, cii, cwl = [unpad(o) for o in outs[:8]]
-    ct_flat = jnp.sum(outs[8], axis=0)[:K, :ROW_WIDTH]    # [K, 64]
+    ct_flat = jnp.sum(outs[8], axis=0)[:K, :ROW_WIDTH]  # [K, ROW_WIDTH]
 
     _, tab_vjp = jax.vjp(flatten_table_rows, table)
     (ct_table,) = tab_vjp(ct_flat)

@@ -60,6 +60,41 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def mesh_ray_axes(mesh):
+    """The mesh axes the ray batch shards over (subset of RAY_AXES
+    present in the mesh)."""
+    return tuple(a for a in RAY_AXES if a in mesh.axis_names)
+
+
+def shard_index(mesh, axes):
+    """Linear shard index over the given mesh axes (inside shard_map) —
+    used to fold per-shard PRNG keys."""
+    import jax
+    idx = jax.lax.axis_index(axes[0])
+    for a in axes[1:]:
+        idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+    return idx
+
+
+def shard_map_trace(local, mesh):
+    """shard_map wiring shared by the fused-kernel sharded drivers
+    (scene.simulate_fused_sharded): ``local(table, rays_shard, key)`` runs
+    per shard; the table and key replicate, rays shard over the ray axes,
+    and outputs are (sharded rays, replicated sensors).  Returns
+    ``(wrapped_fn, axes)``."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:                          # newer jax
+        from jax import shard_map
+    axes = mesh_ray_axes(mesh)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(axes), P()),
+                   out_specs=(P(axes), P()),
+                   check_rep=False)
+    return fn, axes
+
+
 def init_multihost(coordinator_address=None, num_processes=None,
                    process_id=None):
     """Initialize multi-host JAX (DCN across slices/hosts).

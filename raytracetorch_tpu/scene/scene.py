@@ -204,14 +204,10 @@ class Scene:
         each ray shard and psums the sensor moments.  The PRNG key is
         folded with the shard index (Fresnel draws decorrelate)."""
         import jax as _jax
-        from jax.sharding import PartitionSpec as P
 
-        try:
-            from jax.experimental.shard_map import shard_map
-        except ImportError:                      # newer jax
-            from jax.sharding import shard_map
         from ..ops.pallas_trace import trace_nonseq_pallas
-        from ..parallel.sharding import RAY_AXES
+        from ..parallel.sharding import (mesh_ray_axes, shard_index,
+                                         shard_map_trace)
 
         if interpret is None:
             interpret = _jax.devices()[0].platform != 'tpu'
@@ -219,13 +215,10 @@ class Scene:
         cfg = self.sensor_config(n_bundles)
         meta = self.static_meta()
         n_bounces = self.n_bounces
-        axes = tuple(a for a in RAY_AXES if a in mesh.axis_names)
+        axes = mesh_ray_axes(mesh)
 
         def local(table, rays_shard, key):
-            idx = _jax.lax.axis_index(axes[0])
-            for a in axes[1:]:
-                idx = idx * mesh.shape[a] + _jax.lax.axis_index(a)
-            k_local = jax.random.fold_in(key, idx)
+            k_local = jax.random.fold_in(key, shard_index(mesh, axes))
             out, sens, _ = trace_nonseq_pallas(
                 table, rays_shard, k_local, n_bounces, cfg,
                 static_meta=meta, interpret=interpret,
@@ -233,10 +226,7 @@ class Scene:
             return out, sens.replace(
                 moments=_jax.lax.psum(sens.moments, axes))
 
-        f = shard_map(local, mesh=mesh,
-                      in_specs=(P(), P(axes), P()),
-                      out_specs=(P(axes), P()),
-                      check_rep=False)
+        f, _ = shard_map_trace(local, mesh)
         out, sens = f(table, rays, key)
         return out, sens, {}
 
@@ -304,27 +294,20 @@ class SequentialScene(Scene):
         unsharded trace statistically, not bitwise, for Fresnel scenes).
         """
         import jax as _jax
-        from jax.sharding import PartitionSpec as P
 
-        try:
-            from jax.experimental.shard_map import shard_map
-        except ImportError:                      # newer jax
-            from jax.sharding import shard_map
         from ..ops.pallas_trace import fused_trace_grad
-        from ..parallel.sharding import RAY_AXES
+        from ..parallel.sharding import (mesh_ray_axes, shard_index,
+                                         shard_map_trace)
 
         if interpret is None:
             interpret = _jax.devices()[0].platform != 'tpu'
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
         meta_t = tuple(self.static_meta())
-        axes = tuple(a for a in RAY_AXES if a in mesh.axis_names)
+        axes = mesh_ray_axes(mesh)
 
         def local(table, rays_shard, key):
-            idx = _jax.lax.axis_index(axes[0])
-            for a in axes[1:]:
-                idx = idx * mesh.shape[a] + _jax.lax.axis_index(a)
-            k_local = jax.random.fold_in(key, idx)
+            k_local = jax.random.fold_in(key, shard_index(mesh, axes))
             out, sens, _ = fused_trace_grad(
                 cfg, meta_t, (interpret, block_rows), table, rays_shard,
                 k_local)
@@ -334,10 +317,7 @@ class SequentialScene(Scene):
                       if cfg.grid_shape else sens.grid))
             return out, sens
 
-        f = shard_map(local, mesh=mesh,
-                      in_specs=(P(), P(axes), P()),
-                      out_specs=(P(axes), P()),
-                      check_rep=False)
+        f, _ = shard_map_trace(local, mesh)
         out, sens = f(table, rays, key)
         return out, sens, {}
 

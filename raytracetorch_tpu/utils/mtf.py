@@ -11,12 +11,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _dft_mag(marginal, k):
-    """|DFT| of a 1-D marginal for the first k frequencies, as a real
-    cos/sin matmul (complex64 is unsupported on some TPU runtimes — the
-    axon tunnel rejects any complex array; see utils/psf.py)."""
+def _dft_mag(marginal, k, denom):
+    """|DFT| of a 1-D marginal at frequencies j/(denom * pitch) for
+    j < k, as a real cos/sin matmul (complex64 is unsupported on some
+    TPU runtimes — the axon tunnel rejects any complex array; see
+    utils/psf.py).  ``denom`` sets the frequency grid independently of
+    the marginal's length so x and y share one axis."""
     n = marginal.shape[0]
-    ang = (-2.0 * jnp.pi / n) * jnp.arange(k)[:, None] * \
+    ang = (-2.0 * jnp.pi / denom) * jnp.arange(k)[:, None] * \
         jnp.arange(n)[None, :]
     re = jnp.matmul(jnp.cos(ang), marginal, precision='highest')
     im = jnp.matmul(jnp.sin(ang), marginal, precision='highest')
@@ -26,17 +28,19 @@ def _dft_mag(marginal, k):
 def geometric_mtf(psf, pixel_pitch):
     """MTF along x and y from a [H, W] PSF image.
 
-    Returns (freqs_cyc_per_unit [K], mtf_x [K], mtf_y [K]) where K = W//2
-    (x) resp. H//2 (y) truncated to the shorter; frequencies in cycles per
-    length unit of ``pixel_pitch``.
+    Returns (freqs_cyc_per_unit [K], mtf_x [K], mtf_y [K]) with K = W//2;
+    both curves are sampled on the SAME frequency grid k/(W*pitch) (the
+    y-marginal's DFT is evaluated at those frequencies explicitly, so a
+    non-square PSF does not stretch the y curve); frequencies in cycles
+    per length unit of ``pixel_pitch``.
     """
     psf = jnp.maximum(psf, 0.0)
     total = jnp.maximum(jnp.sum(psf), 1e-12)
     h, w = psf.shape
-    k = min(h, w) // 2
+    k = w // 2
     # the OTF's x/y axis cuts are the DFTs of the PSF's marginals
-    mtf_x = _dft_mag(jnp.sum(psf / total, axis=0), k)
-    mtf_y = _dft_mag(jnp.sum(psf / total, axis=1), k)
+    mtf_x = _dft_mag(jnp.sum(psf / total, axis=0), k, w)
+    mtf_y = _dft_mag(jnp.sum(psf / total, axis=1), k, w)
     freqs = jnp.arange(k) / (w * pixel_pitch)
     return freqs, mtf_x, mtf_y
 

@@ -184,12 +184,19 @@ def test_gizmo_drag_and_undo_redo(server):
     state = json.loads(_get(base, '/api/state'))
     assert np.allclose(state['elements'][0]['config']['params']['translation'],
                        moved2, atol=1e-6)
-    # one undo reverts the whole gesture
+    # one undo reverts the whole gesture — INCLUDING the element's pose
+    # fields the gizmo mutates in place (forms/saves must match the trace)
     _post(base, '/api/undo', {})
     assert np.allclose(np.asarray(wb.params['lens']['trans']), before)
+    el = wb.scene.elements[0]
+    assert np.allclose(el._trans_init, before, atol=1e-6)
+    state = json.loads(_get(base, '/api/state'))
+    assert np.allclose(state['elements'][0]['config']['params'].get(
+        'translation', [0, 0, 0]), before, atol=1e-6)
     # redo replays it
     _post(base, '/api/redo', {})
     assert np.allclose(np.asarray(wb.params['lens']['trans']), moved2)
+    assert np.allclose(el._trans_init, moved2, atol=1e-6)
     _post(base, '/api/undo', {})          # leave the shared scene unmoved
     assert np.allclose(np.asarray(wb.params['lens']['trans']), before)
 
