@@ -40,6 +40,7 @@ from .project import (load_params, load_project, load_scene, save_params,
                       save_project)
 from .scene.scene import Scene, SequentialScene
 from .scene.scene import describe
+from .utils.coatings import coating_rt, unpolarized_reflectance
 from .utils.glass import glass, glass_pair
 from .utils.tolerancing import monte_carlo_tolerance, per_ray_perturbed_trace
 from .utils.psf import (diffraction_mtf, diffraction_psf,

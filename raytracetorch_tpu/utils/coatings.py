@@ -1,0 +1,101 @@
+"""Differentiable thin-film multilayer coatings (characteristic-matrix
+method).
+
+Beyond-reference capability: the reference's Fresnel physics models bare
+interfaces only (phys/std.py:148); real optics carry AR/HR dielectric
+stacks.  This module computes s/p reflectance and transmittance of an
+arbitrary dielectric multilayer as a pure jax function of the layer
+thicknesses and indices — so `jax.grad` designs coatings (see
+examples/10_coating_design.py) just like it designs lens curvatures.
+
+Physics: the standard 2x2 characteristic matrix per layer
+``M_l = [[cos delta, i sin delta / eta], [i eta sin delta, cos delta]]``
+with phase thickness ``delta = 2 pi n d cos(theta) / lambda`` and tilted
+admittance ``eta_s = n cos(theta)``, ``eta_p = n / cos(theta)`` (Macleod,
+"Thin-Film Optical Filters", ch. 2).  Stack matrix B/C gives the
+amplitude r = (eta0 B - C) / (eta0 B + C).
+
+Implementation note: all complex arithmetic is carried as explicit
+(re, im) pairs — complex64 is unsupported on some TPU runtimes (the axon
+tunnel rejects any complex array; same constraint as utils/psf.py).
+Dielectric (real-index) stacks only; cos(theta) in each layer follows
+from Snell's law and is real below TIR.
+
+Units: wavelength and thicknesses in the same unit (conventionally um
+here, matching dispersion's wavelength_um).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _cos_layers(n_in, n_layers, cos_i):
+    """cos(theta) in each layer + exit medium via Snell (real branch;
+    clamped at TIR so gradients stay finite)."""
+    sin_i2 = jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+    # n_in sin_i = n_l sin_l
+    return [jnp.sqrt(jnp.maximum(
+        1.0 - (n_in / nl) ** 2 * sin_i2, 1e-12)) for nl in n_layers]
+
+
+def coating_rt(n_stack, d_stack, n_in, n_out, cos_i, wavelength, pol='s'):
+    """Amplitude reflectance/transmittance of a dielectric multilayer.
+
+    Args:
+      n_stack: sequence of layer indices (first layer adjacent to the
+        incidence medium), may be empty for a bare interface.
+      d_stack: matching physical thicknesses.
+      n_in, n_out: incidence / substrate indices.
+      cos_i: cosine of the angle of incidence (array ok).
+      wavelength: same units as d_stack.
+      pol: 's' or 'p'.
+
+    Returns ``(R, T)`` intensity coefficients (broadcast over inputs).
+    """
+    n_all = list(n_stack)
+    cos_l = _cos_layers(n_in, n_all + [n_out], cos_i)
+    cos_layers, cos_t = cos_l[:-1], cos_l[-1]
+
+    def eta(n, c):
+        return n * c if pol == 's' else n / jnp.maximum(c, 1e-6)
+
+    eta0 = eta(n_in, cos_i)
+    eta_sub = eta(n_out, cos_t)
+
+    # stack vector (B, C) = prod(M_l) @ (1, eta_sub), complex as (re, im)
+    B_re, B_im = jnp.ones_like(cos_i + wavelength), jnp.zeros_like(
+        cos_i + wavelength)
+    C_re, C_im = eta_sub * B_re, jnp.zeros_like(B_re)
+    for nl, dl, cl in zip(reversed(n_all), reversed(list(d_stack)),
+                          reversed(cos_layers)):
+        delta = 2.0 * jnp.pi * nl * dl * cl / wavelength
+        cd, sd = jnp.cos(delta), jnp.sin(delta)
+        el = eta(nl, cl)
+        # [[cd, i sd/el], [i el sd, cd]] @ (B, C)
+        nB_re = cd * B_re - (sd / el) * C_im
+        nB_im = cd * B_im + (sd / el) * C_re
+        nC_re = cd * C_re - el * sd * B_im
+        nC_im = cd * C_im + el * sd * B_re
+        B_re, B_im, C_re, C_im = nB_re, nB_im, nC_re, nC_im
+
+    # r = (eta0 B - C) / (eta0 B + C)
+    num_re, num_im = eta0 * B_re - C_re, eta0 * B_im - C_im
+    den_re, den_im = eta0 * B_re + C_re, eta0 * B_im + C_im
+    den2 = jnp.maximum(den_re * den_re + den_im * den_im, 1e-24)
+    R = (num_re * num_re + num_im * num_im) / den2
+    # T = 4 eta0 Re(eta_sub) / |eta0 B + C|^2 (dielectric, real etas)
+    T = 4.0 * eta0 * eta_sub / den2
+    return R, T
+
+
+def unpolarized_reflectance(n_stack, d_stack, n_in, n_out, cos_i,
+                            wavelength):
+    """Mean of s and p reflectance (matches the bare-interface Fresnel
+    convention of core/physics.py::fresnel_reflectance when the stack is
+    empty)."""
+    Rs, _ = coating_rt(n_stack, d_stack, n_in, n_out, cos_i, wavelength,
+                       pol='s')
+    Rp, _ = coating_rt(n_stack, d_stack, n_in, n_out, cos_i, wavelength,
+                       pol='p')
+    return 0.5 * (Rs + Rp)
