@@ -83,3 +83,7 @@ class PhysKind(enum.IntEnum):
     LINEAR = 5       # phys/std.py:35
     APERTURE = 6     # phys/filter.py:10
     GRATING = 7      # (beyond reference) linear diffraction grating
+    FRESNEL_W = 8    # (beyond reference) deterministic weighted Fresnel:
+                     # always refract, intensity *= (1 - R) — the
+                     # differentiable "main beam with coating losses"
+                     # model (MC FRESNEL branch draws are stop-gradient)

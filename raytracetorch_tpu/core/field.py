@@ -158,7 +158,8 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
     direction the intensity trace chose, ``imod`` its intensity modifier.
     Returns the new (Er, Ei) component tuples (unmasked — the caller merges
     with the interaction mask)."""
-    if meta.ph in (PhysKind.SNELL, PhysKind.FRESNEL):
+    if meta.ph in (PhysKind.SNELL, PhysKind.FRESNEL,
+                   PhysKind.FRESNEL_W):
         if meta.disp and wavelength is not None:
             from .static_dispatch import dispersive_iors
             n_in, n_out = dispersive_iors(row, wavelength)

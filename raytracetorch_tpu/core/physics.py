@@ -77,13 +77,16 @@ def fresnel_reflectance(cos_i, cos_t, n1, n2):
     return 0.5 * (rs + rp)
 
 
-def fresnel_dir(d, n, ior_in, ior_out, u):
+def fresnel_dir(d, n, ior_in, ior_out, u, R_override=None):
     """Monte-Carlo Fresnel: stochastically reflect with probability R else
     refract (phys/std.py:148-219).  ``u`` is a per-ray uniform draw — the
-    *choice* is non-differentiable by construction."""
+    *choice* is non-differentiable by construction.  ``R_override``
+    replaces the bare-interface reflectance (thin-film coated surfaces,
+    core/static_dispatch.py::coated_reflectance)."""
     dot, cos_i, n1, n2, mu, tir, cos_t, eff_sign = refract_components(
         d, n, ior_in, ior_out)
-    R = fresnel_reflectance(cos_i, cos_t, n1, n2)
+    R = (fresnel_reflectance(cos_i, cos_t, n1, n2)
+         if R_override is None else R_override)
     R = jnp.where(tir, 1.0, R)
     reflect_mask = u < R
     v_reflect = v3.fma(d, -2.0 * dot, n)

@@ -89,10 +89,10 @@ class StaticRowMeta:
     before tracing (Scene.static_meta)."""
 
     __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp',
-                 'plane', 'slot')
+                 'plane', 'slot', 'n_coat')
 
     def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False,
-                 disp=False, plane=False, slot=0):
+                 disp=False, plane=False, slot=0, n_coat=0):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
@@ -100,6 +100,7 @@ class StaticRowMeta:
         self.disp = bool(disp)
         self.plane = bool(plane)
         self.slot = int(slot)       # sensor slot index (0 if not a sensor)
+        self.n_coat = int(n_coat)   # static thin-film layer count
 
 
 def dispersive_iors(row, wavelength_um):
@@ -116,13 +117,34 @@ def dispersive_iors(row, wavelength_um):
     return n_in, n_out
 
 
+def coated_reflectance(meta: StaticRowMeta, row, d, n, n_in, n_out,
+                       wavelength=None):
+    """Unpolarized reflectance of this row's thin-film stack at the ray's
+    incidence (utils/coatings.py characteristic matrices; meta.n_coat is
+    the static layer count; row.coat interleaves (index, thickness_um)).
+
+    A lossless dielectric stack has the same R from either side at the
+    same ray (Stokes reciprocity), so the incidence-side (n1 -> stack ->
+    n2) ordering from refract_components is correct for rays arriving
+    from the substrate too."""
+    from ..utils.coatings import unpolarized_reflectance
+    from .physics import refract_components
+    _, cos_i, n1, n2, _, _, _, _ = refract_components(d, n, n_in, n_out)
+    ns = [row.coat[..., 2 * i] for i in range(meta.n_coat)]
+    ds = [row.coat[..., 2 * i + 1] for i in range(meta.n_coat)]
+    lam = (jnp.where(wavelength > 0, wavelength, 0.5876)
+           if wavelength is not None else 0.5876)
+    return unpolarized_reflectance(ns, ds, n1, n2, cos_i, lam)
+
+
 def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None):
     """Refractive index of the medium a ray travels in AFTER this surface
     (for optical-path-length accumulation).  Refraction moves the ray into
     the transmission-side medium unless TIR (or a Fresnel reflection draw)
     keeps it in the incidence medium; every other interaction leaves the
     medium unchanged (returns None)."""
-    if meta.ph not in (PhysKind.SNELL, PhysKind.FRESNEL):
+    if meta.ph not in (PhysKind.SNELL, PhysKind.FRESNEL,
+                       PhysKind.FRESNEL_W):
         return None
     from .physics import fresnel_reflectance, refract_components
     if meta.disp and wavelength is not None:
@@ -131,9 +153,13 @@ def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None):
         n_in, n_out = row.ph[..., 0], row.ph[..., 1]
     dot, cos_i, n1, n2, mu, tir, cos_t, _ = refract_components(
         d, n, n_in, n_out)
-    if meta.ph == PhysKind.SNELL:
+    if meta.ph in (PhysKind.SNELL, PhysKind.FRESNEL_W):
         return jnp.where(tir, n1, n2)
-    R = jnp.where(tir, 1.0, fresnel_reflectance(cos_i, cos_t, n1, n2))
+    if meta.n_coat:
+        R_raw = coated_reflectance(meta, row, d, n, n_in, n_out, wavelength)
+    else:
+        R_raw = fresnel_reflectance(cos_i, cos_t, n1, n2)
+    R = jnp.where(tir, 1.0, R_raw)
     return jnp.where(u < R, n1, n2)
 
 
@@ -157,7 +183,22 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
     if kind == PhysKind.SNELL:
         return snell_dir(d, n, n_in, n_out), ones
     if kind == PhysKind.FRESNEL:
-        return fresnel_dir(d, n, n_in, n_out, u), ones
+        R_ov = (coated_reflectance(meta, row, d, n, n_in, n_out, wavelength)
+                if meta.n_coat else None)
+        return fresnel_dir(d, n, n_in, n_out, u, R_override=R_ov), ones
+    if kind == PhysKind.FRESNEL_W:
+        # deterministic weighted Fresnel: refract (TIR -> reflect, full
+        # power), intensity *= (1 - R) — differentiable in R and thus in
+        # coating thicknesses, unlike the FRESNEL branch draw
+        from .physics import fresnel_reflectance, refract_components
+        _, cos_i, n1, n2, _, tir, cos_t, _ = refract_components(
+            d, n, n_in, n_out)
+        if meta.n_coat:
+            R = coated_reflectance(meta, row, d, n, n_in, n_out, wavelength)
+        else:
+            R = fresnel_reflectance(cos_i, cos_t, n1, n2)
+        imod = jnp.where(tir, 1.0, jnp.clip(1.0 - R, 0.0, 1.0))
+        return snell_dir(d, n, n_in, n_out), imod
     if kind == PhysKind.LINEAR:
         return linear_dir(d, hit_local, row.Rw, row.ph[..., 2], row.ph[..., 3],
                           row.ph[..., 4], row.ph[..., 5]), ones

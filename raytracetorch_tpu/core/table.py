@@ -49,6 +49,7 @@ class SurfaceTable(struct.PyTreeNode):
     ph: jnp.ndarray         # [K, 6] physics params
     asph: jnp.ndarray       # [K, 4] even-asphere coefficients a4..a10
     disp: jnp.ndarray       # [K, 2] Cauchy B terms (um^2): ior_in, ior_out
+    coat: jnp.ndarray       # [K, 8] thin-film stack: (n, d_um) x 4 layers
     is_sensor: jnp.ndarray  # [K] bool
     sensor_slot: jnp.ndarray  # [K] int32 (0 if not a sensor)
     elem_id: jnp.ndarray    # [K] int32
@@ -95,6 +96,8 @@ class SurfaceRec:
     is_asphere: bool = False
     disp: Sequence = ()          # Cauchy B (um^2) for (ior_in, ior_out)
     is_dispersive: bool = False
+    coat: Sequence = ()          # interleaved (n, d_um) pairs, outermost 1st
+    n_coat: int = 0              # static layer count (0 = bare interface)
     is_sensor: bool = False
     sensor_slot: int = 0
     is_plane: bool = False       # static: row is a z=0 plane (fast path)
@@ -143,6 +146,7 @@ def stack_records(recs, elem_ids, surf_ids, dtype=jnp.float32):
         ph=jnp.stack([_pad_vec(r.ph, 6, dtype) for r in recs]),
         asph=jnp.stack([_pad_vec(r.asph, 4, dtype) for r in recs]),
         disp=jnp.stack([_pad_vec(r.disp, 2, dtype) for r in recs]),
+        coat=jnp.stack([_pad_vec(r.coat, 8, dtype) for r in recs]),
         is_sensor=jnp.asarray([bool(r.is_sensor) for r in recs]),
         sensor_slot=jnp.asarray([int(r.sensor_slot) for r in recs], jnp.int32),
         elem_id=jnp.asarray(elem_ids, jnp.int32),

@@ -93,6 +93,8 @@ class _SphericLens(Element):
         return 2 * self.n_optical - 1   # faces + edges
 
     def _refract_kind(self):
+        if self.fresnel == 'weighted':
+            return PhysKind.FRESNEL_W
         return PhysKind.FRESNEL if self.fresnel else PhysKind.SNELL
 
     def _edge_phys(self, p):
@@ -119,12 +121,18 @@ class _SphericLens(Element):
             q, sign = q_quadric(c, 0.0)
             Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(zv))
             disp = (bs[i + 1], bs[i]) if bs is not None else ()
+            coat_ns = getattr(self, 'coating_n', None)
+            coat = []
+            if coat_ns:
+                for li, nl in enumerate(coat_ns):
+                    coat += [nl, p['coat_d'][li]]
             recs.append(SurfaceRec(
                 q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
                 sb_kind=SBKind.HEMI, sb=(c,),
                 vb_kind=VBKind.APER_R2, vb=(r * r,),
                 ph_kind=kind, ph=(iors[i + 1], iors[i]),
-                disp=disp, is_dispersive=bs is not None))
+                disp=disp, is_dispersive=bs is not None,
+                coat=coat, n_coat=len(coat_ns or ())))
 
         edge_kind, edge_ph = self._edge_phys(p)
         for i in range(self.n_optical - 1):
@@ -169,7 +177,7 @@ class SingletLens(_SphericLens):
     def __init__(self, c1, c2, d, t, ior_glass, ior_media=1.0,
                  c1_grad=False, c2_grad=False, t_grad=False, d_grad=False,
                  ior_glass_grad=False, ior_media_grad=False,
-                 abbe_vd=None,
+                 abbe_vd=None, coating=None, coating_grad=False,
                  fresnel=False, inked=False, name='singlet', **kw):
         super().__init__(name=name, **kw)
         self.abbe_vd = abbe_vd
@@ -178,6 +186,17 @@ class SingletLens(_SphericLens):
                           ior_glass=ior_glass, ior_media=ior_media)
         self._grads = dict(c1=c1_grad, c2=c2_grad, t=t_grad, radius=d_grad,
                            ior_glass=ior_glass_grad, ior_media=ior_media_grad)
+        if coating:
+            # thin-film stack on BOTH optical faces, listed outermost
+            # (air-side) first: [(index, thickness_um), ...].  Indices are
+            # static structure; thicknesses are the trainable 'coat_d'
+            # param (utils/coatings.py; used by the FRESNEL Monte-Carlo
+            # branch draw, core/static_dispatch.py::coated_reflectance).
+            if len(coating) > 4:
+                raise ValueError("at most 4 coating layers per surface")
+            self.coating_n = [float(n) for n, _ in coating]
+            self._init['coat_d'] = [float(dd) for _, dd in coating]
+            self._grads['coat_d'] = coating_grad
         self.fresnel = fresnel
         self.inked = inked
 

@@ -232,8 +232,9 @@ _ROW_FIELDS = (            # (name, shape) — row-major into the flat vector
     ('Rs', (3, 3)), ('ts', (3,)), ('sb', (4,)), ('vb', (8,)),
     ('ph', (6,)), ('asph', (4,)), ('disp', (2,)),
     ('hp_n', (8, 3)), ('hp_d', (8,)), ('hp_mask', (8,)),
+    ('coat', (8,)),
 )
-ROW_WIDTH = 128            # padded flat width (sum of sizes = 94)
+ROW_WIDTH = 128            # padded flat width (sum of sizes = 102)
 
 
 def flatten_table_rows(table):
@@ -717,7 +718,7 @@ def _row_size():
     return total
 
 
-_ROW_SIZE = _row_size()           # = 94 (54 core + 40 half-space)
+_ROW_SIZE = _row_size()    # = 102 (54 core + 40 half-space + 8 coat)
 
 
 class _ValueView:

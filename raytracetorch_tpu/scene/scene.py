@@ -148,7 +148,8 @@ class Scene:
                                               r.is_dispersive,
                                               plane=r.is_plane,
                                               slot=slot if el.is_sensor
-                                              else 0))
+                                              else 0,
+                                              n_coat=r.n_coat))
                 if el.is_sensor:    # mirrors build_table's slot assignment
                     slot += 1
             self._static_meta = meta

@@ -88,3 +88,100 @@ def test_gradients_finite_through_tir_clamp():
     g = jax.grad(lambda d: unpolarized_reflectance(
         [NC], [d], 1.0, NS, cos_i, jnp.float32(WL)))(jnp.float32(0.1))
     assert np.isfinite(float(g))
+
+
+def test_coated_fresnel_mc_trace(key):
+    """Coated surfaces in the Monte-Carlo trace: a quarter-wave MgF2 coat
+    on both faces lifts the transmitted fraction from (1-4.2%)^2 to
+    (1-1.28%)^2 (statistically, 50k rays)."""
+    from raytracetorch_tpu import (CollimatedDisk, Scene, SensorElement,
+                                   SingletLens)
+
+    r = CollimatedDisk.make(radius=jnp.float32(1.0),
+                            translation=[0, 0, -10.0]).sample(key, 50_000)
+    d_qw = 0.5876 / (4 * NC)
+    fracs = {}
+    for label, coat in (('bare', None), ('qw', [(NC, d_qw)])):
+        scene = Scene([
+            SingletLens(c1=0.02, c2=-0.02, d=10.0, t=3.0, ior_glass=NS,
+                        fresnel=True, coating=coat, name='lens'),
+            SensorElement(radius=8.0, translation=[0, 0, 19.3], name='s'),
+        ], n_bounces=6)
+        _, sens, _ = scene.simulate(scene.init_params(), r, key)
+        fracs[label] = float(sens.moments[0, 0, 0]) / r.n
+    np.testing.assert_allclose(fracs['bare'], (1 - 0.0426) ** 2, atol=0.01)
+    np.testing.assert_allclose(fracs['qw'], (1 - 0.0128) ** 2, atol=0.01)
+
+
+def test_weighted_fresnel_differentiable_design(key):
+    """FRESNEL_W (deterministic weighted Fresnel): transmission matches
+    (1-R)^2 exactly, and jax.grad through the TRACE w.r.t. the coating
+    thickness drives it to the quarter-wave optimum."""
+    import optax
+
+    from raytracetorch_tpu import (CollimatedDisk, Scene, SensorElement,
+                                   SingletLens)
+
+    r = CollimatedDisk.make(radius=jnp.float32(1.0),
+                            translation=[0, 0, -10.0]).sample(key, 5_000)
+    scene = Scene([
+        SingletLens(c1=0.02, c2=-0.02, d=10.0, t=3.0, ior_glass=NS,
+                    fresnel='weighted', coating=[(NC, 0.1)],
+                    coating_grad=True, name='lens'),
+        SensorElement(radius=8.0, translation=[0, 0, 19.3], name='s'),
+    ], n_bounces=6)
+    p0 = scene.init_params()
+    d_qw = 0.5876 / (4 * NC)
+
+    @jax.jit
+    def flux(coat_d):
+        p = dict(p0)
+        p['lens'] = {**p0['lens'], 'coat_d': coat_d}
+        _, sens, _ = scene.simulate(p, r, key)
+        return sens.moments[0, 0, 0] / r.n
+
+    f_qw = float(flux(jnp.asarray([d_qw], jnp.float32)))
+    R_qw = ((NS - NC * NC) / (NS + NC * NC)) ** 2
+    np.testing.assert_allclose(f_qw, (1 - R_qw) ** 2, atol=1e-3)
+
+    @jax.jit
+    def design(d):
+        opt = optax.adam(2e-3)
+        def step(carry, _):
+            d, st = carry
+            g = jax.grad(lambda dd: -flux(dd))(d)
+            up, st = opt.update(g, st)
+            return (jnp.clip(d + up, 1e-3, 0.3), st), None
+        (d, _), _ = jax.lax.scan(step, (d, opt.init(d)), None, length=150)
+        return d
+
+    d_opt = float(design(jnp.asarray([0.06], jnp.float32))[0])
+    np.testing.assert_allclose(d_opt, d_qw, atol=0.003)
+
+
+def test_coated_fresnel_fused_parity(key):
+    """Coated Fresnel in the fused sequential kernel matches the XLA
+    driver: same pre-drawn u schedule + identical coated R formula.  (The
+    two compilations differ in last-ulp quadric-solve rounding on curved
+    faces, so the comparison is tolerance-based with a tiny budget for
+    u ~ R branch flips — unlike the bitwise plane-geometry test in
+    tests/test_pallas.py.)"""
+    from raytracetorch_tpu import (CollimatedDisk, SensorElement,
+                                   SequentialScene, SingletLens)
+
+    scene = SequentialScene([
+        SingletLens(c1=0.02, c2=-0.02, d=10.0, t=3.0, ior_glass=NS,
+                    fresnel=True, coating=[(NC, 0.1064)], name='lens'),
+        SensorElement(radius=8.0, translation=[0, 0, 19.3], name='s'),
+    ])
+    p = scene.init_params()
+    n = 3000
+    r = CollimatedDisk.make(radius=jnp.float32(1.0),
+                            translation=[0, 0, -10.0]).sample(key, n)
+    out_ref, s_ref, _ = scene.simulate(p, r, key)
+    out_f, s_f, _ = scene.simulate_fused(p, r, key, block_rows=2)
+    dd = np.abs(np.asarray(out_f.dir) - np.asarray(out_ref.dir)).max(1)
+    assert int(np.sum(dd > 1e-4)) <= 0.003 * n
+    np.testing.assert_allclose(np.asarray(s_f.moments),
+                               np.asarray(s_ref.moments), rtol=1e-2,
+                               atol=10.0)
