@@ -26,10 +26,10 @@ from raytracetorch_tpu import (CollimatedDisk, Scene, SensorElement,
 OUT = os.path.join(os.path.dirname(__file__), 'output')
 
 
-def make_scene(grid=True):
+def make_scene(grid=True, coating=None):
     scene = Scene([
         SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5168,
-                    fresnel=True, name='lens'),
+                    fresnel=True, coating=coating, name='lens'),
         SensorElement(radius=8.0, translation=[0.0, 0.0, 19.3],
                       name='sensor'),
     ], n_bounces=12)
@@ -56,9 +56,19 @@ def main():
     c = slice(h // 2 - h // 8, h // 2 + h // 8)
     core = img[c, c].sum()
     print(f'sensor flux: {total:.0f} of {rays.n} rays')
-    print(f'ghost + stray fraction outside the core: '
-          f'{(total - core) / total:.4f} '
+    ghost_bare = (total - core) / total
+    print(f'ghost + stray fraction outside the core: {ghost_bare:.2e} '
           f'(single-surface Fresnel reflectance ~4%)')
+
+    # quarter-wave MgF2 on both faces (utils/coatings.py, examples/10):
+    # R drops 4.26% -> 1.28% per surface, double-reflection ghosts ~11x
+    coated = make_scene(coating=[(1.38, 0.5876 / (4 * 1.38))])
+    _, s_c, _ = jax.jit(lambda p, r, k: coated.simulate(p, r, k))(
+        coated.init_params(), rays, jax.random.PRNGKey(1))
+    img_c = np.asarray(s_c.grid[0])
+    ghost_coat = (img_c.sum() - img_c[c, c].sum()) / img_c.sum()
+    print(f'with a quarter-wave MgF2 AR coat: {ghost_coat:.2e} '
+          f'({ghost_bare / max(ghost_coat, 1e-12):.1f}x less stray light)')
 
     fused_note = ''
     if jax.devices()[0].platform == 'tpu':

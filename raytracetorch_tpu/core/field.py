@@ -158,8 +158,15 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
     direction the intensity trace chose, ``imod`` its intensity modifier.
     Returns the new (Er, Ei) component tuples (unmasked — the caller merges
     with the interaction mask)."""
-    if meta.ph in (PhysKind.SNELL, PhysKind.FRESNEL,
-                   PhysKind.FRESNEL_W):
+    if meta.ph == PhysKind.FRESNEL_W:
+        # weighted Fresnel already puts the (1 - R) power loss in imod;
+        # scaling |E|^2 by the flux-normalized t amplitudes too would
+        # double-count it in the intensity * |E|^2 sensor weights.
+        raise NotImplementedError(
+            "track_field with fresnel='weighted' double-counts the "
+            "transmission loss; use fresnel=True (Monte-Carlo) for "
+            "polarization-resolved traces")
+    if meta.ph in (PhysKind.SNELL, PhysKind.FRESNEL):
         if meta.disp and wavelength is not None:
             from .static_dispatch import dispersive_iors
             n_in, n_out = dispersive_iors(row, wavelength)
