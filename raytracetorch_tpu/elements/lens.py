@@ -97,6 +97,20 @@ class _SphericLens(Element):
             return PhysKind.FRESNEL_W
         return PhysKind.FRESNEL if self.fresnel else PhysKind.SNELL
 
+    def _set_coating(self, coating, coating_grad):
+        """Thin-film stack on the EXTERNAL (air-glass) faces, listed
+        outermost (air-side) first: [(index, thickness_um), ...].  Indices
+        are static structure; thicknesses are the trainable 'coat_d' param
+        (utils/coatings.py; core/static_dispatch.py::coated_reflectance).
+        Cemented interfaces stay bare."""
+        if not coating:
+            return
+        if len(coating) > 4:
+            raise ValueError("at most 4 coating layers per surface")
+        self.coating_n = [float(n) for n, _ in coating]
+        self._init['coat_d'] = [float(dd) for _, dd in coating]
+        self._grads['coat_d'] = coating_grad
+
     def _edge_phys(self, p):
         """(kind, params) for edge surfaces; overridden per lens type."""
         iors = self._ior_chain(p)
@@ -122,8 +136,9 @@ class _SphericLens(Element):
             Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(zv))
             disp = (bs[i + 1], bs[i]) if bs is not None else ()
             coat_ns = getattr(self, 'coating_n', None)
+            external = i in (0, self.n_optical - 1)   # air-glass faces
             coat = []
-            if coat_ns:
+            if coat_ns and external:
                 for li, nl in enumerate(coat_ns):
                     coat += [nl, p['coat_d'][li]]
             recs.append(SurfaceRec(
@@ -132,7 +147,7 @@ class _SphericLens(Element):
                 vb_kind=VBKind.APER_R2, vb=(r * r,),
                 ph_kind=kind, ph=(iors[i + 1], iors[i]),
                 disp=disp, is_dispersive=bs is not None,
-                coat=coat, n_coat=len(coat_ns or ())))
+                coat=coat, n_coat=len(coat_ns or ()) if external else 0))
 
         edge_kind, edge_ph = self._edge_phys(p)
         for i in range(self.n_optical - 1):
@@ -186,17 +201,7 @@ class SingletLens(_SphericLens):
                           ior_glass=ior_glass, ior_media=ior_media)
         self._grads = dict(c1=c1_grad, c2=c2_grad, t=t_grad, radius=d_grad,
                            ior_glass=ior_glass_grad, ior_media=ior_media_grad)
-        if coating:
-            # thin-film stack on BOTH optical faces, listed outermost
-            # (air-side) first: [(index, thickness_um), ...].  Indices are
-            # static structure; thicknesses are the trainable 'coat_d'
-            # param (utils/coatings.py; used by the FRESNEL Monte-Carlo
-            # branch draw, core/static_dispatch.py::coated_reflectance).
-            if len(coating) > 4:
-                raise ValueError("at most 4 coating layers per surface")
-            self.coating_n = [float(n) for n, _ in coating]
-            self._init['coat_d'] = [float(dd) for _, dd in coating]
-            self._grads['coat_d'] = coating_grad
+        self._set_coating(coating, coating_grad)
         self.fresnel = fresnel
         self.inked = inked
 
@@ -297,6 +302,7 @@ class DoubletLens(_SphericLens):
                  t1_grad=False, t2_grad=False, d_grad=False,
                  ior_glass1_grad=False, ior_glass2_grad=False,
                  ior_media_grad=False, abbe_vd1=None, abbe_vd2=None,
+                 coating=None, coating_grad=False,
                  fresnel=False, name='doublet', **kw):
         super().__init__(name=name, **kw)
         self.abbe_vd1, self.abbe_vd2 = abbe_vd1, abbe_vd2
@@ -311,6 +317,7 @@ class DoubletLens(_SphericLens):
                            ior_glass1=ior_glass1_grad,
                            ior_glass2=ior_glass2_grad,
                            ior_media=ior_media_grad)
+        self._set_coating(coating, coating_grad)
         self.fresnel = fresnel
 
     def extra_params(self):
@@ -357,7 +364,8 @@ class TripletLens(_SphericLens):
                  c3_grad=False, c4_grad=False, t1_grad=False, t2_grad=False,
                  t3_grad=False, d_grad=False, ior_glass1_grad=False,
                  ior_glass2_grad=False, ior_glass3_grad=False,
-                 ior_media_grad=False, fresnel=False, name='triplet', **kw):
+                 ior_media_grad=False, coating=None, coating_grad=False,
+                 fresnel=False, name='triplet', **kw):
         super().__init__(name=name, **kw)
         tt = t1 + t2 + t3
         zs = [-tt / 2.0]
@@ -374,6 +382,7 @@ class TripletLens(_SphericLens):
                            ior_glass2=ior_glass2_grad,
                            ior_glass3=ior_glass3_grad,
                            ior_media=ior_media_grad)
+        self._set_coating(coating, coating_grad)
         self.fresnel = fresnel
 
     def extra_params(self):
