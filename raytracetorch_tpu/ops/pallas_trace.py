@@ -13,8 +13,8 @@ final state once — a single HBM round trip for the entire trace.
 Scope: the v2 kernel is fully differentiable — `fused_trace_grad` pairs
 it with a fused Pallas BACKWARD kernel (`_kernel_v2_bwd`: the chain is
 re-traced per tile and transposed by jax.vjp at kernel-trace time), so a
-16M-ray value_and_grad step runs 20.6 ms vs 47.1 ms for the XLA path
-(2.3x, v5e).  Grid-enabled configs fall back to XLA-recompute backward.
+16M-ray value_and_grad step runs 18.1 ms vs 47.1 ms for the XLA path
+(2.6x, v5e).  Grid-enabled configs fall back to XLA-recompute backward.
 Run under `interpret=True` for CPU tests.
 
 MEASURED FINDINGS (v5e, 5-surface singlet chain, chained device timing):
@@ -28,11 +28,12 @@ MEASURED FINDINGS (v5e, 5-surface singlet chain, chained device timing):
   the XLA path is at the per-surface HBM-round-trip roofline there, while
   v2 makes ONE round trip for the whole chain:
 
-      N rays   XLA ms   v2 ms   speedup
-      1 M      0.34     0.49    0.7x (XLA state stays in VMEM — use XLA)
-      4 M      3.59     1.94    1.9x
-      16 M     19.1     8.46    2.3x
-      64 M     77.4     33.8    2.3x   (1.9 G rays/s sustained)
+      N rays   XLA ms   v2 ms   speedup      (block_rows=16 default;
+      1 M      0.34     0.49    0.7x          the 64-row tiles this was
+      4 M      3.59     1.32    2.7x          first tuned with measured
+      16 M     19.6     6.77    2.9x          8.46/33.8 at 16M/64M —
+      64 M     77.4     31.7    2.4x          smaller tiles pipeline
+                                              better, BASELINE.md)
 
   Exposed as ``SequentialScene.simulate_fused``.  Zero pad/unpad copies
   when N % 512 == 0 (the row grid may divide unevenly; the tail block is
@@ -340,7 +341,7 @@ def _kernel_v2(static_meta, cfg, n_valid, tab, *refs):
 def trace_sequential_pallas_v2(table, rays: Rays, key,
                                cfg: SensorConfig = SensorConfig(),
                                static_meta=None, interpret=False,
-                               block_rows=64):
+                               block_rows=16):
     """Fused forward sequential trace, v2 (see module notes above).  Same
     contract/limitations as v1 except: dispersion, gratings, stochastic
     Fresnel, multi-sensor scenes (per-slot moments) and irradiance grids
@@ -611,7 +612,7 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
 
 def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
                         cfg: SensorConfig = SensorConfig(),
-                        static_meta=None, interpret=False, block_rows=64):
+                        static_meta=None, interpret=False, block_rows=16):
     """Fused forward non-sequential trace (see section notes above).
     Contract of ``core.trace.trace_nonsequential`` minus
     recording/fuzzy/grids (asserted; HALFSPACES volumes and — on real
@@ -882,7 +883,7 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, tab, ctm, *refs):
 
 def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
                                    static_meta, g_rays, g_moments,
-                                   interpret=False, block_rows=64):
+                                   interpret=False, block_rows=16):
     """Fused backward of trace_sequential_pallas_v2 (same wrapper shape):
     returns ``(ct_table, ct_comps)`` where ct_comps is a dict of per-ray
     input cotangents (px..wavelength; the wavelength entry EXCLUDES the

@@ -175,7 +175,7 @@ class Scene:
         return trace_nonsequential(table, rays, key, self.n_bounces, cfg, **kw)
 
     def simulate_fused(self, params, rays, key, n_bundles=None,
-                       interpret=None, block_rows=64):
+                       interpret=None, block_rows=16):
         """Forward-only fused non-sequential trace: the ENTIRE bounce loop
         runs per VMEM tile (ops/pallas_trace.py::trace_nonseq_pallas) — at
         large N the XLA loop round-trips the ray state through HBM once
@@ -199,7 +199,7 @@ class Scene:
 
     def simulate_fused_sharded(self, params, rays, key, mesh,
                                n_bundles=None, interpret=None,
-                               block_rows=64):
+                               block_rows=16):
         """``simulate_fused`` across a device mesh (see the sequential
         variant's docstring): shard_map runs the bounce-loop kernel on
         each ray shard and psums the sensor moments.  The PRNG key is
@@ -259,7 +259,7 @@ class SequentialScene(Scene):
         return trace_sequential(table, rays, key, cfg, **kw)
 
     def simulate_fused(self, params, rays, key, n_bundles=None,
-                       interpret=None, block_rows=64):
+                       interpret=None, block_rows=16):
         """Fused Pallas trace: the whole surface chain runs in VMEM tiles —
         ONE HBM round trip for the ray state, vs one per surface for the
         XLA path.  Measured on v5e: 2.3x faster at 64M rays (33.8 vs
@@ -283,7 +283,7 @@ class SequentialScene(Scene):
 
     def simulate_fused_sharded(self, params, rays, key, mesh,
                                n_bundles=None, interpret=None,
-                               block_rows=64):
+                               block_rows=16):
         """``simulate_fused`` across a device mesh: shard_map runs the
         Pallas kernel per-shard on the local ray slice (pallas_call does
         not auto-shard like the XLA trace does), then psums the sensor
