@@ -44,7 +44,7 @@ from .utils.coatings import coating_rt, unpolarized_reflectance
 from .utils.glass import glass, glass_pair
 from .utils.tolerancing import monte_carlo_tolerance, per_ray_perturbed_trace
 from .utils.psf import (diffraction_mtf, diffraction_psf,
-                        pupil_from_trace, strehl_ratio)
+                        polychromatic_psf, pupil_from_trace, strehl_ratio)
 from .utils.wavefront import best_focus, wavefront_rms
 
 __version__ = '0.1.0'

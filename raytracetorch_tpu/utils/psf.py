@@ -28,13 +28,17 @@ import jax.numpy as jnp
 from .wavefront import best_focus, opl_to_point
 
 
-def _dft_mats(n_in, n_out, dtype=jnp.float32):
+def _dft_mats(n_in, n_out, dtype=jnp.float32, alpha=1.0):
     """Real/imag parts of the centered DFT matrix E[u, x] =
-    exp(-2 pi i (u - n_out//2) x / n_out), shape [n_out, n_in] — the output
-    index u is already 'fftshifted' (DC lands at n_out//2)."""
+    exp(-2 pi i alpha (u - n_out//2) x / n_out), shape [n_out, n_in] — the
+    output index u is already 'fftshifted' (DC lands at n_out//2).
+    ``alpha`` rescales the frequency grid: with alpha = lambda_ref/lambda
+    every wavelength's PSF lands on the SAME physical image grid
+    (pitch lambda_ref F# n/N), which is what lets polychromatic_psf sum
+    incoherently without resampling."""
     u = jnp.arange(n_out) - n_out // 2
     x = jnp.arange(n_in)
-    ang = (-2.0 * jnp.pi / n_out) * u[:, None] * x[None, :]
+    ang = (-2.0 * jnp.pi * alpha / n_out) * u[:, None] * x[None, :]
     return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
 
 
@@ -42,11 +46,11 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision='highest')
 
 
-def dft2_intensity(re, im, n_out):
+def dft2_intensity(re, im, n_out, alpha=1.0):
     """|centered 2-D DFT|^2 of the complex field (re + i im) [n, n], zero-
     padded to n_out, via four real MXU matmuls per axis (no complex dtype)."""
     n = re.shape[0]
-    C, S = _dft_mats(n, n_out, re.dtype)
+    C, S = _dft_mats(n, n_out, re.dtype, alpha)
     r1 = _mm(C, re) + _mm(S, im)          # rows transformed: E @ P
     i1 = _mm(C, im) - _mm(S, re)
     fr = _mm(r1, C.T) + _mm(i1, S.T)      # columns: (...) @ E^T
@@ -127,3 +131,31 @@ def diffraction_mtf(opd, amp, wavelength, f_number, pad=4):
     from .mtf import geometric_mtf
     psf, dx = diffraction_psf(opd, amp, wavelength, f_number, pad=pad)
     return geometric_mtf(psf, dx)
+
+
+def polychromatic_psf(opds, amp, wavelengths, weights, f_number, pad=4):
+    """Incoherent white-light PSF: the weighted sum of monochromatic PSFs
+    on ONE physical image grid (each wavelength's DFT frequency axis is
+    scaled by lambda_ref/lambda, so no resampling is needed).
+
+    ``opds`` is one [n, n] OPD map shared by all wavelengths, or a list
+    with one map per wavelength (chromatic aberration from per-wavelength
+    traces).  Returns ``(psf [N, N], dx)`` normalized to unit energy, with
+    dx referenced to the weighted-mean wavelength.
+    """
+    wavelengths = [float(w) for w in wavelengths]
+    weights = jnp.asarray(weights, jnp.float32)
+    weights = weights / jnp.maximum(jnp.sum(weights), 1e-12)
+    lam_ref = float(jnp.sum(weights * jnp.asarray(wavelengths)))
+    if not isinstance(opds, (list, tuple)):
+        opds = [opds] * len(wavelengths)
+    n = opds[0].shape[0]
+    total = None
+    for opd, lam, w in zip(opds, wavelengths, weights):
+        phase = 2.0 * jnp.pi * opd / lam
+        p = dft2_intensity(amp * jnp.cos(phase), amp * jnp.sin(phase),
+                           pad * n, alpha=lam_ref / lam)
+        p = w * p / jnp.maximum(jnp.sum(p), 1e-24)
+        total = p if total is None else total + p
+    dx = lam_ref * f_number * n / (pad * n)
+    return total, dx

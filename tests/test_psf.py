@@ -102,3 +102,32 @@ def test_parabola_psf_is_diffraction_limited(key):
     mins = np.where((cut[1:-1] < cut[:-2]) & (cut[1:-1] <= cut[2:]))[0] + 1
     airy_px = 1.22 * WL * f_number / float(dx)
     np.testing.assert_allclose(float(mins[0]), airy_px, rtol=0.2)
+
+
+def test_polychromatic_psf_common_grid():
+    """White-light PSF: single-wavelength case equals diffraction_psf,
+    and the common-grid frequency scaling puts each component's Airy
+    zero at 1.22 lambda F# on the SAME dx (so the red ring sits wider
+    than the blue by lambda_r/lambda_b)."""
+    from raytracetorch_tpu.utils.psf import polychromatic_psf
+
+    opd, amp = _disk_pupil(48)
+    fn = 4.0
+    # degenerate single wavelength == monochromatic
+    p1, dx1 = polychromatic_psf(opd, amp, [WL], [1.0], fn, pad=8)
+    p0, dx0 = diffraction_psf(opd, amp, WL, fn, pad=8)
+    np.testing.assert_allclose(float(dx1), float(dx0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-8)
+
+    # three lines, equal weight: unit energy, centered peak, and the
+    # polychromatic first minimum is washed out vs monochromatic
+    wls = [0.45e-3, 0.55e-3, 0.65e-3]
+    pp, dxp = polychromatic_psf(opd, amp, wls, [1, 1, 1], fn, pad=8)
+    pp = np.asarray(pp)
+    np.testing.assert_allclose(pp.sum(), 1.0, rtol=1e-5)
+    c = pp.shape[0] // 2
+    assert np.unravel_index(pp.argmax(), pp.shape) == (c, c)
+    cut_mono = np.asarray(p0)[c, c:c + 40] / float(np.asarray(p0).max())
+    cut_poly = pp[c, c:c + 40] / pp.max()
+    airy_px = int(round(1.22 * WL * fn / float(dx0)))
+    assert cut_poly[airy_px] > 3 * cut_mono[airy_px]   # zero filled in
