@@ -39,7 +39,11 @@ from raytracetorch_tpu.optim.goals import spot_size_loss
 from raytracetorch_tpu.render.camera import Camera, Renderer
 
 N = 1_000_000
-CHAIN = 10
+# The axon tunnel's dispatch+fetch floor jitters by a few ms run-to-run;
+# sub-ms configs need long chains so (total - floor)/CHAIN stays accurate
+# (CHAIN=10 once produced NEGATIVE times when the floor drifted upward
+# between its measurement and the config's).
+CHAIN = 100
 REPEATS = 5
 
 
