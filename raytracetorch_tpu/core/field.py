@@ -179,6 +179,25 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
         cos_i = jnp.abs(dot)
         sin2_t = (n1 / n2) ** 2 * (1.0 - cos_i ** 2)
         ts, tp, rs, rp, tir = fresnel_amplitudes(n1, n2, cos_i, sin2_t)
+        ts_c, tp_c = (ts, jnp.zeros_like(ts)), (tp, jnp.zeros_like(tp))
+        if getattr(meta, 'n_coat', 0):
+            # coated interface: complex multilayer amplitudes replace the
+            # bare ones on the propagating branch (TIR keeps the bare
+            # total-internal-reflection phase — a coated interface past
+            # the critical angle is evanescent-coupled, out of scope)
+            from ..utils.coatings import coating_amplitudes
+            lam = (jnp.where(wavelength > 0, wavelength, 0.5876)
+                   if wavelength is not None else 0.5876)
+            ns_ = [row.coat[..., 2 * i] for i in range(meta.n_coat)]
+            ds_ = [row.coat[..., 2 * i + 1] for i in range(meta.n_coat)]
+            ts_c, rs_c = coating_amplitudes(ns_, ds_, n1, n2, cos_i, lam,
+                                            pol='s')
+            tp_c, rp_c = coating_amplitudes(ns_, ds_, n1, n2, cos_i, lam,
+                                            pol='p')
+            rs = (jnp.where(tir, rs[0], rs_c[0]),
+                  jnp.where(tir, rs[1], rs_c[1]))
+            rp = (jnp.where(tir, rp[0], rp_c[0]),
+                  jnp.where(tir, rp[1], rp_c[1]))
 
         s_hat, p_in = sp_basis(d_in, n_w)
         _, p_out = sp_basis(new_dir, n_w)   # same s, new p
@@ -186,11 +205,15 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
         Es_r, Es_i = v3.dot(Er, s_hat), v3.dot(Ei, s_hat)
         Ep_r, Ep_i = v3.dot(Er, p_in), v3.dot(Ei, p_in)
 
-        # transmitted branch amplitudes; TIR -> reflected amplitudes
-        as_r = jnp.where(tir, rs[0] * Es_r - rs[1] * Es_i, ts * Es_r)
-        as_i = jnp.where(tir, rs[0] * Es_i + rs[1] * Es_r, ts * Es_i)
-        ap_r = jnp.where(tir, rp[0] * Ep_r - rp[1] * Ep_i, tp * Ep_r)
-        ap_i = jnp.where(tir, rp[0] * Ep_i + rp[1] * Ep_r, tp * Ep_i)
+        # transmitted branch amplitudes (complex); TIR -> reflected
+        as_r = jnp.where(tir, rs[0] * Es_r - rs[1] * Es_i,
+                         ts_c[0] * Es_r - ts_c[1] * Es_i)
+        as_i = jnp.where(tir, rs[0] * Es_i + rs[1] * Es_r,
+                         ts_c[0] * Es_i + ts_c[1] * Es_r)
+        ap_r = jnp.where(tir, rp[0] * Ep_r - rp[1] * Ep_i,
+                         tp_c[0] * Ep_r - tp_c[1] * Ep_i)
+        ap_i = jnp.where(tir, rp[0] * Ep_i + rp[1] * Ep_r,
+                         tp_c[0] * Ep_i + tp_c[1] * Ep_r)
 
         Er_new = v3.add(v3.scale(s_hat, as_r), v3.scale(p_out, ap_r))
         Ei_new = v3.add(v3.scale(s_hat, as_i), v3.scale(p_out, ap_i))

@@ -39,20 +39,9 @@ def _cos_layers(n_in, n_layers, cos_i):
         1.0 - (n_in / nl) ** 2 * sin_i2, 1e-12)) for nl in n_layers]
 
 
-def coating_rt(n_stack, d_stack, n_in, n_out, cos_i, wavelength, pol='s'):
-    """Amplitude reflectance/transmittance of a dielectric multilayer.
-
-    Args:
-      n_stack: sequence of layer indices (first layer adjacent to the
-        incidence medium), may be empty for a bare interface.
-      d_stack: matching physical thicknesses.
-      n_in, n_out: incidence / substrate indices.
-      cos_i: cosine of the angle of incidence (array ok).
-      wavelength: same units as d_stack.
-      pol: 's' or 'p'.
-
-    Returns ``(R, T)`` intensity coefficients (broadcast over inputs).
-    """
+def _stack_bc(n_stack, d_stack, n_in, n_out, cos_i, wavelength, pol):
+    """Characteristic-matrix accumulation: returns (eta0, eta_sub,
+    (B_re, B_im), (C_re, C_im))."""
     n_all = list(n_stack)
     cos_l = _cos_layers(n_in, n_all + [n_out], cos_i)
     cos_layers, cos_t = cos_l[:-1], cos_l[-1]
@@ -78,8 +67,25 @@ def coating_rt(n_stack, d_stack, n_in, n_out, cos_i, wavelength, pol='s'):
         nC_re = cd * C_re - el * sd * B_im
         nC_im = cd * C_im + el * sd * B_re
         B_re, B_im, C_re, C_im = nB_re, nB_im, nC_re, nC_im
+    return eta0, eta_sub, (B_re, B_im), (C_re, C_im)
 
-    # r = (eta0 B - C) / (eta0 B + C)
+
+def coating_rt(n_stack, d_stack, n_in, n_out, cos_i, wavelength, pol='s'):
+    """Intensity reflectance/transmittance of a dielectric multilayer.
+
+    Args:
+      n_stack: sequence of layer indices (first layer adjacent to the
+        incidence medium), may be empty for a bare interface.
+      d_stack: matching physical thicknesses.
+      n_in, n_out: incidence / substrate indices.
+      cos_i: cosine of the angle of incidence (array ok).
+      wavelength: same units as d_stack.
+      pol: 's' or 'p'.
+
+    Returns ``(R, T)`` intensity coefficients (broadcast over inputs).
+    """
+    eta0, eta_sub, (B_re, B_im), (C_re, C_im) = _stack_bc(
+        n_stack, d_stack, n_in, n_out, cos_i, wavelength, pol)
     num_re, num_im = eta0 * B_re - C_re, eta0 * B_im - C_im
     den_re, den_im = eta0 * B_re + C_re, eta0 * B_im + C_im
     den2 = jnp.maximum(den_re * den_re + den_im * den_im, 1e-24)
@@ -87,6 +93,35 @@ def coating_rt(n_stack, d_stack, n_in, n_out, cos_i, wavelength, pol='s'):
     # T = 4 eta0 Re(eta_sub) / |eta0 B + C|^2 (dielectric, real etas)
     T = 4.0 * eta0 * eta_sub / den2
     return R, T
+
+
+def coating_amplitudes(n_stack, d_stack, n_in, n_out, cos_i, wavelength,
+                       pol='s'):
+    """COMPLEX amplitude coefficients of the stack as (re, im) pairs:
+    ``(t_flux, r)`` with ``r = (eta0 B - C)/(eta0 B + C)`` and the
+    flux-normalized transmission ``t_flux = 2 sqrt(eta0 eta_sub) /
+    (eta0 B + C)`` (so |t_flux|^2 = T, matching the flux convention of
+    core/field.py::fresnel_amplitudes).  Empty stacks reduce to the bare
+    Fresnel amplitudes; used by the polarization transport for coated
+    surfaces (core/field.py)."""
+    eta0, eta_sub, (B_re, B_im), (C_re, C_im) = _stack_bc(
+        n_stack, d_stack, n_in, n_out, cos_i, wavelength, pol)
+    den_re, den_im = eta0 * B_re + C_re, eta0 * B_im + C_im
+    den2 = jnp.maximum(den_re * den_re + den_im * den_im, 1e-24)
+    num_re, num_im = eta0 * B_re - C_re, eta0 * B_im - C_im
+    # complex division (a + ib)/(c + id)
+    r_re = (num_re * den_re + num_im * den_im) / den2
+    r_im = (num_im * den_re - num_re * den_im) / den2
+    if pol == 'p':
+        # admittance-form r_p = (eta0 - eta_sub)/(eta0 + eta_sub) carries
+        # the opposite sign to the Fresnel-field convention used by
+        # core/field.py (rp = (n2 cos_i - n1 cos_t)/(...)); flip so both
+        # conventions agree (the bare-interface limit is the contract)
+        r_re, r_im = -r_re, -r_im
+    amp = 2.0 * jnp.sqrt(jnp.maximum(eta0 * eta_sub, 0.0))
+    t_re = amp * den_re / den2
+    t_im = -amp * den_im / den2
+    return (t_re, t_im), (r_re, r_im)
 
 
 def unpolarized_reflectance(n_stack, d_stack, n_in, n_out, cos_i,

@@ -185,3 +185,76 @@ def test_coated_fresnel_fused_parity(key):
     np.testing.assert_allclose(np.asarray(s_f.moments),
                                np.asarray(s_ref.moments), rtol=1e-2,
                                atol=10.0)
+
+
+def test_coating_amplitudes_bare_matches_fresnel():
+    """Empty-stack coating_amplitudes == core fresnel_amplitudes (flux
+    convention): |t|^2 = T, r matches including sign, phases zero."""
+    from raytracetorch_tpu.core.field import fresnel_amplitudes
+    from raytracetorch_tpu.utils.coatings import coating_amplitudes
+
+    for theta in (0.0, 0.4, 0.9):
+        cos_i = jnp.float32(np.cos(theta))
+        n1, n2 = jnp.float32(1.0), jnp.float32(NS)
+        sin2_t = (n1 / n2) ** 2 * (1.0 - cos_i ** 2)
+        ts, tp, rs, rp, tir = fresnel_amplitudes(n1, n2, cos_i, sin2_t)
+        for pol, t_ref, r_ref in (('s', ts, rs), ('p', tp, rp)):
+            t_c, r_c = coating_amplitudes([], [], 1.0, NS, cos_i,
+                                          jnp.float32(WL), pol=pol)
+            np.testing.assert_allclose(float(t_c[0]), float(t_ref),
+                                       rtol=1e-5)
+            np.testing.assert_allclose(float(t_c[1]), 0.0, atol=1e-6)
+            np.testing.assert_allclose(float(r_c[0]), float(r_ref[0]),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_coating_amplitudes_energy_and_R():
+    """|r|^2 + |t_flux|^2 = 1 for a dielectric stack, and |r|^2 equals
+    coating_rt's R, at several angles/wavelengths."""
+    from raytracetorch_tpu.utils.coatings import coating_amplitudes
+
+    stack_n, stack_d = [NC, 2.35], [0.11, 0.05]
+    for theta in (0.0, 0.5):
+        for wl in (0.45, 0.55, 0.65):
+            cos_i = jnp.float32(np.cos(theta))
+            for pol in ('s', 'p'):
+                t_c, r_c = coating_amplitudes(stack_n, stack_d, 1.0, NS,
+                                              cos_i, jnp.float32(wl),
+                                              pol=pol)
+                R_amp = float(r_c[0] ** 2 + r_c[1] ** 2)
+                T_amp = float(t_c[0] ** 2 + t_c[1] ** 2)
+                np.testing.assert_allclose(R_amp + T_amp, 1.0, rtol=1e-5)
+                R, T = coating_rt(stack_n, stack_d, 1.0, NS, cos_i,
+                                  jnp.float32(wl), pol=pol)
+                np.testing.assert_allclose(R_amp, float(R), rtol=1e-5,
+                                           atol=1e-8)
+
+
+def test_coated_field_transport_trace(key):
+    """track_field through a QW-coated Fresnel singlet: finite fields,
+    and the transmitted |E|^2 reflects the coated (higher) transmission
+    vs the bare lens."""
+    from raytracetorch_tpu import (CollimatedDisk, Scene, SensorElement,
+                                   SingletLens)
+
+    r = CollimatedDisk.make(radius=jnp.float32(1.0),
+                            translation=[0, 0, -10.0]).sample(key, 20_000)
+    d_qw = 0.5876 / (4 * NC)
+    powers = {}
+    for label, coat in (('bare', None), ('qw', [(NC, d_qw)])):
+        scene = Scene([
+            SingletLens(c1=0.02, c2=-0.02, d=10.0, t=3.0, ior_glass=NS,
+                        fresnel=True, coating=coat, name='lens'),
+            SensorElement(radius=8.0, translation=[0, 0, 19.3], name='s'),
+        ], n_bounces=6)
+        out, _, aux = scene.simulate(scene.init_params(), r, key,
+                                     track_field=True)
+        pw = np.asarray(aux['field_power'])
+        assert np.all(np.isfinite(pw))
+        alive = np.asarray(out.intensity) > 0
+        fwd = alive & (np.asarray(out.dir)[:, 2] > 0)
+        powers[label] = float(pw[fwd].mean())
+    # per transmitted ray |E|^2 = product of the two faces' T
+    np.testing.assert_allclose(powers['bare'], (1 - 0.0426) ** 2, atol=5e-3)
+    np.testing.assert_allclose(powers['qw'], (1 - 0.0128) ** 2, atol=5e-3)
+    assert powers['qw'] > powers['bare']
