@@ -181,23 +181,31 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
         ts, tp, rs, rp, tir = fresnel_amplitudes(n1, n2, cos_i, sin2_t)
         ts_c, tp_c = (ts, jnp.zeros_like(ts)), (tp, jnp.zeros_like(tp))
         if getattr(meta, 'n_coat', 0):
-            # coated interface: complex multilayer amplitudes replace the
-            # bare ones on the propagating branch (TIR keeps the bare
-            # total-internal-reflection phase — a coated interface past
-            # the critical angle is evanescent-coupled, out of scope)
+            # coated interface: complex multilayer TRANSMISSION amplitudes
+            # replace the bare ones on the propagating branch.  (TIR keeps
+            # the bare total-internal-reflection phase — a coated interface
+            # past the critical angle is evanescent-coupled, out of scope;
+            # reflected MC draws also keep bare amplitudes, see CLAUDE.md.)
+            # The layer list is reversed for substrate-side rays (n1 > n2)
+            # — an asymmetric multilayer is order-sensitive.
             from ..utils.coatings import coating_amplitudes
             lam = (jnp.where(wavelength > 0, wavelength, 0.5876)
                    if wavelength is not None else 0.5876)
             ns_ = [row.coat[..., 2 * i] for i in range(meta.n_coat)]
             ds_ = [row.coat[..., 2 * i + 1] for i in range(meta.n_coat)]
-            ts_c, rs_c = coating_amplitudes(ns_, ds_, n1, n2, cos_i, lam,
-                                            pol='s')
-            tp_c, rp_c = coating_amplitudes(ns_, ds_, n1, n2, cos_i, lam,
-                                            pol='p')
-            rs = (jnp.where(tir, rs[0], rs_c[0]),
-                  jnp.where(tir, rs[1], rs_c[1]))
-            rp = (jnp.where(tir, rp[0], rp_c[0]),
-                  jnp.where(tir, rp[1], rp_c[1]))
+
+            def t_of(pol):
+                t_f, _ = coating_amplitudes(ns_, ds_, n1, n2, cos_i, lam,
+                                            pol=pol)
+                if meta.n_coat > 1:
+                    t_b, _ = coating_amplitudes(ns_[::-1], ds_[::-1], n1,
+                                                n2, cos_i, lam, pol=pol)
+                    low_side = n1 < n2
+                    t_f = (jnp.where(low_side, t_f[0], t_b[0]),
+                           jnp.where(low_side, t_f[1], t_b[1]))
+                return t_f
+
+            ts_c, tp_c = t_of('s'), t_of('p')
 
         s_hat, p_in = sp_basis(d_in, n_w)
         _, p_out = sp_basis(new_dir, n_w)   # same s, new p

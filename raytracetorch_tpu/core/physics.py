@@ -143,8 +143,10 @@ def apply_physics(ph_kind, ph, Rw, sb_kind, sb, hit_local, d, n, u):
 
     NOTE: GRATING is only handled by the statically-specialized path
     (static_dispatch.apply_physics_one) because it needs per-ray
-    wavelengths; every Scene/SequentialScene entry point supplies static
-    metadata, so this dense fallback never sees gratings in practice.
+    wavelengths, and coated FRESNEL/FRESNEL_W surfaces compute their
+    bare-interface R here (coatings need the static layer count); every
+    Scene/SequentialScene entry point supplies static metadata, so this
+    dense fallback never sees those in practice.
     """
     ior_in, ior_out = ph[..., 0], ph[..., 1]
     Cx, Cy, Dx, Dy = ph[..., 2], ph[..., 3], ph[..., 4], ph[..., 5]
@@ -163,12 +165,21 @@ def apply_physics(ph_kind, ph, Rw, sb_kind, sb, hit_local, d, n, u):
     out = v3.where(kind == PhysKind.REFLECT, refl, out)
     out = v3.where(kind == PhysKind.SNELL, snell, out)
     out = v3.where(kind == PhysKind.FRESNEL, fresnel, out)
+    out = v3.where(kind == PhysKind.FRESNEL_W, snell, out)
     out = v3.where(kind == PhysKind.LINEAR, linear, out)
     out = v3.where(kind == PhysKind.APERTURE, v3.scale(d, aper_mod), out)
+
+    # weighted Fresnel: refract with intensity *= (1 - R); TIR keeps full
+    # power (snell_dir already reflects)
+    _, cos_i, n1, n2, _, tir, cos_t, _ = refract_components(
+        d, n, ior_in, ior_out)
+    R_w = jnp.where(tir, 0.0, fresnel_reflectance(cos_i, cos_t, n1, n2))
 
     ones = jnp.ones(jnp.broadcast_shapes(
         jnp.shape(ph_kind), d[0].shape), dtype=d[0].dtype)
     imod = ones
     imod = jnp.where(ph_kind == PhysKind.BLOCK, 0.0, imod)
     imod = jnp.where(ph_kind == PhysKind.APERTURE, aper_mod, imod)
+    imod = jnp.where(ph_kind == PhysKind.FRESNEL_W,
+                     jnp.clip(1.0 - R_w, 0.0, 1.0), imod)
     return out, imod

@@ -123,10 +123,13 @@ def coated_reflectance(meta: StaticRowMeta, row, d, n, n_in, n_out,
     incidence (utils/coatings.py characteristic matrices; meta.n_coat is
     the static layer count; row.coat interleaves (index, thickness_um)).
 
-    A lossless dielectric stack has the same R from either side at the
-    same ray (Stokes reciprocity), so the incidence-side (n1 -> stack ->
-    n2) ordering from refract_components is correct for rays arriving
-    from the substrate too."""
+    The stack is listed from the LOW-index (air) side; a ray arriving
+    from the substrate encounters the layers in reverse, which matters
+    for asymmetric multilayers (Stokes reciprocity equates the two sides
+    only when the layer ORDER is also reversed — a 2-layer MgF2/ZnS
+    stack computed unreversed from the glass side is off by 4x in R).
+    The side is detected per ray by n1 < n2 (arriving from the
+    lower-index medium); single-layer stacks skip the second compute."""
     from ..utils.coatings import unpolarized_reflectance
     from .physics import refract_components
     _, cos_i, n1, n2, _, _, _, _ = refract_components(d, n, n_in, n_out)
@@ -134,7 +137,12 @@ def coated_reflectance(meta: StaticRowMeta, row, d, n, n_in, n_out,
     ds = [row.coat[..., 2 * i + 1] for i in range(meta.n_coat)]
     lam = (jnp.where(wavelength > 0, wavelength, 0.5876)
            if wavelength is not None else 0.5876)
-    return unpolarized_reflectance(ns, ds, n1, n2, cos_i, lam)
+    R = unpolarized_reflectance(ns, ds, n1, n2, cos_i, lam)
+    if meta.n_coat > 1:
+        R_rev = unpolarized_reflectance(ns[::-1], ds[::-1], n1, n2,
+                                        cos_i, lam)
+        R = jnp.where(n1 < n2, R, R_rev)
+    return R
 
 
 def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None):

@@ -102,7 +102,13 @@ class _SphericLens(Element):
         outermost (air-side) first: [(index, thickness_um), ...].  Indices
         are static structure; thicknesses are the trainable 'coat_d' param
         (utils/coatings.py; core/static_dispatch.py::coated_reflectance).
-        Cemented interfaces stay bare."""
+        Cemented interfaces stay bare.
+
+        The coating acts on the INTENSITY trace only through Fresnel
+        physics: set ``fresnel=True`` (Monte-Carlo) or
+        ``fresnel='weighted'`` — under the default SNELL physics the
+        intensity path has no reflection loss to modify and the coating
+        only shows up in ``track_field`` amplitude transport."""
         if not coating:
             return
         if len(coating) > 4:

@@ -262,10 +262,11 @@ class SequentialScene(Scene):
                        interpret=None, block_rows=16):
         """Fused Pallas trace: the whole surface chain runs in VMEM tiles —
         ONE HBM round trip for the ray state, vs one per surface for the
-        XLA path.  Measured on v5e: 2.3x faster at 64M rays (33.8 vs
-        77.4 ms), ~2x at 4-16M; below ~2M rays XLA keeps the state in VMEM
-        anyway and wins — use plain ``simulate`` there, and for recording
-        or fuzzy apodization (asserted in ops/pallas_trace.py).
+        XLA path.  Measured on v5e at the tuned block_rows=16: 2.4x
+        faster at 64M rays (31.7 vs 77.4 ms), 2.7-2.9x at 4-16M; below
+        ~2M rays XLA keeps the state in VMEM anyway and wins — use plain
+        ``simulate`` there, and for recording or fuzzy apodization
+        (asserted in ops/pallas_trace.py).
         Stochastic Fresnel, multi-sensor scenes and irradiance grids are
         supported with bitwise/parity-exact results vs ``simulate``.
         ``jax.grad`` works and also wins at large N: the backward pass is

@@ -140,18 +140,27 @@ def polychromatic_psf(opds, amp, wavelengths, weights, f_number, pad=4):
 
     ``opds`` is one [n, n] OPD map shared by all wavelengths, or a list
     with one map per wavelength (chromatic aberration from per-wavelength
-    traces).  Returns ``(psf [N, N], dx)`` normalized to unit energy, with
-    dx referenced to the weighted-mean wavelength.
+    traces).  ``wavelengths`` must be static Python floats (they scale
+    the DFT matrices); ``weights`` may be traced — the function is jit-
+    and grad-safe w.r.t. opds/amp/weights.
+
+    Returns ``(psf [N, N], dx)`` normalized to unit energy.  The common
+    pixel pitch dx (= alpha * lam * F# * n/N for every line) is
+    referenced to the SHORTEST wavelength so each line's frequency scale
+    alpha = lam_ref/lam <= 1 — an alpha > 1 would sample the pupil DTFT
+    past its period and alias that line's PSF back into the frame edges.
     """
     wavelengths = [float(w) for w in wavelengths]
+    if isinstance(opds, (list, tuple)) and len(opds) != len(wavelengths):
+        raise ValueError("opds list length must match wavelengths")
     weights = jnp.asarray(weights, jnp.float32)
     weights = weights / jnp.maximum(jnp.sum(weights), 1e-12)
-    lam_ref = float(jnp.sum(weights * jnp.asarray(wavelengths)))
+    lam_ref = min(wavelengths)
     if not isinstance(opds, (list, tuple)):
         opds = [opds] * len(wavelengths)
     n = opds[0].shape[0]
     total = None
-    for opd, lam, w in zip(opds, wavelengths, weights):
+    for opd, lam, w in zip(opds, wavelengths, list(weights)):
         phase = 2.0 * jnp.pi * opd / lam
         p = dft2_intensity(amp * jnp.cos(phase), amp * jnp.sin(phase),
                            pad * n, alpha=lam_ref / lam)

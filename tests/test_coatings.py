@@ -258,3 +258,36 @@ def test_coated_field_transport_trace(key):
     np.testing.assert_allclose(powers['bare'], (1 - 0.0426) ** 2, atol=5e-3)
     np.testing.assert_allclose(powers['qw'], (1 - 0.0128) ** 2, atol=5e-3)
     assert powers['qw'] > powers['bare']
+
+
+def test_asymmetric_stack_substrate_side_reversal(key):
+    """Regression (review finding): a ray arriving from the substrate
+    side of an ASYMMETRIC multilayer must see the layers in reverse
+    order — Stokes reciprocity then gives the same R from both sides.
+    The weighted-Fresnel trace through a 2-layer-coated singlet must
+    therefore transmit T_front * T_back = T^2 (equal T per face), which
+    the unreversed implementation got wrong by 4x in R."""
+    from raytracetorch_tpu import (CollimatedDisk, Rays, Scene,
+                                   SensorElement, SingletLens)
+    from raytracetorch_tpu.utils.coatings import unpolarized_reflectance
+
+    stack = [(NC, 0.11), (2.35, 0.05)]     # asymmetric MgF2/ZnS
+    # reciprocity at the formula level: reversed stack from the glass
+    # side == forward stack from the air side
+    R_air = float(unpolarized_reflectance(
+        [n for n, _ in stack], [d for _, d in stack], 1.0, NS,
+        jnp.float32(1.0), jnp.float32(0.5876)))
+    R_glass_rev = float(unpolarized_reflectance(
+        [n for n, _ in reversed(stack)], [d for _, d in reversed(stack)],
+        NS, 1.0, jnp.float32(1.0), jnp.float32(0.5876)))
+    np.testing.assert_allclose(R_air, R_glass_rev, rtol=1e-5)
+
+    scene = Scene([
+        SingletLens(c1=0.02, c2=-0.02, d=10.0, t=3.0, ior_glass=NS,
+                    fresnel='weighted', coating=stack, name='lens'),
+        SensorElement(radius=8.0, translation=[0, 0, 19.3], name='s'),
+    ], n_bounces=6)
+    r = Rays.create([[0.1, 0.0, -10.0]], [[0.0, 0.0, 1.0]])
+    out, sens, _ = scene.simulate(scene.init_params(), r, key)
+    t_traced = float(out.intensity[0])
+    np.testing.assert_allclose(t_traced, (1.0 - R_air) ** 2, atol=2e-3)
