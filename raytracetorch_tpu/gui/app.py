@@ -89,7 +89,8 @@ INDEX_HTML = r"""<!DOCTYPE html>
 </div>
 
 <div id="right" class="panel">
-  <h3>Spot diagram</h3>
+  <h3>Spot diagram <select id="spotsel" onchange="drawSpots(lastSpots)"
+      style="font-size:11px"></select></h3>
   <canvas id="spot" width="300" height="300"></canvas>
   <div id="metrics"></div>
   <h3>Optimize</h3>
@@ -260,6 +261,9 @@ const PALETTE = ['#ffb347','#6fd3ff','#9dff6f','#ff6f9d','#d3a4ff','#fff36f'];
 async function doTrace() {
   st('tracing…');
   const r = await post('/api/trace', {});
+  lastSpots = r.spots;
+  const sel = $('spotsel');
+  sel.innerHTML = r.spots.map((_,i)=>`<option value="${i}">sensor ${i}</option>`).join('');
   clearOverlay();
   const c = $('overlay').getContext('2d');
   c.lineWidth = 1;
@@ -282,11 +286,14 @@ async function doTrace() {
   $('metrics').innerHTML = mh + '</table>';
   st(`traced ${r.n_rays} rays, ${r.n_alive} alive`);
 }
+let lastSpots = [];
 function drawSpots(spots) {
   const cv = $('spot'), c = cv.getContext('2d');
   c.fillStyle = '#101214'; c.fillRect(0,0,cv.width,cv.height);
-  if (!spots.length || !spots[0].x.length) return;
-  const s = spots[0];
+  const si = +($('spotsel').value || 0);
+  if (!spots.length || !spots[Math.min(si, spots.length-1)] ||
+      !spots[Math.min(si, spots.length-1)].x.length) return;
+  const s = spots[Math.min(si, spots.length-1)];
   let m = 1e-12;
   for (let i=0;i<s.x.length;i++) m = Math.max(m, Math.abs(s.x[i]), Math.abs(s.y[i]));
   const sc = (cv.width/2 - 10) / m;
