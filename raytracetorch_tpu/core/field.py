@@ -180,12 +180,12 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
         sin2_t = (n1 / n2) ** 2 * (1.0 - cos_i ** 2)
         ts, tp, rs, rp, tir = fresnel_amplitudes(n1, n2, cos_i, sin2_t)
         ts_c, tp_c = (ts, jnp.zeros_like(ts)), (tp, jnp.zeros_like(tp))
+        rs_eff, rp_eff = rs, rp
         if getattr(meta, 'n_coat', 0):
-            # coated interface: complex multilayer TRANSMISSION amplitudes
-            # replace the bare ones on the propagating branch.  (TIR keeps
-            # the bare total-internal-reflection phase — a coated interface
-            # past the critical angle is evanescent-coupled, out of scope;
-            # reflected MC draws also keep bare amplitudes, see CLAUDE.md.)
+            # coated interface: complex multilayer amplitudes replace the
+            # bare ones on the propagating branches.  (TIR keeps the bare
+            # total-internal-reflection phase — a coated interface past
+            # the critical angle is evanescent-coupled, out of scope.)
             # The layer list is reversed for substrate-side rays (n1 > n2)
             # — an asymmetric multilayer is order-sensitive.
             from ..utils.coatings import coating_amplitudes
@@ -194,18 +194,26 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
             ns_ = [row.coat[..., 2 * i] for i in range(meta.n_coat)]
             ds_ = [row.coat[..., 2 * i + 1] for i in range(meta.n_coat)]
 
-            def t_of(pol):
-                t_f, _ = coating_amplitudes(ns_, ds_, n1, n2, cos_i, lam,
-                                            pol=pol)
+            def amps_of(pol):
+                t_f, r_f = coating_amplitudes(ns_, ds_, n1, n2, cos_i,
+                                              lam, pol=pol)
                 if meta.n_coat > 1:
-                    t_b, _ = coating_amplitudes(ns_[::-1], ds_[::-1], n1,
-                                                n2, cos_i, lam, pol=pol)
-                    low_side = n1 < n2
-                    t_f = (jnp.where(low_side, t_f[0], t_b[0]),
-                           jnp.where(low_side, t_f[1], t_b[1]))
-                return t_f
+                    t_b, r_b = coating_amplitudes(ns_[::-1], ds_[::-1],
+                                                  n1, n2, cos_i, lam,
+                                                  pol=pol)
+                    low = n1 < n2
+                    t_f = (jnp.where(low, t_f[0], t_b[0]),
+                           jnp.where(low, t_f[1], t_b[1]))
+                    r_f = (jnp.where(low, r_f[0], r_b[0]),
+                           jnp.where(low, r_f[1], r_b[1]))
+                return t_f, r_f
 
-            ts_c, tp_c = t_of('s'), t_of('p')
+            ts_c, rs_coat = amps_of('s')
+            tp_c, rp_coat = amps_of('p')
+            rs_eff = (jnp.where(tir, rs[0], rs_coat[0]),
+                      jnp.where(tir, rs[1], rs_coat[1]))
+            rp_eff = (jnp.where(tir, rp[0], rp_coat[0]),
+                      jnp.where(tir, rp[1], rp_coat[1]))
 
         s_hat, p_in = sp_basis(d_in, n_w)
         _, p_out = sp_basis(new_dir, n_w)   # same s, new p
@@ -213,14 +221,21 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
         Es_r, Es_i = v3.dot(Er, s_hat), v3.dot(Ei, s_hat)
         Ep_r, Ep_i = v3.dot(Er, p_in), v3.dot(Ei, p_in)
 
-        # transmitted branch amplitudes (complex); TIR -> reflected
-        as_r = jnp.where(tir, rs[0] * Es_r - rs[1] * Es_i,
+        # A reflection FLIPS the sign of the direction's normal component
+        # (refraction preserves it) — detecting it covers both TIR and
+        # Monte-Carlo Fresnel reflection draws; both get the (complex)
+        # reflection amplitudes, everything else the transmission
+        # amplitudes.  |E|^2 is the per-ray CONDITIONAL path power (R_pol
+        # resp. T_pol given the branch) — the documented field semantics
+        # (GUIDE §5b).
+        reflected = (v3.dot(new_dir, n_w) * dot) < 0.0
+        as_r = jnp.where(reflected, rs_eff[0] * Es_r - rs_eff[1] * Es_i,
                          ts_c[0] * Es_r - ts_c[1] * Es_i)
-        as_i = jnp.where(tir, rs[0] * Es_i + rs[1] * Es_r,
+        as_i = jnp.where(reflected, rs_eff[0] * Es_i + rs_eff[1] * Es_r,
                          ts_c[0] * Es_i + ts_c[1] * Es_r)
-        ap_r = jnp.where(tir, rp[0] * Ep_r - rp[1] * Ep_i,
+        ap_r = jnp.where(reflected, rp_eff[0] * Ep_r - rp_eff[1] * Ep_i,
                          tp_c[0] * Ep_r - tp_c[1] * Ep_i)
-        ap_i = jnp.where(tir, rp[0] * Ep_i + rp[1] * Ep_r,
+        ap_i = jnp.where(reflected, rp_eff[0] * Ep_i + rp_eff[1] * Ep_r,
                          tp_c[0] * Ep_i + tp_c[1] * Ep_r)
 
         Er_new = v3.add(v3.scale(s_hat, as_r), v3.scale(p_out, ap_r))

@@ -184,3 +184,42 @@ def test_stokes_parameters(key):
                                rtol=1e-6)
     dop = degree_of_polarization(s0, s1, s2, s3)
     np.testing.assert_allclose(np.asarray(dop), 1.0, rtol=1e-6)
+
+
+def test_mc_reflected_rays_carry_reflection_amplitudes(key):
+    """Monte-Carlo Fresnel reflection draws get the REFLECTION amplitudes
+    (not the transmission ones): at Brewster incidence a p-polarized
+    wave's reflected branch carries |E|^2 ~ Rp ~ 0, while s-polarized
+    reflections carry |E|^2 ~ Rs ~ 15% (conditional path power)."""
+    import math
+
+    import numpy as np
+
+    from raytracetorch_tpu import (CollimatedDisk, ElementCustom, Scene,
+                                   SensorElement)
+    from raytracetorch_tpu.constants import PhysKind
+    from raytracetorch_tpu.elements import shapes
+
+    n_g = 1.5168
+    th_b = math.atan(n_g)
+    scene = Scene([
+        ElementCustom(shapes.plane, 1, PhysKind.FRESNEL, ph=(n_g, 1.0),
+                      name='iface'),
+        SensorElement(radius=100.0, translation=[0, 0, 30.0], name='s'),
+    ], n_bounces=3)
+    p = scene.init_params()
+    rays = CollimatedDisk.make(
+        radius=jnp.float32(2.0), translation=[0, 0, -10.0],
+        rotation=[th_b, 0.0, 0.0]).sample(key, 100_000)
+
+    # plane of incidence is y-z: p-polarization lies in it, s along x
+    for E0, expect_refl_power in (([0.0, math.cos(th_b), math.sin(th_b)],
+                                   0.0),          # p: Rp(Brewster) = 0
+                                  ([1.0, 0.0, 0.0], 0.148)):   # s: Rs
+        out, _, aux = scene.simulate(p, rays, key, track_field=True,
+                                     E0=[E0])
+        refl = (np.asarray(out.dir)[:, 2] < 0) & \
+            (np.asarray(out.intensity) > 0)
+        assert refl.sum() > 100          # the MC draw reflects ~7% of rays
+        pw = np.asarray(aux['field_power'])[refl]
+        np.testing.assert_allclose(pw.mean(), expect_refl_power, atol=0.02)
