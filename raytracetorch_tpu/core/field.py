@@ -130,16 +130,32 @@ class FieldState(struct.PyTreeNode):
                   jnp.zeros((n,), dt))
             Ei = (jnp.zeros((n,), dt),) * 3
         else:
-            E0 = jnp.asarray(E0)
-            if E0.ndim == 1:
-                E0 = E0[None, :]
-            E0 = jnp.broadcast_to(E0, (n, 3))
-            if jnp.iscomplexobj(E0):
-                Er = v3.from_array(jnp.real(E0).astype(dt))
-                Ei = v3.from_array(jnp.imag(E0).astype(dt))
+            import jax
+
+            import numpy as np
+            if not isinstance(E0, jax.Array):
+                # split complex inputs HOST-side: materializing a complex64
+                # device array fails on TPU runtimes without complex
+                # support (the axon tunnel rejects any complex transfer)
+                E0 = np.asarray(E0)
+                if np.iscomplexobj(E0):
+                    E0_re, E0_im = np.real(E0), np.imag(E0)
+                else:
+                    E0_re, E0_im = E0, None
+            elif jnp.iscomplexobj(E0):
+                E0_re, E0_im = jnp.real(E0), jnp.imag(E0)
             else:
-                Er = v3.from_array(E0.astype(dt))
-                Ei = (jnp.zeros((n,), dt),) * 3
+                E0_re, E0_im = E0, None
+
+            def as_n3(a):
+                a = jnp.asarray(a, dt)
+                if a.ndim == 1:
+                    a = a[None, :]
+                return jnp.broadcast_to(a, (n, 3))
+
+            Er = v3.from_array(as_n3(E0_re))
+            Ei = (v3.from_array(as_n3(E0_im)) if E0_im is not None
+                  else (jnp.zeros((n,), dt),) * 3)
         # project out any component along d and normalize power
         Er = tuple(e - v3.dot(Er, d) * dd for e, dd in zip(Er, d))
         Ei = tuple(e - v3.dot(Ei, d) * dd for e, dd in zip(Ei, d))
