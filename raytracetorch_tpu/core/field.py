@@ -136,8 +136,14 @@ class FieldState(struct.PyTreeNode):
             if not isinstance(E0, jax.Array):
                 # split complex inputs HOST-side: materializing a complex64
                 # device array fails on TPU runtimes without complex
-                # support (the axon tunnel rejects any complex transfer)
-                E0 = np.asarray(E0)
+                # support (the axon tunnel rejects any complex transfer).
+                # Traced pytree leaves (E0 passed as a jit argument) can't
+                # go through numpy — fall back to the jax path for those.
+                try:
+                    E0 = np.asarray(E0)
+                except Exception:
+                    E0 = jnp.asarray(E0)
+            if isinstance(E0, np.ndarray):
                 if np.iscomplexobj(E0):
                     E0_re, E0_im = np.real(E0), np.imag(E0)
                 else:
