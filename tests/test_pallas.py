@@ -255,3 +255,53 @@ def test_nonseq_fused_halfspace_solids(key):
     np.testing.assert_allclose(np.asarray(s_f.moments),
                                np.asarray(s_ref.moments), rtol=1e-5,
                                atol=1e-3)
+
+
+def test_fused_parity_random_scenes(key):
+    """Parity fuzz: random sequential scenes assembled from the element
+    pool must trace identically through the fused kernel and the XLA
+    driver (guards the kernels against future element/physics changes
+    the named tests don't cover)."""
+    import numpy as np
+
+    from raytracetorch_tpu import (AsphericLens, DoubletLens,
+                                   RectangularAperture)
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        c = float(rng.uniform(0.01, 0.05))
+        els = [SingletLens(c1=c, c2=-c * rng.uniform(0.5, 1.5), d=12.0,
+                           t=rng.uniform(2.0, 4.0), ior_glass=1.5168,
+                           coating=[(1.38, 0.1)] if trial == 1 else None,
+                           fresnel=(trial == 1), name='a')]
+        if trial == 0:
+            els.append(AsphericLens(
+                c1=0.03, k1=-0.5, a1=[1e-4, 0.0, 0.0, 0.0], c2=-0.01,
+                d=12.0, t=2.0, ior_glass=1.6,
+                translation=[0, 0, 8.0], name='b'))
+        elif trial == 2:
+            els.append(DoubletLens(
+                c1=0.03, c2=-0.02, c3=-0.005, d=12.0, t1=2.5, t2=1.5,
+                ior_glass1=1.5168, ior_glass2=1.62,
+                translation=[0, 0, 9.0], name='b'))
+            els.append(RectangularAperture(
+                half_x=4.0, half_y=3.0, translation=[0, 0, 14.0],
+                name='stop'))
+        els.append(SensorElement(radius=10.0, translation=[0, 0, 25.0],
+                                 name='sensor'))
+        scene = SequentialScene(els)
+        p = scene.init_params()
+        rays = CollimatedDisk.make(
+            radius=jnp.float32(4.0), translation=[0, 0, -10.0],
+            rotation=[float(rng.uniform(-0.1, 0.1)), 0.0, 0.0],
+        ).sample(jax.random.fold_in(key, trial), 2500)
+        out_ref, s_ref, _ = scene.simulate(p, rays, key)
+        out_f, s_f, _ = scene.simulate_fused(p, rays, key, block_rows=2)
+        dd = np.abs(np.asarray(out_f.pos) - np.asarray(out_ref.pos)).max(1)
+        di = np.abs(np.asarray(out_f.intensity)
+                    - np.asarray(out_ref.intensity))
+        mism = int(np.sum((dd > 1e-4) | (di > 1e-5)))
+        assert mism <= 8, f"trial {trial}: {mism} rays diverged"
+        np.testing.assert_allclose(np.asarray(s_f.moments),
+                                   np.asarray(s_ref.moments), rtol=1e-3,
+                                   atol=3.0)
