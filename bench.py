@@ -50,15 +50,21 @@ def build_scene():
     ])
 
 
-def _median_fetch_ms(fn, *args, reps=REPEATS):
-    """Median wall time of fn(*args) forced by fetching its scalar result."""
+def _fetch_times_ms(fn, *args, reps=REPEATS):
+    """Wall times (ms) of reps calls to fn(*args), each forced by fetching
+    its scalar result; first (compile/warmup) call discarded."""
     float(fn(*args))     # warmup / compile
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return statistics.median(ts) * 1e3
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return ts
+
+
+def _median_fetch_ms(fn, *args, reps=REPEATS):
+    """Median wall time of fn(*args) forced by fetching its scalar result."""
+    return statistics.median(_fetch_times_ms(fn, *args, reps=reps))
 
 
 def main():
@@ -94,14 +100,21 @@ def main():
         (_, _), vals = jax.lax.scan(body, (p, r), None, length=GRAD_CHAIN)
         return jnp.sum(vals)
 
+    # Median-of-N protocol (round-2 VERDICT item 5): the ~30 ms dispatch
+    # floor jitters +/-15% run-to-run, so a single sample cannot tell a
+    # real regression from noise.  Every quantity is median over REPEATS
+    # runs and the JSON carries the per-run spread.
     floor_fn = jax.jit(lambda r: r.intensity[0] + 1.0)
-    floor_ms = _median_fetch_ms(floor_fn, rays)
+    floor_ts = _fetch_times_ms(floor_fn, rays)
+    floor_ms = statistics.median(floor_ts)
 
-    trace_total = _median_fetch_ms(jax.jit(chained_trace), params, rays, key)
-    trace_ms = max((trace_total - floor_ms) / CHAIN, 1e-6)
+    trace_ts = _fetch_times_ms(jax.jit(chained_trace), params, rays, key)
+    per_run_trace = [max((t - floor_ms) / CHAIN, 1e-6) for t in trace_ts]
+    trace_ms = statistics.median(per_run_trace)
 
-    grad_total = _median_fetch_ms(jax.jit(chained_grad), params, rays, key)
-    grad_ms = max((grad_total - floor_ms) / GRAD_CHAIN, 1e-6)
+    grad_ts = _fetch_times_ms(jax.jit(chained_grad), params, rays, key)
+    per_run_grad = [max((t - floor_ms) / GRAD_CHAIN, 1e-6) for t in grad_ts]
+    grad_ms = statistics.median(per_run_grad)
 
     # single trace for the sensor stats
     _, sensors, _ = jax.jit(
@@ -115,10 +128,17 @@ def main():
         'unit': 'rays/s',
         'vs_baseline': round(rays_per_s / BASELINE_RAYS_PER_S, 2),
         'trace_ms': round(trace_ms, 3),
+        'trace_ms_runs': [round(t, 3) for t in per_run_trace],
+        'trace_spread_pct': round(100.0 * (max(per_run_trace)
+                                           - min(per_run_trace))
+                                  / trace_ms, 1),
         'grad_step_ms': round(grad_ms, 3),
+        'grad_ms_runs': [round(t, 3) for t in per_run_grad],
         'n_rays': N_RAYS,
         'chain': CHAIN,
+        'repeats': REPEATS,
         'dispatch_floor_ms': round(floor_ms, 2),
+        'floor_ms_runs': [round(t, 2) for t in floor_ts],
         'device': str(jax.devices()[0]),
         'spot_rms': round(rms, 5),
     }))

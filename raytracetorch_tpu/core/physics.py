@@ -70,10 +70,16 @@ def snell_dir(d, n, ior_in, ior_out):
     return v3.where(tir, v_reflect, v_refract)
 
 
-def fresnel_reflectance(cos_i, cos_t, n1, n2):
-    """Unpolarized Fresnel R = (Rs + Rp) / 2 (phys/std.py:165-175)."""
+def fresnel_rs_rp(cos_i, cos_t, n1, n2):
+    """Per-polarization Fresnel intensity reflectances (Rs, Rp)."""
     rs = ((n1 * cos_i - n2 * cos_t) / (n1 * cos_i + n2 * cos_t + 1e-8)) ** 2
     rp = ((n1 * cos_t - n2 * cos_i) / (n1 * cos_t + n2 * cos_i + 1e-8)) ** 2
+    return rs, rp
+
+
+def fresnel_reflectance(cos_i, cos_t, n1, n2):
+    """Unpolarized Fresnel R = (Rs + Rp) / 2 (phys/std.py:165-175)."""
+    rs, rp = fresnel_rs_rp(cos_i, cos_t, n1, n2)
     return 0.5 * (rs + rp)
 
 

@@ -130,27 +130,69 @@ def coated_reflectance(meta: StaticRowMeta, row, d, n, n_in, n_out,
     stack computed unreversed from the glass side is off by 4x in R).
     The side is detected per ray by n1 < n2 (arriving from the
     lower-index medium); single-layer stacks skip the second compute."""
-    from ..utils.coatings import unpolarized_reflectance
+    Rs, Rp = coated_reflectance_sp(meta, row, d, n, n_in, n_out, wavelength)
+    return 0.5 * (Rs + Rp)
+
+
+def coated_reflectance_sp(meta: StaticRowMeta, row, d, n, n_in, n_out,
+                          wavelength=None):
+    """Per-polarization (Rs, Rp) of this row's thin-film stack (same layer
+    reversal rules as coated_reflectance); feeds the polarized Monte-Carlo
+    draw so coated FRESNEL surfaces sample the branch with the true
+    polarization-weighted reflectance."""
+    from ..utils.coatings import coating_rt
     from .physics import refract_components
     _, cos_i, n1, n2, _, _, _, _ = refract_components(d, n, n_in, n_out)
     ns = [row.coat[..., 2 * i] for i in range(meta.n_coat)]
     ds = [row.coat[..., 2 * i + 1] for i in range(meta.n_coat)]
     lam = (jnp.where(wavelength > 0, wavelength, 0.5876)
            if wavelength is not None else 0.5876)
-    R = unpolarized_reflectance(ns, ds, n1, n2, cos_i, lam)
-    if meta.n_coat > 1:
-        R_rev = unpolarized_reflectance(ns[::-1], ds[::-1], n1, n2,
-                                        cos_i, lam)
-        R = jnp.where(n1 < n2, R, R_rev)
-    return R
+
+    def R_of(pol):
+        R, _ = coating_rt(ns, ds, n1, n2, cos_i, lam, pol=pol)
+        if meta.n_coat > 1:
+            R_rev, _ = coating_rt(ns[::-1], ds[::-1], n1, n2, cos_i, lam,
+                                  pol=pol)
+            R = jnp.where(n1 < n2, R, R_rev)
+        return R
+
+    return R_of('s'), R_of('p')
 
 
-def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None):
+def polarized_R(meta: StaticRowMeta, row, d, n, n_in, n_out, field,
+                wavelength=None):
+    """Polarization-weighted reflectance R_pol = (Rs |Es|^2 + Rp |Ep|^2)
+    / |E|^2 at this interface for the rays' current field state.
+
+    This is the branch probability of the *polarized* Monte-Carlo Fresnel
+    draw (and the weighted-Fresnel loss under track_field): with the field
+    renormalized per branch (core/field.py::transport_field), the
+    intensity * |E|^2 sensor estimator is exactly energy-conserving —
+    no selection-factor bias (generalizes reference phys/std.py:148-203
+    to polarized input)."""
+    from .field import sp_power_fractions
+    from .physics import fresnel_rs_rp, refract_components
+    _, cos_i, n1, n2, _, tir, cos_t, _ = refract_components(
+        d, n, n_in, n_out)
+    if meta.n_coat:
+        Rs, Rp = coated_reflectance_sp(meta, row, d, n, n_in, n_out,
+                                       wavelength)
+    else:
+        Rs, Rp = fresnel_rs_rp(cos_i, cos_t, n1, n2)
+    fs, fp = sp_power_fractions(field.r_c, field.i_c, d, n)
+    R = (Rs * fs + Rp * fp) / jnp.maximum(fs + fp, 1e-20)
+    return jnp.where(tir, 1.0, R)
+
+
+def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None,
+                 field=None):
     """Refractive index of the medium a ray travels in AFTER this surface
     (for optical-path-length accumulation).  Refraction moves the ray into
     the transmission-side medium unless TIR (or a Fresnel reflection draw)
     keeps it in the incidence medium; every other interaction leaves the
-    medium unchanged (returns None)."""
+    medium unchanged (returns None).  ``field`` (when track_field is on)
+    makes the FRESNEL u < R compare use the same polarized R as the
+    physics draw."""
     if meta.ph not in (PhysKind.SNELL, PhysKind.FRESNEL,
                        PhysKind.FRESNEL_W):
         return None
@@ -163,6 +205,9 @@ def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None):
         d, n, n_in, n_out)
     if meta.ph in (PhysKind.SNELL, PhysKind.FRESNEL_W):
         return jnp.where(tir, n1, n2)
+    if field is not None:
+        R = polarized_R(meta, row, d, n, n_in, n_out, field, wavelength)
+        return jnp.where(u < R, n1, n2)
     if meta.n_coat:
         R_raw = coated_reflectance(meta, row, d, n, n_in, n_out, wavelength)
     else:
@@ -172,9 +217,15 @@ def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None):
 
 
 def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
-                      wavelength=None):
+                      wavelength=None, field=None):
     """Single-kind physics (cf. core/physics.py::apply_physics).  ``d``,
-    ``n``, ``hit_local`` are component tuples."""
+    ``n``, ``hit_local`` are component tuples.
+
+    ``field`` (a FieldState, set when the trace runs with
+    ``track_field=True``) switches FRESNEL's Monte-Carlo branch draw and
+    FRESNEL_W's intensity loss to the POLARIZED reflectance of the rays'
+    actual field state (polarized_R) — the energy-exact estimator; without
+    a field the unpolarized R is the only consistent choice."""
     kind = meta.ph
     ones = jnp.ones(d[0].shape, dtype=d[0].dtype)
     if meta.disp and wavelength is not None:
@@ -191,17 +242,28 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
     if kind == PhysKind.SNELL:
         return snell_dir(d, n, n_in, n_out), ones
     if kind == PhysKind.FRESNEL:
-        R_ov = (coated_reflectance(meta, row, d, n, n_in, n_out, wavelength)
-                if meta.n_coat else None)
+        if field is not None:
+            R_ov = polarized_R(meta, row, d, n, n_in, n_out, field,
+                               wavelength)
+        else:
+            R_ov = (coated_reflectance(meta, row, d, n, n_in, n_out,
+                                       wavelength)
+                    if meta.n_coat else None)
         return fresnel_dir(d, n, n_in, n_out, u, R_override=R_ov), ones
     if kind == PhysKind.FRESNEL_W:
         # deterministic weighted Fresnel: refract (TIR -> reflect, full
         # power), intensity *= (1 - R) — differentiable in R and thus in
-        # coating thicknesses, unlike the FRESNEL branch draw
+        # coating thicknesses, unlike the FRESNEL branch draw.  Under
+        # track_field, R is the polarized reflectance and the field is
+        # renormalized per interaction (transport_field), so the loss is
+        # counted exactly once, in the intensity.
         from .physics import fresnel_reflectance, refract_components
         _, cos_i, n1, n2, _, tir, cos_t, _ = refract_components(
             d, n, n_in, n_out)
-        if meta.n_coat:
+        if field is not None:
+            R = polarized_R(meta, row, d, n, n_in, n_out, field, wavelength)
+            R = jnp.where(tir, 0.0, R)   # TIR reflects with full power
+        elif meta.n_coat:
             R = coated_reflectance(meta, row, d, n, n_in, n_out, wavelength)
         else:
             R = fresnel_reflectance(cos_i, cos_t, n1, n2)

@@ -40,13 +40,14 @@ from .sensor import SensorConfig, SensorState
 
 def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
                   sensors: SensorState, fuzzy_fn=None, static_meta=None,
-                  w_scale=None):
+                  field=None):
     """Apply one surface interaction to the full ray batch (masked).
 
     With ``static_meta`` (sequential path) the bound and physics formulas
     are specialized to the row's compile-time kinds (core/static_dispatch.py).
-    ``w_scale`` optionally scales the recorded sensor weight per ray (used
-    by the polarization-aware path: weight = intensity * |E|^2).
+    ``field`` (the incoming FieldState when track_field is on) scales the
+    recorded sensor weight (weight = intensity * |E|^2) and drives the
+    POLARIZED Monte-Carlo Fresnel draw (static_dispatch.polarized_R).
     """
     res = intersect(row, rays.pos_c, rays.dir_c, static_meta=static_meta)
     active = res['valid'] & (rays.intensity > 0)
@@ -59,7 +60,8 @@ def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
         from .static_dispatch import apply_physics_one
         new_dir, imod = apply_physics_one(static_meta, row, res['hit_s'],
                                           rays.dir_c, n_w, u,
-                                          wavelength=rays.wavelength)
+                                          wavelength=rays.wavelength,
+                                          field=field)
     else:
         new_dir, imod = apply_physics(
             row.ph_kind, row.ph, row.Rw, row.sb_kind, row.sb,
@@ -76,8 +78,8 @@ def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
     # Sensor accumulation uses the surface-local hit and the *incoming*
     # intensity (reference elements/sensor.py:36 records rays.intensity).
     w = jnp.where(active & row.is_sensor, rays.intensity, 0.0)
-    if w_scale is not None:
-        w = w * w_scale
+    if field is not None:
+        w = w * field.power()
     sensors = sensors.record(cfg, row.sensor_slot, rays.ray_id,
                              res['hit_s'], w)
 
@@ -131,7 +133,7 @@ def trace_sequential(table, rays: Rays, key,
         pr, sensors, active, res = _surface_step(
             row, prev, keys[k], cfg, sensors,
             fuzzy_fn=fuzzy_fns.get(k), static_meta=meta,
-            w_scale=field.power() if track_field else None)
+            field=field if track_field else None)
         if track_opl:
             # accumulate n * t through the train; update the medium on
             # refraction (wavefront-analysis building block)
@@ -139,7 +141,8 @@ def trace_sequential(table, rays: Rays, key,
             opl = opl + jnp.where(active, n_cur * res['t'], 0.0)
             u = jax.random.uniform(keys[k], pr.intensity.shape)
             n_next = medium_after(meta, row, prev.dir_c, res['n_w'], u,
-                                  wavelength=pr.wavelength)
+                                  wavelength=pr.wavelength,
+                                  field=field if track_field else None)
             if n_next is not None:
                 n_cur = jnp.where(active, n_next, n_cur)
         if track_field:
@@ -236,7 +239,8 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
             from .static_dispatch import apply_physics_one
             dir_k, imod_k = apply_physics_one(meta, row, res['hit_s'], d,
                                               n_w, u,
-                                              wavelength=rays.wavelength)
+                                              wavelength=rays.wavelength,
+                                              field=field)
         else:
             dir_k, imod_k = apply_physics(
                 row.ph_kind, row.ph, row.Rw, row.sb_kind, row.sb,

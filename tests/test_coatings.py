@@ -232,8 +232,9 @@ def test_coating_amplitudes_energy_and_R():
 
 def test_coated_field_transport_trace(key):
     """track_field through a QW-coated Fresnel singlet: finite fields,
-    and the transmitted |E|^2 reflects the coated (higher) transmission
-    vs the bare lens."""
+    and the EXPECTED transmitted flux (intensity * |E|^2, now carried by
+    the polarized draw frequency since branch fields are renormalized)
+    reflects the coated (higher) transmission vs the bare lens."""
     from raytracetorch_tpu import (CollimatedDisk, Scene, SensorElement,
                                    SingletLens)
 
@@ -253,10 +254,14 @@ def test_coated_field_transport_trace(key):
         assert np.all(np.isfinite(pw))
         alive = np.asarray(out.intensity) > 0
         fwd = alive & (np.asarray(out.dir)[:, 2] > 0)
-        powers[label] = float(pw[fwd].mean())
-    # per transmitted ray |E|^2 = product of the two faces' T
-    np.testing.assert_allclose(powers['bare'], (1 - 0.0426) ** 2, atol=5e-3)
-    np.testing.assert_allclose(powers['qw'], (1 - 0.0128) ** 2, atol=5e-3)
+        # surviving branches carry renormalized fields (|E|^2 = 1)
+        np.testing.assert_allclose(pw[fwd], 1.0, rtol=1e-4)
+        w = np.asarray(out.intensity) * pw
+        powers[label] = float(w[fwd].sum() / len(w))
+    # expected flux = product of the two faces' T (near-normal incidence,
+    # MC noise ~ sqrt(R T / N) per face ~ 2e-3)
+    np.testing.assert_allclose(powers['bare'], (1 - 0.0426) ** 2, atol=6e-3)
+    np.testing.assert_allclose(powers['qw'], (1 - 0.0128) ** 2, atol=6e-3)
     assert powers['qw'] > powers['bare']
 
 

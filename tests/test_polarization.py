@@ -186,17 +186,8 @@ def test_stokes_parameters(key):
     np.testing.assert_allclose(np.asarray(dop), 1.0, rtol=1e-6)
 
 
-def test_mc_reflected_rays_carry_reflection_amplitudes(key):
-    """Monte-Carlo Fresnel reflection draws get the REFLECTION amplitudes
-    (not the transmission ones): at Brewster incidence a p-polarized
-    wave's reflected branch carries |E|^2 ~ Rp ~ 0, while s-polarized
-    reflections carry |E|^2 ~ Rs ~ 15% (conditional path power)."""
-    import math
-
-    import numpy as np
-
-    from raytracetorch_tpu import (CollimatedDisk, ElementCustom, Scene,
-                                   SensorElement)
+def _brewster_mc_scene():
+    from raytracetorch_tpu import CollimatedDisk, ElementCustom, Scene
     from raytracetorch_tpu.constants import PhysKind
     from raytracetorch_tpu.elements import shapes
 
@@ -205,23 +196,94 @@ def test_mc_reflected_rays_carry_reflection_amplitudes(key):
     scene = Scene([
         ElementCustom(shapes.plane, 1, PhysKind.FRESNEL, ph=(n_g, 1.0),
                       name='iface'),
-        SensorElement(radius=100.0, translation=[0, 0, 30.0], name='s'),
     ], n_bounces=3)
-    p = scene.init_params()
-    rays = CollimatedDisk.make(
+    bundle = CollimatedDisk.make(
         radius=jnp.float32(2.0), translation=[0, 0, -10.0],
-        rotation=[th_b, 0.0, 0.0]).sample(key, 100_000)
+        rotation=[th_b, 0.0, 0.0])
+    return scene, bundle, n_g, th_b
+
+
+def test_polarized_mc_draw_brewster(key):
+    """The Monte-Carlo Fresnel branch draw is POLARIZED (round-2 VERDICT
+    item 1): at Brewster incidence a pure p wave NEVER reflects (Rp = 0),
+    while an s wave reflects with frequency Rs; surviving branches carry
+    the renormalized field (|E|^2 preserved — the branch power lives in
+    the draw probability itself)."""
+    scene, bundle, n_g, th_b = _brewster_mc_scene()
+    p = scene.init_params()
+    rays = bundle.sample(key, 100_000)
+    rs_b = ((n_g ** 2 - 1) / (n_g ** 2 + 1)) ** 2        # Rs(Brewster)
 
     # plane of incidence is y-z: p-polarization lies in it, s along x
-    # Rs(Brewster) = ((n^2-1)/(n^2+1))^2
-    rs_b = ((n_g ** 2 - 1) / (n_g ** 2 + 1)) ** 2        # 0.1553
-    for E0, expect_refl_power in (([0.0, math.cos(th_b), math.sin(th_b)],
-                                   0.0),          # p: Rp(Brewster) = 0
-                                  ([1.0, 0.0, 0.0], rs_b)):
+    Ep = [0.0, math.cos(th_b), math.sin(th_b)]
+    out, _, aux = scene.simulate(p, rays, key, track_field=True, E0=[Ep])
+    refl = (np.asarray(out.dir)[:, 2] < 0) & (np.asarray(out.intensity) > 0)
+    assert refl.sum() == 0               # Rp(Brewster) = 0: no draws reflect
+
+    out, _, aux = scene.simulate(p, rays, key, track_field=True,
+                                 E0=[[1.0, 0.0, 0.0]])
+    refl = (np.asarray(out.dir)[:, 2] < 0) & (np.asarray(out.intensity) > 0)
+    np.testing.assert_allclose(refl.mean(), rs_b, atol=0.005)
+    pw = np.asarray(aux['field_power'])
+    np.testing.assert_allclose(pw[refl].mean(), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(pw[~refl].mean(), 1.0, rtol=1e-5)
+
+
+def test_polarized_mc_flux_energy_exact(key):
+    """Expected intensity * |E|^2 sensor flux through a Brewster-angle
+    interface matches the analytic polarized Ts/Tp with NO selection-
+    factor correction (the round-2 VERDICT's 'Done' criterion for the
+    energy-exact polarized draw)."""
+    scene, bundle, n_g, th_b = _brewster_mc_scene()
+    p = scene.init_params()
+    rays = bundle.sample(key, 100_000)
+    rs_b = ((n_g ** 2 - 1) / (n_g ** 2 + 1)) ** 2
+
+    def transmitted_flux(E0):
         out, _, aux = scene.simulate(p, rays, key, track_field=True,
                                      E0=[E0])
-        refl = (np.asarray(out.dir)[:, 2] < 0) & \
+        fwd = (np.asarray(out.dir)[:, 2] > 0) & \
             (np.asarray(out.intensity) > 0)
-        assert refl.sum() > 100          # the MC draw reflects ~7% of rays
-        pw = np.asarray(aux['field_power'])[refl]
-        np.testing.assert_allclose(pw.mean(), expect_refl_power, atol=0.008)
+        w = np.asarray(out.intensity) * np.asarray(aux['field_power'])
+        return float(w[fwd].sum() / len(w))
+
+    # p at Brewster: Tp = 1 exactly (deterministic — zero MC variance)
+    Ep = [0.0, math.cos(th_b), math.sin(th_b)]
+    np.testing.assert_allclose(transmitted_flux(Ep), 1.0, atol=1e-5)
+    # s at Brewster: Ts = 1 - Rs (MC noise ~ sqrt(Rs(1-Rs)/N) ~ 1.2e-3)
+    np.testing.assert_allclose(transmitted_flux([1.0, 0.0, 0.0]),
+                               1.0 - rs_b, atol=0.005)
+    # 45-degree linear: Ts/2 + Tp/2
+    E45 = [math.sqrt(0.5), math.cos(th_b) * math.sqrt(0.5),
+           math.sin(th_b) * math.sqrt(0.5)]
+    np.testing.assert_allclose(transmitted_flux(E45),
+                               1.0 - 0.5 * rs_b, atol=0.005)
+
+
+def test_weighted_fresnel_track_field_polarized_loss(key):
+    """fresnel='weighted' now composes with track_field: the intensity
+    carries the POLARIZED (1 - R) loss exactly once (the field is
+    renormalized), so p at Brewster keeps full intensity and s loses Rs."""
+    from raytracetorch_tpu import ElementCustom, Scene
+    from raytracetorch_tpu.constants import PhysKind
+    from raytracetorch_tpu.elements import shapes
+
+    n_g = 1.5168
+    th_b = math.atan(n_g)
+    el = ElementCustom(shapes.plane, 1, PhysKind.FRESNEL_W, ph=(n_g, 1.0),
+                       name='iface')
+    scene = Scene([el], n_bounces=2)
+    p = scene.init_params()
+    d = [0.0, math.sin(th_b), math.cos(th_b)]
+    rays = Rays.create([[0.0, -10.0 * d[1], -10.0 * d[2]]], [d])
+    rs_b = ((n_g ** 2 - 1) / (n_g ** 2 + 1)) ** 2
+
+    Ep = [[0.0, math.cos(th_b), math.sin(th_b)]]
+    out, _, aux = scene.simulate(p, rays, key, track_field=True, E0=Ep)
+    flux = float(out.intensity[0]) * float(aux['field_power'][0])
+    np.testing.assert_allclose(flux, 1.0, atol=1e-5)
+
+    out, _, aux = scene.simulate(p, rays, key, track_field=True,
+                                 E0=[[1.0, 0.0, 0.0]])
+    flux = float(out.intensity[0]) * float(aux['field_power'][0])
+    np.testing.assert_allclose(flux, 1.0 - rs_b, rtol=1e-4)
