@@ -72,6 +72,16 @@ class VBKind(enum.IntEnum):
     HALFSPACES = 5   # uses hp_n / hp_d / hp_mask arrays  shape.py:122-132
 
 
+class DispModel(enum.IntEnum):
+    """Per-medium chromatic dispersion model of a surface side (see
+    core/static_dispatch.py::dispersive_iors; table ``disp`` layout is
+    [in 6 | out 6] with Cauchy using the side's first slot)."""
+
+    NONE = 0         # constant index (the stored ph value)
+    CAUCHY = 1       # n = n_d + B (1/l^2 - 1/l_d^2), B from the Abbe number
+    SELLMEIER = 2    # n^2 = 1 + sum Bi l^2/(l^2 - Ci) (3-term, um^2)
+
+
 class PhysKind(enum.IntEnum):
     """Surface interaction functors (reference phys/std.py, phys/filter.py)."""
 

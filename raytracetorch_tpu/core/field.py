@@ -196,7 +196,7 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
     if meta.ph in (PhysKind.SNELL, PhysKind.FRESNEL, PhysKind.FRESNEL_W):
         if meta.disp and wavelength is not None:
             from .static_dispatch import dispersive_iors
-            n_in, n_out = dispersive_iors(row, wavelength)
+            n_in, n_out = dispersive_iors(row, wavelength, meta)
         else:
             n_in, n_out = row.ph[..., 0], row.ph[..., 1]
         dot = v3.dot(d_in, n_w)

@@ -89,10 +89,11 @@ class StaticRowMeta:
     before tracing (Scene.static_meta)."""
 
     __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp',
-                 'plane', 'slot', 'n_coat')
+                 'plane', 'slot', 'n_coat', 'dispm')
 
     def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False,
-                 disp=False, plane=False, slot=0, n_coat=0):
+                 disp=False, plane=False, slot=0, n_coat=0,
+                 dispm=(1, 1)):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
@@ -101,20 +102,49 @@ class StaticRowMeta:
         self.plane = bool(plane)
         self.slot = int(slot)       # sensor slot index (0 if not a sensor)
         self.n_coat = int(n_coat)   # static thin-film layer count
+        self.dispm = (int(dispm[0]), int(dispm[1]))  # per-side DispModel
 
 
-def dispersive_iors(row, wavelength_um):
-    """Per-ray media indices from the Cauchy model
-    n(lambda) = n_ref + B (1/lambda^2 - 1/lambda_ref^2), lambda in um,
-    reference wavelength 0.5876 um (helium d line).  The stored ph[0]/ph[1]
-    are the d-line indices; disp[0]/disp[1] the B terms (um^2)."""
-    inv_d2 = 1.0 / (0.5876 ** 2)
-    inv_l2 = jnp.where(wavelength_um > 0,
-                       1.0 / jnp.maximum(wavelength_um * wavelength_um, 1e-6),
-                       inv_d2)
-    n_in = row.ph[..., 0] + row.disp[..., 0] * (inv_l2 - inv_d2)
-    n_out = row.ph[..., 1] + row.disp[..., 1] * (inv_l2 - inv_d2)
-    return n_in, n_out
+def dispersive_iors(row, wavelength_um, meta=None):
+    """Per-ray media indices of a dispersive surface.
+
+    Per-side model selection is static (``meta.dispm``, a DispModel pair;
+    ``None`` keeps the legacy Cauchy-on-both-sides behavior).  The table's
+    ``disp`` row is laid out [in-side 6 | out-side 6]:
+
+    - CAUCHY: n = n_d + B (1/lambda^2 - 1/lambda_d^2) with B (um^2) in the
+      side's slot 0 and the d-line index (0.5876 um) in ph[side].
+    - SELLMEIER: n^2 = 1 + sum_i Bi lambda^2 / (lambda^2 - Ci), the
+      side's six slots holding B1 B2 B3 C1 C2 C3 (Ci in um^2) — catalog
+      accuracy ~1e-5 across 0.4-1.0 um (utils/glass.py::SELLMEIER).
+    - NONE: the constant ph value.
+
+    Unset wavelengths (0) evaluate at the d line."""
+    from ..constants import DispModel
+    d2 = 0.5876 ** 2
+    l2 = jnp.where(wavelength_um > 0,
+                   jnp.maximum(wavelength_um * wavelength_um, 1e-6), d2)
+    inv_l2, inv_d2 = 1.0 / l2, 1.0 / d2
+    models = meta.dispm if meta is not None else (DispModel.CAUCHY,
+                                                  DispModel.CAUCHY)
+
+    def side(j, base):
+        nd = row.ph[..., j]
+        if models[j] == DispModel.SELLMEIER:
+            n2 = jnp.ones_like(l2)
+            for i in range(3):
+                B = row.disp[..., base + i]
+                C = row.disp[..., base + 3 + i]
+                den = l2 - C
+                den = jnp.where(jnp.abs(den) < 1e-9,
+                                jnp.where(den < 0, -1e-9, 1e-9), den)
+                n2 = n2 + B * l2 / den
+            return jnp.sqrt(jnp.maximum(n2, 1e-6))
+        if models[j] == DispModel.CAUCHY:
+            return nd + row.disp[..., base] * (inv_l2 - inv_d2)
+        return nd + 0.0 * l2
+
+    return side(0, 0), side(1, 6)
 
 
 def coated_reflectance(meta: StaticRowMeta, row, d, n, n_in, n_out,
@@ -198,7 +228,7 @@ def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None,
         return None
     from .physics import fresnel_reflectance, refract_components
     if meta.disp and wavelength is not None:
-        n_in, n_out = dispersive_iors(row, wavelength)
+        n_in, n_out = dispersive_iors(row, wavelength, meta)
     else:
         n_in, n_out = row.ph[..., 0], row.ph[..., 1]
     dot, cos_i, n1, n2, mu, tir, cos_t, _ = refract_components(
@@ -229,7 +259,7 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
     kind = meta.ph
     ones = jnp.ones(d[0].shape, dtype=d[0].dtype)
     if meta.disp and wavelength is not None:
-        n_in, n_out = dispersive_iors(row, wavelength)
+        n_in, n_out = dispersive_iors(row, wavelength, meta)
     else:
         n_in, n_out = row.ph[..., 0], row.ph[..., 1]
     if kind == PhysKind.TRANSMIT:

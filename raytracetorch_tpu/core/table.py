@@ -48,7 +48,9 @@ class SurfaceTable(struct.PyTreeNode):
     ph_kind: jnp.ndarray    # [K] int32 physics kind
     ph: jnp.ndarray         # [K, 6] physics params
     asph: jnp.ndarray       # [K, 4] even-asphere coefficients a4..a10
-    disp: jnp.ndarray       # [K, 2] Cauchy B terms (um^2): ior_in, ior_out
+    disp: jnp.ndarray       # [K, 12] dispersion coefficients: [in 6 | out 6]
+                            # (Cauchy B in the side's slot 0; Sellmeier
+                            # B1 B2 B3 C1 C2 C3 — see DispModel)
     coat: jnp.ndarray       # [K, 8] thin-film stack: (n, d_um) x 4 layers
     is_sensor: jnp.ndarray  # [K] bool
     sensor_slot: jnp.ndarray  # [K] int32 (0 if not a sensor)
@@ -94,7 +96,8 @@ class SurfaceRec:
     ph: Sequence = ()            # up to 6 entries: ior_in, ior_out, Cx, Cy, Dx, Dy
     asph: Sequence = ()          # even-asphere a4..a10 (is_asphere marks use)
     is_asphere: bool = False
-    disp: Sequence = ()          # Cauchy B (um^2) for (ior_in, ior_out)
+    disp: Sequence = ()          # 12-wide [in 6 | out 6] per DispModel layout
+    disp_model: tuple = (0, 0)   # (DispModel of ior_in side, of ior_out side)
     is_dispersive: bool = False
     coat: Sequence = ()          # interleaved (n, d_um) pairs, outermost 1st
     n_coat: int = 0              # static layer count (0 = bare interface)
@@ -145,7 +148,7 @@ def stack_records(recs, elem_ids, surf_ids, dtype=jnp.float32):
         ph_kind=jnp.asarray([int(r.ph_kind) for r in recs], jnp.int32),
         ph=jnp.stack([_pad_vec(r.ph, 6, dtype) for r in recs]),
         asph=jnp.stack([_pad_vec(r.asph, 4, dtype) for r in recs]),
-        disp=jnp.stack([_pad_vec(r.disp, 2, dtype) for r in recs]),
+        disp=jnp.stack([_pad_vec(r.disp, 12, dtype) for r in recs]),
         coat=jnp.stack([_pad_vec(r.coat, 8, dtype) for r in recs]),
         is_sensor=jnp.asarray([bool(r.is_sensor) for r in recs]),
         sensor_slot=jnp.asarray([int(r.sensor_slot) for r in recs], jnp.int32),

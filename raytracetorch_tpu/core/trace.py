@@ -200,7 +200,7 @@ def nearest_hit(table, pos, direction, static_meta=None):
 
 def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
                 sensors: SensorState, fuzzy_fns=None, static_meta=None,
-                field=None):
+                field=None, record_hits=False):
     """One non-sequential physics bounce (reference ``Scene.step``,
     scene/base.py:180-235).
 
@@ -214,6 +214,11 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
 
     With ``field`` (a FieldState), E-vectors are transported through each
     winning interaction and sensor weights carry the |E|^2 power factor.
+    ``record_hits=True`` additionally returns this bounce's sensor-local
+    hits as ``(hit_s tuple, weights, slots)`` (a ray crosses at most one
+    surface per bounce, so one [N] record per bounce is exact — the
+    non-sequential analog of the reference's per-hit sensor lists,
+    elements/sensor.py:22-39).
     """
     win, hit = nearest_hit(table, rays.pos_c, rays.dir_c, static_meta)
 
@@ -222,6 +227,11 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
     imod_all = jnp.ones_like(rays.intensity)
     active_any = jnp.zeros_like(rays.intensity, bool)
     fuzzy_fns = fuzzy_fns or {}
+    hits_rec = None
+    if record_hits:
+        zero = jnp.zeros_like(rays.intensity)
+        hits_rec = ((zero, zero, zero), zero,
+                    jnp.zeros_like(rays.intensity, jnp.int32))
     if field is not None:
         from .field import transport_field
         power_in = field.power()
@@ -269,16 +279,23 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
                 w = w * power_in
             sensors = sensors.record(cfg, row.sensor_slot, rays.ray_id,
                                      res['hit_s'], w)
+            if record_hits:
+                smask = mask & is_sensor
+                h, hw, hs = hits_rec
+                hits_rec = (v3.where(smask, res['hit_s'], h),
+                            jnp.where(smask, w, hw),
+                            jnp.where(smask, row.sensor_slot, hs))
 
     rays = rays.masked_update(active_any, new_pos, new_dir, imod_all)
     if field is not None:
         field = field.masked(active_any, Er_acc, Ei_acc)
-    return rays, sensors, active_any, field
+    return rays, sensors, active_any, field, hits_rec
 
 
 def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
                         cfg: SensorConfig = SensorConfig(),
                         record_paths: bool = False,
+                        record_hits: bool = False,
                         remat: bool = False,
                         fuzzy_fns=None,
                         static_meta=None,
@@ -300,7 +317,14 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
 
     ``track_field=True`` / ``E0`` transport a per-ray E-vector through the
     bounces (see ``trace_sequential``); note ``None`` is a valid (empty)
-    pytree so the field rides the scan carry only when enabled."""
+    pytree so the field rides the scan carry only when enabled.
+
+    ``record_hits=True`` stacks per-bounce sensor-local hits —
+    ``aux['hits'] [B, N, 3]``, ``aux['hit_weights']`` / ``aux['hit_slots']
+    [B, N]`` (weight 0 = no sensor crossing that bounce) — the
+    non-sequential analog of the sequential driver's per-surface hit
+    record and of the reference's stateful sensor lists
+    (elements/sensor.py:22-39)."""
     sensors = SensorState.init(cfg, dtype=rays.px.dtype)
     pr = rays
     field = None
@@ -309,25 +333,43 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
         from .field import FieldState
         field = FieldState.init(rays, E0)
 
+    def zero_hits():
+        if not record_hits:
+            return None
+        zero = jnp.zeros_like(pr.intensity)
+        return ((zero, zero, zero), zero,
+                jnp.zeros_like(pr.intensity, jnp.int32))
+
+    def make_ys(pr, hits_rec):
+        ys = {}
+        if record_paths:
+            ys['paths'] = v3.to_array(pr.pos_c)
+        if record_hits:
+            h, w, s = hits_rec
+            ys['hits'] = v3.to_array(h)
+            ys['hit_weights'] = w
+            ys['hit_slots'] = s
+        return ys if ys else None
+
     if early_exit:
         def body(carry, k_key):
             pr, sensors, field, alive = carry
 
             def live(op):
                 pr, sensors, field = op
-                pr, sensors, act, field = bounce_step(
+                pr, sensors, act, field, hits_rec = bounce_step(
                     table, pr, k_key, cfg, sensors, fuzzy_fns=fuzzy_fns,
-                    static_meta=static_meta, field=field)
-                return pr, sensors, field, jnp.any(act)
+                    static_meta=static_meta, field=field,
+                    record_hits=record_hits)
+                return pr, sensors, field, jnp.any(act), hits_rec
 
             def dead(op):
                 pr, sensors, field = op
-                return pr, sensors, field, jnp.zeros((), bool)
+                return pr, sensors, field, jnp.zeros((), bool), zero_hits()
 
-            pr, sensors, field, alive = lax.cond(
+            pr, sensors, field, alive, hits_rec = lax.cond(
                 alive, live, dead, (pr, sensors, field))
-            ys = v3.to_array(pr.pos_c) if record_paths else None
-            return (pr, sensors, field, alive), ys
+            return (pr, sensors, field, alive), make_ys(pr, hits_rec)
 
         if remat:
             body = jax.checkpoint(body)
@@ -337,19 +379,18 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
     else:
         def body(carry, k_key):
             pr, sensors, field = carry
-            pr, sensors, _, field = bounce_step(table, pr, k_key, cfg,
-                                                sensors, fuzzy_fns=fuzzy_fns,
-                                                static_meta=static_meta,
-                                                field=field)
-            ys = v3.to_array(pr.pos_c) if record_paths else None
-            return (pr, sensors, field), ys
+            pr, sensors, _, field, hits_rec = bounce_step(
+                table, pr, k_key, cfg, sensors, fuzzy_fns=fuzzy_fns,
+                static_meta=static_meta, field=field,
+                record_hits=record_hits)
+            return (pr, sensors, field), make_ys(pr, hits_rec)
 
         if remat:
             body = jax.checkpoint(body)
         keys = jax.random.split(key, n_bounces)
         (pr, sensors, field), ys = lax.scan(body, (pr, sensors, field), keys)
 
-    aux = {'paths': ys} if record_paths else {}
+    aux = dict(ys) if ys else {}
     if track_field:
         aux['field'] = field
         aux['field_power'] = field.power()

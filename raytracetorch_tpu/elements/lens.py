@@ -23,7 +23,7 @@ import math
 
 import jax.numpy as jnp
 
-from ..constants import PhysKind, SBKind, VBKind
+from ..constants import DispModel, PhysKind, SBKind, VBKind
 from ..core.table import SurfaceRec
 from ..geom.surfaces import q_cylinder, q_plane, q_quadric, q_quadric_zy, sag_z
 from .base import Element, compose_world, frame_params, zvec
@@ -40,6 +40,25 @@ _ABBE_FC = 1.0 / 0.4861 ** 2 - 1.0 / 0.6563 ** 2
 def abbe_to_cauchy_b(n_d, v_d):
     """Cauchy B (um^2) from a d-line index and Abbe number."""
     return (n_d - 1.0) / (v_d * _ABBE_FC)
+
+
+def _disp_rec(dc, i_norm, i_far):
+    """(disp 12-vector, disp_model pair, is_dispersive) of one optical face
+    from a per-medium dispersion chain ``dc`` (see _SphericLens._disp_chain);
+    the face's physics is ph=(iors[i_norm], iors[i_far]) so the table's
+    [in 6 | out 6] layout (core/static_dispatch.py::dispersive_iors) pairs
+    dc[i_norm] with the in side."""
+    if dc is None:
+        return (), (0, 0), False
+
+    def pad6(c):
+        c = list(c)
+        return c + [0.0] * (6 - len(c))
+
+    m_in, c_in = dc[i_norm]
+    m_out, c_out = dc[i_far]
+    return (tuple(pad6(c_in) + pad6(c_out)),
+            (int(m_in), int(m_out)), bool(m_in or m_out))
 
 
 def _sag_float(c, r):
@@ -127,6 +146,32 @@ class _SphericLens(Element):
         dispersion.  Subclasses with Abbe numbers override."""
         return None
 
+    def _sellmeier_chain(self):
+        """Per-medium 3-term Sellmeier coefficient tuples (B1 B2 B3 C1 C2
+        C3, um^2), parallel to _ior_chain; None entries fall back to the
+        Abbe/Cauchy model or a constant index.  Set via the ``sellmeier*``
+        constructor kwargs (utils/glass.py::glass(model='sellmeier'))."""
+        return getattr(self, '_sellmeier_media', None)
+
+    def _disp_chain(self, p):
+        """Per-medium (DispModel, coeffs) pairs, or None when the element
+        is fully non-dispersive.  Sellmeier (static catalog coefficients)
+        takes precedence per medium over the Abbe-derived Cauchy model."""
+        sell = self._sellmeier_chain()
+        bs = self._b_chain(p)
+        if sell is None and bs is None:
+            return None
+        out = []
+        for i in range(len(self._ior_chain(p))):
+            si = sell[i] if sell is not None else None
+            if si is not None:
+                out.append((DispModel.SELLMEIER, tuple(si)))
+            elif bs is not None:
+                out.append((DispModel.CAUCHY, (bs[i],)))
+            else:
+                out.append((DispModel.NONE, ()))
+        return out
+
     def build(self, p):
         Re, te = frame_params(p)
         r = p['radius']
@@ -135,12 +180,12 @@ class _SphericLens(Element):
         iors = self._ior_chain(p)   # length n_optical + 1, media ... media
         kind = self._refract_kind()
 
-        bs = self._b_chain(p)
+        dc = self._disp_chain(p)
         recs = []
         for i, (c, zv) in enumerate(zip(cs, zs)):
             q, sign = q_quadric(c, 0.0)
             Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(zv))
-            disp = (bs[i + 1], bs[i]) if bs is not None else ()
+            disp, dm, isd = _disp_rec(dc, i + 1, i)
             coat_ns = getattr(self, 'coating_n', None)
             external = i in (0, self.n_optical - 1)   # air-glass faces
             coat = []
@@ -152,7 +197,7 @@ class _SphericLens(Element):
                 sb_kind=SBKind.HEMI, sb=(c,),
                 vb_kind=VBKind.APER_R2, vb=(r * r,),
                 ph_kind=kind, ph=(iors[i + 1], iors[i]),
-                disp=disp, is_dispersive=bs is not None,
+                disp=disp, disp_model=dm, is_dispersive=isd,
                 coat=coat, n_coat=len(coat_ns or ()) if external else 0))
 
         edge_kind, edge_ph = self._edge_phys(p)
@@ -198,10 +243,14 @@ class SingletLens(_SphericLens):
     def __init__(self, c1, c2, d, t, ior_glass, ior_media=1.0,
                  c1_grad=False, c2_grad=False, t_grad=False, d_grad=False,
                  ior_glass_grad=False, ior_media_grad=False,
-                 abbe_vd=None, coating=None, coating_grad=False,
+                 abbe_vd=None, sellmeier=None,
+                 coating=None, coating_grad=False,
                  fresnel=False, inked=False, name='singlet', **kw):
         super().__init__(name=name, **kw)
         self.abbe_vd = abbe_vd
+        self.sellmeier = tuple(sellmeier) if sellmeier is not None else None
+        if self.sellmeier is not None:
+            self._sellmeier_media = [None, self.sellmeier, None]
         _validate_faces([c1, c2], [t], d / 2.0, [-t / 2.0, t / 2.0])
         self._init = dict(c1=c1, c2=c2, t=t, radius=d / 2.0,
                           ior_glass=ior_glass, ior_media=ior_media)
@@ -308,10 +357,16 @@ class DoubletLens(_SphericLens):
                  t1_grad=False, t2_grad=False, d_grad=False,
                  ior_glass1_grad=False, ior_glass2_grad=False,
                  ior_media_grad=False, abbe_vd1=None, abbe_vd2=None,
+                 sellmeier1=None, sellmeier2=None,
                  coating=None, coating_grad=False,
                  fresnel=False, name='doublet', **kw):
         super().__init__(name=name, **kw)
         self.abbe_vd1, self.abbe_vd2 = abbe_vd1, abbe_vd2
+        self.sellmeier1 = tuple(sellmeier1) if sellmeier1 is not None else None
+        self.sellmeier2 = tuple(sellmeier2) if sellmeier2 is not None else None
+        if sellmeier1 is not None or sellmeier2 is not None:
+            self._sellmeier_media = [None, self.sellmeier1,
+                                     self.sellmeier2, None]
         tt = t1 + t2
         zs = [-tt / 2.0, -tt / 2.0 + t1, tt / 2.0]
         _validate_faces([c1, c2, c3], [t1, t2], d / 2.0, zs)
@@ -370,9 +425,15 @@ class TripletLens(_SphericLens):
                  c3_grad=False, c4_grad=False, t1_grad=False, t2_grad=False,
                  t3_grad=False, d_grad=False, ior_glass1_grad=False,
                  ior_glass2_grad=False, ior_glass3_grad=False,
-                 ior_media_grad=False, coating=None, coating_grad=False,
+                 ior_media_grad=False, sellmeier1=None, sellmeier2=None,
+                 sellmeier3=None, coating=None, coating_grad=False,
                  fresnel=False, name='triplet', **kw):
         super().__init__(name=name, **kw)
+        sells = [sellmeier1, sellmeier2, sellmeier3]
+        if any(sl is not None for sl in sells):
+            self._sellmeier_media = ([None]
+                                     + [tuple(sl) if sl is not None else None
+                                        for sl in sells] + [None])
         tt = t1 + t2 + t3
         zs = [-tt / 2.0]
         for t in (t1, t2, t3):
@@ -541,19 +602,19 @@ class AsphericLens(SingletLens):
         iors = self._ior_chain(p)
         kind = self._refract_kind()
 
-        bs = self._b_chain(p)
+        dc = self._disp_chain(p)
         recs = []
         for i, (cn, kn, an, zv) in enumerate(
                 [('c1', 'k1', 'a1', zs[0]), ('c2', 'k2', 'a2', zs[1])]):
             q, sign = q_quadric(p[cn], p[kn])
             Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(zv))
-            disp = (bs[i + 1], bs[i]) if bs is not None else ()
+            disp, dm, isd = _disp_rec(dc, i + 1, i)
             recs.append(SurfaceRec(
                 q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
                 sb_kind=SBKind.HEMI, sb=(p[cn],),
                 vb_kind=VBKind.APER_R2, vb=(r * r,),
                 ph_kind=kind, ph=(iors[i + 1], iors[i]),
-                disp=disp, is_dispersive=bs is not None,
+                disp=disp, disp_model=dm, is_dispersive=isd,
                 asph=tuple(p[an][j] for j in range(4)), is_asphere=True))
 
         edge_kind, edge_ph = self._edge_phys(p)

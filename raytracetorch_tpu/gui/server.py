@@ -206,10 +206,8 @@ class Workbench:
             raise ValueError("add a bundle (ray source) first")
         k1, k2 = jax.random.split(self.key)
         rays = self.scene.sample_rays(k1)
-        kw = dict(record_paths=True)
-        if self.scene.sequential:
-            kw['record_hits'] = True
-        out, sensors, aux = self.scene.simulate(self.params, rays, k2, **kw)
+        out, sensors, aux = self.scene.simulate(
+            self.params, rays, k2, record_paths=True, record_hits=True)
 
         # path overlay: stride to <= MAX_OVERLAY_RAYS, project to pixels
         paths = np.asarray(aux['paths'])              # [S(+1), N, 3]
@@ -229,38 +227,33 @@ class Workbench:
                    for (u, v), o in zip(px, ok) if o]
             polylines.append({'id': int(ids[i]), 'pts': seg})
 
-        # spot diagram: sensor-local hits (sequential records them exactly;
-        # non-sequential falls back to final positions about the centroid)
+        # spot diagram: sensor-local hits — both drivers record them now
+        # (sequential: per-surface rows; non-sequential: per-bounce rows
+        # with hit_weights marking actual sensor crossings)
         spots = []
-        if self.scene.sequential and 'hits' in aux:
-            meta = self.scene.static_meta()
-            hits = np.asarray(aux['hits'])
-            hw = np.asarray(aux['hit_weights'])
-            rid = np.asarray(rays.ray_id)
-            for ksurf, m in enumerate(meta):
-                if not m.sensor:
-                    continue
-                w = hw[ksurf]
-                keep = w > 0
-                xy = hits[ksurf][keep][:, :2]
-                ii = rid[keep]
-                if xy.shape[0] > MAX_SPOT_POINTS:
-                    st = xy.shape[0] // MAX_SPOT_POINTS + 1
-                    xy, ii = xy[::st], ii[::st]
-                spots.append({'x': _tolist(xy[:, 0]), 'y': _tolist(xy[:, 1]),
-                              'id': _tolist(ii)})
+        meta = self.scene.static_meta()
+        hits = np.asarray(aux['hits'])
+        hw = np.asarray(aux['hit_weights'])
+        rid = np.asarray(rays.ray_id)
+        if self.scene.sequential:
+            rows = [(k, None) for k, m in enumerate(meta) if m.sensor]
         else:
-            alive = np.asarray(out.intensity) > 0
-            pos = np.asarray(out.pos)[alive]
-            rid = np.asarray(out.ray_id)[alive]
-            if pos.shape[0]:
-                ctr = pos.mean(0)
-                xy = pos[:, :2] - ctr[None, :2]
-                if xy.shape[0] > MAX_SPOT_POINTS:
-                    st = xy.shape[0] // MAX_SPOT_POINTS + 1
-                    xy, rid = xy[::st], rid[::st]
-                spots.append({'x': _tolist(xy[:, 0]), 'y': _tolist(xy[:, 1]),
-                              'id': _tolist(rid)})
+            slots = np.asarray(aux['hit_slots'])
+            sensor_slots = sorted({m.slot for m in meta if m.sensor})
+            rows = [(None, sl) for sl in sensor_slots]
+        for ksurf, slot in rows:
+            if ksurf is not None:                      # sequential row
+                keep = hw[ksurf] > 0
+                xy, ii = hits[ksurf][keep][:, :2], rid[keep]
+            else:                                      # nonseq: gather slot
+                keep = (hw > 0) & (slots == slot)      # [B, N]
+                xy = hits[keep][:, :2]
+                ii = np.broadcast_to(rid[None, :], keep.shape)[keep]
+            if xy.shape[0] > MAX_SPOT_POINTS:
+                st = xy.shape[0] // MAX_SPOT_POINTS + 1
+                xy, ii = xy[::st], ii[::st]
+            spots.append({'x': _tolist(xy[:, 0]), 'y': _tolist(xy[:, 1]),
+                          'id': _tolist(ii)})
 
         metrics = []
         for slot in range(max(self.scene.n_sensors, 1)):

@@ -231,11 +231,11 @@ LANE = 512
 _ROW_FIELDS = (            # (name, shape) — row-major into the flat vector
     ('q', (5,)), ('n_sign', ()), ('Rw', (3, 3)), ('tw', (3,)),
     ('Rs', (3, 3)), ('ts', (3,)), ('sb', (4,)), ('vb', (8,)),
-    ('ph', (6,)), ('asph', (4,)), ('disp', (2,)),
+    ('ph', (6,)), ('asph', (4,)), ('disp', (12,)),
     ('hp_n', (8, 3)), ('hp_d', (8,)), ('hp_mask', (8,)),
     ('coat', (8,)),
 )
-ROW_WIDTH = 128            # padded flat width (sum of sizes = 102)
+ROW_WIDTH = 128            # padded flat width (sum of sizes = 112)
 
 
 def flatten_table_rows(table):

@@ -149,7 +149,8 @@ class Scene:
                                               plane=r.is_plane,
                                               slot=slot if el.is_sensor
                                               else 0,
-                                              n_coat=r.n_coat))
+                                              n_coat=r.n_coat,
+                                              dispm=r.disp_model))
                 if el.is_sensor:    # mirrors build_table's slot assignment
                     slot += 1
             self._static_meta = meta

@@ -208,3 +208,39 @@ def test_no_phantom_sensor_recrossings(key):
     assert 9000 < fluxes[0] <= 10_000
     assert abs(fluxes[2] - fluxes[1]) < 5
     assert fluxes[2] - fluxes[0] < 50
+
+
+def test_nonsequential_record_hits_match_sequential(key):
+    """record_hits in the bounce-loop driver: per-bounce sensor-local hits
+    match the sequential driver's per-surface record on the same ordered
+    scene (round-2 VERDICT item 7; reference elements/sensor.py:22-39
+    records hits regardless of scene type)."""
+    seq = SequentialScene(_elements())
+    non = Scene(_elements(), n_bounces=8)
+    p = seq.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0.0, 0.0, -10.0]).sample(key, 1024)
+
+    _, _, aux_s = seq.simulate(p, rays, key, record_hits=True)
+    _, _, aux_n = non.simulate(p, rays, key, record_hits=True)
+
+    meta = seq.static_meta()
+    krow = next(k for k, m in enumerate(meta) if m.sensor)
+    hs, ws = np.asarray(aux_s['hits'])[krow], \
+        np.asarray(aux_s['hit_weights'])[krow]
+
+    hn = np.asarray(aux_n['hits'])          # [B, N, 3]
+    wn = np.asarray(aux_n['hit_weights'])   # [B, N]
+    # each ray crosses the sensor at most once in this ordered scene:
+    # collapse the bounce axis to a single per-ray record
+    crossed = wn > 0
+    assert np.all(crossed.sum(0) <= 1)
+    w_flat = wn.sum(0)
+    h_flat = (hn * crossed[..., None]).sum(0)
+
+    np.testing.assert_allclose(w_flat, ws, atol=1e-6)
+    keep = ws > 0
+    assert keep.sum() > 500
+    np.testing.assert_allclose(h_flat[keep], hs[keep], atol=1e-4)
+    # slots recorded for the crossings are the sensor's slot (0)
+    assert np.all(np.asarray(aux_n['hit_slots'])[crossed] == 0)
