@@ -28,6 +28,8 @@ CYL_RECT_EPS = 1e-5    # reference geom/cylindrics.py:36 (aperture slack)
 CYL_EDGE_EPS = 1e-4    # reference geom/cylindrics.py:51 (edge z slack)
 
 MAX_HALFSPACES = 8     # padded per-surface half-space bound capacity
+MAX_COAT_LAYERS = 8     # thin-film stack ceiling per surface (table coat row
+                        # is 2*MAX_COAT_LAYERS wide: (n, d_um) interleaved)
 
 
 class GeomKind(enum.IntEnum):

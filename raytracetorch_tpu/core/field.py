@@ -287,6 +287,41 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
             scale = jnp.where(ok, scale, 0.0)
             Er_new = v3.scale(Er_new, scale)
             Ei_new = v3.scale(Ei_new, scale)
+    elif meta.ph == PhysKind.REFLECT and getattr(meta, 'metal', False):
+        # metal (possibly coated) mirror: apply the complex s/p reflection
+        # amplitudes for the POLARIZATION STATE (metal mirrors rotate
+        # polarization and add s/p phase), then renormalize — the power
+        # loss R_pol is carried by the intensity (apply_physics_one), the
+        # same counted-exactly-once split as FRESNEL_W.
+        from ..utils.coatings import metal_reflection_amplitudes
+        cos_i = jnp.abs(v3.dot(d_in, n_w))
+        n_m, k_m = row.ph[..., 0], row.ph[..., 1]
+        n_amb = row.ph[..., 2]
+        ns_ = [row.coat[..., 2 * i] for i in range(meta.n_coat)]
+        ds_ = [row.coat[..., 2 * i + 1] for i in range(meta.n_coat)]
+        lam = (jnp.where(wavelength > 0, wavelength, 0.5876)
+               if wavelength is not None else 0.5876)
+        rs = metal_reflection_amplitudes(ns_, ds_, n_amb, n_m, k_m, cos_i,
+                                         lam, pol='s')
+        rp = metal_reflection_amplitudes(ns_, ds_, n_amb, n_m, k_m, cos_i,
+                                         lam, pol='p')
+        s_hat, p_in = sp_basis(d_in, n_w)
+        _, p_out = sp_basis(new_dir, n_w)
+        Es_r, Es_i = v3.dot(Er, s_hat), v3.dot(Ei, s_hat)
+        Ep_r, Ep_i = v3.dot(Er, p_in), v3.dot(Ei, p_in)
+        as_r = rs[0] * Es_r - rs[1] * Es_i
+        as_i = rs[0] * Es_i + rs[1] * Es_r
+        ap_r = rp[0] * Ep_r - rp[1] * Ep_i
+        ap_i = rp[0] * Ep_i + rp[1] * Ep_r
+        Er_new = v3.add(v3.scale(s_hat, as_r), v3.scale(p_out, ap_r))
+        Ei_new = v3.add(v3.scale(s_hat, as_i), v3.scale(p_out, ap_i))
+        p_in_pow = v3.norm2(Er) + v3.norm2(Ei)
+        p_raw = v3.norm2(Er_new) + v3.norm2(Ei_new)
+        ok = p_raw > 1e-20
+        scale = jnp.sqrt(p_in_pow / jnp.where(ok, p_raw, 1.0))
+        scale = jnp.where(ok, scale, 0.0)
+        Er_new = v3.scale(Er_new, scale)
+        Ei_new = v3.scale(Ei_new, scale)
     elif meta.ph == PhysKind.REFLECT:
         # perfect mirror: reflect the field like the direction
         Er_new = v3.fma(Er, -2.0 * v3.dot(Er, n_w), n_w)

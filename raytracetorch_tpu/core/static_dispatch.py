@@ -89,11 +89,11 @@ class StaticRowMeta:
     before tracing (Scene.static_meta)."""
 
     __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp',
-                 'plane', 'slot', 'n_coat', 'dispm')
+                 'plane', 'slot', 'n_coat', 'dispm', 'metal')
 
     def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False,
                  disp=False, plane=False, slot=0, n_coat=0,
-                 dispm=(1, 1)):
+                 dispm=(1, 1), metal=False):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
@@ -103,6 +103,7 @@ class StaticRowMeta:
         self.slot = int(slot)       # sensor slot index (0 if not a sensor)
         self.n_coat = int(n_coat)   # static thin-film layer count
         self.dispm = (int(dispm[0]), int(dispm[1]))  # per-side DispModel
+        self.metal = bool(metal)    # REFLECT with absorbing substrate
 
 
 def dispersive_iors(row, wavelength_um, meta=None):
@@ -189,6 +190,27 @@ def coated_reflectance_sp(meta: StaticRowMeta, row, d, n, n_in, n_out,
     return R_of('s'), R_of('p')
 
 
+def mirror_reflectances_sp(meta: StaticRowMeta, row, d, n, wavelength=None):
+    """Per-polarization (Rs, Rp) of a metal-substrate mirror row (bare or
+    dielectric-enhanced; utils/coatings.py::metal_reflectance).  The row's
+    ph holds (n_metal, k_metal, n_ambient); coat interleaves the stack
+    outermost-first — the same orientation the incidence side sees, so no
+    reversal logic is needed (light only ever arrives from the ambient
+    side of a mirror)."""
+    from ..utils.coatings import metal_reflectance
+    from ..geom import vec3 as v3
+    cos_i = jnp.abs(v3.dot(d, n))
+    n_m, k_m = row.ph[..., 0], row.ph[..., 1]
+    n_amb = row.ph[..., 2]
+    ns = [row.coat[..., 2 * i] for i in range(meta.n_coat)]
+    ds = [row.coat[..., 2 * i + 1] for i in range(meta.n_coat)]
+    lam = (jnp.where(wavelength > 0, wavelength, 0.5876)
+           if wavelength is not None else 0.5876)
+    Rs = metal_reflectance(ns, ds, n_amb, n_m, k_m, cos_i, lam, pol='s')
+    Rp = metal_reflectance(ns, ds, n_amb, n_m, k_m, cos_i, lam, pol='p')
+    return Rs, Rp
+
+
 def polarized_R(meta: StaticRowMeta, row, d, n, n_in, n_out, field,
                 wavelength=None):
     """Polarization-weighted reflectance R_pol = (Rs |Es|^2 + Rp |Ep|^2)
@@ -268,6 +290,21 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
         zero = (jnp.zeros_like(d[0]),) * 3
         return zero, jnp.zeros_like(ones)
     if kind == PhysKind.REFLECT:
+        if meta.metal:
+            # metal mirror (bare or dielectric-enhanced): the reflectance
+            # R < 1 scales the intensity (reference mirrors are ideal,
+            # elements/mirror.py:14-19 — this is the beyond-reference
+            # physical-mirror model).  With a tracked field the loss is
+            # polarization-weighted (the field itself is renormalized in
+            # transport_field, so R is counted exactly once).
+            Rs, Rp = mirror_reflectances_sp(meta, row, d, n, wavelength)
+            if field is not None:
+                from .field import sp_power_fractions
+                fs, fp = sp_power_fractions(field.r_c, field.i_c, d, n)
+                R = (Rs * fs + Rp * fp) / jnp.maximum(fs + fp, 1e-20)
+            else:
+                R = 0.5 * (Rs + Rp)
+            return reflect_dir(d, n), R
         return reflect_dir(d, n), ones
     if kind == PhysKind.SNELL:
         return snell_dir(d, n, n_in, n_out), ones

@@ -51,7 +51,7 @@ class SurfaceTable(struct.PyTreeNode):
     disp: jnp.ndarray       # [K, 12] dispersion coefficients: [in 6 | out 6]
                             # (Cauchy B in the side's slot 0; Sellmeier
                             # B1 B2 B3 C1 C2 C3 — see DispModel)
-    coat: jnp.ndarray       # [K, 8] thin-film stack: (n, d_um) x 4 layers
+    coat: jnp.ndarray       # [K, 16] thin-film stack: (n, d_um) x 8 layers
     is_sensor: jnp.ndarray  # [K] bool
     sensor_slot: jnp.ndarray  # [K] int32 (0 if not a sensor)
     elem_id: jnp.ndarray    # [K] int32
@@ -101,6 +101,8 @@ class SurfaceRec:
     is_dispersive: bool = False
     coat: Sequence = ()          # interleaved (n, d_um) pairs, outermost 1st
     n_coat: int = 0              # static layer count (0 = bare interface)
+    is_metal: bool = False       # REFLECT row with an absorbing (n, -ik)
+                                 # substrate in ph[0:2] (coated-mirror physics)
     is_sensor: bool = False
     sensor_slot: int = 0
     is_plane: bool = False       # static: row is a z=0 plane (fast path)
@@ -149,7 +151,7 @@ def stack_records(recs, elem_ids, surf_ids, dtype=jnp.float32):
         ph=jnp.stack([_pad_vec(r.ph, 6, dtype) for r in recs]),
         asph=jnp.stack([_pad_vec(r.asph, 4, dtype) for r in recs]),
         disp=jnp.stack([_pad_vec(r.disp, 12, dtype) for r in recs]),
-        coat=jnp.stack([_pad_vec(r.coat, 8, dtype) for r in recs]),
+        coat=jnp.stack([_pad_vec(r.coat, 16, dtype) for r in recs]),
         is_sensor=jnp.asarray([bool(r.is_sensor) for r in recs]),
         sensor_slot=jnp.asarray([int(r.sensor_slot) for r in recs], jnp.int32),
         elem_id=jnp.asarray(elem_ids, jnp.int32),

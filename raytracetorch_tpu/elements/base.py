@@ -105,7 +105,10 @@ class Element:
             'trans': jnp.asarray(self._trans_init, dtype),
         }
         for k, v in self.extra_params().items():
-            p[k] = jnp.asarray(v, dtype)
+            # dict-valued params (e.g. per-face coat_d stacks) keep their
+            # structure; leaves become arrays
+            p[k] = ({kk: jnp.asarray(vv, dtype) for kk, vv in v.items()}
+                    if isinstance(v, dict) else jnp.asarray(v, dtype))
         return p
 
     def trainable(self):
@@ -176,9 +179,14 @@ class ElementCustom(Element):
     (reference elements/parent.py:73-81)."""
 
     def __init__(self, shape_fn, n_surfaces, ph_kind, ph=(), name='custom',
-                 extra=None, extra_grad=None, **kw):
+                 extra=None, extra_grad=None, coating=None,
+                 coating_grad=False, **kw):
         """``shape_fn(p, Re, te) -> list[SurfaceRec]`` supplies geometry;
-        physics fields are overwritten uniformly."""
+        physics fields are overwritten uniformly.  ``coating`` puts one
+        thin-film stack ``[(n, d_um), ...]`` (outermost first, trainable
+        thicknesses via 'coat_d') on EVERY face — acts through FRESNEL /
+        FRESNEL_W physics and track_field amplitude transport, like lens
+        coatings (core/static_dispatch.py::coated_reflectance)."""
         super().__init__(name=name, **kw)
         self._shape_fn = shape_fn
         self._n = n_surfaces
@@ -186,6 +194,14 @@ class ElementCustom(Element):
         self._ph = tuple(ph)
         self._extra = dict(extra or {})
         self._extra_grad = dict(extra_grad or {})
+        if coating:
+            from ..constants import MAX_COAT_LAYERS
+            if len(coating) > MAX_COAT_LAYERS:
+                raise ValueError(
+                    f"at most {MAX_COAT_LAYERS} coating layers per surface")
+            self.coating_n = [float(n) for n, _ in coating]
+            self._extra['coat_d'] = [float(d) for _, d in coating]
+            self._extra_grad['coat_d'] = coating_grad
 
     @property
     def n_surfaces(self):
@@ -200,7 +216,14 @@ class ElementCustom(Element):
     def build(self, p):
         Re, te = frame_params(p)
         recs = self._shape_fn(p, Re, te)
+        coat_ns = getattr(self, 'coating_n', None)
         for r in recs:
             r.ph_kind = self._ph_kind
             r.ph = self._ph
+            if coat_ns:
+                coat = []
+                for li, nl in enumerate(coat_ns):
+                    coat += [nl, p['coat_d'][li]]
+                r.coat = coat
+                r.n_coat = len(coat_ns)
         return recs

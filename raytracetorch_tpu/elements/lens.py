@@ -117,11 +117,21 @@ class _SphericLens(Element):
         return PhysKind.FRESNEL if self.fresnel else PhysKind.SNELL
 
     def _set_coating(self, coating, coating_grad):
-        """Thin-film stack on the EXTERNAL (air-glass) faces, listed
-        outermost (air-side) first: [(index, thickness_um), ...].  Indices
-        are static structure; thicknesses are the trainable 'coat_d' param
-        (utils/coatings.py; core/static_dispatch.py::coated_reflectance).
-        Cemented interfaces stay bare.
+        """Thin-film stacks on the optical faces.
+
+        Two forms:
+
+        - a LIST ``[(index, thickness_um), ...]`` (outermost / air-side
+          first) — applied to both EXTERNAL faces, sharing one trainable
+          thickness vector (the common both-sides-AR-coated case);
+        - a DICT ``{face_index: [(n, d_um), ...]}`` — per-face stacks,
+          including CEMENTED interfaces (e.g. ``{1: [...]}`` on a
+          doublet's internal face); each face gets its own trainable
+          thickness vector ``coat_d[str(face)]``.
+
+        Indices are static structure; thicknesses are the trainable
+        'coat_d' param (utils/coatings.py;
+        core/static_dispatch.py::coated_reflectance).
 
         The coating acts on the INTENSITY trace only through Fresnel
         physics: set ``fresnel=True`` (Monte-Carlo) or
@@ -130,11 +140,43 @@ class _SphericLens(Element):
         only shows up in ``track_field`` amplitude transport."""
         if not coating:
             return
-        if len(coating) > 4:
-            raise ValueError("at most 4 coating layers per surface")
-        self.coating_n = [float(n) for n, _ in coating]
-        self._init['coat_d'] = [float(dd) for _, dd in coating]
+        from ..constants import MAX_COAT_LAYERS
+        if isinstance(coating, dict):
+            faces = {int(f): list(st) for f, st in coating.items()}
+            for f in faces:
+                if not 0 <= f < self.n_optical:
+                    raise ValueError(
+                        f"coating face index {f} out of range "
+                        f"(element has {self.n_optical} optical faces)")
+            self._coat_per_face = True
+        else:
+            faces = {f: list(coating)
+                     for f in {0, self.n_optical - 1}}
+            self._coat_per_face = False
+        for st in faces.values():
+            if len(st) > MAX_COAT_LAYERS:
+                raise ValueError(
+                    f"at most {MAX_COAT_LAYERS} coating layers per surface")
+        self.coating_n = {f: [float(n) for n, _ in st]
+                          for f, st in faces.items()}
+        if self._coat_per_face:
+            self._init['coat_d'] = {str(f): [float(dd) for _, dd in st]
+                                    for f, st in faces.items()}
+        else:
+            self._init['coat_d'] = [float(dd) for _, dd in coating]
         self._grads['coat_d'] = coating_grad
+
+    def _face_coat(self, p, i):
+        """(coat interleave list, n_coat) of optical face ``i``."""
+        coat_ns = getattr(self, 'coating_n', None)
+        if not coat_ns or i not in coat_ns:
+            return [], 0
+        ds = (p['coat_d'][str(i)] if self._coat_per_face
+              else p['coat_d'])
+        coat = []
+        for li, nl in enumerate(coat_ns[i]):
+            coat += [nl, ds[li]]
+        return coat, len(coat_ns[i])
 
     def _edge_phys(self, p):
         """(kind, params) for edge surfaces; overridden per lens type."""
@@ -186,19 +228,14 @@ class _SphericLens(Element):
             q, sign = q_quadric(c, 0.0)
             Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(zv))
             disp, dm, isd = _disp_rec(dc, i + 1, i)
-            coat_ns = getattr(self, 'coating_n', None)
-            external = i in (0, self.n_optical - 1)   # air-glass faces
-            coat = []
-            if coat_ns and external:
-                for li, nl in enumerate(coat_ns):
-                    coat += [nl, p['coat_d'][li]]
+            coat, n_coat = self._face_coat(p, i)
             recs.append(SurfaceRec(
                 q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
                 sb_kind=SBKind.HEMI, sb=(c,),
                 vb_kind=VBKind.APER_R2, vb=(r * r,),
                 ph_kind=kind, ph=(iors[i + 1], iors[i]),
                 disp=disp, disp_model=dm, is_dispersive=isd,
-                coat=coat, n_coat=len(coat_ns or ()) if external else 0))
+                coat=coat, n_coat=n_coat))
 
         edge_kind, edge_ph = self._edge_phys(p)
         for i in range(self.n_optical - 1):
@@ -609,12 +646,14 @@ class AsphericLens(SingletLens):
             q, sign = q_quadric(p[cn], p[kn])
             Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(zv))
             disp, dm, isd = _disp_rec(dc, i + 1, i)
+            coat, n_coat = self._face_coat(p, i)
             recs.append(SurfaceRec(
                 q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
                 sb_kind=SBKind.HEMI, sb=(p[cn],),
                 vb_kind=VBKind.APER_R2, vb=(r * r,),
                 ph_kind=kind, ph=(iors[i + 1], iors[i]),
                 disp=disp, disp_model=dm, is_dispersive=isd,
+                coat=coat, n_coat=n_coat,
                 asph=tuple(p[an][j] for j in range(4)), is_asphere=True))
 
         edge_kind, edge_ph = self._edge_phys(p)

@@ -15,6 +15,67 @@ from .ideal import paraxial_mirror_mat
 
 
 class _MirrorBase(Element):
+    """Shared mirror machinery.  All mirror elements accept
+
+    - ``metal=None`` — ideal reflector (the reference's Reflect functor,
+      phys/std.py:91: R = 1 always); or a metal name from
+      utils/coatings.py::METALS ('Al', 'Ag', 'Au', 'Cu') or an explicit
+      (n, k) complex-index pair: the face then reflects with the physical
+      complex-Fresnel reflectance (beyond reference).
+    - ``coating=[(n, d_um), ...]`` — dielectric stack on the metal, listed
+      outermost first; thicknesses are the trainable 'coat_d' param
+      (enhanced-aluminum designs by jax.grad).  Requires ``metal``.
+    - ``ambient_ior=1.0`` — the surrounding medium's index.
+    """
+
+    def __init__(self, metal=None, coating=None, coating_grad=False,
+                 ambient_ior=1.0, **kw):
+        super().__init__(**kw)
+        from ..constants import MAX_COAT_LAYERS
+        from ..utils.coatings import METALS
+        if coating and metal is None:
+            raise ValueError(
+                "mirror coatings need a metal substrate (metal='Al', ... "
+                "or an (n, k) pair) — a dielectric stack on an ideal "
+                "reflector has no effect")
+        if isinstance(metal, str):
+            metal = METALS[metal.upper()]
+        self._metal = (float(metal[0]), float(metal[1])) \
+            if metal is not None else None
+        self._ambient = float(ambient_ior)
+        if coating:
+            if len(coating) > MAX_COAT_LAYERS:
+                raise ValueError(
+                    f"at most {MAX_COAT_LAYERS} coating layers per surface")
+            self.coating_n = [float(n) for n, _ in coating]
+            self._coat_d_init = [float(dd) for _, dd in coating]
+            self._coat_grad = coating_grad
+
+    def init_params(self, dtype=jnp.float32):
+        p = super().init_params(dtype)
+        if getattr(self, 'coating_n', None):
+            p['coat_d'] = jnp.asarray(self._coat_d_init, dtype)
+        return p
+
+    def trainable(self):
+        t = super().trainable()
+        if getattr(self, 'coating_n', None):
+            t['coat_d'] = self._coat_grad
+        return t
+
+    def _phys_rec_kwargs(self, p):
+        """Physics fields of the reflecting face for SurfaceRec."""
+        if self._metal is None:
+            return dict(ph_kind=PhysKind.REFLECT)
+        n_m, k_m = self._metal
+        ns = getattr(self, 'coating_n', None)
+        coat = []
+        if ns:
+            for li, nl in enumerate(ns):
+                coat += [nl, p['coat_d'][li]]
+        return dict(ph_kind=PhysKind.REFLECT, ph=(n_m, k_m, self._ambient),
+                    coat=coat, n_coat=len(ns or ()), is_metal=True)
+
     @property
     def n_surfaces(self):
         return 1
@@ -73,7 +134,7 @@ class SphericalMirror(_MirrorBase):
         return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
                            sb_kind=SBKind.HEMI_APER,
                            sb=(p['c'], (p['diameter'] / 2.0) ** 2),
-                           ph_kind=PhysKind.REFLECT)]
+                           **self._phys_rec_kwargs(p))]
 
 
 class CylindricalMirror(_MirrorBase):
@@ -102,7 +163,7 @@ class CylindricalMirror(_MirrorBase):
             sb_kind, sb = SBKind.HEMI, (p['c'],)
         return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
                            sb_kind=sb_kind, sb=sb,
-                           ph_kind=PhysKind.REFLECT)]
+                           **self._phys_rec_kwargs(p))]
 
     def _mirror_mat(self, p):
         zero = jnp.zeros_like(p['c'])
@@ -139,7 +200,7 @@ class ParabolicMirror(_MirrorBase):
             sb_kind, sb = SBKind.NONE, ()
         return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
                            sb_kind=sb_kind, sb=sb,
-                           ph_kind=PhysKind.REFLECT)]
+                           **self._phys_rec_kwargs(p))]
 
 
 class ParabolicMirrorXZ(_MirrorBase):
@@ -171,7 +232,7 @@ class ParabolicMirrorXZ(_MirrorBase):
             sb_kind, sb = SBKind.NONE, ()
         return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
                            sb_kind=sb_kind, sb=sb,
-                           ph_kind=PhysKind.REFLECT)]
+                           **self._phys_rec_kwargs(p))]
 
     def _mirror_mat(self, p):
         zero = jnp.zeros_like(p['c'])
@@ -214,4 +275,4 @@ class ParabolicMirrorOffAxis(_MirrorBase):
         return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
                            sb_kind=SBKind.DISK,
                            sb=((p['d'] / 2.0) ** 2, zero, p['off_axis']),
-                           ph_kind=PhysKind.REFLECT)]
+                           **self._phys_rec_kwargs(p))]

@@ -127,6 +127,32 @@ async function post(url, body) {
 }
 async function get(url) { const r = await fetch(url); return r.json(); }
 
+const FDEFS = {};   // id -> field def, for dynamic (pairs/nested) widgets
+
+function pairRowHtml(id, row, labels) {
+  return `<span class="prow">` +
+    labels.map((lb,j)=>`<input type="number" step="any" title="${lb}" ` +
+      `placeholder="${lb}" value="${row&&row[j]!=null?row[j]:''}">`).join('') +
+    `<button type="button" onclick="this.parentNode.remove()">×</button></span>`;
+}
+function addPairRow(id) {
+  const f = FDEFS[id];
+  const d = document.createElement('div');
+  d.innerHTML = pairRowHtml(id, null, f.labels);
+  $(id).appendChild(d.firstChild);
+}
+function nestedSubHtml(id, subs, params) {
+  return subs.map(sf => {
+    const v = params && params[sf.name] !== undefined ? params[sf.name] : sf.default;
+    return `<label>${sf.name}<input type="number" step="any" ` +
+      `id="${id}-sub-${sf.name}" value="${v==null?'':v}"></label>`;
+  }).join('');
+}
+function renderNested(id) {
+  const f = FDEFS[id];
+  const cls = $(id + '-class').value;
+  $(id + '-sub').innerHTML = nestedSubHtml(id, f.choices[cls] || [], {});
+}
 function formHtml(fields, values, prefix) {
   let h = '';
   for (const f of fields) {
@@ -141,6 +167,30 @@ function formHtml(fields, values, prefix) {
       h += `<label>${f.name}<input type="checkbox" id="${id}" ${v?'checked':''}></label>`;
     } else if (f.kind === 'str') {
       h += `<label>${f.name}<input type="text" id="${id}" value="${v==null?'':v}"></label>`;
+    } else if (f.kind === 'select') {
+      h += `<label>${f.name}<select id="${id}">` +
+        f.options.map(o=>`<option ${o===(v||'')?'selected':''}>${o}</option>`).join('') +
+        `</select></label>`;
+    } else if (f.kind === 'pairs') {
+      FDEFS[id] = f;
+      const rows = Array.isArray(v) ? v : [];
+      h += `<label>${f.name}</label><div class="pairs" id="${id}">` +
+        rows.map(r=>pairRowHtml(id, r, f.labels)).join('') + `</div>` +
+        `<button type="button" onclick="addPairRow('${id}')">+ ${f.name} layer</button>`;
+    } else if (f.kind === 'numlist') {
+      const a = Array.isArray(v) ? v : [];
+      h += `<label>${f.name}<span class="v3">` +
+        f.labels.map((lb,j)=>`<input type="number" step="any" title="${lb}" ` +
+          `placeholder="${lb}" id="${id}-${j}" value="${a[j]!=null?a[j]:''}">`).join('') +
+        `</span></label>`;
+    } else if (f.kind === 'nested') {
+      FDEFS[id] = f;
+      const cls = (v && v['class']) || Object.keys(f.choices)[0];
+      h += `<label>${f.name}<select id="${id}-class" onchange="renderNested('${id}')">` +
+        Object.keys(f.choices).map(c=>`<option ${c===cls?'selected':''}>${c}</option>`).join('') +
+        `</select></label>` +
+        `<div class="sub" id="${id}-sub" style="margin-left:10px">` +
+        nestedSubHtml(id, f.choices[cls] || [], (v && v.params) || {}) + `</div>`;
     } else {
       h += `<label>${f.name}<input type="number" step="any" id="${id}" value="${v==null?'':v}"></label>`;
     }
@@ -157,6 +207,27 @@ function readForm(fields, prefix) {
       out[f.name] = $(id).checked;
     } else if (f.kind === 'str') {
       out[f.name] = $(id).value;
+    } else if (f.kind === 'select') {
+      const x = $(id).value;
+      if (x !== '') out[f.name] = x;
+    } else if (f.kind === 'pairs') {
+      const rows = [];
+      $(id).querySelectorAll('.prow').forEach(sp => {
+        const vals = [...sp.querySelectorAll('input')].map(i=>+(i.value||0));
+        if (vals.some(x=>x!==0)) rows.push(vals);
+      });
+      if (rows.length) out[f.name] = rows;
+    } else if (f.kind === 'numlist') {
+      const vals = f.labels.map((_,j)=>$(id+'-'+j).value);
+      if (vals.some(x=>x!=='')) out[f.name] = vals.map(x=>+(x||0));
+    } else if (f.kind === 'nested') {
+      const cls = $(id+'-class').value;
+      const params = {};
+      (FDEFS[id].choices[cls]||[]).forEach(sf => {
+        const el = $(id+'-sub-'+sf.name);
+        if (el && el.value !== '') params[sf.name] = +el.value;
+      });
+      out[f.name] = {'class': cls, params};
     } else {
       const x = $(id).value;
       if (x !== '') out[f.name] = +x;

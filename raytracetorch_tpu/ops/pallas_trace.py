@@ -233,9 +233,9 @@ _ROW_FIELDS = (            # (name, shape) — row-major into the flat vector
     ('Rs', (3, 3)), ('ts', (3,)), ('sb', (4,)), ('vb', (8,)),
     ('ph', (6,)), ('asph', (4,)), ('disp', (12,)),
     ('hp_n', (8, 3)), ('hp_d', (8,)), ('hp_mask', (8,)),
-    ('coat', (8,)),
+    ('coat', (16,)),
 )
-ROW_WIDTH = 128            # padded flat width (sum of sizes = 112)
+ROW_WIDTH = 128            # padded flat width (sum of sizes = 120)
 
 
 def flatten_table_rows(table):

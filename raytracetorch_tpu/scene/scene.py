@@ -150,7 +150,8 @@ class Scene:
                                               slot=slot if el.is_sensor
                                               else 0,
                                               n_coat=r.n_coat,
-                                              dispm=r.disp_model))
+                                              dispm=r.disp_model,
+                                              metal=r.is_metal))
                 if el.is_sensor:    # mirrors build_table's slot assignment
                     slot += 1
             self._static_meta = meta

@@ -39,23 +39,71 @@ def _cos_layers(n_in, n_layers, cos_i):
         1.0 - (n_in / nl) ** 2 * sin_i2, 1e-12)) for nl in n_layers]
 
 
-def _stack_bc(n_stack, d_stack, n_in, n_out, cos_i, wavelength, pol):
+# -- complex helpers as (re, im) pairs (see module note: no complex dtypes) --
+
+def _c_mul(a, b):
+    return a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0]
+
+
+def _c_div(a, b):
+    den = jnp.maximum(b[0] * b[0] + b[1] * b[1], 1e-24)
+    return ((a[0] * b[0] + a[1] * b[1]) / den,
+            (a[1] * b[0] - a[0] * b[1]) / den)
+
+
+def _c_sqrt(a):
+    """Principal square root of (re, im).  The +1e-24 inside each sqrt
+    keeps gradients finite when an operand sits exactly at 0 (e.g. the
+    imaginary part of cos_t at normal incidence) — the 0*inf NaN hazard
+    of sqrt-at-zero under reverse-mode (see CLAUDE.md numerical rules)."""
+    r = jnp.sqrt(jnp.maximum(a[0] * a[0] + a[1] * a[1], 1e-30))
+    re = jnp.sqrt(jnp.maximum(0.5 * (r + a[0]), 0.0) + 1e-24)
+    im_mag = jnp.sqrt(jnp.maximum(0.5 * (r - a[0]), 0.0) + 1e-24)
+    sign = jnp.where(a[1] < 0, -1.0, 1.0)
+    return re, sign * im_mag
+
+
+def _metal_eta(n_in, n_metal, k_metal, cos_i, pol):
+    """Tilted admittance of an ABSORBING substrate n_c = n - ik (Macleod
+    ch. 2 convention): complex Snell gives cos_t = sqrt(1 - (n_in sin_i /
+    n_c)^2); eta_s = n_c cos_t, eta_p = n_c / cos_t.  Returned as an
+    (re, im) pair."""
+    sin_i2 = jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+    nc = (n_metal, -k_metal)
+    ratio2 = _c_div((n_in * n_in * sin_i2, jnp.zeros_like(cos_i)),
+                    _c_mul(nc, nc))
+    cos_t = _c_sqrt((1.0 - ratio2[0], -ratio2[1]))
+    if pol == 's':
+        return _c_mul(nc, cos_t)
+    return _c_div(nc, cos_t)
+
+
+def _stack_bc(n_stack, d_stack, n_in, n_out, cos_i, wavelength, pol,
+              k_out=None):
     """Characteristic-matrix accumulation: returns (eta0, eta_sub,
-    (B_re, B_im), (C_re, C_im))."""
+    (B_re, B_im), (C_re, C_im)).  ``k_out`` (extinction coefficient)
+    makes the SUBSTRATE absorbing — n_c = n_out - i k_out — which is the
+    metal-mirror case (enhanced/protected aluminum etc.); eta_sub is then
+    complex and the returned eta_sub is its real part (only meaningful
+    for the dielectric transmittance formula, which does not apply)."""
     n_all = list(n_stack)
-    cos_l = _cos_layers(n_in, n_all + [n_out], cos_i)
+    cos_l = _cos_layers(n_in, n_all + [jnp.maximum(n_out, 1e-6)], cos_i)
     cos_layers, cos_t = cos_l[:-1], cos_l[-1]
 
     def eta(n, c):
         return n * c if pol == 's' else n / jnp.maximum(c, 1e-6)
 
     eta0 = eta(n_in, cos_i)
-    eta_sub = eta(n_out, cos_t)
+    if k_out is not None:
+        eta_sub_c = _metal_eta(n_in, n_out, k_out, cos_i, pol)
+    else:
+        eta_sub_c = (eta(n_out, cos_t), jnp.zeros_like(cos_t))
+    eta_sub = eta_sub_c[0]
 
     # stack vector (B, C) = prod(M_l) @ (1, eta_sub), complex as (re, im)
-    B_re, B_im = jnp.ones_like(cos_i + wavelength), jnp.zeros_like(
-        cos_i + wavelength)
-    C_re, C_im = eta_sub * B_re, jnp.zeros_like(B_re)
+    one = jnp.ones_like(cos_i + wavelength)
+    B_re, B_im = one, jnp.zeros_like(one)
+    C_re, C_im = eta_sub_c[0] * one, eta_sub_c[1] * one
     for nl, dl, cl in zip(reversed(n_all), reversed(list(d_stack)),
                           reversed(cos_layers)):
         delta = 2.0 * jnp.pi * nl * dl * cl / wavelength
@@ -122,6 +170,60 @@ def coating_amplitudes(n_stack, d_stack, n_in, n_out, cos_i, wavelength,
     t_re = amp * den_re / den2
     t_im = -amp * den_im / den2
     return (t_re, t_im), (r_re, r_im)
+
+
+# Fixed complex indices (n, k) near the d line (550-590 nm), standard
+# handbook values (Rakic / Johnson-Christy); good across the visible to a
+# few percent in R — the same fixed-index approximation the dielectric
+# catalog's d-line entries make.
+METALS = {
+    'AL': (1.015, 6.63),
+    'AG': (0.144, 3.60),
+    'AU': (0.277, 2.92),
+    'CU': (0.606, 2.58),
+}
+
+
+def metal_reflectance(n_stack, d_stack, n_in, n_metal, k_metal, cos_i,
+                      wavelength, pol='s'):
+    """Intensity reflectance of a dielectric multilayer on an ABSORBING
+    (metal) substrate n_c = n_metal - i k_metal.  Empty stacks give the
+    bare-metal Fresnel reflectance; quarter-wave low/high pairs raise it
+    (enhanced aluminum), a half-wave overcoat leaves it ~unchanged
+    (protected aluminum)."""
+    eta0, _, (B_re, B_im), (C_re, C_im) = _stack_bc(
+        n_stack, d_stack, n_in, n_metal, cos_i, wavelength, pol,
+        k_out=k_metal)
+    num = (eta0 * B_re - C_re, eta0 * B_im - C_im)
+    den = (eta0 * B_re + C_re, eta0 * B_im + C_im)
+    den2 = jnp.maximum(den[0] * den[0] + den[1] * den[1], 1e-24)
+    return (num[0] * num[0] + num[1] * num[1]) / den2
+
+
+def metal_reflection_amplitudes(n_stack, d_stack, n_in, n_metal, k_metal,
+                                cos_i, wavelength, pol='s'):
+    """Complex reflection amplitude r = (eta0 B - C)/(eta0 B + C) of a
+    (possibly coated) metal mirror as an (re, im) pair, in the same field
+    convention as coating_amplitudes (p flipped to match
+    core/field.py::fresnel_amplitudes)."""
+    eta0, _, (B_re, B_im), (C_re, C_im) = _stack_bc(
+        n_stack, d_stack, n_in, n_metal, cos_i, wavelength, pol,
+        k_out=k_metal)
+    num = (eta0 * B_re - C_re, eta0 * B_im - C_im)
+    den = (eta0 * B_re + C_re, eta0 * B_im + C_im)
+    r = _c_div(num, den)
+    if pol == 'p':
+        r = (-r[0], -r[1])
+    return r
+
+
+def unpolarized_metal_reflectance(n_stack, d_stack, n_in, n_metal, k_metal,
+                                  cos_i, wavelength):
+    Rs = metal_reflectance(n_stack, d_stack, n_in, n_metal, k_metal, cos_i,
+                           wavelength, pol='s')
+    Rp = metal_reflectance(n_stack, d_stack, n_in, n_metal, k_metal, cos_i,
+                           wavelength, pol='p')
+    return 0.5 * (Rs + Rp)
 
 
 def unpolarized_reflectance(n_stack, d_stack, n_in, n_out, cos_i,

@@ -296,3 +296,157 @@ def test_asymmetric_stack_substrate_side_reversal(key):
     out, sens, _ = scene.simulate(scene.init_params(), r, key)
     t_traced = float(out.intensity[0])
     np.testing.assert_allclose(t_traced, (1.0 - R_air) ** 2, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Coatings everywhere (round-2 VERDICT item 4): metal mirrors, cemented
+# interfaces, ElementCustom faces, 8-layer cap
+# ---------------------------------------------------------------------------
+
+def test_metal_mirror_bare_enhanced_protected(key):
+    """A metal='Al' mirror reflects with the complex-Fresnel R (< 1); a
+    quarter-wave L/H pair ENHANCES it above bare metal; a half-wave
+    overcoat (protected aluminum) is absentee."""
+    import math
+
+    from raytracetorch_tpu import CollimatedDisk, Scene, SensorElement
+    from raytracetorch_tpu.elements.mirror import ParabolicMirror
+    from raytracetorch_tpu.utils.coatings import METALS
+
+    n_m, k_m = METALS['AL']
+    R_bare = ((n_m - 1) ** 2 + k_m ** 2) / ((n_m + 1) ** 2 + k_m ** 2)
+    d_qw = lambda nn: 0.5876 / (4 * nn)
+
+    def flux(coating):
+        scene = Scene([
+            ParabolicMirror(c1=-0.001, d=30.0, translation=[0, 0, 50.0],
+                            metal='Al', coating=coating, name='m'),
+            SensorElement(radius=20.0, translation=[0, 0, 0.5], name='s'),
+        ], n_bounces=3)
+        # launch past the sensor plane so only the RETURN pass crosses it
+        rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                                   translation=[0, 0, 1.0]).sample(key, 2000)
+        out, sensors, _ = scene.simulate(scene.init_params(), rays, key)
+        return float(sensors.total_weight(0)[0]) / 2000.0
+
+    f_bare = flux(None)
+    np.testing.assert_allclose(f_bare, R_bare, rtol=2e-3)   # near-normal
+    # enhanced: QW high-index outermost, QW low-index on the metal
+    f_enh = flux([(2.35, d_qw(2.35)), (NC, d_qw(NC))])
+    assert f_enh > f_bare + 0.04, (f_enh, f_bare)
+    # protected: half-wave SiO2 is absentee at the design wavelength
+    f_prot = flux([(1.46, 0.5876 / (2 * 1.46))])
+    np.testing.assert_allclose(f_prot, f_bare, atol=2e-3)
+
+
+def test_metal_mirror_ideal_default(key):
+    """Without metal=, mirrors stay ideal (R = 1, reference parity)."""
+    from raytracetorch_tpu import CollimatedDisk, Scene, SensorElement
+    from raytracetorch_tpu.elements.mirror import ParabolicMirror
+
+    scene = Scene([
+        ParabolicMirror(c1=-0.001, d=30.0, translation=[0, 0, 50.0],
+                        name='m'),
+        SensorElement(radius=20.0, translation=[0, 0, 0.5], name='s'),
+    ], n_bounces=3)
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, 1.0]).sample(key, 1000)
+    _, sensors, _ = scene.simulate(scene.init_params(), rays, key)
+    np.testing.assert_allclose(float(sensors.total_weight(0)[0]), 1000.0,
+                               rtol=1e-5)
+
+
+def test_metal_mirror_field_transport(key):
+    """track_field over a metal mirror: intensity carries R (counted
+    once), the field is renormalized (|E|^2 preserved), so
+    intensity * |E|^2 = R exactly at near-normal incidence."""
+    from raytracetorch_tpu import CollimatedDisk, Scene, SensorElement
+    from raytracetorch_tpu.elements.mirror import ParabolicMirror
+    from raytracetorch_tpu.utils.coatings import METALS
+
+    n_m, k_m = METALS['AL']
+    R_bare = ((n_m - 1) ** 2 + k_m ** 2) / ((n_m + 1) ** 2 + k_m ** 2)
+    scene = Scene([
+        ParabolicMirror(c1=-0.001, d=30.0, translation=[0, 0, 50.0],
+                        metal='Al', name='m'),
+        SensorElement(radius=20.0, translation=[0, 0, 0.5], name='s'),
+    ], n_bounces=3)
+    rays = CollimatedDisk.make(radius=jnp.float32(1.0),
+                               translation=[0, 0, 1.0]).sample(key, 500)
+    out, sensors, aux = scene.simulate(scene.init_params(), rays, key,
+                                       track_field=True)
+    pw = np.asarray(aux['field_power'])
+    alive = np.asarray(out.intensity) > 0
+    np.testing.assert_allclose(pw[alive], 1.0, rtol=1e-4)
+    flux = float((np.asarray(out.intensity) * pw)[alive].mean())
+    np.testing.assert_allclose(flux, R_bare, rtol=2e-3)
+
+
+def test_cemented_interface_coating(key):
+    """Per-face dict coatings reach a doublet's CEMENTED interface: a
+    quarter-wave layer at the glass1-glass2 boundary changes the
+    weighted-Fresnel transmission by exactly the formula amount."""
+    from raytracetorch_tpu import DoubletLens, Rays, SequentialScene
+
+    n1g, n2g = 1.5168, 1.6727
+    # QW index for the cemented gap: ideal AR needs sqrt(n1*n2)
+    nqw = float(np.sqrt(n1g * n2g))
+    d_qw = 0.5876 / (4 * nqw)
+
+    def T_total(coating):
+        scene = SequentialScene([DoubletLens(
+            c1=0.02, c2=-0.025, c3=-0.004, d=20.0, t1=4.0, t2=2.0,
+            ior_glass1=n1g, ior_glass2=n2g, fresnel='weighted',
+            coating=coating, name='db')])
+        rays = Rays.create([[0.0, 0.5, -10.0]], [[0.0, 0.0, 1.0]])
+        out, _, _ = scene.simulate(scene.init_params(), rays, key)
+        return float(out.intensity[0])
+
+    T_bare = T_total(None)
+    T_cem = T_total({1: [(nqw, d_qw)]})
+    # bare cemented interface: R12 = ((n1-n2)/(n1+n2))^2 ~ 2.39e-3;
+    # the ideal QW coat nulls it -> T rises by a factor 1/(1-R12)
+    R12 = ((n1g - n2g) / (n1g + n2g)) ** 2
+    np.testing.assert_allclose(T_cem / T_bare, 1.0 / (1.0 - R12), rtol=1e-4)
+
+
+def test_custom_element_coating(key):
+    """ElementCustom faces take a coating: a QW MgF2 AR stack on a
+    weighted-Fresnel plane transmits 1 - R_coated."""
+    from raytracetorch_tpu import ElementCustom, Rays, SequentialScene
+    from raytracetorch_tpu.constants import PhysKind
+    from raytracetorch_tpu.elements import shapes
+
+    d_qw = 0.5876 / (4 * NC)
+    el = ElementCustom(shapes.plane, 1, PhysKind.FRESNEL_W,
+                       ph=(NS, 1.0), coating=[(NC, d_qw)], name='iface')
+    scene = SequentialScene([el])
+    rays = Rays.create([[0.0, 0.0, -5.0]], [[0.0, 0.0, 1.0]])
+    out, _, _ = scene.simulate(scene.init_params(), rays, key)
+    R_qw = ((NS - NC * NC) / (NS + NC * NC)) ** 2
+    np.testing.assert_allclose(float(out.intensity[0]), 1.0 - R_qw,
+                               rtol=1e-4)
+
+
+def test_eight_layer_stack_cap(key):
+    """The 4-layer ceiling is lifted to MAX_COAT_LAYERS=8: an 8-layer
+    (HL)^4 stack builds and traces finite, 9 layers raise."""
+    import pytest
+
+    from raytracetorch_tpu import Rays, SequentialScene, SingletLens
+
+    hl = [(2.35, 0.5876 / (4 * 2.35)), (NC, 0.5876 / (4 * NC))]
+    stack8 = hl * 4
+    scene = SequentialScene([SingletLens(
+        c1=0.02, c2=-0.02, d=10.0, t=3.0, ior_glass=NS,
+        fresnel='weighted', coating=stack8, name='lens')])
+    rays = Rays.create([[0.0, 0.5, -10.0]], [[0.0, 0.0, 1.0]])
+    out, _, _ = scene.simulate(scene.init_params(), rays, key)
+    ii = float(out.intensity[0])
+    assert np.isfinite(ii) and 0.0 < ii <= 1.0
+    # an (HL)^4 high-reflector stack on both faces cuts transmission hard
+    assert ii < 0.5
+
+    with pytest.raises(ValueError):
+        SingletLens(c1=0.02, c2=-0.02, d=10.0, t=3.0, ior_glass=NS,
+                    coating=stack8 + [(NC, 0.1)], name='x')
