@@ -289,14 +289,78 @@ class _SmemRow:
             base += size
 
 
-def _kernel_v2(static_meta, cfg, n_valid, tab, *refs):
+def _grid_accumulate(grid_ref, caps, slots, cfg):
+    """In-VMEM irradiance-grid accumulation (round-2 VERDICT item 2).
+
+    Mosaic has no scatter lowering, so binning is recast as MXU matmuls:
+    for each tile row (L = 512 rays), build one-hot bin indicators
+    A[H, L] (y bins) and B[W, L] (x bins, weighted), then
+    ``grid += A @ B^T`` — each ray contributes w to exactly its
+    (iy, ix) cell.  Both one-hots are EXACT in bf16 (0/1), and the
+    weight rides as a bf16 hi+lo split (two matmuls) so each ray's w is
+    carried to ~2^-16 relative — the MXU does the histogram at bf16
+    rate with f32 accumulation.  The [S, H, W] output block has a
+    constant index map: it stays resident in VMEM across the
+    sequential grid steps and accumulates (zero-initialized at step 0),
+    replacing the serialized XLA scatter that dominated grid traces
+    (16M rays, 256^2: 596.9 ms XLA scatter / 153.7 ms capture+scatter
+    -> kernel-resident, see BASELINE.md)."""
+    H, W = cfg.grid_shape
+    e = cfg.grid_half_extent
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        grid_ref[...] = jnp.zeros_like(grid_ref)
+
+    contract = (((1,), (1,)), ((), ()))     # A [H,L] x B [W,L] -> [H,W]
+    for (x, y, w), slot in zip(caps, slots):
+        rows, lanes = x.shape
+        ix = jnp.clip(((x + e) / (2 * e) * W).astype(jnp.int32), 0, W - 1)
+        iy = jnp.clip(((y + e) / (2 * e) * H).astype(jnp.int32), 0, H - 1)
+        acc = jnp.zeros((H, W), jnp.float32)
+        for r in range(rows):
+            iy_r = iy[r:r + 1, :]           # [1, L]
+            ix_r = ix[r:r + 1, :]
+            w_r = w[r:r + 1, :]
+            eq_y = jax.lax.broadcasted_iota(
+                jnp.int32, (H, lanes), 0) == iy_r
+            eq_x = jax.lax.broadcasted_iota(
+                jnp.int32, (W, lanes), 0) == ix_r
+            A = jnp.where(eq_y, 1.0, 0.0).astype(jnp.bfloat16)
+            B1 = jnp.where(eq_x, 1.0, 0.0)
+            w_hi = w_r.astype(jnp.bfloat16)
+            w_lo = (w_r - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            Bh = B1.astype(jnp.bfloat16) * w_hi
+            Bl = B1.astype(jnp.bfloat16) * w_lo
+            acc = acc + jax.lax.dot_general(
+                A, Bh, contract, preferred_element_type=jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                A, Bl, contract, preferred_element_type=jnp.float32)
+        grid_ref[slot] = grid_ref[slot] + acc
+
+
+def _kernel_v2(static_meta, cfg, n_valid, track_opl, track_field,
+               tab, *refs):
     n_f = sum(1 for m in static_meta if m.ph == 4)     # FRESNEL rows
     capture = bool(cfg.grid_shape)  # sensor-hit capture for the grid pass
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
-    u_refs = refs[9:9 + n_f]        # pre-drawn uniforms, one per Fresnel row
-    outs = refs[9 + n_f:]
+    base = 9
+    u_refs = refs[base:base + n_f]  # pre-drawn uniforms, one per Fresnel row
+    base += n_f
+    field_refs = refs[base:base + (6 if track_field else 0)]
+    base += len(field_refs)
+    outs = refs[base:]
     (opx, opy, opz, odx, ody, odz, oii, mom) = outs[:8]
-    cap_refs = outs[8:]             # (x, y, w) triplet per sensor row
+    o_i = 8
+    grid_ref = None
+    if capture:
+        grid_ref = outs[o_i]
+        o_i += 1
+    oopl = on_fin = None
+    if track_opl:
+        oopl, on_fin = outs[o_i], outs[o_i + 1]
+        o_i += 2
+    ofield = outs[o_i:o_i + 6] if track_field else ()
     pos = (px[:], py[:], pz[:])
     d = (dx[:], dy[:], dz[:])
     intensity = ii[:]
@@ -313,14 +377,31 @@ def _kernel_v2(static_meta, cfg, n_valid, tab, *refs):
     n_slots = max(cfg.n_sensors, 1)
     rows_k = [_SmemRow(tab, k) for k in range(len(static_meta))]
     u_vals = [u[:] for u in u_refs]
-    (pos, d, intensity), mom_vec, caps = _chain_pure(
+    opl = jnp.zeros(shape, jnp.float32) if track_opl else None
+    n_cur = jnp.ones(shape, jnp.float32) if track_opl else None
+    Er = Ei = None
+    if track_field:
+        # sanitize like intensity: rows past the uneven grid tail read
+        # garbage VMEM, and the sensor weight w = masked_intensity *
+        # |E|^2 would be 0 * NaN there
+        Er = tuple(jnp.where(flat < n_valid, field_refs[j][:], 0.0)
+                   for j in range(3))
+        Ei = tuple(jnp.where(flat < n_valid, field_refs[3 + j][:], 0.0)
+                   for j in range(3))
+    (pos, d, intensity), mom_vec, caps, extras = _chain_pure(
         static_meta, cfg, ray_id, u_vals, rows_k, pos, d, intensity,
-        wavelength, capture=capture)
+        wavelength, capture=capture, opl=opl, n_cur=n_cur, Er=Er, Ei=Ei)
 
-    for cap_i, (x, y, w) in enumerate(caps):
-        cap_refs[3 * cap_i][:] = x          # hits out for the XLA grid pass
-        cap_refs[3 * cap_i + 1][:] = y
-        cap_refs[3 * cap_i + 2][:] = w
+    if capture:
+        slots = [m.slot for m in static_meta if m.sensor]
+        _grid_accumulate(grid_ref, caps, slots, cfg)
+    if track_opl:
+        oopl[:], on_fin[:] = extras[0], extras[1]
+    if track_field:
+        Er_f, Ei_f = extras[2], extras[3]
+        for j in range(3):
+            ofield[j][:] = Er_f[j]
+            ofield[3 + j][:] = Ei_f[j]
 
     opx[:], opy[:], opz[:] = pos
     odx[:], ody[:], odz[:] = d
@@ -341,14 +422,16 @@ def _kernel_v2(static_meta, cfg, n_valid, tab, *refs):
 def trace_sequential_pallas_v2(table, rays: Rays, key,
                                cfg: SensorConfig = SensorConfig(),
                                static_meta=None, interpret=False,
-                               block_rows=16):
+                               block_rows=16, track_opl=False,
+                               track_field=False, E0=None):
     """Fused forward sequential trace, v2 (see module notes above).  Same
     contract/limitations as v1 except: dispersion, gratings, stochastic
-    Fresnel, multi-sensor scenes (per-slot moments) and irradiance grids
-    are all supported.  Fresnel branch uniforms are pre-drawn outside the
-    kernel with trace_sequential's exact key schedule, so results are
-    BITWISE identical to the XLA driver; grids capture sensor-local hits
-    in-kernel and scatter-add outside (Mosaic has no scatter lowering);
+    Fresnel, multi-sensor scenes (per-slot moments), irradiance grids
+    (accumulated IN VMEM via one-hot MXU matmuls — no scatter), optical
+    path length (``track_opl``) and polarization transport
+    (``track_field``/``E0``) are all supported.  Fresnel branch uniforms
+    are pre-drawn outside the kernel with trace_sequential's exact key
+    schedule, so results are BITWISE identical to the XLA driver;
     HALFSPACES (box/polyhedron) volume bounds unroll as scalar plane
     reads.  Still unsupported: fuzzy callables, path/hit recording."""
     assert static_meta is not None, "pallas path needs scene static_meta"
@@ -381,24 +464,43 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
             if m.ph == 4:
                 ins.append(pad2(jax.random.uniform(
                     keys[k], rays.intensity.shape)))
+    if track_field:
+        from ..core.field import FieldState
+        f0 = FieldState.init(rays, E0)
+        ins += [pad2(f0.erx), pad2(f0.ery), pad2(f0.erz),
+                pad2(f0.eix), pad2(f0.eiy), pad2(f0.eiz)]
 
     assert cfg.n_bundles * N_MOMENTS <= 128, "too many bundles for kernel"
-    n_cap = (3 * sum(1 for m in static_meta if m.sensor)
-             if cfg.grid_shape else 0)
+    n_slots = max(cfg.n_sensors, 1)
+    has_grid = bool(cfg.grid_shape)
     ray_block = jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
     out_shapes = ([ray_block] * 7
-                  + [jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32)]
-                  + [ray_block] * n_cap)
+                  + [jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32)])
+    if has_grid:
+        gh, gw = cfg.grid_shape
+        out_shapes.append(jax.ShapeDtypeStruct((n_slots, gh, gw),
+                                               jnp.float32))
+    if track_opl:
+        out_shapes += [ray_block] * 2       # opl, n_final
+    if track_field:
+        out_shapes += [ray_block] * 6       # erx..eiz
 
-    kern = functools.partial(_kernel_v2, static_meta, cfg, n)
+    kern = functools.partial(_kernel_v2, static_meta, cfg, n,
+                             track_opl, track_field)
     flat_tab = flatten_table_rows(table)
 
+    n_extra = (2 if track_opl else 0) + (6 if track_field else 0)
     if _HAS_PLTPU and not interpret:
         # index maps receive the scalar-prefetch operand as a trailing arg
         block = pl.BlockSpec((block_rows, LANE), lambda i, tab: (i, 0))
         out_specs = ([block] * 7
-                     + [pl.BlockSpec((1, 8, 128), lambda i, tab: (i, 0, 0))]
-                     + [block] * n_cap)
+                     + [pl.BlockSpec((1, 8, 128), lambda i, tab: (i, 0, 0))])
+        if has_grid:
+            # constant index map: the grid block stays VMEM-resident and
+            # accumulates across the sequential grid steps
+            out_specs.append(pl.BlockSpec((n_slots, gh, gw),
+                                          lambda i, tab: (0, 0, 0)))
+        out_specs += [block] * n_extra
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(grid,),
             in_specs=[block] * len(ins), out_specs=out_specs)
@@ -410,8 +512,11 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
     else:
         block = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0))
         out_specs = ([block] * 7
-                     + [pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))]
-                     + [block] * n_cap)
+                     + [pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))])
+        if has_grid:
+            out_specs.append(pl.BlockSpec((n_slots, gh, gw),
+                                          lambda i: (0, 0, 0)))
+        out_specs += [block] * n_extra
         outs = pl.pallas_call(
             kern, grid=(grid,),
             in_specs=[pl.BlockSpec(flat_tab.shape,
@@ -421,7 +526,6 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
         )(flat_tab, *ins)
 
     opx, opy, opz, odx, ody, odz, oii, mom = outs[:8]
-    cap_outs = outs[8:]
 
     def unpad(a):
         return a.reshape(-1)[:n]
@@ -430,33 +534,28 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
                             dx=unpad(odx), dy=unpad(ody), dz=unpad(odz),
                             intensity=unpad(oii))
     sensors = SensorState.init(cfg)
-    n_slots = max(cfg.n_sensors, 1)
     nb = cfg.n_bundles * N_MOMENTS
     mom_sum = jnp.sum(mom, axis=0)                     # (8, 128)
     sensors = sensors.replace(
         moments=mom_sum[:n_slots, :nb].reshape(
             n_slots, cfg.n_bundles, N_MOMENTS))
-    if cfg.grid_shape:
-        # scatter the captured sensor-local hits outside the kernel —
-        # identical binning to SensorState.record (core/sensor.py)
-        h, w_ = cfg.grid_shape
-        e = cfg.grid_half_extent
-        g = sensors.grid
-        cap_i = 0
-        for m in static_meta:
-            if not m.sensor:
-                continue
-            hx = unpad(cap_outs[3 * cap_i])
-            hy = unpad(cap_outs[3 * cap_i + 1])
-            hw = unpad(cap_outs[3 * cap_i + 2])
-            ix = jnp.clip(((hx + e) / (2 * e) * w_).astype(jnp.int32),
-                          0, w_ - 1)
-            iy = jnp.clip(((hy + e) / (2 * e) * h).astype(jnp.int32),
-                          0, h - 1)
-            g = g.at[m.slot, iy, ix].add(hw)
-            cap_i += 1
-        sensors = sensors.replace(grid=g)
-    return out_rays, sensors, {}
+    o_i = 8
+    if has_grid:
+        sensors = sensors.replace(grid=outs[o_i])
+        o_i += 1
+    aux = {}
+    if track_opl:
+        aux['opl'] = unpad(outs[o_i])
+        aux['n_final'] = unpad(outs[o_i + 1])
+        o_i += 2
+    if track_field:
+        from ..core.field import FieldState
+        f = FieldState(erx=unpad(outs[o_i]), ery=unpad(outs[o_i + 1]),
+                       erz=unpad(outs[o_i + 2]), eix=unpad(outs[o_i + 3]),
+                       eiy=unpad(outs[o_i + 4]), eiz=unpad(outs[o_i + 5]))
+        aux['field'] = f
+        aux['field_power'] = f.power()
+    return out_rays, sensors, aux
 
 
 # ---------------------------------------------------------------------------
@@ -761,20 +860,44 @@ class _ValueRow:
             base += size
 
 
+class _FieldShim:
+    """Duck-typed FieldState over raw component tuples — what
+    static_dispatch.polarized_R needs from the in-kernel field streams."""
+
+    __slots__ = ('r_c', 'i_c')
+
+    def __init__(self, Er, Ei):
+        self.r_c, self.i_c = Er, Ei
+
+    def power(self):
+        return (self.r_c[0] ** 2 + self.r_c[1] ** 2 + self.r_c[2] ** 2
+                + self.i_c[0] ** 2 + self.i_c[1] ** 2 + self.i_c[2] ** 2)
+
+
 def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
-                intensity, wavelength, capture=False):
+                intensity, wavelength, capture=False, opl=None,
+                n_cur=None, Er=None, Ei=None):
     """The fused surface chain — the SINGLE implementation behind both
     the forward kernel (_kernel_v2, rows = _SmemRow list) and the
     backward transpose (rows = _ValueRow list under jax.vjp).  Returns
-    ``((pos, d, intensity), mom_vec, caps)`` where mom_vec is the
-    stacked [n_slots * B * N_MOMENTS] sensor-moment vector and ``caps``
+    ``((pos, d, intensity), mom_vec, caps, extras)`` where mom_vec is the
+    stacked [n_slots * B * N_MOMENTS] sensor-moment vector, ``caps``
     holds one (x, y, w) triple per sensor row when ``capture`` (the
-    irradiance-grid hit capture)."""
+    irradiance-grid hit capture), and ``extras`` carries the optional
+    (opl, n_cur, Er, Ei) streams.
+
+    ``opl``/``n_cur`` enable optical-path-length accumulation and
+    ``Er``/``Ei`` (component tuples) the polarization transport — both
+    are just more [tile] component streams through the same machinery,
+    matching trace_sequential's track_opl/track_field bitwise (same
+    medium_after / transport_field formulas, same u schedule)."""
     n_slots = max(cfg.n_sensors, 1)
     partials = [[[jnp.zeros((), intensity.dtype)] * N_MOMENTS
                  for _ in range(cfg.n_bundles)] for _ in range(n_slots)]
     caps = []
     f_idx = 0
+    track_opl = opl is not None
+    track_field = Er is not None
     for k, meta in enumerate(static_meta):
         row = rows[k]
         res = intersect(row, pos, d, static_meta=meta)
@@ -785,14 +908,18 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
             f_idx += 1
         else:
             u = jnp.zeros_like(intensity)
+        field = _FieldShim(Er, Ei) if track_field else None
         new_dir, imod = apply_physics_one(meta, row, res['hit_s'], d, n_w,
-                                          u, wavelength=wavelength)
+                                          u, wavelength=wavelength,
+                                          field=field)
         new_pos = tuple(p_ + res['t'] * d_ for p_, d_ in zip(pos, d))
 
         if meta.sensor:
             # sanitize: rows past the uneven grid tail read garbage VMEM,
             # and 0 * NaN = NaN would poison the block reduction
             w = jnp.where(active, intensity, 0.0)
+            if track_field:
+                w = w * field.power()
             x = jnp.where(w > 0, res['hit_s'][0], 0.0)
             y = jnp.where(w > 0, res['hit_s'][1], 0.0)
             terms = (w, w * x, w * y, w * x * x, w * y * y, w * x * y,
@@ -805,6 +932,23 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
             if capture:
                 caps.append((x, y, w))
 
+        if track_opl:
+            from ..core.static_dispatch import medium_after
+            opl = opl + jnp.where(active, n_cur * res['t'], 0.0)
+            n_next = medium_after(meta, row, d, n_w, u,
+                                  wavelength=wavelength, field=field)
+            if n_next is not None:
+                n_cur = jnp.where(active, n_next, n_cur)
+        if track_field:
+            from ..core.field import transport_field
+            Er_new, Ei_new = transport_field(meta, row, d, new_dir, n_w,
+                                             imod, Er, Ei,
+                                             wavelength=wavelength)
+            Er = tuple(jnp.where(active, a, b)
+                       for a, b in zip(Er_new, Er))
+            Ei = tuple(jnp.where(active, a, b)
+                       for a, b in zip(Ei_new, Ei))
+
         pos = tuple(jnp.where(active, a, b) for a, b in zip(new_pos, pos))
         d = tuple(jnp.where(active, a, b) for a, b in zip(new_dir, d))
         intensity = jnp.where(active, intensity * imod, intensity)
@@ -812,7 +956,7 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
     mom_vec = jnp.stack([partials[s][b][m] for s in range(n_slots)
                          for b in range(cfg.n_bundles)
                          for m in range(N_MOMENTS)])
-    return (pos, d, intensity), mom_vec, caps
+    return (pos, d, intensity), mom_vec, caps, (opl, n_cur, Er, Ei)
 
 
 def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, tab, ctm, *refs):
@@ -848,9 +992,9 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, tab, ctm, *refs):
 
     def chain(rows_flat, pos, d, intensity, wavelength):
         rows_v = [_ValueRow(v) for v in rows_flat]
-        state, mom_vec, _ = _chain_pure(static_meta, cfg, ray_id, u_vals,
-                                        rows_v, pos, d, intensity,
-                                        wavelength)
+        state, mom_vec, _, _ = _chain_pure(static_meta, cfg, ray_id,
+                                           u_vals, rows_v, pos, d,
+                                           intensity, wavelength)
         return state, mom_vec
 
     _, vjp = jax.vjp(chain, rows_flat, pos, d, intensity, wavelength)
@@ -991,42 +1135,54 @@ def _zero_key_cotangent(key):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def fused_trace_grad(cfg, static_meta, opts, table, rays, key):
+def fused_trace_grad(cfg, static_meta, opts, table, rays, key, E0=None):
     """`trace_sequential_pallas_v2` with gradient support.
 
     ``static_meta`` must be a tuple (hashability); ``opts`` is the static
-    ``(interpret, block_rows)`` pair.  Differentiable w.r.t. ``table`` and
-    ``rays``; the backward pass is the VJP of the XLA driver."""
-    interpret, block_rows = opts
+    ``(interpret, block_rows, track_opl, track_field)`` tuple.
+    Differentiable w.r.t. ``table``, ``rays`` and ``E0``; the backward
+    pass is the fused Pallas reverse kernel, falling back to the VJP of
+    the XLA driver for grid / opl / field configs."""
+    interpret, block_rows, track_opl, track_field = opts
     return trace_sequential_pallas_v2(table, rays, key, cfg,
                                       static_meta=list(static_meta),
                                       interpret=interpret,
-                                      block_rows=block_rows)
+                                      block_rows=block_rows,
+                                      track_opl=track_opl,
+                                      track_field=track_field, E0=E0)
 
 
-def _fused_fwd(cfg, static_meta, opts, table, rays, key):
-    out = fused_trace_grad(cfg, static_meta, opts, table, rays, key)
-    return out, (table, rays, key)
+def _fused_fwd(cfg, static_meta, opts, table, rays, key, E0=None):
+    out = fused_trace_grad(cfg, static_meta, opts, table, rays, key, E0)
+    return out, (table, rays, key, E0)
 
 
 def _fused_bwd(cfg, static_meta, opts, res, g):
-    table, rays, key = res
-    g_rays, g_sens, _ = g           # aux cotangent is the empty dict
-    interpret, block_rows = opts
+    table, rays, key, E0 = res
+    g_rays, g_sens, g_aux = g
+    interpret, block_rows, track_opl, track_field = opts
 
-    if cfg.grid_shape:
-        # grid scenes: the grid scatter lives outside the kernel, so its
-        # cotangent path needs the XLA trace — recompute-backward there
+    if cfg.grid_shape or track_opl or track_field:
+        # grid scenes (the grid lives in a VMEM-resident block whose
+        # cotangent path the fused bwd kernel doesn't carry) and
+        # opl/field traces: recompute-backward through the XLA driver —
+        # same function, same key schedule, exact gradients
         from ..core.trace import trace_sequential
 
-        def xla_run(table, rays):
-            out_r, sens, _ = trace_sequential(table, rays, key, cfg,
-                                              static_meta=list(static_meta))
-            return out_r, sens
+        def xla_run(table, rays, E0_):
+            return trace_sequential(table, rays, key, cfg,
+                                    static_meta=list(static_meta),
+                                    track_opl=track_opl,
+                                    track_field=track_field, E0=E0_)
 
-        _, vjp = jax.vjp(xla_run, table, rays)
-        g_table, g_rays_in = vjp((g_rays, g_sens))
-        return g_table, g_rays_in, _zero_key_cotangent(key)
+        if E0 is None:
+            _, vjp = jax.vjp(lambda t, r: xla_run(t, r, None), table, rays)
+            g_table, g_rays_in = vjp(g)
+            g_E0 = None
+        else:
+            _, vjp = jax.vjp(xla_run, table, rays, E0)
+            g_table, g_rays_in, g_E0 = vjp(g)
+        return g_table, g_rays_in, _zero_key_cotangent(key), g_E0
 
     # fused reverse kernel: one HBM round trip for the whole backward
     g_table, ct = trace_sequential_pallas_v2_bwd(
@@ -1039,7 +1195,66 @@ def _fused_bwd(cfg, static_meta, opts, res, g):
         # identity pass-through of the wavelength leaf plus its physics
         # (dispersion/grating) dependency from the kernel
         wavelength=ct['wavelength'] + jnp.asarray(g_rays.wavelength))
-    return g_table, g_rays_in, _zero_key_cotangent(key)
+    return g_table, g_rays_in, _zero_key_cotangent(key), None
 
 
 fused_trace_grad.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Non-sequential fused gradients (round-2 VERDICT item 3b)
+# ---------------------------------------------------------------------------
+#
+# The nonseq forward kernel's bounce loop is a lax.while_loop with per-tile
+# early exit — not reverse-differentiable.  The backward pass instead
+# re-runs the XLA bounce loop (trace_nonsequential) under jax.vjp: both
+# paths compute the same function for DETERMINISTIC scenes (no stochastic
+# Fresnel), so the recomputed gradients are exact — ghost-analysis design
+# loops get the fused forward without giving up jax.grad.  Stochastic
+# Fresnel scenes draw from the in-kernel PRNG (a different stream than the
+# XLA driver's threefry), so a recomputed backward would differentiate a
+# DIFFERENT Monte-Carlo realization — that combination raises.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def fused_nonseq_grad(cfg, static_meta, opts, table, rays, key):
+    """`trace_nonseq_pallas` with gradient support (XLA-recompute
+    backward).  ``opts`` is the static ``(interpret, block_rows,
+    n_bounces)`` tuple."""
+    interpret, block_rows, n_bounces = opts
+    return trace_nonseq_pallas(table, rays, key, n_bounces, cfg,
+                               static_meta=list(static_meta),
+                               interpret=interpret, block_rows=block_rows)
+
+
+def _fused_nonseq_fwd(cfg, static_meta, opts, table, rays, key):
+    out = fused_nonseq_grad(cfg, static_meta, opts, table, rays, key)
+    return out, (table, rays, key)
+
+
+def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
+    table, rays, key = res
+    interpret, block_rows, n_bounces = opts
+    if any(m.ph == 4 for m in static_meta):
+        raise NotImplementedError(
+            "gradients through the fused non-sequential trace are "
+            "unavailable for stochastic Fresnel scenes: the kernel's "
+            "in-kernel PRNG draws a different branch realization than "
+            "the XLA recompute would differentiate.  Use simulate() for "
+            "Fresnel design loops, or fresnel='weighted' (deterministic).")
+    from ..core.trace import trace_nonsequential
+
+    g_rays, g_sens, _ = g
+
+    def xla_run(table, rays):
+        out_r, sens, _ = trace_nonsequential(
+            table, rays, key, n_bounces, cfg,
+            static_meta=list(static_meta))
+        return out_r, sens
+
+    _, vjp = jax.vjp(xla_run, table, rays)
+    g_table, g_rays_in = vjp((g_rays, g_sens))
+    return g_table, g_rays_in, _zero_key_cotangent(key)
+
+
+fused_nonseq_grad.defvjp(_fused_nonseq_fwd, _fused_nonseq_bwd)

@@ -178,26 +178,29 @@ class Scene:
 
     def simulate_fused(self, params, rays, key, n_bundles=None,
                        interpret=None, block_rows=16):
-        """Forward-only fused non-sequential trace: the ENTIRE bounce loop
-        runs per VMEM tile (ops/pallas_trace.py::trace_nonseq_pallas) — at
-        large N the XLA loop round-trips the ray state through HBM once
-        per bounce, this kernel once total (16M x 8 bounces: 49 vs 171 ms
-        on v5e).  Early-exits per tile once all rays settle, so the
-        default 100-bounce budget is safe.  Box/polyhedron volumes and —
-        on real TPU — stochastic Fresnel (in-kernel PRNG, statistical
-        parity, PARITY.md §15) are supported; recording, fuzzy and grids
-        stay on ``simulate`` (asserted)."""
+        """Fused non-sequential trace: the ENTIRE bounce loop runs per
+        VMEM tile (ops/pallas_trace.py::trace_nonseq_pallas) — at large N
+        the XLA loop round-trips the ray state through HBM once per
+        bounce, this kernel once total (16M x 8 bounces: 49 vs 171 ms on
+        v5e).  Early-exits per tile once all rays settle, so the default
+        100-bounce budget is safe.  Box/polyhedron volumes and — on real
+        TPU — stochastic Fresnel (in-kernel PRNG, statistical parity,
+        PARITY.md §15) are supported; recording, fuzzy and grids stay on
+        ``simulate`` (asserted).  ``jax.grad`` works for deterministic
+        scenes via XLA-recompute backward
+        (ops/pallas_trace.py::fused_nonseq_grad); stochastic-Fresnel
+        gradients raise (the in-kernel PRNG stream differs from the XLA
+        driver's)."""
         import jax as _jax
 
-        from ..ops.pallas_trace import trace_nonseq_pallas
+        from ..ops.pallas_trace import fused_nonseq_grad
         if interpret is None:
             interpret = _jax.devices()[0].platform != 'tpu'
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
-        return trace_nonseq_pallas(
-            table, rays, key, self.n_bounces, cfg,
-            static_meta=self.static_meta(), interpret=interpret,
-            block_rows=block_rows)
+        return fused_nonseq_grad(cfg, tuple(self.static_meta()),
+                                 (interpret, block_rows, self.n_bounces),
+                                 table, rays, key)
 
     def simulate_fused_sharded(self, params, rays, key, mesh,
                                n_bundles=None, interpret=None,
@@ -261,7 +264,8 @@ class SequentialScene(Scene):
         return trace_sequential(table, rays, key, cfg, **kw)
 
     def simulate_fused(self, params, rays, key, n_bundles=None,
-                       interpret=None, block_rows=16):
+                       interpret=None, block_rows=16, track_opl=False,
+                       track_field=False, E0=None):
         """Fused Pallas trace: the whole surface chain runs in VMEM tiles —
         ONE HBM round trip for the ray state, vs one per surface for the
         XLA path.  Measured on v5e at the tuned block_rows=16: 2.4x
@@ -269,11 +273,14 @@ class SequentialScene(Scene):
         ~2M rays XLA keeps the state in VMEM anyway and wins — use plain
         ``simulate`` there, and for recording or fuzzy apodization
         (asserted in ops/pallas_trace.py).
-        Stochastic Fresnel, multi-sensor scenes and irradiance grids are
-        supported with bitwise/parity-exact results vs ``simulate``.
+        Stochastic Fresnel, multi-sensor scenes, irradiance grids
+        (accumulated in VMEM via one-hot MXU matmuls), ``track_opl`` and
+        ``track_field``/``E0`` are supported with bitwise/parity-exact
+        results vs ``simulate``.
         ``jax.grad`` works and also wins at large N: the backward pass is
         a fused Pallas reverse kernel (16M-ray grad step 20.6 vs 47.1 ms
-        XLA on v5e; ops/pallas_trace.py::fused_trace_grad)."""
+        XLA on v5e; ops/pallas_trace.py::fused_trace_grad); grid / opl /
+        field configs fall back to XLA-recompute backward."""
         import jax as _jax
 
         from ..ops.pallas_trace import fused_trace_grad
@@ -282,7 +289,8 @@ class SequentialScene(Scene):
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
         return fused_trace_grad(cfg, tuple(self.static_meta()),
-                                (interpret, block_rows), table, rays, key)
+                                (interpret, block_rows, track_opl,
+                                 track_field), table, rays, key, E0)
 
     def simulate_fused_sharded(self, params, rays, key, mesh,
                                n_bundles=None, interpret=None,

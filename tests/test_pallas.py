@@ -305,3 +305,156 @@ def test_fused_parity_random_scenes(key):
         np.testing.assert_allclose(np.asarray(s_f.moments),
                                    np.asarray(s_ref.moments), rtol=1e-3,
                                    atol=3.0)
+
+
+def test_fused_track_opl_parity(key):
+    """track_opl in the v2 kernel (round-2 VERDICT item 3a): opl and the
+    final medium index match trace_sequential exactly (same medium_after
+    formula, same u schedule), and gradients through the fused path's
+    opl output stay available (XLA-recompute backward)."""
+    scene = SequentialScene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    c1_grad=True, name='lens'),
+        SensorElement(radius=6.0, translation=[0, 0, 19.0], name='sensor'),
+    ])
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(3.0),
+                               translation=[0, 0, -10.0]).sample(key, 2999)
+
+    _, _, aux_x = scene.simulate(p, rays, key, track_opl=True)
+    _, _, aux_f = scene.simulate_fused(p, rays, key, track_opl=True,
+                                       block_rows=4)
+    np.testing.assert_allclose(np.asarray(aux_f['opl']),
+                               np.asarray(aux_x['opl']), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux_f['n_final']),
+                               np.asarray(aux_x['n_final']), rtol=1e-6)
+
+    def loss(p, fused):
+        sim = scene.simulate_fused if fused else scene.simulate
+        _, _, aux = sim(p, rays, key, track_opl=True)
+        return jnp.sum(aux['opl'] ** 2)
+
+    g_f = jax.grad(lambda pp: loss(pp, True))(p)
+    g_x = jax.grad(lambda pp: loss(pp, False))(p)
+    np.testing.assert_allclose(float(g_f['lens']['c1']),
+                               float(g_x['lens']['c1']), rtol=1e-5)
+
+
+def test_fused_track_field_parity(key):
+    """track_field in the v2 kernel: the transported E-field, |E|^2 and
+    the polarization-weighted sensor moments match trace_sequential
+    (same transport_field formulas).  SNELL lens: strict parity (no
+    stochastic branch)."""
+    import math
+
+    scene = SequentialScene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5168,
+                    name='lens'),
+        SensorElement(radius=8.0, translation=[0, 0, 19.0], name='sensor'),
+    ])
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(3.0),
+                               translation=[0, 0, -10.0]).sample(key, 2999)
+    E0 = [[math.sqrt(0.5), math.sqrt(0.5), 0.0]]
+
+    out_x, sens_x, aux_x = scene.simulate(p, rays, key, track_field=True,
+                                          E0=E0)
+    out_f, sens_f, aux_f = scene.simulate_fused(p, rays, key,
+                                                track_field=True, E0=E0,
+                                                block_rows=4)
+    np.testing.assert_allclose(np.asarray(out_f.dir),
+                               np.asarray(out_x.dir), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux_f['field_power']),
+                               np.asarray(aux_x['field_power']), rtol=1e-4,
+                               atol=1e-6)
+    for leaf in ('erx', 'ery', 'erz', 'eix', 'eiy', 'eiz'):
+        np.testing.assert_allclose(np.asarray(getattr(aux_f['field'], leaf)),
+                                   np.asarray(getattr(aux_x['field'], leaf)),
+                                   atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sens_f.moments),
+                               np.asarray(sens_x.moments), rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_fused_track_field_polarized_mc_plane(key):
+    """track_field + stochastic FRESNEL in the v2 kernel on PLANE
+    geometry (bitwise-stable between the two compilations, like
+    test_pallas_v2_fresnel_bitwise_parity): the POLARIZED branch draw and
+    renormalized fields match the XLA driver ray-for-ray."""
+    import math
+
+    from raytracetorch_tpu import ElementCustom
+    from raytracetorch_tpu.constants import PhysKind
+    from raytracetorch_tpu.elements import shapes
+
+    th_b = math.atan(1.5168)
+    scene = SequentialScene([
+        ElementCustom(shapes.plane, 1, PhysKind.FRESNEL, ph=(1.5168, 1.0),
+                      name='iface'),
+        SensorElement(radius=100.0, translation=[0, 0, 25.0],
+                      name='sensor'),
+    ])
+    p = scene.init_params()
+    rays = CollimatedDisk.make(
+        radius=jnp.float32(2.0), translation=[0, 0, -10.0],
+        rotation=[th_b, 0.0, 0.0]).sample(key, 2999)
+    E0 = [[math.sqrt(0.5), math.cos(th_b) * math.sqrt(0.5),
+           math.sin(th_b) * math.sqrt(0.5)]]
+
+    out_x, sens_x, aux_x = scene.simulate(p, rays, key, track_field=True,
+                                          E0=E0)
+    out_f, sens_f, aux_f = scene.simulate_fused(p, rays, key,
+                                                track_field=True, E0=E0,
+                                                block_rows=4)
+    # same branch decisions (polarized draw, same u schedule)
+    np.testing.assert_array_equal(np.asarray(out_f.dir[:, 2] < 0),
+                                  np.asarray(out_x.dir[:, 2] < 0))
+    np.testing.assert_allclose(np.asarray(aux_f['field_power']),
+                               np.asarray(aux_x['field_power']), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sens_f.moments),
+                               np.asarray(sens_x.moments), rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_nonseq_fused_gradients_match_xla(key):
+    """jax.grad through the fused non-sequential trace (round-2 VERDICT
+    item 3b): XLA-recompute backward gives gradients identical to the
+    XLA bounce loop for deterministic scenes (the ghost-analysis design
+    use case); stochastic Fresnel scenes raise."""
+    import pytest
+
+    from raytracetorch_tpu import Scene
+
+    scene = Scene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    c1_grad=True, c2_grad=True, name='lens'),
+        SensorElement(radius=6.0, translation=[0, 0, 19.0], name='sensor'),
+    ], n_bounces=6)
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(3.0),
+                               translation=[0, 0, -10.0]).sample(key, 2048)
+
+    def loss(p, fused):
+        sim = scene.simulate_fused if fused else scene.simulate
+        _, sens, _ = sim(p, rays, key)
+        return sens.spot_rms(0)[0]
+
+    v_f, g_f = jax.value_and_grad(lambda pp: loss(pp, True))(p)
+    v_x, g_x = jax.value_and_grad(lambda pp: loss(pp, False))(p)
+    np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-5)
+    for name in ('c1', 'c2'):
+        np.testing.assert_allclose(float(g_f['lens'][name]),
+                                   float(g_x['lens'][name]), rtol=1e-4)
+
+    fr = Scene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    c1_grad=True, fresnel=True, name='lens'),
+        SensorElement(radius=6.0, translation=[0, 0, 19.0], name='sensor'),
+    ], n_bounces=6)
+    pf = fr.init_params()
+    with pytest.raises(Exception):
+        # fused Fresnel scenes: fwd needs the TPU PRNG (asserts in
+        # interpret mode) and grads are unsupported either way
+        jax.grad(lambda pp: fr.simulate_fused(pp, rays, key)[1]
+                 .spot_rms(0)[0])(pf)
