@@ -312,31 +312,40 @@ def _grid_accumulate(grid_ref, caps, slots, cfg):
     def _init():
         grid_ref[...] = jnp.zeros_like(grid_ref)
 
-    contract = (((1,), (1,)), ((), ()))     # A [H,L] x B [W,L] -> [H,W]
     for (x, y, w), slot in zip(caps, slots):
-        rows, lanes = x.shape
-        ix = jnp.clip(((x + e) / (2 * e) * W).astype(jnp.int32), 0, W - 1)
-        iy = jnp.clip(((y + e) / (2 * e) * H).astype(jnp.int32), 0, H - 1)
-        acc = jnp.zeros((H, W), jnp.float32)
-        for r in range(rows):
-            iy_r = iy[r:r + 1, :]           # [1, L]
-            ix_r = ix[r:r + 1, :]
-            w_r = w[r:r + 1, :]
-            eq_y = jax.lax.broadcasted_iota(
-                jnp.int32, (H, lanes), 0) == iy_r
-            eq_x = jax.lax.broadcasted_iota(
-                jnp.int32, (W, lanes), 0) == ix_r
-            A = jnp.where(eq_y, 1.0, 0.0).astype(jnp.bfloat16)
-            B1 = jnp.where(eq_x, 1.0, 0.0)
-            w_hi = w_r.astype(jnp.bfloat16)
-            w_lo = (w_r - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            Bh = B1.astype(jnp.bfloat16) * w_hi
-            Bl = B1.astype(jnp.bfloat16) * w_lo
-            acc = acc + jax.lax.dot_general(
-                A, Bh, contract, preferred_element_type=jnp.float32)
-            acc = acc + jax.lax.dot_general(
-                A, Bl, contract, preferred_element_type=jnp.float32)
-        grid_ref[slot] = grid_ref[slot] + acc
+        grid_ref[slot] = grid_ref[slot] + _grid_partial(cfg, x, y, w)
+
+
+def _grid_partial(cfg, x, y, w):
+    """[H, W] partial histogram of one tile's weighted hits (the one-hot
+    MXU binning described in _grid_accumulate; pure — also reused inside
+    the non-sequential kernel's bounce loop)."""
+    H, W = cfg.grid_shape
+    e = cfg.grid_half_extent
+    rows, lanes = x.shape
+    ix = jnp.clip(((x + e) / (2 * e) * W).astype(jnp.int32), 0, W - 1)
+    iy = jnp.clip(((y + e) / (2 * e) * H).astype(jnp.int32), 0, H - 1)
+    contract = (((1,), (1,)), ((), ()))     # A [H,L] x B [W,L] -> [H,W]
+    acc = jnp.zeros((H, W), jnp.float32)
+    for r in range(rows):
+        iy_r = iy[r:r + 1, :]           # [1, L]
+        ix_r = ix[r:r + 1, :]
+        w_r = w[r:r + 1, :]
+        eq_y = jax.lax.broadcasted_iota(
+            jnp.int32, (H, lanes), 0) == iy_r
+        eq_x = jax.lax.broadcasted_iota(
+            jnp.int32, (W, lanes), 0) == ix_r
+        A = jnp.where(eq_y, 1.0, 0.0).astype(jnp.bfloat16)
+        B1 = jnp.where(eq_x, 1.0, 0.0)
+        w_hi = w_r.astype(jnp.bfloat16)
+        w_lo = (w_r - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        Bh = B1.astype(jnp.bfloat16) * w_hi
+        Bl = B1.astype(jnp.bfloat16) * w_lo
+        acc = acc + jax.lax.dot_general(
+            A, Bh, contract, preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            A, Bl, contract, preferred_element_type=jnp.float32)
+    return acc
 
 
 def _kernel_v2(static_meta, cfg, n_valid, track_opl, track_field,
@@ -572,7 +581,7 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
 # of bounce_step exactly.  Sensor moments ride the loop carry as an
 # (8, 128) tile (slot s in row s, like the sequential kernel).
 #
-# Scope (asserted): no irradiance grids, no fuzzy callables.  The bounce
+# Scope (asserted): no fuzzy callables.  The bounce
 # loop is a lax.while_loop with per-tile early exit (all-settled tiles
 # skip their remaining budget).  HALFSPACES (box/polyhedron) volumes ARE
 # supported
@@ -584,8 +593,12 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
 
 
 def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
+    has_grid = bool(cfg.grid_shape)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
-    (opx, opy, opz, odx, ody, odz, oii, mom) = refs[9:]
+    (opx, opy, opz, odx, ody, odz, oii, mom) = refs[9:17]
+    grid_ref = refs[17] if has_grid else None
+    grid_slots = sorted({m.slot for m in static_meta
+                         if m.sensor}) if has_grid else []
     has_fresnel = any(m.ph == 4 for m in static_meta)
     if has_fresnel:
         # Mosaic takes at most 2 seed words: golden-ratio-mix the tile id
@@ -611,7 +624,7 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
     from ..constants import BIG
 
     def bounce(carry):
-        b, _, pos, d, intensity, mom_acc = carry
+        b, _, pos, d, intensity, mom_acc, grid_acc = carry
         best_t = jnp.full(shape, BIG, jnp.float32)
         new_px, new_py, new_pz = pos
         new_dx, new_dy, new_dz = d
@@ -679,6 +692,21 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
             else:
                 rows_out.append(jnp.zeros(128, jnp.float32))
         mom_acc = mom_acc + jnp.stack(rows_out)
+        if has_grid:
+            # bounce's sensor crossings into per-slot [H, W] partials
+            # (same one-hot MXU binning as the sequential kernel);
+            # cond-guarded so bounces with NO sensor winner in this tile
+            # skip the matmuls entirely — ghost-analysis scenes touch
+            # sensors on a minority of bounces
+            def _with_grid(g_acc):
+                return tuple(
+                    g + _grid_partial(cfg, hitx, hity,
+                                      jnp.where(slot_sel == s,
+                                                intensity, 0.0))
+                    for g, s in zip(g_acc, grid_slots))
+
+            grid_acc = jax.lax.cond(jnp.any(slot_sel >= 0.0),
+                                    _with_grid, lambda g: g, grid_acc)
 
         pos = (jnp.where(anyhit, new_px, pos[0]),
                jnp.where(anyhit, new_py, pos[1]),
@@ -688,7 +716,7 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
              jnp.where(anyhit, new_dz, d[2]))
         intensity = jnp.where(anyhit, intensity * imod_b, intensity)
         alive = jnp.any(anyhit & (intensity > 0)).astype(jnp.int32)
-        return b + 1, alive, pos, d, intensity, mom_acc
+        return b + 1, alive, pos, d, intensity, mom_acc, grid_acc
 
     # while_loop gives this TILE true early exit: once no ray interacts
     # (or every survivor has zero intensity), remaining bounces cost
@@ -699,14 +727,23 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
         return (b < n_bounces) & (alive > 0)
 
     mom0 = jnp.zeros((8, 128), jnp.float32)
-    _, _, pos, d, intensity, mom_acc = jax.lax.while_loop(
+    grid0 = tuple(jnp.zeros(cfg.grid_shape, jnp.float32)
+                  for _ in grid_slots)
+    _, _, pos, d, intensity, mom_acc, grid_acc = jax.lax.while_loop(
         keep_going, bounce,
-        (jnp.int32(0), jnp.int32(1), pos0, d0, ii0, mom0))
+        (jnp.int32(0), jnp.int32(1), pos0, d0, ii0, mom0, grid0))
 
     opx[:], opy[:], opz[:] = pos
     odx[:], ody[:], odz[:] = d
     oii[:] = intensity
     mom[0] = mom_acc
+    if has_grid:
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            grid_ref[...] = jnp.zeros_like(grid_ref)
+
+        for g, s in zip(grid_acc, grid_slots):
+            grid_ref[s] = grid_ref[s] + g
 
 
 def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
@@ -714,11 +751,11 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
                         static_meta=None, interpret=False, block_rows=16):
     """Fused forward non-sequential trace (see section notes above).
     Contract of ``core.trace.trace_nonsequential`` minus
-    recording/fuzzy/grids (asserted; HALFSPACES volumes and — on real
-    TPU — stochastic Fresnel ARE supported; per-tile early exit);
+    recording/fuzzy (asserted; HALFSPACES volumes, in-kernel irradiance
+    grids (one-hot MXU binning per bounce) and — on real TPU —
+    stochastic Fresnel ARE supported; per-tile early exit);
     returns ``(rays, sensors, {})``."""
     assert static_meta is not None, "pallas path needs scene static_meta"
-    assert not cfg.grid_shape, "irradiance grid: use the XLA path"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
     if interpret:
         for m in static_meta:
@@ -744,6 +781,12 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
     ray_block = jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
     out_shapes = ([ray_block] * 7
                   + [jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32)])
+    n_slots = max(cfg.n_sensors, 1)
+    has_grid = bool(cfg.grid_shape)
+    if has_grid:
+        gh, gw = cfg.grid_shape
+        out_shapes.append(jax.ShapeDtypeStruct((n_slots, gh, gw),
+                                               jnp.float32))
 
     kern = functools.partial(_kernel_nonseq, static_meta, cfg, n, n_bounces)
     flat_tab = flatten_table_rows(table)
@@ -756,6 +799,9 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
         out_specs = ([block] * 7
                      + [pl.BlockSpec((1, 8, 128),
                                      lambda i, tab, seed: (i, 0, 0))])
+        if has_grid:
+            out_specs.append(pl.BlockSpec((n_slots, gh, gw),
+                                          lambda i, tab, seed: (0, 0, 0)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(grid,),
             in_specs=[block] * len(ins), out_specs=out_specs)
@@ -768,6 +814,9 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
         block = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0))
         out_specs = ([block] * 7
                      + [pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))])
+        if has_grid:
+            out_specs.append(pl.BlockSpec((n_slots, gh, gw),
+                                          lambda i: (0, 0, 0)))
         outs = pl.pallas_call(
             kern, grid=(grid,),
             in_specs=[pl.BlockSpec(flat_tab.shape, lambda i: (0, 0)),
@@ -777,7 +826,7 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
             interpret=True,
         )(flat_tab, seed, *ins)
 
-    opx, opy, opz, odx, ody, odz, oii, mom = outs
+    opx, opy, opz, odx, ody, odz, oii, mom = outs[:8]
 
     def unpad(a):
         return a.reshape(-1)[:n]
@@ -786,12 +835,13 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
                             dx=unpad(odx), dy=unpad(ody), dz=unpad(odz),
                             intensity=unpad(oii))
     sensors = SensorState.init(cfg)
-    n_slots = max(cfg.n_sensors, 1)
     nb = cfg.n_bundles * N_MOMENTS
     mom_sum = jnp.sum(mom, axis=0)
     sensors = sensors.replace(
         moments=mom_sum[:n_slots, :nb].reshape(
             n_slots, cfg.n_bundles, N_MOMENTS))
+    if has_grid:
+        sensors = sensors.replace(grid=outs[8])
     return out_rays, sensors, {}
 
 
@@ -959,12 +1009,16 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
     return (pos, d, intensity), mom_vec, caps, (opl, n_cur, Er, Ei)
 
 
-def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, tab, ctm, *refs):
+def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl, tab, ctm,
+                   *refs):
     n_f = sum(1 for m in static_meta if m.ph == 4)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     u_refs = refs[9:9 + n_f]
     (gpx, gpy, gpz, gdx, gdy, gdz, gii) = refs[9 + n_f:16 + n_f]
-    (cpx, cpy, cpz, cdx, cdy, cdz, cii, cwl, ctab) = refs[16 + n_f:]
+    base = 16 + n_f
+    g_opl_refs = refs[base:base + (2 if track_opl else 0)]
+    base += len(g_opl_refs)
+    (cpx, cpy, cpz, cdx, cdy, cdz, cii, cwl, ctab) = refs[base:]
 
     shape = px[:].shape
     rows, lanes = shape
@@ -992,9 +1046,14 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, tab, ctm, *refs):
 
     def chain(rows_flat, pos, d, intensity, wavelength):
         rows_v = [_ValueRow(v) for v in rows_flat]
-        state, mom_vec, _, _ = _chain_pure(static_meta, cfg, ray_id,
-                                           u_vals, rows_v, pos, d,
-                                           intensity, wavelength)
+        opl0 = jnp.zeros_like(intensity) if track_opl else None
+        ncur0 = jnp.ones_like(intensity) if track_opl else None
+        state, mom_vec, _, extras = _chain_pure(static_meta, cfg, ray_id,
+                                                u_vals, rows_v, pos, d,
+                                                intensity, wavelength,
+                                                opl=opl0, n_cur=ncur0)
+        if track_opl:
+            return state, mom_vec, extras[0], extras[1]
         return state, mom_vec
 
     _, vjp = jax.vjp(chain, rows_flat, pos, d, intensity, wavelength)
@@ -1007,7 +1066,13 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, tab, ctm, *refs):
     n_mom = max(cfg.n_sensors, 1) * cfg.n_bundles * N_MOMENTS
     ct_mom = jnp.stack([ctm[j] for j in range(n_mom)])
 
-    ct_rows, ct_pos, ct_d, ct_ii, ct_wl = vjp(((gp, gd, gi), ct_mom))
+    if track_opl:
+        g_opl = jnp.where(mask, g_opl_refs[0][:], 0.0)
+        g_nfin = jnp.where(mask, g_opl_refs[1][:], 0.0)
+        ct_rows, ct_pos, ct_d, ct_ii, ct_wl = vjp(
+            ((gp, gd, gi), ct_mom, g_opl, g_nfin))
+    else:
+        ct_rows, ct_pos, ct_d, ct_ii, ct_wl = vjp(((gp, gd, gi), ct_mom))
 
     cpx[:], cpy[:], cpz[:] = (jnp.where(mask, c, 0.0) for c in ct_pos)
     cdx[:], cdy[:], cdz[:] = (jnp.where(mask, c, 0.0) for c in ct_d)
@@ -1027,7 +1092,8 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, tab, ctm, *refs):
 
 def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
                                    static_meta, g_rays, g_moments,
-                                   interpret=False, block_rows=16):
+                                   interpret=False, block_rows=16,
+                                   g_opl=None, g_nfinal=None):
     """Fused backward of trace_sequential_pallas_v2 (same wrapper shape):
     returns ``(ct_table, ct_comps)`` where ct_comps is a dict of per-ray
     input cotangents (px..wavelength; the wavelength entry EXCLUDES the
@@ -1058,12 +1124,16 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
     ins += [pad2(g(g_rays.px)), pad2(g(g_rays.py)), pad2(g(g_rays.pz)),
             pad2(g(g_rays.dx)), pad2(g(g_rays.dy)), pad2(g(g_rays.dz)),
             pad2(g(g_rays.intensity))]
+    track_opl = g_opl is not None
+    if track_opl:
+        ins += [pad2(g(g_opl)), pad2(g(g_nfinal))]
 
     ray_block = jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
     out_shapes = ([ray_block] * 8
                   + [jax.ShapeDtypeStruct((grid, k_pad, 128), jnp.float32)])
 
-    kern = functools.partial(_kernel_v2_bwd, static_meta, cfg, n, k_pad)
+    kern = functools.partial(_kernel_v2_bwd, static_meta, cfg, n, k_pad,
+                             track_opl)
     flat_tab = flatten_table_rows(table)
     ct_mom_flat = jnp.asarray(g_moments, jnp.float32).reshape(-1)
 
@@ -1162,11 +1232,27 @@ def _fused_bwd(cfg, static_meta, opts, res, g):
     g_rays, g_sens, g_aux = g
     interpret, block_rows, track_opl, track_field = opts
 
-    if cfg.grid_shape or track_opl or track_field:
+    if track_opl and not (cfg.grid_shape or track_field):
+        # opl rides the fused backward kernel: the chain re-trace carries
+        # the (opl, n_cur) streams and jax.vjp transposes them with the
+        # rest — OPL/wavefront losses at large N keep the single-HBM-trip
+        # backward
+        g_table, ct = trace_sequential_pallas_v2_bwd(
+            table, rays, key, cfg, list(static_meta), g_rays,
+            g_sens.moments, interpret=interpret, block_rows=block_rows,
+            g_opl=g_aux['opl'], g_nfinal=g_aux['n_final'])
+        g_rays_in = g_rays.replace(
+            px=ct['px'], py=ct['py'], pz=ct['pz'],
+            dx=ct['dx'], dy=ct['dy'], dz=ct['dz'],
+            intensity=ct['intensity'],
+            wavelength=ct['wavelength'] + jnp.asarray(g_rays.wavelength))
+        return g_table, g_rays_in, _zero_key_cotangent(key), None
+
+    if cfg.grid_shape or track_field:
         # grid scenes (the grid lives in a VMEM-resident block whose
-        # cotangent path the fused bwd kernel doesn't carry) and
-        # opl/field traces: recompute-backward through the XLA driver —
-        # same function, same key schedule, exact gradients
+        # cotangent path the fused bwd kernel doesn't carry) and field
+        # traces: recompute-backward through the XLA driver — same
+        # function, same key schedule, exact gradients
         from ..core.trace import trace_sequential
 
         def xla_run(table, rays, E0_):

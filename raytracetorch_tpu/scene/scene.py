@@ -185,8 +185,8 @@ class Scene:
         v5e).  Early-exits per tile once all rays settle, so the default
         100-bounce budget is safe.  Box/polyhedron volumes and — on real
         TPU — stochastic Fresnel (in-kernel PRNG, statistical parity,
-        PARITY.md §15) are supported; recording, fuzzy and grids stay on
-        ``simulate`` (asserted).  ``jax.grad`` works for deterministic
+        PARITY.md §15) and in-kernel irradiance grids are supported;
+        recording and fuzzy stay on ``simulate`` (asserted).  ``jax.grad`` works for deterministic
         scenes via XLA-recompute backward
         (ops/pallas_trace.py::fused_nonseq_grad); stochastic-Fresnel
         gradients raise (the in-kernel PRNG stream differs from the XLA
@@ -321,8 +321,8 @@ class SequentialScene(Scene):
         def local(table, rays_shard, key):
             k_local = jax.random.fold_in(key, shard_index(mesh, axes))
             out, sens, _ = fused_trace_grad(
-                cfg, meta_t, (interpret, block_rows), table, rays_shard,
-                k_local)
+                cfg, meta_t, (interpret, block_rows, False, False),
+                table, rays_shard, k_local)
             sens = sens.replace(
                 moments=_jax.lax.psum(sens.moments, axes),
                 grid=(_jax.lax.psum(sens.grid, axes)

@@ -458,3 +458,32 @@ def test_nonseq_fused_gradients_match_xla(key):
         # interpret mode) and grads are unsupported either way
         jax.grad(lambda pp: fr.simulate_fused(pp, rays, key)[1]
                  .spot_rms(0)[0])(pf)
+
+
+def test_nonseq_fused_grid_parity(key):
+    """In-kernel irradiance grids in the NON-sequential fused kernel: the
+    per-bounce one-hot MXU accumulation matches the XLA bounce loop's
+    scatter grid (mirror-fold scene so hits arrive on a later bounce)."""
+    from raytracetorch_tpu import Scene, SphericalMirror
+
+    scene = Scene([
+        SphericalMirror(c1=-0.025, d=0.0, translation=[0.0, 0.0, 40.0],
+                        name='mirror'),
+        SensorElement(radius=10.0, translation=[0.0, 0.0, 0.5],
+                      name='sensor'),
+    ], n_bounces=4)
+    scene.grid_shape = (32, 32)
+    scene.grid_half_extent = 4.0
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, 1.0]).sample(key, 2999)
+
+    _, sens_x, _ = scene.simulate(p, rays, key)
+    _, sens_f, _ = scene.simulate_fused(p, rays, key, block_rows=4)
+    np.testing.assert_allclose(np.asarray(sens_f.moments),
+                               np.asarray(sens_x.moments), rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sens_f.grid),
+                               np.asarray(sens_x.grid), rtol=1e-5,
+                               atol=1e-4)
+    assert float(sens_f.grid.sum()) > 2000     # hits actually landed
