@@ -1009,16 +1009,26 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
     return (pos, d, intensity), mom_vec, caps, (opl, n_cur, Er, Ei)
 
 
-def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl, tab, ctm,
-                   *refs):
+def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
+                   track_field, tab, ctm, *refs):
     n_f = sum(1 for m in static_meta if m.ph == 4)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
-    u_refs = refs[9:9 + n_f]
-    (gpx, gpy, gpz, gdx, gdy, gdz, gii) = refs[9 + n_f:16 + n_f]
-    base = 16 + n_f
+    base = 9
+    u_refs = refs[base:base + n_f]
+    base += n_f
+    f0_refs = refs[base:base + (6 if track_field else 0)]
+    base += len(f0_refs)
+    (gpx, gpy, gpz, gdx, gdy, gdz, gii) = refs[base:base + 7]
+    base += 7
     g_opl_refs = refs[base:base + (2 if track_opl else 0)]
     base += len(g_opl_refs)
-    (cpx, cpy, cpz, cdx, cdy, cdz, cii, cwl, ctab) = refs[base:]
+    g_field_refs = refs[base:base + (6 if track_field else 0)]
+    base += len(g_field_refs)
+    (cpx, cpy, cpz, cdx, cdy, cdz, cii, cwl) = refs[base:base + 8]
+    base += 8
+    cf_refs = refs[base:base + (6 if track_field else 0)]
+    base += len(cf_refs)
+    ctab = refs[base]
 
     shape = px[:].shape
     rows, lanes = shape
@@ -1044,19 +1054,33 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl, tab, ctm,
     rows_flat = tuple(tuple(tab[k, j] for j in range(_ROW_SIZE))
                       for k in range(K))
 
-    def chain(rows_flat, pos, d, intensity, wavelength):
+    def chain(rows_flat, pos, d, intensity, wavelength, Er, Ei):
         rows_v = [_ValueRow(v) for v in rows_flat]
         opl0 = jnp.zeros_like(intensity) if track_opl else None
         ncur0 = jnp.ones_like(intensity) if track_opl else None
         state, mom_vec, _, extras = _chain_pure(static_meta, cfg, ray_id,
                                                 u_vals, rows_v, pos, d,
                                                 intensity, wavelength,
-                                                opl=opl0, n_cur=ncur0)
+                                                opl=opl0, n_cur=ncur0,
+                                                Er=Er, Ei=Ei)
+        outs = [state, mom_vec]
         if track_opl:
-            return state, mom_vec, extras[0], extras[1]
-        return state, mom_vec
+            outs += [extras[0], extras[1]]
+        if track_field:
+            outs += [extras[2], extras[3]]
+        return tuple(outs)
 
-    _, vjp = jax.vjp(chain, rows_flat, pos, d, intensity, wavelength)
+    if track_field:
+        Er0 = tuple(jnp.where(mask, f0_refs[j][:], 0.0) for j in range(3))
+        Ei0 = tuple(jnp.where(mask, f0_refs[3 + j][:], 0.0)
+                    for j in range(3))
+        _, vjp = jax.vjp(chain, rows_flat, pos, d, intensity, wavelength,
+                         Er0, Ei0)
+    else:
+        _, vjp = jax.vjp(
+            lambda rf, p_, d_, i_, w_: chain(rf, p_, d_, i_, w_,
+                                             None, None),
+            rows_flat, pos, d, intensity, wavelength)
 
     gp = (jnp.where(mask, gpx[:], 0.0), jnp.where(mask, gpy[:], 0.0),
           jnp.where(mask, gpz[:], 0.0))
@@ -1066,18 +1090,27 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl, tab, ctm,
     n_mom = max(cfg.n_sensors, 1) * cfg.n_bundles * N_MOMENTS
     ct_mom = jnp.stack([ctm[j] for j in range(n_mom)])
 
+    ct_in = [((gp, gd, gi)), ct_mom]
     if track_opl:
-        g_opl = jnp.where(mask, g_opl_refs[0][:], 0.0)
-        g_nfin = jnp.where(mask, g_opl_refs[1][:], 0.0)
-        ct_rows, ct_pos, ct_d, ct_ii, ct_wl = vjp(
-            ((gp, gd, gi), ct_mom, g_opl, g_nfin))
-    else:
-        ct_rows, ct_pos, ct_d, ct_ii, ct_wl = vjp(((gp, gd, gi), ct_mom))
+        ct_in += [jnp.where(mask, g_opl_refs[0][:], 0.0),
+                  jnp.where(mask, g_opl_refs[1][:], 0.0)]
+    if track_field:
+        ct_in += [tuple(jnp.where(mask, g_field_refs[j][:], 0.0)
+                        for j in range(3)),
+                  tuple(jnp.where(mask, g_field_refs[3 + j][:], 0.0)
+                        for j in range(3))]
+    cts = vjp(tuple(ct_in))
+    ct_rows, ct_pos, ct_d, ct_ii, ct_wl = cts[:5]
+    ct_Er, ct_Ei = (cts[5], cts[6]) if track_field else (None, None)
 
     cpx[:], cpy[:], cpz[:] = (jnp.where(mask, c, 0.0) for c in ct_pos)
     cdx[:], cdy[:], cdz[:] = (jnp.where(mask, c, 0.0) for c in ct_d)
     cii[:] = jnp.where(mask, ct_ii, 0.0)
     cwl[:] = jnp.where(mask, ct_wl, 0.0)
+    if track_field:
+        for j in range(3):
+            cf_refs[j][:] = jnp.where(mask, ct_Er[j], 0.0)
+            cf_refs[3 + j][:] = jnp.where(mask, ct_Ei[j], 0.0)
 
     out_rows = []
     for k in range(k_pad):
@@ -1093,7 +1126,8 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl, tab, ctm,
 def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
                                    static_meta, g_rays, g_moments,
                                    interpret=False, block_rows=16,
-                                   g_opl=None, g_nfinal=None):
+                                   g_opl=None, g_nfinal=None,
+                                   f0=None, g_field=None):
     """Fused backward of trace_sequential_pallas_v2 (same wrapper shape):
     returns ``(ct_table, ct_comps)`` where ct_comps is a dict of per-ray
     input cotangents (px..wavelength; the wavelength entry EXCLUDES the
@@ -1121,25 +1155,32 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
                 ins.append(pad2(jax.random.uniform(
                     keys[k], rays.intensity.shape)))
     g = jnp.asarray
+    track_field = f0 is not None
+    if track_field:
+        ins += [pad2(f0.erx), pad2(f0.ery), pad2(f0.erz),
+                pad2(f0.eix), pad2(f0.eiy), pad2(f0.eiz)]
     ins += [pad2(g(g_rays.px)), pad2(g(g_rays.py)), pad2(g(g_rays.pz)),
             pad2(g(g_rays.dx)), pad2(g(g_rays.dy)), pad2(g(g_rays.dz)),
             pad2(g(g_rays.intensity))]
     track_opl = g_opl is not None
     if track_opl:
         ins += [pad2(g(g_opl)), pad2(g(g_nfinal))]
+    if track_field:
+        ins += [pad2(g(c)) for c in g_field]
 
     ray_block = jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
-    out_shapes = ([ray_block] * 8
+    n_cf = 6 if track_field else 0
+    out_shapes = ([ray_block] * (8 + n_cf)
                   + [jax.ShapeDtypeStruct((grid, k_pad, 128), jnp.float32)])
 
     kern = functools.partial(_kernel_v2_bwd, static_meta, cfg, n, k_pad,
-                             track_opl)
+                             track_opl, track_field)
     flat_tab = flatten_table_rows(table)
     ct_mom_flat = jnp.asarray(g_moments, jnp.float32).reshape(-1)
 
     if _HAS_PLTPU and not interpret:
         block = pl.BlockSpec((block_rows, LANE), lambda i, tab, ctm: (i, 0))
-        out_specs = ([block] * 8
+        out_specs = ([block] * (8 + n_cf)
                      + [pl.BlockSpec((1, k_pad, 128),
                                      lambda i, tab, ctm: (i, 0, 0))])
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1152,7 +1193,7 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
         )(flat_tab, ct_mom_flat, *ins)
     else:
         block = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0))
-        out_specs = ([block] * 8
+        out_specs = ([block] * (8 + n_cf)
                      + [pl.BlockSpec((1, k_pad, 128), lambda i: (i, 0, 0))])
         outs = pl.pallas_call(
             kern, grid=(grid,),
@@ -1167,12 +1208,15 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
         return a.reshape(-1)[:n]
 
     cpx, cpy, cpz, cdx, cdy, cdz, cii, cwl = [unpad(o) for o in outs[:8]]
-    ct_flat = jnp.sum(outs[8], axis=0)[:K, :ROW_WIDTH]  # [K, ROW_WIDTH]
+    ct_flat = jnp.sum(outs[8 + n_cf], axis=0)[:K, :ROW_WIDTH]
 
     _, tab_vjp = jax.vjp(flatten_table_rows, table)
     (ct_table,) = tab_vjp(ct_flat)
-    return ct_table, dict(px=cpx, py=cpy, pz=cpz, dx=cdx, dy=cdy, dz=cdz,
-                          intensity=cii, wavelength=cwl)
+    ct = dict(px=cpx, py=cpy, pz=cpz, dx=cdx, dy=cdy, dz=cdz,
+              intensity=cii, wavelength=cwl)
+    if track_field:
+        ct['f0'] = [unpad(outs[8 + j]) for j in range(6)]
+    return ct_table, ct
 
 
 # ---------------------------------------------------------------------------
@@ -1224,13 +1268,67 @@ def fused_trace_grad(cfg, static_meta, opts, table, rays, key, E0=None):
 
 def _fused_fwd(cfg, static_meta, opts, table, rays, key, E0=None):
     out = fused_trace_grad(cfg, static_meta, opts, table, rays, key, E0)
-    return out, (table, rays, key, E0)
+    # the output FieldState is a residual: the field_power cotangent needs
+    # d power / d field = 2 E_out in the backward
+    f_out = out[2].get('field') if opts[3] else None
+    return out, (table, rays, key, E0, f_out)
 
 
 def _fused_bwd(cfg, static_meta, opts, res, g):
-    table, rays, key, E0 = res
+    table, rays, key, E0, f_out = res
     g_rays, g_sens, g_aux = g
     interpret, block_rows, track_opl, track_field = opts
+
+    if track_field and not cfg.grid_shape and not interpret:
+        # fused field backward: combine the aux field / field_power
+        # cotangents (power = |E|^2 => d/dE = 2E_out), run the reverse
+        # kernel with the 6 field streams, then chain the launch-field
+        # cotangent through FieldState.init's projection (which touches
+        # rays.dir) outside the kernel.  Gated off interpret mode: the
+        # transposed field chain takes tens of minutes under the pallas
+        # interpreter (thousands of eagerly-dispatched ops), and CPU runs
+        # get identical gradients from the XLA-recompute path below —
+        # real-TPU parity of this kernel: value/param-grad/E0-cotangent
+        # all match XLA to ~1e-6 (BASELINE.md).
+        from ..core.field import FieldState
+
+        g_f = g_aux['field']
+        g_pw = jnp.asarray(g_aux['field_power'])
+        g_field = [jnp.asarray(getattr(g_f, leaf))
+                   + 2.0 * getattr(f_out, leaf) * g_pw
+                   for leaf in ('erx', 'ery', 'erz', 'eix', 'eiy', 'eiz')]
+
+        if E0 is None:
+            f0, init_vjp = jax.vjp(lambda r: FieldState.init(r, None), rays)
+        else:
+            f0, init_vjp = jax.vjp(FieldState.init, rays, E0)
+
+        g_table, ct = trace_sequential_pallas_v2_bwd(
+            table, rays, key, cfg, list(static_meta), g_rays,
+            g_sens.moments, interpret=interpret, block_rows=block_rows,
+            g_opl=g_aux['opl'] if track_opl else None,
+            g_nfinal=g_aux['n_final'] if track_opl else None,
+            f0=f0, g_field=g_field)
+
+        ct_f0 = FieldState(erx=ct['f0'][0], ery=ct['f0'][1],
+                           erz=ct['f0'][2], eix=ct['f0'][3],
+                           eiy=ct['f0'][4], eiz=ct['f0'][5])
+        if E0 is None:
+            (g_rays_init,) = init_vjp(ct_f0)
+            g_E0 = None
+        else:
+            g_rays_init, g_E0 = init_vjp(ct_f0)
+        g_rays_in = g_rays.replace(
+            px=ct['px'] + g_rays_init.px,
+            py=ct['py'] + g_rays_init.py,
+            pz=ct['pz'] + g_rays_init.pz,
+            dx=ct['dx'] + g_rays_init.dx,
+            dy=ct['dy'] + g_rays_init.dy,
+            dz=ct['dz'] + g_rays_init.dz,
+            intensity=ct['intensity'] + g_rays_init.intensity,
+            wavelength=(ct['wavelength'] + jnp.asarray(g_rays.wavelength)
+                        + g_rays_init.wavelength))
+        return g_table, g_rays_in, _zero_key_cotangent(key), g_E0
 
     if track_opl and not (cfg.grid_shape or track_field):
         # opl rides the fused backward kernel: the chain re-trace carries

@@ -487,3 +487,42 @@ def test_nonseq_fused_grid_parity(key):
                                np.asarray(sens_x.grid), rtol=1e-5,
                                atol=1e-4)
     assert float(sens_f.grid.sum()) > 2000     # hits actually landed
+
+
+def test_fused_track_field_gradients_match_xla(key):
+    """jax.grad through simulate_fused(track_field=True): gradients of a
+    polarization-weighted flux match the XLA driver, including the E0
+    cotangent.  (Interpret mode routes the backward to XLA-recompute —
+    the fused field reverse kernel is too slow under the pallas
+    interpreter; its real-TPU parity is recorded in BASELINE.md.)"""
+    import math
+
+    scene = SequentialScene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5168,
+                    c1_grad=True, name='lens'),
+        SensorElement(radius=8.0, translation=[0, 0, 19.0], name='sensor'),
+    ])
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(3.0),
+                               translation=[0, 0, -10.0]).sample(key, 2048)
+    E0 = jnp.asarray([[math.sqrt(0.5), math.sqrt(0.5), 0.0]], jnp.float32)
+
+    def loss(p, E0, fused):
+        sim = scene.simulate_fused if fused else scene.simulate
+        _, sens, aux = sim(p, rays, key, track_field=True, E0=E0)
+        return sens.total_weight(0)[0] + jnp.sum(aux['field_power'] ** 2)
+
+    (v_f, (g_f, ge_f)) = jax.value_and_grad(
+        lambda pp, ee: loss(pp, ee, True), argnums=(0, 1))(p, E0)
+    (v_x, (g_x, ge_x)) = jax.value_and_grad(
+        lambda pp, ee: loss(pp, ee, False), argnums=(0, 1))(p, E0)
+    np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-5)
+    # the c1 gradient of this loss sums thousands of cancelling per-ray
+    # terms to a tiny residual (0.045 from a 1.8e6-valued loss): the two
+    # compilations' f32 rounding shows up at the percent level — on real
+    # TPU with a non-cancelling 1M-ray loss the fused field backward
+    # matches to 1e-6 (BASELINE.md)
+    np.testing.assert_allclose(float(g_f['lens']['c1']),
+                               float(g_x['lens']['c1']), rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(ge_f), np.asarray(ge_x),
+                               rtol=1e-3, atol=1e-5)
