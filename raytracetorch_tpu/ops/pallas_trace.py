@@ -592,11 +592,20 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
 # has no PRNG lowering, so Fresnel scenes assert on CPU.
 
 
-def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
+def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
+                   tab, seed, *refs):
     has_grid = bool(cfg.grid_shape)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
-    (opx, opy, opz, odx, ody, odz, oii, mom) = refs[9:17]
-    grid_ref = refs[17] if has_grid else None
+    base = 9
+    f0_refs = refs[base:base + (6 if track_field else 0)]
+    base += len(f0_refs)
+    (opx, opy, opz, odx, ody, odz, oii, mom) = refs[base:base + 8]
+    base += 8
+    grid_ref = None
+    if has_grid:
+        grid_ref = refs[base]
+        base += 1
+    ofield = refs[base:base + (6 if track_field else 0)]
     grid_slots = sorted({m.slot for m in static_meta
                          if m.sensor}) if has_grid else []
     has_fresnel = any(m.ph == 4 for m in static_meta)
@@ -620,11 +629,21 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
     wavelength = wl[:]
     ray_id = rid[:]
     n_slots = max(cfg.n_sensors, 1)
+    if track_field:
+        # sanitize tail-block lanes (0 * NaN poisons the moment sums)
+        Er0 = tuple(jnp.where(mask, f0_refs[j][:], 0.0) for j in range(3))
+        Ei0 = tuple(jnp.where(mask, f0_refs[3 + j][:], 0.0)
+                    for j in range(3))
+    else:
+        Er0 = Ei0 = (jnp.zeros((1, 1), jnp.float32),) * 3   # dummy carry
 
     from ..constants import BIG
 
     def bounce(carry):
-        b, _, pos, d, intensity, mom_acc, grid_acc = carry
+        b, _, pos, d, intensity, mom_acc, grid_acc, Er, Ei = carry
+        field = _FieldShim(Er, Ei) if track_field else None
+        power_in = field.power() if track_field else None
+        Er_acc, Ei_acc = Er, Ei
         best_t = jnp.full(shape, BIG, jnp.float32)
         new_px, new_py, new_pz = pos
         new_dx, new_dy, new_dz = d
@@ -653,7 +672,17 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
             else:
                 u = jnp.zeros_like(intensity)
             dir_k, imod_k = apply_physics_one(meta, row, res['hit_s'], d,
-                                              n_w, u, wavelength=wavelength)
+                                              n_w, u, wavelength=wavelength,
+                                              field=field)
+            if track_field:
+                from ..core.field import transport_field
+                Er_k, Ei_k = transport_field(meta, row, d, dir_k, n_w,
+                                             imod_k, Er, Ei,
+                                             wavelength=wavelength)
+                Er_acc = tuple(jnp.where(better, a, b)
+                               for a, b in zip(Er_k, Er_acc))
+                Ei_acc = tuple(jnp.where(better, a, b)
+                               for a, b in zip(Ei_k, Ei_acc))
             new_px = jnp.where(better, pos[0] + res['t'] * d[0], new_px)
             new_py = jnp.where(better, pos[1] + res['t'] * d[1], new_py)
             new_pz = jnp.where(better, pos[2] + res['t'] * d[2], new_pz)
@@ -680,6 +709,8 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
                 for b in range(cfg.n_bundles):
                     wmask = (slot_sel == s) & (ray_id == b)
                     w = jnp.where(wmask, intensity, 0.0)
+                    if track_field:
+                        w = w * power_in
                     x = jnp.where(w > 0, hitx, 0.0)
                     y = jnp.where(w > 0, hity, 0.0)
                     cols += [jnp.sum(w), jnp.sum(w * x), jnp.sum(w * y),
@@ -698,11 +729,12 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
             # cond-guarded so bounces with NO sensor winner in this tile
             # skip the matmuls entirely — ghost-analysis scenes touch
             # sensors on a minority of bounces
+            g_w = intensity * power_in if track_field else intensity
+
             def _with_grid(g_acc):
                 return tuple(
                     g + _grid_partial(cfg, hitx, hity,
-                                      jnp.where(slot_sel == s,
-                                                intensity, 0.0))
+                                      jnp.where(slot_sel == s, g_w, 0.0))
                     for g, s in zip(g_acc, grid_slots))
 
             grid_acc = jax.lax.cond(jnp.any(slot_sel >= 0.0),
@@ -715,8 +747,11 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
              jnp.where(anyhit, new_dy, d[1]),
              jnp.where(anyhit, new_dz, d[2]))
         intensity = jnp.where(anyhit, intensity * imod_b, intensity)
+        if track_field:
+            Er = tuple(jnp.where(anyhit, a, b) for a, b in zip(Er_acc, Er))
+            Ei = tuple(jnp.where(anyhit, a, b) for a, b in zip(Ei_acc, Ei))
         alive = jnp.any(anyhit & (intensity > 0)).astype(jnp.int32)
-        return b + 1, alive, pos, d, intensity, mom_acc, grid_acc
+        return b + 1, alive, pos, d, intensity, mom_acc, grid_acc, Er, Ei
 
     # while_loop gives this TILE true early exit: once no ray interacts
     # (or every survivor has zero intensity), remaining bounces cost
@@ -729,14 +764,20 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
     mom0 = jnp.zeros((8, 128), jnp.float32)
     grid0 = tuple(jnp.zeros(cfg.grid_shape, jnp.float32)
                   for _ in grid_slots)
-    _, _, pos, d, intensity, mom_acc, grid_acc = jax.lax.while_loop(
+    (_, _, pos, d, intensity, mom_acc, grid_acc,
+     Er_f, Ei_f) = jax.lax.while_loop(
         keep_going, bounce,
-        (jnp.int32(0), jnp.int32(1), pos0, d0, ii0, mom0, grid0))
+        (jnp.int32(0), jnp.int32(1), pos0, d0, ii0, mom0, grid0,
+         Er0, Ei0))
 
     opx[:], opy[:], opz[:] = pos
     odx[:], ody[:], odz[:] = d
     oii[:] = intensity
     mom[0] = mom_acc
+    if track_field:
+        for j in range(3):
+            ofield[j][:] = Er_f[j]
+            ofield[3 + j][:] = Ei_f[j]
     if has_grid:
         @pl.when(pl.program_id(0) == 0)
         def _init():
@@ -748,7 +789,8 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, tab, seed, *refs):
 
 def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
                         cfg: SensorConfig = SensorConfig(),
-                        static_meta=None, interpret=False, block_rows=16):
+                        static_meta=None, interpret=False, block_rows=16,
+                        track_field=False, E0=None):
     """Fused forward non-sequential trace (see section notes above).
     Contract of ``core.trace.trace_nonsequential`` minus
     recording/fuzzy (asserted; HALFSPACES volumes, in-kernel irradiance
@@ -777,6 +819,11 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
            pad2(rays.dx), pad2(rays.dy), pad2(rays.dz),
            pad2(rays.intensity), pad2(rays.wavelength),
            pad2(rays.ray_id)]
+    if track_field:
+        from ..core.field import FieldState
+        f0 = FieldState.init(rays, E0)
+        ins += [pad2(f0.erx), pad2(f0.ery), pad2(f0.erz),
+                pad2(f0.eix), pad2(f0.eiy), pad2(f0.eiz)]
 
     ray_block = jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
     out_shapes = ([ray_block] * 7
@@ -787,8 +834,11 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
         gh, gw = cfg.grid_shape
         out_shapes.append(jax.ShapeDtypeStruct((n_slots, gh, gw),
                                                jnp.float32))
+    if track_field:
+        out_shapes += [ray_block] * 6
 
-    kern = functools.partial(_kernel_nonseq, static_meta, cfg, n, n_bounces)
+    kern = functools.partial(_kernel_nonseq, static_meta, cfg, n, n_bounces,
+                             track_field)
     flat_tab = flatten_table_rows(table)
     # PRNG seed for in-kernel Fresnel draws (tile id decorrelates tiles)
     seed = jax.random.key_data(key).reshape(-1)[:2].astype(jnp.int32)
@@ -802,6 +852,8 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
         if has_grid:
             out_specs.append(pl.BlockSpec((n_slots, gh, gw),
                                           lambda i, tab, seed: (0, 0, 0)))
+        if track_field:
+            out_specs += [block] * 6
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(grid,),
             in_specs=[block] * len(ins), out_specs=out_specs)
@@ -817,6 +869,8 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
         if has_grid:
             out_specs.append(pl.BlockSpec((n_slots, gh, gw),
                                           lambda i: (0, 0, 0)))
+        if track_field:
+            out_specs += [block] * 6
         outs = pl.pallas_call(
             kern, grid=(grid,),
             in_specs=[pl.BlockSpec(flat_tab.shape, lambda i: (0, 0)),
@@ -840,9 +894,19 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
     sensors = sensors.replace(
         moments=mom_sum[:n_slots, :nb].reshape(
             n_slots, cfg.n_bundles, N_MOMENTS))
+    o_i = 8
     if has_grid:
-        sensors = sensors.replace(grid=outs[8])
-    return out_rays, sensors, {}
+        sensors = sensors.replace(grid=outs[o_i])
+        o_i += 1
+    aux = {}
+    if track_field:
+        from ..core.field import FieldState
+        f = FieldState(erx=unpad(outs[o_i]), ery=unpad(outs[o_i + 1]),
+                       erz=unpad(outs[o_i + 2]), eix=unpad(outs[o_i + 3]),
+                       eiy=unpad(outs[o_i + 4]), eiz=unpad(outs[o_i + 5]))
+        aux['field'] = f
+        aux['field_power'] = f.power()
+    return out_rays, sensors, aux
 
 
 # ---------------------------------------------------------------------------
@@ -1401,24 +1465,25 @@ fused_trace_grad.defvjp(_fused_fwd, _fused_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def fused_nonseq_grad(cfg, static_meta, opts, table, rays, key):
+def fused_nonseq_grad(cfg, static_meta, opts, table, rays, key, E0=None):
     """`trace_nonseq_pallas` with gradient support (XLA-recompute
     backward).  ``opts`` is the static ``(interpret, block_rows,
-    n_bounces)`` tuple."""
-    interpret, block_rows, n_bounces = opts
+    n_bounces, track_field)`` tuple."""
+    interpret, block_rows, n_bounces, track_field = opts
     return trace_nonseq_pallas(table, rays, key, n_bounces, cfg,
                                static_meta=list(static_meta),
-                               interpret=interpret, block_rows=block_rows)
+                               interpret=interpret, block_rows=block_rows,
+                               track_field=track_field, E0=E0)
 
 
-def _fused_nonseq_fwd(cfg, static_meta, opts, table, rays, key):
-    out = fused_nonseq_grad(cfg, static_meta, opts, table, rays, key)
-    return out, (table, rays, key)
+def _fused_nonseq_fwd(cfg, static_meta, opts, table, rays, key, E0=None):
+    out = fused_nonseq_grad(cfg, static_meta, opts, table, rays, key, E0)
+    return out, (table, rays, key, E0)
 
 
 def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
-    table, rays, key = res
-    interpret, block_rows, n_bounces = opts
+    table, rays, key, E0 = res
+    interpret, block_rows, n_bounces, track_field = opts
     if any(m.ph == 4 for m in static_meta):
         raise NotImplementedError(
             "gradients through the fused non-sequential trace are "
@@ -1428,17 +1493,20 @@ def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
             "Fresnel design loops, or fresnel='weighted' (deterministic).")
     from ..core.trace import trace_nonsequential
 
-    g_rays, g_sens, _ = g
-
-    def xla_run(table, rays):
-        out_r, sens, _ = trace_nonsequential(
+    def xla_run(table, rays, E0_):
+        return trace_nonsequential(
             table, rays, key, n_bounces, cfg,
-            static_meta=list(static_meta))
-        return out_r, sens
+            static_meta=list(static_meta),
+            track_field=track_field, E0=E0_)
 
-    _, vjp = jax.vjp(xla_run, table, rays)
-    g_table, g_rays_in = vjp((g_rays, g_sens))
-    return g_table, g_rays_in, _zero_key_cotangent(key)
+    if E0 is None:
+        _, vjp = jax.vjp(lambda t, r: xla_run(t, r, None), table, rays)
+        g_table, g_rays_in = vjp(g)
+        g_E0 = None
+    else:
+        _, vjp = jax.vjp(xla_run, table, rays, E0)
+        g_table, g_rays_in, g_E0 = vjp(g)
+    return g_table, g_rays_in, _zero_key_cotangent(key), g_E0
 
 
 fused_nonseq_grad.defvjp(_fused_nonseq_fwd, _fused_nonseq_bwd)

@@ -177,7 +177,8 @@ class Scene:
         return trace_nonsequential(table, rays, key, self.n_bounces, cfg, **kw)
 
     def simulate_fused(self, params, rays, key, n_bundles=None,
-                       interpret=None, block_rows=16):
+                       interpret=None, block_rows=16, track_field=False,
+                       E0=None):
         """Fused non-sequential trace: the ENTIRE bounce loop runs per
         VMEM tile (ops/pallas_trace.py::trace_nonseq_pallas) — at large N
         the XLA loop round-trips the ray state through HBM once per
@@ -185,8 +186,9 @@ class Scene:
         v5e).  Early-exits per tile once all rays settle, so the default
         100-bounce budget is safe.  Box/polyhedron volumes and — on real
         TPU — stochastic Fresnel (in-kernel PRNG, statistical parity,
-        PARITY.md §15) and in-kernel irradiance grids are supported;
-        recording and fuzzy stay on ``simulate`` (asserted).  ``jax.grad`` works for deterministic
+        PARITY.md §15), in-kernel irradiance grids and polarization
+        transport (``track_field``/``E0``) are supported; recording and
+        fuzzy stay on ``simulate`` (asserted).  ``jax.grad`` works for deterministic
         scenes via XLA-recompute backward
         (ops/pallas_trace.py::fused_nonseq_grad); stochastic-Fresnel
         gradients raise (the in-kernel PRNG stream differs from the XLA
@@ -199,8 +201,9 @@ class Scene:
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
         return fused_nonseq_grad(cfg, tuple(self.static_meta()),
-                                 (interpret, block_rows, self.n_bounces),
-                                 table, rays, key)
+                                 (interpret, block_rows, self.n_bounces,
+                                  track_field),
+                                 table, rays, key, E0)
 
     def simulate_fused_sharded(self, params, rays, key, mesh,
                                n_bundles=None, interpret=None,

@@ -526,3 +526,41 @@ def test_fused_track_field_gradients_match_xla(key):
                                float(g_x['lens']['c1']), rtol=3e-2)
     np.testing.assert_allclose(np.asarray(ge_f), np.asarray(ge_x),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_nonseq_fused_track_field_parity(key):
+    """track_field in the NON-sequential fused kernel: TIR keeps unit
+    power, the transported field and |E|^2-weighted moments match the
+    XLA bounce loop on a deterministic mirror-fold scene."""
+    import math
+
+    from raytracetorch_tpu import Scene, SphericalMirror
+
+    scene = Scene([
+        SphericalMirror(c1=-0.025, d=0.0, translation=[0.0, 0.0, 40.0],
+                        name='mirror'),
+        SensorElement(radius=10.0, translation=[0.0, 0.0, 0.5],
+                      name='sensor'),
+    ], n_bounces=4)
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, 1.0]).sample(key, 2999)
+    E0 = [[math.sqrt(0.5), math.sqrt(0.5), 0.0]]
+
+    out_x, sens_x, aux_x = scene.simulate(p, rays, key, track_field=True,
+                                          E0=E0)
+    out_f, sens_f, aux_f = scene.simulate_fused(p, rays, key,
+                                                track_field=True, E0=E0,
+                                                block_rows=4)
+    np.testing.assert_allclose(np.asarray(out_f.dir),
+                               np.asarray(out_x.dir), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux_f['field_power']),
+                               np.asarray(aux_x['field_power']), rtol=1e-4,
+                               atol=1e-6)
+    for leaf in ('erx', 'ery', 'erz', 'eix', 'eiy', 'eiz'):
+        np.testing.assert_allclose(np.asarray(getattr(aux_f['field'], leaf)),
+                                   np.asarray(getattr(aux_x['field'], leaf)),
+                                   atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sens_f.moments),
+                               np.asarray(sens_x.moments), rtol=1e-4,
+                               atol=1e-3)
