@@ -200,7 +200,7 @@ def nearest_hit(table, pos, direction, static_meta=None):
 
 def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
                 sensors: SensorState, fuzzy_fns=None, static_meta=None,
-                field=None, record_hits=False):
+                field=None, record_hits=False, opl=None, n_cur=None):
     """One non-sequential physics bounce (reference ``Scene.step``,
     scene/base.py:180-235).
 
@@ -240,6 +240,10 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
     imod_all = jnp.ones_like(rays.intensity)
     active_any = jnp.zeros_like(rays.intensity, bool)
     fuzzy_fns = fuzzy_fns or {}
+    track_opl = opl is not None
+    if track_opl:
+        assert static_meta is not None, "track_opl needs scene static_meta"
+        n_next_acc = n_cur
     if field is not None:
         from .field import transport_field
         power_in = field.power()
@@ -286,6 +290,16 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
             Er_acc = v3.where(mask, Er_k, Er_acc)
             Ei_acc = v3.where(mask, Ei_k, Ei_acc)
 
+        if track_opl:
+            # the winner's interaction decides the medium the ray travels
+            # in NEXT bounce (refraction switches it; medium_after is None
+            # for non-refracting kinds — medium unchanged, skip)
+            from .static_dispatch import medium_after
+            n_next_k = medium_after(meta, row, d, n_w, u,
+                                    wavelength=rays.wavelength, field=field)
+            if n_next_k is not None:
+                n_next_acc = jnp.where(mask, n_next_k, n_next_acc)
+
         if meta is None or meta.sensor:
             is_sensor = meta.sensor if meta is not None else row.is_sensor
             w = jnp.where(mask & is_sensor, rays.intensity, 0.0)
@@ -315,7 +329,12 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
     rays = rays.masked_update(active_any, new_pos, new_dir, imod_all)
     if field is not None:
         field = field.masked(active_any, Er_acc, Ei_acc)
-    return rays, sensors, active_any, field, hits_rec
+    if track_opl:
+        # this bounce's path runs in the PRE-update medium; the winner's
+        # interaction then switches it
+        opl = opl + jnp.where(active_any, n_cur * best_t, 0.0)
+        n_cur = jnp.where(active_any, n_next_acc, n_cur)
+    return rays, sensors, active_any, field, hits_rec, opl, n_cur
 
 
 def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
@@ -327,7 +346,8 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
                         static_meta=None,
                         early_exit: bool = True,
                         track_field: bool = False,
-                        E0=None):
+                        E0=None,
+                        track_opl: bool = False):
     """Bounce loop until the static bounce budget (reference
     ``Scene.simulate``, scene/base.py:129-142).
 
@@ -358,6 +378,8 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
         assert static_meta is not None, "track_field needs scene static_meta"
         from .field import FieldState
         field = FieldState.init(rays, E0)
+    opl0 = jnp.zeros_like(rays.intensity) if track_opl else None
+    ncur0 = jnp.ones_like(rays.intensity) if track_opl else None
 
     def zero_hits():
         if not record_hits:
@@ -379,45 +401,53 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
 
     if early_exit:
         def body(carry, k_key):
-            pr, sensors, field, alive = carry
+            pr, sensors, field, opl, n_cur, alive = carry
 
             def live(op):
-                pr, sensors, field = op
-                pr, sensors, act, field, hits_rec = bounce_step(
+                pr, sensors, field, opl, n_cur = op
+                pr, sensors, act, field, hits_rec, opl, n_cur = bounce_step(
                     table, pr, k_key, cfg, sensors, fuzzy_fns=fuzzy_fns,
                     static_meta=static_meta, field=field,
-                    record_hits=record_hits)
-                return pr, sensors, field, jnp.any(act), hits_rec
+                    record_hits=record_hits, opl=opl, n_cur=n_cur)
+                return (pr, sensors, field, opl, n_cur, jnp.any(act),
+                        hits_rec)
 
             def dead(op):
-                pr, sensors, field = op
-                return pr, sensors, field, jnp.zeros((), bool), zero_hits()
+                pr, sensors, field, opl, n_cur = op
+                return (pr, sensors, field, opl, n_cur,
+                        jnp.zeros((), bool), zero_hits())
 
-            pr, sensors, field, alive, hits_rec = lax.cond(
-                alive, live, dead, (pr, sensors, field))
-            return (pr, sensors, field, alive), make_ys(pr, hits_rec)
+            pr, sensors, field, opl, n_cur, alive, hits_rec = lax.cond(
+                alive, live, dead, (pr, sensors, field, opl, n_cur))
+            return ((pr, sensors, field, opl, n_cur, alive),
+                    make_ys(pr, hits_rec))
 
         if remat:
             body = jax.checkpoint(body)
         keys = jax.random.split(key, n_bounces)
-        (pr, sensors, field, _), ys = lax.scan(
-            body, (pr, sensors, field, jnp.ones((), bool)), keys)
+        (pr, sensors, field, opl0, ncur0, _), ys = lax.scan(
+            body, (pr, sensors, field, opl0, ncur0, jnp.ones((), bool)),
+            keys)
     else:
         def body(carry, k_key):
-            pr, sensors, field = carry
-            pr, sensors, _, field, hits_rec = bounce_step(
+            pr, sensors, field, opl, n_cur = carry
+            pr, sensors, _, field, hits_rec, opl, n_cur = bounce_step(
                 table, pr, k_key, cfg, sensors, fuzzy_fns=fuzzy_fns,
                 static_meta=static_meta, field=field,
-                record_hits=record_hits)
-            return (pr, sensors, field), make_ys(pr, hits_rec)
+                record_hits=record_hits, opl=opl, n_cur=n_cur)
+            return (pr, sensors, field, opl, n_cur), make_ys(pr, hits_rec)
 
         if remat:
             body = jax.checkpoint(body)
         keys = jax.random.split(key, n_bounces)
-        (pr, sensors, field), ys = lax.scan(body, (pr, sensors, field), keys)
+        (pr, sensors, field, opl0, ncur0), ys = lax.scan(
+            body, (pr, sensors, field, opl0, ncur0), keys)
 
     aux = dict(ys) if ys else {}
     if track_field:
         aux['field'] = field
         aux['field_power'] = field.power()
+    if track_opl:
+        aux['opl'] = opl0
+        aux['n_final'] = ncur0
     return pr, sensors, aux

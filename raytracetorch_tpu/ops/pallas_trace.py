@@ -593,7 +593,7 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
 
 
 def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
-                   tab, seed, *refs):
+                   track_opl, tab, seed, *refs):
     has_grid = bool(cfg.grid_shape)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     base = 9
@@ -606,6 +606,8 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
         grid_ref = refs[base]
         base += 1
     ofield = refs[base:base + (6 if track_field else 0)]
+    base += len(ofield)
+    oopl_refs = refs[base:base + (2 if track_opl else 0)]
     grid_slots = sorted({m.slot for m in static_meta
                          if m.sensor}) if has_grid else []
     has_fresnel = any(m.ph == 4 for m in static_meta)
@@ -636,14 +638,20 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
                     for j in range(3))
     else:
         Er0 = Ei0 = (jnp.zeros((1, 1), jnp.float32),) * 3   # dummy carry
+    opl_init = (jnp.zeros(shape, jnp.float32) if track_opl
+                else jnp.zeros((1, 1), jnp.float32))
+    ncur_init = (jnp.ones(shape, jnp.float32) if track_opl
+                 else jnp.zeros((1, 1), jnp.float32))
 
     from ..constants import BIG
 
     def bounce(carry):
-        b, _, pos, d, intensity, mom_acc, grid_acc, Er, Ei = carry
+        (b, _, pos, d, intensity, mom_acc, grid_acc, Er, Ei,
+         opl, n_cur) = carry
         field = _FieldShim(Er, Ei) if track_field else None
         power_in = field.power() if track_field else None
         Er_acc, Ei_acc = Er, Ei
+        n_next_acc = n_cur
         best_t = jnp.full(shape, BIG, jnp.float32)
         new_px, new_py, new_pz = pos
         new_dx, new_dy, new_dz = d
@@ -683,6 +691,12 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
                                for a, b in zip(Er_k, Er_acc))
                 Ei_acc = tuple(jnp.where(better, a, b)
                                for a, b in zip(Ei_k, Ei_acc))
+            if track_opl:
+                from ..core.static_dispatch import medium_after
+                n_next_k = medium_after(meta, row, d, n_w, u,
+                                        wavelength=wavelength, field=field)
+                if n_next_k is not None:
+                    n_next_acc = jnp.where(better, n_next_k, n_next_acc)
             new_px = jnp.where(better, pos[0] + res['t'] * d[0], new_px)
             new_py = jnp.where(better, pos[1] + res['t'] * d[1], new_py)
             new_pz = jnp.where(better, pos[2] + res['t'] * d[2], new_pz)
@@ -750,8 +764,12 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
         if track_field:
             Er = tuple(jnp.where(anyhit, a, b) for a, b in zip(Er_acc, Er))
             Ei = tuple(jnp.where(anyhit, a, b) for a, b in zip(Ei_acc, Ei))
+        if track_opl:
+            opl = opl + jnp.where(anyhit, n_cur * best_t, 0.0)
+            n_cur = jnp.where(anyhit, n_next_acc, n_cur)
         alive = jnp.any(anyhit & (intensity > 0)).astype(jnp.int32)
-        return b + 1, alive, pos, d, intensity, mom_acc, grid_acc, Er, Ei
+        return (b + 1, alive, pos, d, intensity, mom_acc, grid_acc, Er, Ei,
+                opl, n_cur)
 
     # while_loop gives this TILE true early exit: once no ray interacts
     # (or every survivor has zero intensity), remaining bounces cost
@@ -765,10 +783,10 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
     grid0 = tuple(jnp.zeros(cfg.grid_shape, jnp.float32)
                   for _ in grid_slots)
     (_, _, pos, d, intensity, mom_acc, grid_acc,
-     Er_f, Ei_f) = jax.lax.while_loop(
+     Er_f, Ei_f, opl_f, ncur_f) = jax.lax.while_loop(
         keep_going, bounce,
         (jnp.int32(0), jnp.int32(1), pos0, d0, ii0, mom0, grid0,
-         Er0, Ei0))
+         Er0, Ei0, opl_init, ncur_init))
 
     opx[:], opy[:], opz[:] = pos
     odx[:], ody[:], odz[:] = d
@@ -778,6 +796,9 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
         for j in range(3):
             ofield[j][:] = Er_f[j]
             ofield[3 + j][:] = Ei_f[j]
+    if track_opl:
+        oopl_refs[0][:] = opl_f
+        oopl_refs[1][:] = ncur_f
     if has_grid:
         @pl.when(pl.program_id(0) == 0)
         def _init():
@@ -790,7 +811,7 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
 def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
                         cfg: SensorConfig = SensorConfig(),
                         static_meta=None, interpret=False, block_rows=16,
-                        track_field=False, E0=None):
+                        track_field=False, E0=None, track_opl=False):
     """Fused forward non-sequential trace (see section notes above).
     Contract of ``core.trace.trace_nonsequential`` minus
     recording/fuzzy (asserted; HALFSPACES volumes, in-kernel irradiance
@@ -836,9 +857,11 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
                                                jnp.float32))
     if track_field:
         out_shapes += [ray_block] * 6
+    if track_opl:
+        out_shapes += [ray_block] * 2
 
     kern = functools.partial(_kernel_nonseq, static_meta, cfg, n, n_bounces,
-                             track_field)
+                             track_field, track_opl)
     flat_tab = flatten_table_rows(table)
     # PRNG seed for in-kernel Fresnel draws (tile id decorrelates tiles)
     seed = jax.random.key_data(key).reshape(-1)[:2].astype(jnp.int32)
@@ -854,6 +877,8 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
                                           lambda i, tab, seed: (0, 0, 0)))
         if track_field:
             out_specs += [block] * 6
+        if track_opl:
+            out_specs += [block] * 2
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(grid,),
             in_specs=[block] * len(ins), out_specs=out_specs)
@@ -871,6 +896,8 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
                                           lambda i: (0, 0, 0)))
         if track_field:
             out_specs += [block] * 6
+        if track_opl:
+            out_specs += [block] * 2
         outs = pl.pallas_call(
             kern, grid=(grid,),
             in_specs=[pl.BlockSpec(flat_tab.shape, lambda i: (0, 0)),
@@ -906,6 +933,10 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
                        eiy=unpad(outs[o_i + 4]), eiz=unpad(outs[o_i + 5]))
         aux['field'] = f
         aux['field_power'] = f.power()
+        o_i += 6
+    if track_opl:
+        aux['opl'] = unpad(outs[o_i])
+        aux['n_final'] = unpad(outs[o_i + 1])
     return out_rays, sensors, aux
 
 
@@ -1468,12 +1499,13 @@ fused_trace_grad.defvjp(_fused_fwd, _fused_bwd)
 def fused_nonseq_grad(cfg, static_meta, opts, table, rays, key, E0=None):
     """`trace_nonseq_pallas` with gradient support (XLA-recompute
     backward).  ``opts`` is the static ``(interpret, block_rows,
-    n_bounces, track_field)`` tuple."""
-    interpret, block_rows, n_bounces, track_field = opts
+    n_bounces, track_field, track_opl)`` tuple."""
+    interpret, block_rows, n_bounces, track_field, track_opl = opts
     return trace_nonseq_pallas(table, rays, key, n_bounces, cfg,
                                static_meta=list(static_meta),
                                interpret=interpret, block_rows=block_rows,
-                               track_field=track_field, E0=E0)
+                               track_field=track_field, E0=E0,
+                               track_opl=track_opl)
 
 
 def _fused_nonseq_fwd(cfg, static_meta, opts, table, rays, key, E0=None):
@@ -1483,7 +1515,7 @@ def _fused_nonseq_fwd(cfg, static_meta, opts, table, rays, key, E0=None):
 
 def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
     table, rays, key, E0 = res
-    interpret, block_rows, n_bounces, track_field = opts
+    interpret, block_rows, n_bounces, track_field, track_opl = opts
     if any(m.ph == 4 for m in static_meta):
         raise NotImplementedError(
             "gradients through the fused non-sequential trace are "
@@ -1497,7 +1529,7 @@ def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
         return trace_nonsequential(
             table, rays, key, n_bounces, cfg,
             static_meta=list(static_meta),
-            track_field=track_field, E0=E0_)
+            track_field=track_field, E0=E0_, track_opl=track_opl)
 
     if E0 is None:
         _, vjp = jax.vjp(lambda t, r: xla_run(t, r, None), table, rays)

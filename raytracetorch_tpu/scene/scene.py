@@ -178,7 +178,7 @@ class Scene:
 
     def simulate_fused(self, params, rays, key, n_bundles=None,
                        interpret=None, block_rows=16, track_field=False,
-                       E0=None):
+                       E0=None, track_opl=False):
         """Fused non-sequential trace: the ENTIRE bounce loop runs per
         VMEM tile (ops/pallas_trace.py::trace_nonseq_pallas) — at large N
         the XLA loop round-trips the ray state through HBM once per
@@ -202,7 +202,7 @@ class Scene:
         cfg = self.sensor_config(n_bundles)
         return fused_nonseq_grad(cfg, tuple(self.static_meta()),
                                  (interpret, block_rows, self.n_bounces,
-                                  track_field),
+                                  track_field, track_opl),
                                  table, rays, key, E0)
 
     def simulate_fused_sharded(self, params, rays, key, mesh,

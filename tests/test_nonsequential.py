@@ -244,3 +244,33 @@ def test_nonsequential_record_hits_match_sequential(key):
     np.testing.assert_allclose(h_flat[keep], hs[keep], atol=1e-4)
     # slots recorded for the crossings are the sensor's slot (0)
     assert np.all(np.asarray(aux_n['hit_slots'])[crossed] == 0)
+
+
+def test_nonsequential_track_opl(key):
+    """track_opl in the bounce loop: matches the sequential driver's OPL
+    on an ordered scene (glass path weighted by n), and equals the pure
+    geometric path length for an all-air mirror fold."""
+    seq = SequentialScene(_elements())
+    non = Scene(_elements(), n_bounces=8)
+    p = seq.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0.0, 0.0, -10.0]).sample(key, 1024)
+    _, _, aux_s = seq.simulate(p, rays, key, track_opl=True)
+    _, _, aux_n = non.simulate(p, rays, key, track_opl=True)
+    np.testing.assert_allclose(np.asarray(aux_n['opl']),
+                               np.asarray(aux_s['opl']), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux_n['n_final']),
+                               np.asarray(aux_s['n_final']), rtol=1e-6)
+
+    fold = Scene([
+        SphericalMirror(c1=-0.025, d=0.0, translation=[0.0, 0.0, 40.0],
+                        name='mirror'),
+        SensorElement(radius=10.0, translation=[0.0, 0.0, 0.5],
+                      name='sensor'),
+    ], n_bounces=4)
+    pf = fold.init_params()
+    r1 = Rays.create([[0.0, 0.0, 1.0]], [[0.0, 0.0, 1.0]])
+    out, _, aux = fold.simulate(pf, r1, key, track_opl=True)
+    # axial ray: 1 -> 40 (mirror) -> back through sensor plane at 0.5:
+    # all in air, opl = geometric distance = 39 + 39.5
+    np.testing.assert_allclose(float(aux['opl'][0]), 39.0 + 39.5, rtol=1e-5)

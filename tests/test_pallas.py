@@ -564,3 +564,26 @@ def test_nonseq_fused_track_field_parity(key):
     np.testing.assert_allclose(np.asarray(sens_f.moments),
                                np.asarray(sens_x.moments), rtol=1e-4,
                                atol=1e-3)
+
+
+def test_nonseq_fused_track_opl_parity(key):
+    """track_opl in the non-sequential fused kernel matches the XLA
+    bounce loop (same medium_after formulas; opl accumulates the winner's
+    n * t per bounce)."""
+    from raytracetorch_tpu import Scene
+
+    scene = Scene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    name='lens'),
+        SensorElement(radius=6.0, translation=[0, 0, 19.0], name='sensor'),
+    ], n_bounces=6)
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(3.0),
+                               translation=[0, 0, -10.0]).sample(key, 2999)
+    _, _, aux_x = scene.simulate(p, rays, key, track_opl=True)
+    _, _, aux_f = scene.simulate_fused(p, rays, key, track_opl=True,
+                                       block_rows=4)
+    np.testing.assert_allclose(np.asarray(aux_f['opl']),
+                               np.asarray(aux_x['opl']), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux_f['n_final']),
+                               np.asarray(aux_x['n_final']), rtol=1e-6)
