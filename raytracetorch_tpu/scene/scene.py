@@ -389,7 +389,22 @@ def describe(scene, params=None):
             if meta[k].asph:
                 notes.append('asphere')
             if meta[k].disp:
-                notes.append('dispersive')
+                from ..constants import DispModel
+                kinds = {DispModel.CAUCHY: 'cauchy',
+                         DispModel.SELLMEIER: 'sellmeier'}
+                tags = sorted({kinds[m] for m in meta[k].dispm
+                               if m in kinds})
+                notes.append('dispersive[' + '+'.join(tags) + ']')
+            if meta[k].n_coat:
+                notes.append(f'coated[{meta[k].n_coat}]')
+            if meta[k].metal:
+                ph_row = np.asarray(r.ph, dtype=np.float64) \
+                    if len(r.ph) >= 2 else None
+                if ph_row is not None:
+                    notes.append(f'metal[n={ph_row[0]:.2f},'
+                                 f'k={ph_row[1]:.2f}]')
+                else:
+                    notes.append('metal')
             if meta[k].sensor:
                 notes.append('sensor')
             if meta[k].sb != SBKind.NONE:
