@@ -293,14 +293,20 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
         # polarization and add s/p phase), then renormalize — the power
         # loss R_pol is carried by the intensity (apply_physics_one), the
         # same counted-exactly-once split as FRESNEL_W.
-        from ..utils.coatings import metal_reflection_amplitudes
+        from ..utils.coatings import metal_nk_at, metal_reflection_amplitudes
         cos_i = jnp.abs(v3.dot(d_in, n_w))
-        n_m, k_m = row.ph[..., 0], row.ph[..., 1]
         n_amb = row.ph[..., 2]
         ns_ = [row.coat[..., 2 * i] for i in range(meta.n_coat)]
         ds_ = [row.coat[..., 2 * i + 1] for i in range(meta.n_coat)]
         lam = (jnp.where(wavelength > 0, wavelength, 0.5876)
                if wavelength is not None else 0.5876)
+        # dispersive substrate: same interpolated (n, k) as the intensity
+        # path (static_dispatch.mirror_reflectances_sp) — amplitude PHASES
+        # stay consistent with the R the intensity carries
+        if getattr(meta, 'metal_nk', None) is not None:
+            n_m, k_m = metal_nk_at(meta.metal_nk[0], meta.metal_nk[1], lam)
+        else:
+            n_m, k_m = row.ph[..., 0], row.ph[..., 1]
         rs = metal_reflection_amplitudes(ns_, ds_, n_amb, n_m, k_m, cos_i,
                                          lam, pol='s')
         rp = metal_reflection_amplitudes(ns_, ds_, n_amb, n_m, k_m, cos_i,

@@ -89,11 +89,11 @@ class StaticRowMeta:
     before tracing (Scene.static_meta)."""
 
     __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp',
-                 'plane', 'slot', 'n_coat', 'dispm', 'metal')
+                 'plane', 'slot', 'n_coat', 'dispm', 'metal', 'metal_nk')
 
     def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False,
                  disp=False, plane=False, slot=0, n_coat=0,
-                 dispm=(1, 1), metal=False):
+                 dispm=(1, 1), metal=False, metal_nk=None):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
@@ -104,6 +104,9 @@ class StaticRowMeta:
         self.n_coat = int(n_coat)   # static thin-film layer count
         self.dispm = (int(dispm[0]), int(dispm[1]))  # per-side DispModel
         self.metal = bool(metal)    # REFLECT with absorbing substrate
+        # static ((n knots), (k knots)) metal dispersion table, or None
+        self.metal_nk = (tuple(map(tuple, metal_nk))
+                         if metal_nk is not None else None)
 
 
 def dispersive_iors(row, wavelength_um, meta=None):
@@ -196,16 +199,27 @@ def mirror_reflectances_sp(meta: StaticRowMeta, row, d, n, wavelength=None):
     ph holds (n_metal, k_metal, n_ambient); coat interleaves the stack
     outermost-first — the same orientation the incidence side sees, so no
     reversal logic is needed (light only ever arrives from the ambient
-    side of a mirror)."""
-    from ..utils.coatings import metal_reflectance
+    side of a mirror).
+
+    With ``meta.metal_nk`` set (metal_dispersion=True on the element),
+    the substrate (n, k) follows the ray wavelength by piecewise-linear
+    interpolation of the static knot table (utils/coatings.py::
+    metal_nk_at) — unset wavelengths (0) evaluate at the d line of the
+    SAME table, so a dispersive mirror is self-consistent across rays
+    with and without wavelengths (it does NOT fall back to the fixed
+    METALS d-line entry, which differs by ~0.1% in R for Al)."""
+    from ..utils.coatings import metal_nk_at, metal_reflectance
     from ..geom import vec3 as v3
     cos_i = jnp.abs(v3.dot(d, n))
-    n_m, k_m = row.ph[..., 0], row.ph[..., 1]
     n_amb = row.ph[..., 2]
     ns = [row.coat[..., 2 * i] for i in range(meta.n_coat)]
     ds = [row.coat[..., 2 * i + 1] for i in range(meta.n_coat)]
     lam = (jnp.where(wavelength > 0, wavelength, 0.5876)
            if wavelength is not None else 0.5876)
+    if meta.metal_nk is not None:
+        n_m, k_m = metal_nk_at(meta.metal_nk[0], meta.metal_nk[1], lam)
+    else:
+        n_m, k_m = row.ph[..., 0], row.ph[..., 1]
     Rs = metal_reflectance(ns, ds, n_amb, n_m, k_m, cos_i, lam, pol='s')
     Rp = metal_reflectance(ns, ds, n_amb, n_m, k_m, cos_i, lam, pol='p')
     return Rs, Rp

@@ -103,6 +103,11 @@ class SurfaceRec:
     n_coat: int = 0              # static layer count (0 = bare interface)
     is_metal: bool = False       # REFLECT row with an absorbing (n, -ik)
                                  # substrate in ph[0:2] (coated-mirror physics)
+    metal_nk: Any = None         # STATIC ((n knots), (k knots)) on
+                                 # coatings.METAL_GRID_UM: metal dispersion
+                                 # (None = fixed ph[0:2] index at all
+                                 # wavelengths).  Plain float tuples — not a
+                                 # table column; carried on StaticRowMeta.
     is_sensor: bool = False
     sensor_slot: int = 0
     is_plane: bool = False       # static: row is a z=0 plane (fast path)

@@ -25,19 +25,35 @@ class _MirrorBase(Element):
     - ``coating=[(n, d_um), ...]`` — dielectric stack on the metal, listed
       outermost first; thicknesses are the trainable 'coat_d' param
       (enhanced-aluminum designs by jax.grad).  Requires ``metal``.
+    - ``metal_dispersion=False`` — with a NAMED metal, make the substrate
+      (n, k) follow each ray's wavelength via the tabulated
+      utils/coatings.py::METAL_NK knots (piecewise-linear on
+      METAL_GRID_UM, 0.40-1.00 um, clamped outside).  Gold then reflects
+      ~40% in the blue vs ~97% in the red; aluminium shows its 0.8 um
+      interband dip.  The knots are static scene structure (carried on
+      StaticRowMeta, not the table), so the fused Pallas kernels
+      specialize on them for free.
     - ``ambient_ior=1.0`` — the surrounding medium's index.
     """
 
     def __init__(self, metal=None, coating=None, coating_grad=False,
-                 ambient_ior=1.0, **kw):
+                 metal_dispersion=False, ambient_ior=1.0, **kw):
         super().__init__(**kw)
         from ..constants import MAX_COAT_LAYERS
-        from ..utils.coatings import METALS
+        from ..utils.coatings import METAL_NK, METALS
         if coating and metal is None:
             raise ValueError(
                 "mirror coatings need a metal substrate (metal='Al', ... "
                 "or an (n, k) pair) — a dielectric stack on an ideal "
                 "reflector has no effect")
+        self._metal_nk = None
+        if metal_dispersion:
+            if not isinstance(metal, str):
+                raise ValueError(
+                    "metal_dispersion=True needs a NAMED metal (one of "
+                    f"{sorted(METAL_NK)}) — an explicit (n, k) pair has no "
+                    "tabulated dispersion")
+            self._metal_nk = METAL_NK[metal.upper()]
         if isinstance(metal, str):
             metal = METALS[metal.upper()]
         self._metal = (float(metal[0]), float(metal[1])) \
@@ -74,7 +90,8 @@ class _MirrorBase(Element):
             for li, nl in enumerate(ns):
                 coat += [nl, p['coat_d'][li]]
         return dict(ph_kind=PhysKind.REFLECT, ph=(n_m, k_m, self._ambient),
-                    coat=coat, n_coat=len(ns or ()), is_metal=True)
+                    coat=coat, n_coat=len(ns or ()), is_metal=True,
+                    metal_nk=self._metal_nk)
 
     @property
     def n_surfaces(self):

@@ -151,7 +151,8 @@ class Scene:
                                               else 0,
                                               n_coat=r.n_coat,
                                               dispm=r.disp_model,
-                                              metal=r.is_metal))
+                                              metal=r.is_metal,
+                                              metal_nk=r.metal_nk))
                 if el.is_sensor:    # mirrors build_table's slot assignment
                     slot += 1
             self._static_meta = meta

@@ -450,3 +450,256 @@ def test_eight_layer_stack_cap(key):
     with pytest.raises(ValueError):
         SingletLens(c1=0.02, c2=-0.02, d=10.0, t=3.0, ior_glass=NS,
                     coating=stack8 + [(NC, 0.1)], name='x')
+
+
+# ---------------------------------------------------------------------------
+# Metal dispersion (round 3): wavelength-dependent substrate n - ik from
+# the static METAL_NK knot tables (utils/coatings.py::metal_nk_at)
+# ---------------------------------------------------------------------------
+
+def test_metal_nk_interp_knots_midpoints_clamp():
+    """metal_nk_at reproduces the knots exactly, averages at segment
+    midpoints, and clamps outside [0.40, 1.00] um."""
+    from raytracetorch_tpu.utils.coatings import (METAL_GRID_UM, METAL_NK,
+                                                  metal_nk_at)
+    n_tab, k_tab = METAL_NK['AU']
+    for i, g in enumerate(METAL_GRID_UM):
+        n, k = metal_nk_at(n_tab, k_tab, jnp.float32(g))
+        np.testing.assert_allclose(float(n), n_tab[i], rtol=1e-6)
+        np.testing.assert_allclose(float(k), k_tab[i], rtol=1e-6)
+    mid = 0.5 * (METAL_GRID_UM[2] + METAL_GRID_UM[3])
+    n, k = metal_nk_at(n_tab, k_tab, jnp.float32(mid))
+    np.testing.assert_allclose(float(n), 0.5 * (n_tab[2] + n_tab[3]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(k), 0.5 * (k_tab[2] + k_tab[3]),
+                               rtol=1e-6)
+    for lam, idx in ((0.2, 0), (1.5, -1)):
+        n, k = metal_nk_at(n_tab, k_tab, jnp.float32(lam))
+        np.testing.assert_allclose(float(n), n_tab[idx], rtol=1e-6)
+        np.testing.assert_allclose(float(k), k_tab[idx], rtol=1e-6)
+
+
+def _metal_mirror_flux(key, metal, wavelength, dispersion=True, n_rays=2000):
+    from raytracetorch_tpu import CollimatedDisk, Scene, SensorElement
+    from raytracetorch_tpu.elements.mirror import ParabolicMirror
+
+    scene = Scene([
+        ParabolicMirror(c1=-0.001, d=30.0, translation=[0, 0, 50.0],
+                        metal=metal, metal_dispersion=dispersion, name='m'),
+        SensorElement(radius=20.0, translation=[0, 0, 0.5], name='s'),
+    ], n_bounces=3)
+    wl_kw = {} if wavelength is None else dict(wavelength=wavelength)
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0), **wl_kw,
+                               translation=[0, 0, 1.0]).sample(key, n_rays)
+    _, sensors, _ = scene.simulate(scene.init_params(), rays, key)
+    return float(sensors.total_weight(0)[0]) / n_rays
+
+
+def _R_bare(n_m, k_m):
+    return ((n_m - 1) ** 2 + k_m ** 2) / ((n_m + 1) ** 2 + k_m ** 2)
+
+
+def test_gold_mirror_spectrum(key):
+    """A dispersive gold mirror reflects ~43% in the blue and ~96% in the
+    red — each matching the normal-incidence complex-Fresnel R of the
+    interpolated (n, k) at that wavelength (gold looks gold; a fixed-index
+    mirror cannot)."""
+    from raytracetorch_tpu.utils.coatings import METAL_NK, metal_nk_at
+
+    n_tab, k_tab = METAL_NK['AU']
+    for wl in (0.45, 0.70):
+        n_m, k_m = metal_nk_at(n_tab, k_tab, jnp.float32(wl))
+        flux = _metal_mirror_flux(key, 'Au', wl)
+        np.testing.assert_allclose(flux, _R_bare(float(n_m), float(k_m)),
+                                   rtol=3e-3)
+    assert _metal_mirror_flux(key, 'Au', 0.45) < 0.5
+    assert _metal_mirror_flux(key, 'Au', 0.70) > 0.9
+
+
+def test_metal_dispersion_dline_selfconsistent(key):
+    """Rays WITHOUT wavelengths on a dispersive mirror evaluate at the d
+    line of the SAME knot table (not the fixed METALS entry) — and the two
+    models agree in R to ~1% for aluminium."""
+    from raytracetorch_tpu.utils.coatings import (METAL_NK, METALS,
+                                                  metal_nk_at)
+
+    n_d, k_d = metal_nk_at(*METAL_NK['AL'], jnp.float32(0.5876))
+    flux = _metal_mirror_flux(key, 'Al', None)
+    np.testing.assert_allclose(flux, _R_bare(float(n_d), float(k_d)),
+                               rtol=3e-3)
+    np.testing.assert_allclose(flux, _R_bare(*METALS['AL']), rtol=1.5e-2)
+
+
+def test_metal_dispersion_needs_named_metal():
+    import pytest
+
+    from raytracetorch_tpu.elements.mirror import ParabolicMirror
+
+    with pytest.raises(ValueError, match='NAMED'):
+        ParabolicMirror(c1=-0.001, d=30.0, metal=(1.0, 6.6),
+                        metal_dispersion=True, name='m')
+
+
+def test_dispersive_enhanced_mirror_gradient(key):
+    """Coating-thickness gradients stay finite and nonzero through the
+    dispersive-substrate characteristic matrices (enhanced-Al design at a
+    non-d wavelength)."""
+    from raytracetorch_tpu import CollimatedDisk, Scene, SensorElement
+    from raytracetorch_tpu.elements.mirror import ParabolicMirror
+
+    d_qw = lambda nn: 0.65 / (4 * nn)
+    scene = Scene([
+        ParabolicMirror(c1=-0.001, d=30.0, translation=[0, 0, 50.0],
+                        metal='Al', metal_dispersion=True,
+                        coating=[(2.35, d_qw(2.35)), (NC, d_qw(NC))],
+                        coating_grad=True, name='m'),
+        SensorElement(radius=20.0, translation=[0, 0, 0.5], name='s'),
+    ], n_bounces=3)
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0), wavelength=0.65,
+                               translation=[0, 0, 1.0]).sample(key, 200)
+
+    def flux(p):
+        _, sensors, _ = scene.simulate(p, rays, key)
+        return sensors.total_weight(0)[0]
+
+    g = jax.grad(flux)(scene.init_params())['m']['coat_d']
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g)) and np.any(np.abs(g) > 1e-4), g
+
+
+def test_dispersive_metal_field_transport(key):
+    """track_field over a DISPERSIVE metal mirror: the field-amplitude
+    path uses the same interpolated (n, k) as the intensity path, so
+    intensity * |E|^2 = R(lambda) exactly at near-normal incidence."""
+    from raytracetorch_tpu import CollimatedDisk, Scene, SensorElement
+    from raytracetorch_tpu.elements.mirror import ParabolicMirror
+    from raytracetorch_tpu.utils.coatings import METAL_NK, metal_nk_at
+
+    wl = 0.80     # aluminium's interband dip — maximally far from fixed
+    n_m, k_m = metal_nk_at(*METAL_NK['AL'], jnp.float32(wl))
+    scene = Scene([
+        ParabolicMirror(c1=-0.001, d=30.0, translation=[0, 0, 50.0],
+                        metal='Al', metal_dispersion=True, name='m'),
+        SensorElement(radius=20.0, translation=[0, 0, 0.5], name='s'),
+    ], n_bounces=3)
+    rays = CollimatedDisk.make(radius=jnp.float32(1.0), wavelength=wl,
+                               translation=[0, 0, 1.0]).sample(key, 500)
+    out, sensors, aux = scene.simulate(scene.init_params(), rays, key,
+                                       track_field=True)
+    pw = np.asarray(aux['field_power'])
+    alive = np.asarray(out.intensity) > 0
+    np.testing.assert_allclose(pw[alive], 1.0, rtol=1e-4)
+    flux = float((np.asarray(out.intensity) * pw)[alive].mean())
+    np.testing.assert_allclose(flux, _R_bare(float(n_m), float(k_m)),
+                               rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Absorbing films (round 3): complex layer indices n - ik in the
+# characteristic matrices (thin-metal beamsplitters, inconel ND)
+# ---------------------------------------------------------------------------
+
+def _oracle_stack(ns, ks, ds, n_in, n_out, cos_i, lam, pol, k_out=0.0):
+    """numpy complex128 characteristic-matrix reference (Macleod ch. 2) —
+    the CPU test oracle the TPU-safe (re, im)-pair implementation must
+    match (tests may use complex dtypes; the axon tunnel cannot)."""
+    n_in = complex(n_in)
+    kin2 = (n_in.real ** 2) * (1 - cos_i ** 2)
+
+    def cos_of(nc):
+        return np.sqrt(1 - kin2 / nc ** 2)
+
+    def eta(nc, c):
+        return nc * c if pol == 's' else nc / c
+
+    eta0 = eta(n_in, cos_i)
+    nc_sub = n_out - 1j * k_out
+    eta_sub = eta(nc_sub, cos_of(nc_sub))
+    M = np.eye(2, dtype=complex)
+    for n_, k_, d_ in zip(ns, ks, ds):
+        nc = n_ - 1j * k_
+        c = cos_of(nc)
+        e = eta(nc, c)
+        delta = 2 * np.pi * nc * d_ * c / lam
+        M = M @ np.array([[np.cos(delta), 1j * np.sin(delta) / e],
+                          [1j * e * np.sin(delta), np.cos(delta)]])
+    B, C = M @ np.array([1.0, eta_sub])
+    r = (eta0 * B - C) / (eta0 * B + C)
+    T = 4 * eta0.real * eta_sub.real / abs(eta0 * B + C) ** 2
+    return abs(r) ** 2, T, r
+
+
+def test_absorbing_stack_matches_complex_oracle():
+    """Random absorbing multilayers: the (re, im)-pair implementation
+    matches numpy complex128 matrices in R, T AND complex amplitudes to
+    float32 precision; R + T <= 1 always (the deficit is absorptance)."""
+    from raytracetorch_tpu.utils.coatings import (coating_amplitudes,
+                                                  coating_rt)
+
+    rng = np.random.default_rng(0)
+    for trial in range(25):
+        L = int(rng.integers(1, 5))
+        ns = rng.uniform(0.2, 2.5, L).round(3).tolist()
+        ks = (rng.uniform(0, 4, L) * rng.integers(0, 2, L)).round(3).tolist()
+        if not any(ks):
+            ks[0] = 1.5
+        ds = rng.uniform(0.005, 0.3, L).round(4).tolist()
+        n_out = float(rng.uniform(1.3, 1.8))
+        lam = float(rng.uniform(0.4, 1.0))
+        cos_i = float(rng.uniform(0.3, 1.0))
+        for pol in ('s', 'p'):
+            Ro, To, ro = _oracle_stack(ns, ks, ds, 1.0, n_out, cos_i, lam,
+                                       pol)
+            assert Ro + To <= 1.0 + 1e-9
+            R, T = coating_rt(ns, ds, 1.0, n_out, jnp.float32(cos_i),
+                              jnp.float32(lam), pol=pol, k_stack=ks)
+            np.testing.assert_allclose(float(R), Ro, atol=2e-5)
+            np.testing.assert_allclose(float(T), To, atol=2e-5)
+            (t_re, t_im), (r_re, r_im) = coating_amplitudes(
+                ns, ds, 1.0, n_out, jnp.float32(cos_i), jnp.float32(lam),
+                pol=pol, k_stack=ks)
+            r_sign = -1 if pol == 'p' else 1
+            assert abs(complex(float(r_re), float(r_im)) - r_sign * ro) \
+                < 2e-4
+            np.testing.assert_allclose(float(t_re) ** 2 + float(t_im) ** 2,
+                                       To, atol=2e-5)
+
+
+def test_absorbing_stack_thin_silver_splits():
+    """A 40 nm silver film on glass is a classic metallic beamsplitter:
+    R ~ 0.89, T ~ 0.07, A ~ 0.05 at the d line — R + T strictly < 1."""
+    from raytracetorch_tpu.utils.coatings import METALS, coating_rt
+
+    n_ag, k_ag = METALS['AG']
+    R, T = coating_rt([n_ag], [0.04], 1.0, NS, jnp.float32(1.0),
+                      jnp.float32(0.5876), k_stack=[k_ag])
+    R, T = float(R), float(T)
+    assert 0.8 < R < 0.95 and 0.03 < T < 0.15 and R + T < 0.99, (R, T)
+
+
+def test_absorbing_stack_gradients_finite():
+    """Thickness gradients through the full-complex matrix path stay
+    finite (cosh/sinh + guarded complex sqrt)."""
+    from raytracetorch_tpu.utils.coatings import coating_rt
+
+    def T_of(d):
+        _, T = coating_rt([0.144], [d], 1.0, NS, jnp.float32(0.9),
+                          jnp.float32(0.55), k_stack=[3.6])
+        return T
+
+    g = jax.grad(T_of)(jnp.float32(0.04))
+    assert np.isfinite(float(g)) and abs(float(g)) > 1e-3
+
+
+def test_parse_coating_entries_forms():
+    from raytracetorch_tpu.utils.coatings import (METALS,
+                                                  parse_coating_entries)
+
+    ns, ks, ds = parse_coating_entries([(1.38, 0.1), (0.2, 3.4, 0.05),
+                                        ('Ag', 0.04)])
+    assert ns == [1.38, 0.2, METALS['AG'][0]]
+    assert ks == [0.0, 3.4, METALS['AG'][1]]
+    assert ds == [0.1, 0.05, 0.04]
+    import pytest
+    with pytest.raises(ValueError, match='entry'):
+        parse_coating_entries([(1.0,)])
