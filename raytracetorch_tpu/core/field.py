@@ -220,14 +220,16 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
                    if wavelength is not None else 0.5876)
             ns_ = [row.coat[..., 2 * i] for i in range(meta.n_coat)]
             ds_ = [row.coat[..., 2 * i + 1] for i in range(meta.n_coat)]
+            ks_ = (list(meta.coat_k)
+                   if getattr(meta, 'coat_k', None) is not None else None)
 
             def amps_of(pol):
                 t_f, r_f = coating_amplitudes(ns_, ds_, n1, n2, cos_i,
-                                              lam, pol=pol)
+                                              lam, pol=pol, k_stack=ks_)
                 if meta.n_coat > 1:
-                    t_b, r_b = coating_amplitudes(ns_[::-1], ds_[::-1],
-                                                  n1, n2, cos_i, lam,
-                                                  pol=pol)
+                    t_b, r_b = coating_amplitudes(
+                        ns_[::-1], ds_[::-1], n1, n2, cos_i, lam, pol=pol,
+                        k_stack=ks_[::-1] if ks_ is not None else None)
                     low = n1 < n2
                     t_f = (jnp.where(low, t_f[0], t_b[0]),
                            jnp.where(low, t_f[1], t_b[1]))
@@ -307,10 +309,12 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
             n_m, k_m = metal_nk_at(meta.metal_nk[0], meta.metal_nk[1], lam)
         else:
             n_m, k_m = row.ph[..., 0], row.ph[..., 1]
+        ks_ = (list(meta.coat_k)
+               if getattr(meta, 'coat_k', None) is not None else None)
         rs = metal_reflection_amplitudes(ns_, ds_, n_amb, n_m, k_m, cos_i,
-                                         lam, pol='s')
+                                         lam, pol='s', k_stack=ks_)
         rp = metal_reflection_amplitudes(ns_, ds_, n_amb, n_m, k_m, cos_i,
-                                         lam, pol='p')
+                                         lam, pol='p', k_stack=ks_)
         s_hat, p_in = sp_basis(d_in, n_w)
         _, p_out = sp_basis(new_dir, n_w)
         Es_r, Es_i = v3.dot(Er, s_hat), v3.dot(Ei, s_hat)

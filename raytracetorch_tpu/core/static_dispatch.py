@@ -89,11 +89,12 @@ class StaticRowMeta:
     before tracing (Scene.static_meta)."""
 
     __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp',
-                 'plane', 'slot', 'n_coat', 'dispm', 'metal', 'metal_nk')
+                 'plane', 'slot', 'n_coat', 'dispm', 'metal', 'metal_nk',
+                 'coat_k')
 
     def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False,
                  disp=False, plane=False, slot=0, n_coat=0,
-                 dispm=(1, 1), metal=False, metal_nk=None):
+                 dispm=(1, 1), metal=False, metal_nk=None, coat_k=None):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
@@ -107,6 +108,15 @@ class StaticRowMeta:
         # static ((n knots), (k knots)) metal dispersion table, or None
         self.metal_nk = (tuple(map(tuple, metal_nk))
                          if metal_nk is not None else None)
+        # static per-layer extinction coefficients (absorbing FILMS —
+        # thin-metal beamsplitters, inconel ND).  Normalized to None when
+        # every layer is dielectric so the cheap real-matrix coating path
+        # stays the compile-time default.
+        ck = (tuple(float(k) for k in coat_k)
+              if coat_k is not None else None)
+        if ck is not None and not any(k != 0.0 for k in ck):
+            ck = None
+        self.coat_k = ck
 
 
 def dispersive_iors(row, wavelength_um, meta=None):
@@ -174,23 +184,42 @@ def coated_reflectance_sp(meta: StaticRowMeta, row, d, n, n_in, n_out,
     reversal rules as coated_reflectance); feeds the polarized Monte-Carlo
     draw so coated FRESNEL surfaces sample the branch with the true
     polarization-weighted reflectance."""
+    Rs, Rp, _, _ = coated_rt_sp(meta, row, d, n, n_in, n_out, wavelength)
+    return Rs, Rp
+
+
+def coated_rt_sp(meta: StaticRowMeta, row, d, n, n_in, n_out,
+                 wavelength=None):
+    """Per-polarization (Rs, Rp, Ts, Tp) of this row's thin-film stack.
+
+    ``meta.coat_k`` (static per-layer extinction, absorbing films) makes
+    R + T < 1 — the deficit is the film absorptance.  Side asymmetry of
+    R comes from the n1/n2 swap in refract_components (incidence side
+    first); the layer-ORDER reversal below additionally matters only for
+    multi-layer stacks, absorbing or not.  Unused outputs are dead-code
+    eliminated by XLA, so callers that need only R pay nothing for T."""
     from ..utils.coatings import coating_rt
     from .physics import refract_components
     _, cos_i, n1, n2, _, _, _, _ = refract_components(d, n, n_in, n_out)
     ns = [row.coat[..., 2 * i] for i in range(meta.n_coat)]
     ds = [row.coat[..., 2 * i + 1] for i in range(meta.n_coat)]
+    ks = list(meta.coat_k) if meta.coat_k is not None else None
     lam = (jnp.where(wavelength > 0, wavelength, 0.5876)
            if wavelength is not None else 0.5876)
 
-    def R_of(pol):
-        R, _ = coating_rt(ns, ds, n1, n2, cos_i, lam, pol=pol)
+    def RT_of(pol):
+        R, T = coating_rt(ns, ds, n1, n2, cos_i, lam, pol=pol, k_stack=ks)
         if meta.n_coat > 1:
-            R_rev, _ = coating_rt(ns[::-1], ds[::-1], n1, n2, cos_i, lam,
-                                  pol=pol)
+            R_rev, T_rev = coating_rt(
+                ns[::-1], ds[::-1], n1, n2, cos_i, lam, pol=pol,
+                k_stack=ks[::-1] if ks is not None else None)
             R = jnp.where(n1 < n2, R, R_rev)
-        return R
+            T = jnp.where(n1 < n2, T, T_rev)
+        return R, T
 
-    return R_of('s'), R_of('p')
+    Rs, Ts = RT_of('s')
+    Rp, Tp = RT_of('p')
+    return Rs, Rp, Ts, Tp
 
 
 def mirror_reflectances_sp(meta: StaticRowMeta, row, d, n, wavelength=None):
@@ -220,8 +249,11 @@ def mirror_reflectances_sp(meta: StaticRowMeta, row, d, n, wavelength=None):
         n_m, k_m = metal_nk_at(meta.metal_nk[0], meta.metal_nk[1], lam)
     else:
         n_m, k_m = row.ph[..., 0], row.ph[..., 1]
-    Rs = metal_reflectance(ns, ds, n_amb, n_m, k_m, cos_i, lam, pol='s')
-    Rp = metal_reflectance(ns, ds, n_amb, n_m, k_m, cos_i, lam, pol='p')
+    ks = list(meta.coat_k) if meta.coat_k is not None else None
+    Rs = metal_reflectance(ns, ds, n_amb, n_m, k_m, cos_i, lam, pol='s',
+                           k_stack=ks)
+    Rp = metal_reflectance(ns, ds, n_amb, n_m, k_m, cos_i, lam, pol='p',
+                           k_stack=ks)
     return Rs, Rp
 
 
@@ -236,18 +268,34 @@ def polarized_R(meta: StaticRowMeta, row, d, n, n_in, n_out, field,
     intensity * |E|^2 sensor estimator is exactly energy-conserving —
     no selection-factor bias (generalizes reference phys/std.py:148-203
     to polarized input)."""
+    R, _ = polarized_RT(meta, row, d, n, n_in, n_out, field, wavelength)
+    return R
+
+
+def polarized_RT(meta: StaticRowMeta, row, d, n, n_in, n_out, field,
+                 wavelength=None):
+    """Polarization-weighted (R_pol, T_pol) for the rays' field state.
+
+    For bare and lossless-coated interfaces T_pol = 1 - R_pol; with an
+    absorbing coating (meta.coat_k) R + T < 1 and the transmitted branch
+    of the Monte-Carlo draw must carry the importance weight T/(1 - R)
+    (apply_physics_one) for intensity*|E|^2 flux to stay unbiased.  TIR
+    returns (1, 0)."""
     from .field import sp_power_fractions
     from .physics import fresnel_rs_rp, refract_components
     _, cos_i, n1, n2, _, tir, cos_t, _ = refract_components(
         d, n, n_in, n_out)
     if meta.n_coat:
-        Rs, Rp = coated_reflectance_sp(meta, row, d, n, n_in, n_out,
-                                       wavelength)
+        Rs, Rp, Ts, Tp = coated_rt_sp(meta, row, d, n, n_in, n_out,
+                                      wavelength)
     else:
         Rs, Rp = fresnel_rs_rp(cos_i, cos_t, n1, n2)
+        Ts, Tp = 1.0 - Rs, 1.0 - Rp
     fs, fp = sp_power_fractions(field.r_c, field.i_c, d, n)
-    R = (Rs * fs + Rp * fp) / jnp.maximum(fs + fp, 1e-20)
-    return jnp.where(tir, 1.0, R)
+    frac = jnp.maximum(fs + fp, 1e-20)
+    R = (Rs * fs + Rp * fp) / frac
+    T = (Ts * fs + Tp * fp) / frac
+    return jnp.where(tir, 1.0, R), jnp.where(tir, 0.0, T)
 
 
 def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None,
@@ -323,14 +371,31 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
     if kind == PhysKind.SNELL:
         return snell_dir(d, n, n_in, n_out), ones
     if kind == PhysKind.FRESNEL:
+        T_ov = None
         if field is not None:
-            R_ov = polarized_R(meta, row, d, n, n_in, n_out, field,
-                               wavelength)
+            R_ov, T_ov = polarized_RT(meta, row, d, n, n_in, n_out, field,
+                                      wavelength)
+        elif meta.n_coat:
+            Rs, Rp, Ts, Tp = coated_rt_sp(meta, row, d, n, n_in, n_out,
+                                          wavelength)
+            R_ov, T_ov = 0.5 * (Rs + Rp), 0.5 * (Ts + Tp)
         else:
-            R_ov = (coated_reflectance(meta, row, d, n, n_in, n_out,
-                                       wavelength)
-                    if meta.n_coat else None)
-        return fresnel_dir(d, n, n_in, n_out, u, R_override=R_ov), ones
+            R_ov = None
+        out = fresnel_dir(d, n, n_in, n_out, u, R_override=R_ov)
+        if meta.coat_k is None:
+            return out, ones
+        # absorbing coating: the transmitted branch carries the importance
+        # weight T/(1-R) so expected flux = R (reflect) + T (transmit) and
+        # the film absorptance A = 1 - R - T is genuinely lost.  The
+        # branch mask reproduces fresnel_dir's choice exactly (same R,
+        # same where(tir, 1, R) clamp, same u compare).
+        from .physics import refract_components
+        _, _, _, _, _, tir, _, _ = refract_components(d, n, n_in, n_out)
+        R_eff = jnp.where(tir, 1.0, R_ov)
+        reflected = u < R_eff
+        w_t = T_ov / jnp.maximum(1.0 - R_eff, 1e-12)
+        return out, jnp.where(reflected, ones,
+                              jnp.clip(w_t, 0.0, 1.0))
     if kind == PhysKind.FRESNEL_W:
         # deterministic weighted Fresnel: refract (TIR -> reflect, full
         # power), intensity *= (1 - R) — differentiable in R and thus in
@@ -342,9 +407,22 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
         _, cos_i, n1, n2, _, tir, cos_t, _ = refract_components(
             d, n, n_in, n_out)
         if field is not None:
+            if meta.coat_k is not None:
+                # absorbing coating: the deterministic weight is the true
+                # transmittance T (< 1 - R; the film absorbs the rest)
+                _, T = polarized_RT(meta, row, d, n, n_in, n_out, field,
+                                    wavelength)
+                imod = jnp.where(tir, 1.0, jnp.clip(T, 0.0, 1.0))
+                return snell_dir(d, n, n_in, n_out), imod
             R = polarized_R(meta, row, d, n, n_in, n_out, field, wavelength)
             R = jnp.where(tir, 0.0, R)   # TIR reflects with full power
         elif meta.n_coat:
+            if meta.coat_k is not None:
+                Rs, Rp, Ts, Tp = coated_rt_sp(meta, row, d, n, n_in, n_out,
+                                              wavelength)
+                T = 0.5 * (Ts + Tp)
+                imod = jnp.where(tir, 1.0, jnp.clip(T, 0.0, 1.0))
+                return snell_dir(d, n, n_in, n_out), imod
             R = coated_reflectance(meta, row, d, n, n_in, n_out, wavelength)
         else:
             R = fresnel_reflectance(cos_i, cos_t, n1, n2)

@@ -101,6 +101,10 @@ class SurfaceRec:
     is_dispersive: bool = False
     coat: Sequence = ()          # interleaved (n, d_um) pairs, outermost 1st
     n_coat: int = 0              # static layer count (0 = bare interface)
+    coat_k: Any = None           # STATIC per-layer extinction coefficients
+                                 # (absorbing films; None/zeros = dielectric).
+                                 # Plain float tuple — carried on
+                                 # StaticRowMeta, not a table column.
     is_metal: bool = False       # REFLECT row with an absorbing (n, -ik)
                                  # substrate in ph[0:2] (coated-mirror physics)
     metal_nk: Any = None         # STATIC ((n knots), (k knots)) on

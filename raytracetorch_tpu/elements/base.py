@@ -199,8 +199,11 @@ class ElementCustom(Element):
             if len(coating) > MAX_COAT_LAYERS:
                 raise ValueError(
                     f"at most {MAX_COAT_LAYERS} coating layers per surface")
-            self.coating_n = [float(n) for n, _ in coating]
-            self._extra['coat_d'] = [float(d) for _, d in coating]
+            from ..utils.coatings import parse_coating_entries
+            ns, ks, ds = parse_coating_entries(coating)
+            self.coating_n = ns
+            self.coating_k = ks if any(k != 0.0 for k in ks) else None
+            self._extra['coat_d'] = ds
             self._extra_grad['coat_d'] = coating_grad
 
     @property
@@ -226,4 +229,5 @@ class ElementCustom(Element):
                     coat += [nl, p['coat_d'][li]]
                 r.coat = coat
                 r.n_coat = len(coat_ns)
+                r.coat_k = getattr(self, 'coating_k', None)
         return recs

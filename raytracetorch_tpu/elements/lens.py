@@ -131,7 +131,12 @@ class _SphericLens(Element):
 
         Indices are static structure; thicknesses are the trainable
         'coat_d' param (utils/coatings.py;
-        core/static_dispatch.py::coated_reflectance).
+        core/static_dispatch.py::coated_reflectance).  Layer entries may
+        also be ABSORBING — ``(n, k, d_um)`` or a named metal film
+        ``('Ag', d_um)`` (parse_coating_entries): thin-metal
+        beamsplitters / neutral-density films with R + T < 1; the MC
+        Fresnel transmit branch then carries the importance weight
+        T/(1-R) and FRESNEL_W weights by the true T.
 
         The coating acts on the INTENSITY trace only through Fresnel
         physics: set ``fresnel=True`` (Monte-Carlo) or
@@ -157,26 +162,30 @@ class _SphericLens(Element):
             if len(st) > MAX_COAT_LAYERS:
                 raise ValueError(
                     f"at most {MAX_COAT_LAYERS} coating layers per surface")
-        self.coating_n = {f: [float(n) for n, _ in st]
-                          for f, st in faces.items()}
+        from ..utils.coatings import parse_coating_entries
+        parsed = {f: parse_coating_entries(st) for f, st in faces.items()}
+        self.coating_n = {f: ns for f, (ns, _, _) in parsed.items()}
+        # static per-layer extinction (absorbing films; None = dielectric)
+        self.coating_k = {f: (ks if any(k != 0.0 for k in ks) else None)
+                          for f, (_, ks, _) in parsed.items()}
         if self._coat_per_face:
-            self._init['coat_d'] = {str(f): [float(dd) for _, dd in st]
-                                    for f, st in faces.items()}
+            self._init['coat_d'] = {str(f): ds
+                                    for f, (_, _, ds) in parsed.items()}
         else:
-            self._init['coat_d'] = [float(dd) for _, dd in coating]
+            self._init['coat_d'] = parsed[0][2]
         self._grads['coat_d'] = coating_grad
 
     def _face_coat(self, p, i):
-        """(coat interleave list, n_coat) of optical face ``i``."""
+        """(coat interleave list, n_coat, coat_k) of optical face ``i``."""
         coat_ns = getattr(self, 'coating_n', None)
         if not coat_ns or i not in coat_ns:
-            return [], 0
+            return [], 0, None
         ds = (p['coat_d'][str(i)] if self._coat_per_face
               else p['coat_d'])
         coat = []
         for li, nl in enumerate(coat_ns[i]):
             coat += [nl, ds[li]]
-        return coat, len(coat_ns[i])
+        return coat, len(coat_ns[i]), self.coating_k[i]
 
     def _edge_phys(self, p):
         """(kind, params) for edge surfaces; overridden per lens type."""
@@ -228,14 +237,14 @@ class _SphericLens(Element):
             q, sign = q_quadric(c, 0.0)
             Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(zv))
             disp, dm, isd = _disp_rec(dc, i + 1, i)
-            coat, n_coat = self._face_coat(p, i)
+            coat, n_coat, coat_k = self._face_coat(p, i)
             recs.append(SurfaceRec(
                 q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
                 sb_kind=SBKind.HEMI, sb=(c,),
                 vb_kind=VBKind.APER_R2, vb=(r * r,),
                 ph_kind=kind, ph=(iors[i + 1], iors[i]),
                 disp=disp, disp_model=dm, is_dispersive=isd,
-                coat=coat, n_coat=n_coat))
+                coat=coat, n_coat=n_coat, coat_k=coat_k))
 
         edge_kind, edge_ph = self._edge_phys(p)
         for i in range(self.n_optical - 1):
@@ -646,14 +655,14 @@ class AsphericLens(SingletLens):
             q, sign = q_quadric(p[cn], p[kn])
             Rw, tw, Rs, ts = compose_world(Re, te, None, zvec(zv))
             disp, dm, isd = _disp_rec(dc, i + 1, i)
-            coat, n_coat = self._face_coat(p, i)
+            coat, n_coat, coat_k = self._face_coat(p, i)
             recs.append(SurfaceRec(
                 q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
                 sb_kind=SBKind.HEMI, sb=(p[cn],),
                 vb_kind=VBKind.APER_R2, vb=(r * r,),
                 ph_kind=kind, ph=(iors[i + 1], iors[i]),
                 disp=disp, disp_model=dm, is_dispersive=isd,
-                coat=coat, n_coat=n_coat,
+                coat=coat, n_coat=n_coat, coat_k=coat_k,
                 asph=tuple(p[an][j] for j in range(4)), is_asphere=True))
 
         edge_kind, edge_ph = self._edge_phys(p)

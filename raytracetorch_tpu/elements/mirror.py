@@ -22,9 +22,12 @@ class _MirrorBase(Element):
       utils/coatings.py::METALS ('Al', 'Ag', 'Au', 'Cu') or an explicit
       (n, k) complex-index pair: the face then reflects with the physical
       complex-Fresnel reflectance (beyond reference).
-    - ``coating=[(n, d_um), ...]`` — dielectric stack on the metal, listed
+    - ``coating=[(n, d_um), ...]`` — thin-film stack on the metal, listed
       outermost first; thicknesses are the trainable 'coat_d' param
       (enhanced-aluminum designs by jax.grad).  Requires ``metal``.
+      Layers may be absorbing: ``(n, k, d_um)`` or a named metal film
+      ``('Ag', d_um)`` (utils/coatings.py::parse_coating_entries) — the
+      per-layer extinction is static structure carried on StaticRowMeta.
     - ``metal_dispersion=False`` — with a NAMED metal, make the substrate
       (n, k) follow each ray's wavelength via the tabulated
       utils/coatings.py::METAL_NK knots (piecewise-linear on
@@ -63,8 +66,11 @@ class _MirrorBase(Element):
             if len(coating) > MAX_COAT_LAYERS:
                 raise ValueError(
                     f"at most {MAX_COAT_LAYERS} coating layers per surface")
-            self.coating_n = [float(n) for n, _ in coating]
-            self._coat_d_init = [float(dd) for _, dd in coating]
+            from ..utils.coatings import parse_coating_entries
+            ns, ks, ds = parse_coating_entries(coating)
+            self.coating_n = ns
+            self.coating_k = ks if any(k != 0.0 for k in ks) else None
+            self._coat_d_init = ds
             self._coat_grad = coating_grad
 
     def init_params(self, dtype=jnp.float32):
@@ -91,7 +97,8 @@ class _MirrorBase(Element):
                 coat += [nl, p['coat_d'][li]]
         return dict(ph_kind=PhysKind.REFLECT, ph=(n_m, k_m, self._ambient),
                     coat=coat, n_coat=len(ns or ()), is_metal=True,
-                    metal_nk=self._metal_nk)
+                    metal_nk=self._metal_nk,
+                    coat_k=getattr(self, 'coating_k', None))
 
     @property
     def n_surfaces(self):

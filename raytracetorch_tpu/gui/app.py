@@ -173,7 +173,11 @@ function formHtml(fields, values, prefix) {
         `</select></label>`;
     } else if (f.kind === 'pairs') {
       FDEFS[id] = f;
-      const rows = Array.isArray(v) ? v : [];
+      let rows = Array.isArray(v) ? v : [];
+      // legacy (n, d) coating rows widen to (n, k=0, d)
+      if (f.name === 'coating')
+        rows = rows.map(r => (Array.isArray(r) && r.length === 2)
+                             ? [r[0], 0, r[1]] : r);
       h += `<label>${f.name}</label><div class="pairs" id="${id}">` +
         rows.map(r=>pairRowHtml(id, r, f.labels)).join('') + `</div>` +
         `<button type="button" onclick="addPairRow('${id}')">+ ${f.name} layer</button>`;

@@ -424,9 +424,13 @@ def registry():
                 # 6-coefficient rows; closes the round-2 'raw coating
                 # field' gap (reference FormBuilder nested groupboxes,
                 # gui/forms.py:219-437)
+                # coating rows are (n, k, d_um) — k = 0 for dielectric
+                # layers (parse_coating_entries); legacy (n, d) configs
+                # are widened client-side
                 kind = 'pairs' if pname == 'coating' else 'numlist'
                 out.append({'name': pname, 'default': None, 'kind': kind,
-                            'labels': (['n', 'd_um'] if pname == 'coating'
+                            'labels': (['n', 'k', 'd_um']
+                                       if pname == 'coating'
                                        else ['B1', 'B2', 'B3',
                                              'C1', 'C2', 'C3']),
                             'required': False})

@@ -152,7 +152,8 @@ class Scene:
                                               n_coat=r.n_coat,
                                               dispm=r.disp_model,
                                               metal=r.is_metal,
-                                              metal_nk=r.metal_nk))
+                                              metal_nk=r.metal_nk,
+                                              coat_k=r.coat_k))
                 if el.is_sensor:    # mirrors build_table's slot assignment
                     slot += 1
             self._static_meta = meta

@@ -65,10 +65,18 @@ def _c_sqrt(a):
 
 def _c_trig(delta):
     """(cos, sin) of a complex phase (re, im) pair: cos(a+ib) = cos a
-    cosh b - i sin a sinh b; sin(a+ib) = sin a cosh b + i cos a sinh b."""
+    cosh b - i sin a sinh b; sin(a+ib) = sin a cosh b + i cos a sinh b.
+
+    cosh/sinh are spelled as exp sums — Mosaic has no cosh/sinh
+    primitive, and this function runs INSIDE the fused Pallas kernels
+    whenever a surface carries an absorbing coating (apply_physics_one
+    -> coated_rt_sp -> _stack_bc_absorbing).  Film phase thicknesses
+    keep |b| = 2 pi k d / lambda small (k d << lambda), far from exp
+    overflow."""
     a, b = delta
     ca, sa = jnp.cos(a), jnp.sin(a)
-    chb, shb = jnp.cosh(b), jnp.sinh(b)
+    eb, enb = jnp.exp(b), jnp.exp(-b)
+    chb, shb = 0.5 * (eb + enb), 0.5 * (eb - enb)
     return (ca * chb, -sa * shb), (sa * chb, ca * shb)
 
 

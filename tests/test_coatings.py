@@ -703,3 +703,140 @@ def test_parse_coating_entries_forms():
     import pytest
     with pytest.raises(ValueError, match='entry'):
         parse_coating_entries([(1.0,)])
+
+# ---------------------------------------------------------------------------
+# Absorbing coatings IN THE TRACE (element plumbing: coat_k on SurfaceRec /
+# StaticRowMeta; static_dispatch weights the MC transmit branch by T/(1-R)
+# and FRESNEL_W by the true T — the film absorptance is genuinely lost)
+# ---------------------------------------------------------------------------
+
+def _ag_film_rt(cos_i=1.0, pol=None, d_film=0.04):
+    """Oracle (R, T) of a 40 nm silver film between air and NS glass."""
+    from raytracetorch_tpu.utils.coatings import METALS
+    n_ag, k_ag = METALS['AG']
+
+    def one(p):
+        R, T = coating_rt([n_ag], [d_film], 1.0, NS, jnp.float32(cos_i),
+                          jnp.float32(0.5876), pol=p, k_stack=[k_ag])
+        return float(R), float(T)
+
+    if pol is not None:
+        return one(pol)
+    (Rs, Ts), (Rp, Tp) = one('s'), one('p')
+    return 0.5 * (Rs + Rp), 0.5 * (Ts + Tp)
+
+
+def test_absorbing_coating_weighted_trace(key):
+    """FRESNEL_W through a thin-silver beamsplitter film transmits exactly
+    the oracle T — NOT 1 - R (the difference is the film absorptance)."""
+    from raytracetorch_tpu import ElementCustom, Rays, SequentialScene
+    from raytracetorch_tpu.constants import PhysKind
+    from raytracetorch_tpu.elements import shapes
+
+    el = ElementCustom(shapes.plane, 1, PhysKind.FRESNEL_W,
+                       ph=(NS, 1.0), coating=[('Ag', 0.04)], name='bs')
+    scene = SequentialScene([el])
+    rays = Rays.create([[0.0, 0.0, -5.0]], [[0.0, 0.0, 1.0]])
+    out, _, _ = scene.simulate(scene.init_params(), rays, key)
+    R, T = _ag_film_rt()
+    assert R + T < 0.99          # genuinely absorbing
+    np.testing.assert_allclose(float(out.intensity[0]), T, rtol=1e-4)
+    assert float(out.intensity[0]) < (1.0 - R) - 0.02
+
+
+def test_absorbing_coating_mc_estimator(key):
+    """Monte-Carlo FRESNEL with an absorbing film: reflects with
+    probability R (weight 1), transmits with weight T/(1-R) — expected
+    flux R + T < 1, branch weights exact per ray."""
+    from raytracetorch_tpu import ElementCustom, Rays, SequentialScene
+    from raytracetorch_tpu.constants import PhysKind
+    from raytracetorch_tpu.elements import shapes
+
+    el = ElementCustom(shapes.plane, 1, PhysKind.FRESNEL,
+                       ph=(NS, 1.0), coating=[('Ag', 0.04)], name='bs')
+    scene = SequentialScene([el])
+    n = 50_000
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 2] = -5.0
+    dirs = np.zeros((n, 3), np.float32)
+    dirs[:, 2] = 1.0
+    rays = Rays.create(pos, dirs)
+    out, _, _ = scene.simulate(scene.init_params(), rays, key)
+    R, T = _ag_film_rt()
+    dz = np.asarray(out.dir)[:, 2]
+    ii = np.asarray(out.intensity)
+    refl = dz < 0
+    np.testing.assert_allclose(refl.mean(), R, atol=0.01)
+    np.testing.assert_allclose(ii[refl], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(ii[~refl], T / (1.0 - R), rtol=1e-4)
+    np.testing.assert_allclose(ii.mean(), R + T, atol=0.01)
+
+
+def test_absorbing_coating_field_weighted_oblique(key):
+    """track_field + FRESNEL_W at 45 deg with pure-s polarization: the
+    transmitted flux is the POLARIZED Ts of the absorbing film (not the
+    unpolarized mean), and the renormalized field keeps |E|^2 = 1."""
+    from raytracetorch_tpu import ElementCustom, Rays, SequentialScene
+    from raytracetorch_tpu.constants import PhysKind
+    from raytracetorch_tpu.elements import shapes
+
+    el = ElementCustom(shapes.plane, 1, PhysKind.FRESNEL_W,
+                       ph=(NS, 1.0), coating=[('Ag', 0.04)], name='bs')
+    scene = SequentialScene([el])
+    s2 = float(np.sqrt(0.5))
+    rays = Rays.create([[-5.0 * s2, 0.0, -5.0 * s2]], [[s2, 0.0, s2]])
+    out, _, aux = scene.simulate(scene.init_params(), rays, key,
+                                 track_field=True, E0=[0.0, 1.0, 0.0])
+    _, Ts = _ag_film_rt(cos_i=s2, pol='s')
+    _, Tu = _ag_film_rt(cos_i=s2)
+    np.testing.assert_allclose(float(out.intensity[0]), Ts, rtol=1e-4)
+    assert abs(Ts - Tu) > 5e-3   # the polarized weight is distinguishable
+    np.testing.assert_allclose(float(aux['field_power'][0]), 1.0, rtol=1e-4)
+
+
+def test_mirror_absorbing_overlayer(key):
+    """A metal mirror takes an absorbing film in its stack (thin silver
+    over aluminum): traced R matches the k_stack characteristic-matrix
+    oracle and sits between bare Al and thick-silver R."""
+    from raytracetorch_tpu import Rays, SequentialScene
+    from raytracetorch_tpu.elements.mirror import ParabolicMirror
+    from raytracetorch_tpu.utils.coatings import (METALS,
+                                                  unpolarized_metal_reflectance)
+
+    n_al, k_al = METALS['AL']
+    n_ag, k_ag = METALS['AG']
+    m = ParabolicMirror(c1=-1e-4, d=30.0, metal='Al',
+                        coating=[('Ag', 0.02)], name='m')
+    scene = SequentialScene([m])
+    rays = Rays.create([[0.0, 0.0, -5.0]], [[0.0, 0.0, 1.0]])
+    out, _, _ = scene.simulate(scene.init_params(), rays, key)
+    R_expect = float(unpolarized_metal_reflectance(
+        [n_ag], [0.02], 1.0, n_al, k_al, jnp.float32(1.0),
+        jnp.float32(0.5876), k_stack=[k_ag]))
+    np.testing.assert_allclose(float(out.intensity[0]), R_expect, rtol=1e-4)
+    R_al = _R_bare(n_al, k_al)
+    R_ag = _R_bare(n_ag, k_ag)
+    assert R_al < R_expect < R_ag   # 20 nm Ag: part-way to bulk silver
+
+
+def test_zero_extinction_entries_take_dielectric_path(key):
+    """(n, 0.0, d) triples normalize to the dielectric fast path: the
+    static meta carries coat_k=None and the trace is IDENTICAL to the
+    (n, d) pair form."""
+    from raytracetorch_tpu import Rays, Scene, SensorElement, SingletLens
+
+    def run(coat):
+        scene = Scene([
+            SingletLens(c1=0.02, c2=-0.02, d=10.0, t=3.0, ior_glass=NS,
+                        fresnel='weighted', coating=coat, name='lens'),
+            SensorElement(radius=8.0, translation=[0, 0, 19.3], name='s'),
+        ], n_bounces=6)
+        r = Rays.create([[0.1, 0.2, -10.0]], [[0.0, 0.0, 1.0]])
+        out, _, _ = scene.simulate(scene.init_params(), r, key)
+        return scene, float(out.intensity[0])
+
+    sc_pairs, i_pairs = run([(NC, 0.1064)])
+    sc_trip, i_trip = run([(NC, 0.0, 0.1064)])
+    for m in sc_trip.static_meta():
+        assert m.coat_k is None
+    assert i_pairs == i_trip

@@ -220,7 +220,7 @@ def test_structured_coating_and_metal_fields(server):
     reg = json.loads(_get(base, '/api/registry'))
     lens_fields = {f['name']: f for f in reg['elements']['SingletLens']}
     assert lens_fields['coating']['kind'] == 'pairs'
-    assert lens_fields['coating']['labels'] == ['n', 'd_um']
+    assert lens_fields['coating']['labels'] == ['n', 'k', 'd_um']
     assert lens_fields['sellmeier']['kind'] == 'numlist'
     mirror_fields = {f['name']: f for f in reg['elements']['ParabolicMirror']}
     assert mirror_fields['metal']['kind'] == 'select'
@@ -232,9 +232,10 @@ def test_structured_coating_and_metal_fields(server):
         'config': {'class': 'SingletLens', 'name': 'lens', 'params': {
             'name': 'lens', 'c1': 0.05, 'c2': -0.05, 'd': 10.0, 't': 3.0,
             'ior_glass': 1.5, 'fresnel': 'weighted',
-            'coating': [[1.38, 0.1064]]}}})
+            'coating': [[1.38, 0.0, 0.1064]]}}})
     el = wb.scene.elements[0]
     assert el.coating_n == {0: [1.38], 1: [1.38]}
+    assert el.coating_k == {0: None, 1: None}   # zero k -> dielectric path
     assert float(wb.params['lens']['coat_d'][0]) == pytest.approx(0.1064)
     # trace still runs with the coated element
     out = json.loads(_get(base, '/api/trace').decode()) \
