@@ -14,7 +14,8 @@ Scope: the v2 kernel is fully differentiable — `fused_trace_grad` pairs
 it with a fused Pallas BACKWARD kernel (`_kernel_v2_bwd`: the chain is
 re-traced per tile and transposed by jax.vjp at kernel-trace time), so a
 16M-ray value_and_grad step runs 18.1 ms vs 47.1 ms for the XLA path
-(2.6x, v5e).  Grid-enabled configs fall back to XLA-recompute backward.
+(2.6x, v5e).  opl/field streams and the irradiance-grid cotangent (the
+one-hot MXU binning transposed in-kernel) all ride the same backward.
 Run under `interpret=True` for CPU tests.
 
 MEASURED FINDINGS (v5e, 5-surface singlet chain, chained device timing):
@@ -316,10 +317,17 @@ def _grid_accumulate(grid_ref, caps, slots, cfg):
         grid_ref[slot] = grid_ref[slot] + _grid_partial(cfg, x, y, w)
 
 
-def _grid_partial(cfg, x, y, w):
+def _grid_partial(cfg, x, y, w, exact_f32=False):
     """[H, W] partial histogram of one tile's weighted hits (the one-hot
     MXU binning described in _grid_accumulate; pure — also reused inside
-    the non-sequential kernel's bounce loop)."""
+    the non-sequential kernel's bounce loop).
+
+    ``exact_f32`` swaps the bf16 hi+lo split for a single f32 matmul —
+    used in the BACKWARD chain so jax.vjp's transposed binning (the
+    cotangent route d loss/d grid[iy, ix] -> d loss/d w) stays exact
+    f32: the transpose of a bf16 dot yields bf16-rounded cotangents
+    (~0.4% relative), while the f32 MXU multi-pass is still far cheaper
+    than the XLA scatter fallback it replaces."""
     H, W = cfg.grid_shape
     e = cfg.grid_half_extent
     rows, lanes = x.shape
@@ -335,8 +343,14 @@ def _grid_partial(cfg, x, y, w):
             jnp.int32, (H, lanes), 0) == iy_r
         eq_x = jax.lax.broadcasted_iota(
             jnp.int32, (W, lanes), 0) == ix_r
-        A = jnp.where(eq_y, 1.0, 0.0).astype(jnp.bfloat16)
         B1 = jnp.where(eq_x, 1.0, 0.0)
+        if exact_f32:
+            A32 = jnp.where(eq_y, 1.0, 0.0)
+            acc = acc + jax.lax.dot_general(
+                A32, B1 * w_r, contract,
+                preferred_element_type=jnp.float32)
+            continue
+        A = jnp.where(eq_y, 1.0, 0.0).astype(jnp.bfloat16)
         w_hi = w_r.astype(jnp.bfloat16)
         w_lo = (w_r - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         Bh = B1.astype(jnp.bfloat16) * w_hi
@@ -592,6 +606,99 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
 # has no PRNG lowering, so Fresnel scenes assert on CPU.
 
 
+def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
+                        pos, d, intensity, Er, Ei, opl, n_cur,
+                        track_field, track_opl, draw_u=None):
+    """One bounce of the incremental nearest-hit winner merge — the
+    SINGLE implementation behind the forward kernel's while_loop body
+    (``rows`` = _SmemRow list, ``draw_u`` = in-kernel PRNG draw) and the
+    unrolled backward chain (``rows`` = _ValueRow list under jax.vjp;
+    deterministic scenes only, ``draw_u`` unused).  For each surface row,
+    "this row is the new nearest" = valid & t < best_t and every proposed
+    write is where-overwritten — reproducing bounce_step's
+    argmin-with-first-tie semantics exactly.  Returns the advanced state
+    plus the winner info the callers accumulate sensors/grids from:
+    ``(pos, d, intensity, Er, Ei, opl, n_cur, slot_sel, hitx, hity,
+    power_in, anyhit)``."""
+    from ..constants import BIG
+
+    shape = pos[0].shape
+    field = _FieldShim(Er, Ei) if track_field else None
+    power_in = field.power() if track_field else None
+    Er_acc, Ei_acc = Er, Ei
+    n_next_acc = n_cur
+    best_t = jnp.full(shape, BIG, jnp.float32)
+    new_px, new_py, new_pz = pos
+    new_dx, new_dy, new_dz = d
+    imod_b = jnp.ones_like(intensity)
+    slot_sel = jnp.full(shape, -1.0, jnp.float32)
+    hitx = jnp.zeros(shape, jnp.float32)
+    hity = jnp.zeros(shape, jnp.float32)
+    anyhit = jnp.zeros(shape, bool)
+
+    for k, meta in enumerate(static_meta):
+        row = rows[k]
+        res = intersect(row, pos, d, static_meta=meta)
+        cand = res['valid'] & (intensity > 0)
+        better = cand & (res['t'] < best_t)
+        best_t = jnp.where(better, res['t'], best_t)
+        n_w = normal_world(row, res['hit_s'], static_meta=meta)
+        if meta.ph == 4:      # FRESNEL: in-kernel uniform branch draw
+            u = draw_u(shape)
+        else:
+            u = jnp.zeros_like(intensity)
+        dir_k, imod_k = apply_physics_one(meta, row, res['hit_s'], d,
+                                          n_w, u, wavelength=wavelength,
+                                          field=field)
+        if track_field:
+            from ..core.field import transport_field
+            Er_k, Ei_k = transport_field(meta, row, d, dir_k, n_w,
+                                         imod_k, Er, Ei,
+                                         wavelength=wavelength)
+            Er_acc = tuple(jnp.where(better, a, b)
+                           for a, b in zip(Er_k, Er_acc))
+            Ei_acc = tuple(jnp.where(better, a, b)
+                           for a, b in zip(Ei_k, Ei_acc))
+        if track_opl:
+            from ..core.static_dispatch import medium_after
+            n_next_k = medium_after(meta, row, d, n_w, u,
+                                    wavelength=wavelength, field=field)
+            if n_next_k is not None:
+                n_next_acc = jnp.where(better, n_next_k, n_next_acc)
+        new_px = jnp.where(better, pos[0] + res['t'] * d[0], new_px)
+        new_py = jnp.where(better, pos[1] + res['t'] * d[1], new_py)
+        new_pz = jnp.where(better, pos[2] + res['t'] * d[2], new_pz)
+        new_dx = jnp.where(better, dir_k[0], new_dx)
+        new_dy = jnp.where(better, dir_k[1], new_dy)
+        new_dz = jnp.where(better, dir_k[2], new_dz)
+        imod_b = jnp.where(better, imod_k, imod_b)
+        anyhit = anyhit | better
+        if meta.sensor:
+            slot_sel = jnp.where(better, float(meta.slot), slot_sel)
+            # sanitize: tail rows read garbage VMEM and 0 * NaN would
+            # poison the moment/grid reductions
+            hitx = jnp.where(better & mask, res['hit_s'][0], hitx)
+            hity = jnp.where(better & mask, res['hit_s'][1], hity)
+        else:
+            slot_sel = jnp.where(better, -1.0, slot_sel)
+
+    new_pos = (jnp.where(anyhit, new_px, pos[0]),
+               jnp.where(anyhit, new_py, pos[1]),
+               jnp.where(anyhit, new_pz, pos[2]))
+    new_d = (jnp.where(anyhit, new_dx, d[0]),
+             jnp.where(anyhit, new_dy, d[1]),
+             jnp.where(anyhit, new_dz, d[2]))
+    new_ii = jnp.where(anyhit, intensity * imod_b, intensity)
+    if track_field:
+        Er = tuple(jnp.where(anyhit, a, b) for a, b in zip(Er_acc, Er))
+        Ei = tuple(jnp.where(anyhit, a, b) for a, b in zip(Ei_acc, Ei))
+    if track_opl:
+        opl = opl + jnp.where(anyhit, n_cur * best_t, 0.0)
+        n_cur = jnp.where(anyhit, n_next_acc, n_cur)
+    return (new_pos, new_d, new_ii, Er, Ei, opl, n_cur,
+            slot_sel, hitx, hity, power_in, anyhit)
+
+
 def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
                    track_opl, tab, seed, *refs):
     has_grid = bool(cfg.grid_shape)
@@ -643,76 +750,26 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
     ncur_init = (jnp.ones(shape, jnp.float32) if track_opl
                  else jnp.zeros((1, 1), jnp.float32))
 
-    from ..constants import BIG
+    rows_k = [_SmemRow(tab, k) for k in range(len(static_meta))]
+
+    def draw_u(shape):
+        bits = pltpu.prng_random_bits(shape)
+        if bits.dtype != jnp.uint32:
+            bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
+        # top 24 bits -> [0, 1); Mosaic lacks uint->float casts so
+        # route through an int32 bitcast (top byte is zero)
+        sh = jax.lax.shift_right_logical(bits, jnp.uint32(8))
+        i24 = jax.lax.bitcast_convert_type(sh, jnp.int32)
+        return i24.astype(jnp.float32) * (1.0 / (1 << 24))
 
     def bounce(carry):
         (b, _, pos, d, intensity, mom_acc, grid_acc, Er, Ei,
          opl, n_cur) = carry
-        field = _FieldShim(Er, Ei) if track_field else None
-        power_in = field.power() if track_field else None
-        Er_acc, Ei_acc = Er, Ei
-        n_next_acc = n_cur
-        best_t = jnp.full(shape, BIG, jnp.float32)
-        new_px, new_py, new_pz = pos
-        new_dx, new_dy, new_dz = d
-        imod_b = jnp.ones_like(intensity)
-        slot_sel = jnp.full(shape, -1.0, jnp.float32)
-        hitx = jnp.zeros(shape, jnp.float32)
-        hity = jnp.zeros(shape, jnp.float32)
-        anyhit = jnp.zeros(shape, bool)
-
-        for k, meta in enumerate(static_meta):
-            row = _SmemRow(tab, k)
-            res = intersect(row, pos, d, static_meta=meta)
-            cand = res['valid'] & (intensity > 0)
-            better = cand & (res['t'] < best_t)
-            best_t = jnp.where(better, res['t'], best_t)
-            n_w = normal_world(row, res['hit_s'], static_meta=meta)
-            if meta.ph == 4:      # FRESNEL: in-kernel uniform branch draw
-                bits = pltpu.prng_random_bits(shape)
-                if bits.dtype != jnp.uint32:
-                    bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
-                # top 24 bits -> [0, 1); Mosaic lacks uint->float casts so
-                # route through an int32 bitcast (top byte is zero)
-                sh = jax.lax.shift_right_logical(bits, jnp.uint32(8))
-                i24 = jax.lax.bitcast_convert_type(sh, jnp.int32)
-                u = i24.astype(jnp.float32) * (1.0 / (1 << 24))
-            else:
-                u = jnp.zeros_like(intensity)
-            dir_k, imod_k = apply_physics_one(meta, row, res['hit_s'], d,
-                                              n_w, u, wavelength=wavelength,
-                                              field=field)
-            if track_field:
-                from ..core.field import transport_field
-                Er_k, Ei_k = transport_field(meta, row, d, dir_k, n_w,
-                                             imod_k, Er, Ei,
-                                             wavelength=wavelength)
-                Er_acc = tuple(jnp.where(better, a, b)
-                               for a, b in zip(Er_k, Er_acc))
-                Ei_acc = tuple(jnp.where(better, a, b)
-                               for a, b in zip(Ei_k, Ei_acc))
-            if track_opl:
-                from ..core.static_dispatch import medium_after
-                n_next_k = medium_after(meta, row, d, n_w, u,
-                                        wavelength=wavelength, field=field)
-                if n_next_k is not None:
-                    n_next_acc = jnp.where(better, n_next_k, n_next_acc)
-            new_px = jnp.where(better, pos[0] + res['t'] * d[0], new_px)
-            new_py = jnp.where(better, pos[1] + res['t'] * d[1], new_py)
-            new_pz = jnp.where(better, pos[2] + res['t'] * d[2], new_pz)
-            new_dx = jnp.where(better, dir_k[0], new_dx)
-            new_dy = jnp.where(better, dir_k[1], new_dy)
-            new_dz = jnp.where(better, dir_k[2], new_dz)
-            imod_b = jnp.where(better, imod_k, imod_b)
-            anyhit = anyhit | better
-            if meta.sensor:
-                slot_sel = jnp.where(better, float(meta.slot), slot_sel)
-                # sanitize like the sequential kernel: tail rows read
-                # garbage VMEM and 0 * NaN would poison the reductions
-                hitx = jnp.where(better & mask, res['hit_s'][0], hitx)
-                hity = jnp.where(better & mask, res['hit_s'][1], hity)
-            else:
-                slot_sel = jnp.where(better, -1.0, slot_sel)
+        (new_pos, new_d, new_ii, Er, Ei, opl, n_cur, slot_sel,
+         hitx, hity, power_in, anyhit) = _nonseq_bounce_core(
+            static_meta, cfg, rows_k, mask, ray_id, wavelength,
+            pos, d, intensity, Er, Ei, opl, n_cur,
+            track_field, track_opl, draw_u=draw_u)
 
         # sensor moments: the *final* winner decides, with the incoming
         # intensity as weight (bounce_step records the same way)
@@ -720,8 +777,8 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
         for s in range(8):
             if s < n_slots:
                 cols = []
-                for b in range(cfg.n_bundles):
-                    wmask = (slot_sel == s) & (ray_id == b)
+                for b_ in range(cfg.n_bundles):
+                    wmask = (slot_sel == s) & (ray_id == b_)
                     w = jnp.where(wmask, intensity, 0.0)
                     if track_field:
                         w = w * power_in
@@ -754,19 +811,8 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
             grid_acc = jax.lax.cond(jnp.any(slot_sel >= 0.0),
                                     _with_grid, lambda g: g, grid_acc)
 
-        pos = (jnp.where(anyhit, new_px, pos[0]),
-               jnp.where(anyhit, new_py, pos[1]),
-               jnp.where(anyhit, new_pz, pos[2]))
-        d = (jnp.where(anyhit, new_dx, d[0]),
-             jnp.where(anyhit, new_dy, d[1]),
-             jnp.where(anyhit, new_dz, d[2]))
-        intensity = jnp.where(anyhit, intensity * imod_b, intensity)
-        if track_field:
-            Er = tuple(jnp.where(anyhit, a, b) for a, b in zip(Er_acc, Er))
-            Ei = tuple(jnp.where(anyhit, a, b) for a, b in zip(Ei_acc, Ei))
-        if track_opl:
-            opl = opl + jnp.where(anyhit, n_cur * best_t, 0.0)
-            n_cur = jnp.where(anyhit, n_next_acc, n_cur)
+        pos, d = new_pos, new_d
+        intensity = new_ii
         alive = jnp.any(anyhit & (intensity > 0)).astype(jnp.int32)
         return (b + 1, alive, pos, d, intensity, mom_acc, grid_acc, Er, Ei,
                 opl, n_cur)
@@ -1105,7 +1151,7 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
 
 
 def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
-                   track_field, tab, ctm, *refs):
+                   track_field, has_grid, tab, ctm, *refs):
     n_f = sum(1 for m in static_meta if m.ph == 4)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     base = 9
@@ -1119,6 +1165,10 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
     base += len(g_opl_refs)
     g_field_refs = refs[base:base + (6 if track_field else 0)]
     base += len(g_field_refs)
+    g_grid_ref = None
+    if has_grid:
+        g_grid_ref = refs[base]
+        base += 1
     (cpx, cpy, cpz, cdx, cdy, cdz, cii, cwl) = refs[base:base + 8]
     base += 8
     cf_refs = refs[base:base + (6 if track_field else 0)]
@@ -1153,16 +1203,33 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
         rows_v = [_ValueRow(v) for v in rows_flat]
         opl0 = jnp.zeros_like(intensity) if track_opl else None
         ncur0 = jnp.ones_like(intensity) if track_opl else None
-        state, mom_vec, _, extras = _chain_pure(static_meta, cfg, ray_id,
-                                                u_vals, rows_v, pos, d,
-                                                intensity, wavelength,
-                                                opl=opl0, n_cur=ncur0,
-                                                Er=Er, Ei=Ei)
+        state, mom_vec, caps, extras = _chain_pure(static_meta, cfg,
+                                                   ray_id, u_vals, rows_v,
+                                                   pos, d, intensity,
+                                                   wavelength,
+                                                   capture=has_grid,
+                                                   opl=opl0, n_cur=ncur0,
+                                                   Er=Er, Ei=Ei)
         outs = [state, mom_vec]
         if track_opl:
             outs += [extras[0], extras[1]]
         if track_field:
             outs += [extras[2], extras[3]]
+        if has_grid:
+            # re-derive this tile's grid partial INSIDE the vjp'd chain:
+            # feeding it the [S, H, W] grid cotangent transposes the
+            # one-hot MXU binning (another pair of matmuls) and routes
+            # d loss / d grid[s, iy, ix] back into each ray's weight w —
+            # the same gradients the XLA scatter path produces (bin
+            # indices are integer floors, zero-derivative in position)
+            n_slots_ = max(cfg.n_sensors, 1)
+            slots = [m.slot for m in static_meta if m.sensor]
+            gs = [jnp.zeros(cfg.grid_shape, jnp.float32)
+                  for _ in range(n_slots_)]
+            for (x, y, w), slot in zip(caps, slots):
+                gs[slot] = gs[slot] + _grid_partial(cfg, x, y, w,
+                                                    exact_f32=True)
+            outs.append(jnp.stack(gs))
         return tuple(outs)
 
     if track_field:
@@ -1194,6 +1261,8 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
                         for j in range(3)),
                   tuple(jnp.where(mask, g_field_refs[3 + j][:], 0.0)
                         for j in range(3))]
+    if has_grid:
+        ct_in.append(g_grid_ref[...])
     cts = vjp(tuple(ct_in))
     ct_rows, ct_pos, ct_d, ct_ii, ct_wl = cts[:5]
     ct_Er, ct_Ei = (cts[5], cts[6]) if track_field else (None, None)
@@ -1222,11 +1291,14 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
                                    static_meta, g_rays, g_moments,
                                    interpret=False, block_rows=16,
                                    g_opl=None, g_nfinal=None,
-                                   f0=None, g_field=None):
+                                   f0=None, g_field=None, g_grid=None):
     """Fused backward of trace_sequential_pallas_v2 (same wrapper shape):
     returns ``(ct_table, ct_comps)`` where ct_comps is a dict of per-ray
     input cotangents (px..wavelength; the wavelength entry EXCLUDES the
-    identity pass-through, added by the caller)."""
+    identity pass-through, added by the caller).  ``g_grid`` is the
+    [n_slots, H, W] irradiance-grid cotangent (VMEM-resident constant
+    input block); the kernel transposes the one-hot MXU binning so grid
+    losses keep the single-HBM-trip backward."""
     n = rays.px.shape[0]
     rows_total = max(1, -(-n // LANE))
     n_padded = rows_total * LANE
@@ -1262,6 +1334,12 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
         ins += [pad2(g(g_opl)), pad2(g(g_nfinal))]
     if track_field:
         ins += [pad2(g(c)) for c in g_field]
+    has_grid = g_grid is not None
+    n_slots = max(cfg.n_sensors, 1)
+    if has_grid:
+        gh, gw = cfg.grid_shape
+        ins.append(jnp.asarray(g_grid, jnp.float32).reshape(n_slots,
+                                                            gh, gw))
 
     ray_block = jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
     n_cf = 6 if track_field else 0
@@ -1269,18 +1347,25 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
                   + [jax.ShapeDtypeStruct((grid, k_pad, 128), jnp.float32)])
 
     kern = functools.partial(_kernel_v2_bwd, static_meta, cfg, n, k_pad,
-                             track_opl, track_field)
+                             track_opl, track_field, has_grid)
     flat_tab = flatten_table_rows(table)
     ct_mom_flat = jnp.asarray(g_moments, jnp.float32).reshape(-1)
+    n_ray_ins = len(ins) - (1 if has_grid else 0)
 
     if _HAS_PLTPU and not interpret:
         block = pl.BlockSpec((block_rows, LANE), lambda i, tab, ctm: (i, 0))
+        in_specs = [block] * n_ray_ins
+        if has_grid:
+            # constant index map: the grid cotangent is fetched once and
+            # stays VMEM-resident across grid steps
+            in_specs.append(pl.BlockSpec((n_slots, gh, gw),
+                                         lambda i, tab, ctm: (0, 0, 0)))
         out_specs = ([block] * (8 + n_cf)
                      + [pl.BlockSpec((1, k_pad, 128),
                                      lambda i, tab, ctm: (i, 0, 0))])
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(grid,),
-            in_specs=[block] * len(ins), out_specs=out_specs)
+            in_specs=in_specs, out_specs=out_specs)
         outs = pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shapes,
             compiler_params=pltpu.CompilerParams(
@@ -1288,13 +1373,288 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
         )(flat_tab, ct_mom_flat, *ins)
     else:
         block = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0))
+        in_specs = ([pl.BlockSpec(flat_tab.shape, lambda i: (0, 0)),
+                     pl.BlockSpec(ct_mom_flat.shape, lambda i: (0,))]
+                    + [block] * n_ray_ins)
+        if has_grid:
+            in_specs.append(pl.BlockSpec((n_slots, gh, gw),
+                                         lambda i: (0, 0, 0)))
         out_specs = ([block] * (8 + n_cf)
                      + [pl.BlockSpec((1, k_pad, 128), lambda i: (i, 0, 0))])
         outs = pl.pallas_call(
             kern, grid=(grid,),
-            in_specs=[pl.BlockSpec(flat_tab.shape, lambda i: (0, 0)),
-                      pl.BlockSpec(ct_mom_flat.shape, lambda i: (0,))]
-            + [block] * len(ins),
+            in_specs=in_specs,
+            out_specs=out_specs, out_shape=out_shapes,
+            interpret=True,
+        )(flat_tab, ct_mom_flat, *ins)
+
+    def unpad(a):
+        return a.reshape(-1)[:n]
+
+    cpx, cpy, cpz, cdx, cdy, cdz, cii, cwl = [unpad(o) for o in outs[:8]]
+    ct_flat = jnp.sum(outs[8 + n_cf], axis=0)[:K, :ROW_WIDTH]
+
+    _, tab_vjp = jax.vjp(flatten_table_rows, table)
+    (ct_table,) = tab_vjp(ct_flat)
+    ct = dict(px=cpx, py=cpy, pz=cpz, dx=cdx, dy=cdy, dz=cdz,
+              intensity=cii, wavelength=cwl)
+    if track_field:
+        ct['f0'] = [unpad(outs[8 + j]) for j in range(6)]
+    return ct_table, ct
+
+
+def _nonseq_chain_pure(static_meta, cfg, n_bounces, ray_id, rows, mask,
+                       pos, d, intensity, wavelength, capture=False,
+                       opl=None, n_cur=None, Er=None, Ei=None):
+    """The UNROLLED deterministic bounce loop — the pure function the
+    fused non-sequential backward transposes with jax.vjp (``rows`` =
+    _ValueRow list).  Computes the same function as the forward kernel's
+    while_loop (same winner-merge core, same moment/grid accumulation);
+    running the full budget unconditionally instead of early-exiting
+    changes nothing for settled rays (no-op bounces keep state and add
+    zero moments).  Stochastic Fresnel is excluded by the caller.
+    Returns ``((pos, d, intensity), mom_vec, grids, extras)``."""
+    n_slots = max(cfg.n_sensors, 1)
+    track_opl = opl is not None
+    track_field = Er is not None
+    partials = [[[jnp.zeros((), intensity.dtype)] * N_MOMENTS
+                 for _ in range(cfg.n_bundles)] for _ in range(n_slots)]
+    gs = ([jnp.zeros(cfg.grid_shape, jnp.float32)
+           for _ in range(n_slots)] if capture else None)
+    for _b in range(n_bounces):
+        (new_pos, new_d, new_ii, Er2, Ei2, opl2, ncur2, slot_sel,
+         hitx, hity, power_in, _anyhit) = _nonseq_bounce_core(
+            static_meta, cfg, rows, mask, ray_id, wavelength,
+            pos, d, intensity, Er, Ei, opl, n_cur,
+            track_field, track_opl)
+        for s in range(n_slots):
+            for bb in range(cfg.n_bundles):
+                wmask = (slot_sel == s) & (ray_id == bb)
+                w = jnp.where(wmask, intensity, 0.0)
+                if track_field:
+                    w = w * power_in
+                x = jnp.where(w > 0, hitx, 0.0)
+                y = jnp.where(w > 0, hity, 0.0)
+                terms = (w, w * x, w * y, w * x * x, w * y * y, w * x * y,
+                         (w > 0).astype(w.dtype))
+                for m, t in enumerate(terms):
+                    partials[s][bb][m] = partials[s][bb][m] + jnp.sum(t)
+        if capture:
+            g_w = intensity * power_in if track_field else intensity
+            for s in range(n_slots):
+                gs[s] = gs[s] + _grid_partial(
+                    cfg, hitx, hity, jnp.where(slot_sel == s, g_w, 0.0),
+                    exact_f32=True)
+        pos, d, intensity = new_pos, new_d, new_ii
+        Er, Ei, opl, n_cur = Er2, Ei2, opl2, ncur2
+    mom_vec = jnp.stack([partials[s][b][m] for s in range(n_slots)
+                         for b in range(cfg.n_bundles)
+                         for m in range(N_MOMENTS)])
+    return (pos, d, intensity), mom_vec, gs, (opl, n_cur, Er, Ei)
+
+
+def _kernel_nonseq_bwd(static_meta, cfg, n_valid, k_pad, n_bounces,
+                       track_opl, track_field, has_grid, tab, ctm, *refs):
+    (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
+    base = 9
+    f0_refs = refs[base:base + (6 if track_field else 0)]
+    base += len(f0_refs)
+    (gpx, gpy, gpz, gdx, gdy, gdz, gii) = refs[base:base + 7]
+    base += 7
+    g_opl_refs = refs[base:base + (2 if track_opl else 0)]
+    base += len(g_opl_refs)
+    g_field_refs = refs[base:base + (6 if track_field else 0)]
+    base += len(g_field_refs)
+    g_grid_ref = None
+    if has_grid:
+        g_grid_ref = refs[base]
+        base += 1
+    (cpx, cpy, cpz, cdx, cdy, cdz, cii, cwl) = refs[base:base + 8]
+    base += 8
+    cf_refs = refs[base:base + (6 if track_field else 0)]
+    base += len(cf_refs)
+    ctab = refs[base]
+
+    shape = px[:].shape
+    rows, lanes = shape
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    flat = (pl.program_id(0) * rows + r_idx) * lanes + l_idx
+    mask = flat < n_valid
+
+    pos = (jnp.where(mask, px[:], 0.0), jnp.where(mask, py[:], 0.0),
+           jnp.where(mask, pz[:], 0.0))
+    d = (jnp.where(mask, dx[:], 0.0), jnp.where(mask, dy[:], 0.0),
+         jnp.where(mask, dz[:], 1.0))
+    intensity = jnp.where(mask, ii[:], 0.0)
+    wavelength = jnp.where(mask, wl[:], 0.0)
+    rid_t = rid[:]
+    ray_id = jnp.where(mask, rid_t, jnp.full_like(rid_t, -1))
+
+    K = len(static_meta)
+    rows_flat = tuple(tuple(tab[k, j] for j in range(_ROW_SIZE))
+                      for k in range(K))
+
+    def chain(rows_flat, pos, d, intensity, wavelength, Er, Ei):
+        rows_v = [_ValueRow(v) for v in rows_flat]
+        opl0 = jnp.zeros_like(intensity) if track_opl else None
+        ncur0 = jnp.ones_like(intensity) if track_opl else None
+        state, mom_vec, gs, extras = _nonseq_chain_pure(
+            static_meta, cfg, n_bounces, ray_id, rows_v, mask, pos, d,
+            intensity, wavelength, capture=has_grid, opl=opl0,
+            n_cur=ncur0, Er=Er, Ei=Ei)
+        outs = [state, mom_vec]
+        if track_opl:
+            outs += [extras[0], extras[1]]
+        if track_field:
+            outs += [extras[2], extras[3]]
+        if has_grid:
+            outs.append(jnp.stack(gs))
+        return tuple(outs)
+
+    if track_field:
+        Er0 = tuple(jnp.where(mask, f0_refs[j][:], 0.0) for j in range(3))
+        Ei0 = tuple(jnp.where(mask, f0_refs[3 + j][:], 0.0)
+                    for j in range(3))
+        _, vjp = jax.vjp(chain, rows_flat, pos, d, intensity, wavelength,
+                         Er0, Ei0)
+    else:
+        _, vjp = jax.vjp(
+            lambda rf, p_, d_, i_, w_: chain(rf, p_, d_, i_, w_,
+                                             None, None),
+            rows_flat, pos, d, intensity, wavelength)
+
+    gp = (jnp.where(mask, gpx[:], 0.0), jnp.where(mask, gpy[:], 0.0),
+          jnp.where(mask, gpz[:], 0.0))
+    gd = (jnp.where(mask, gdx[:], 0.0), jnp.where(mask, gdy[:], 0.0),
+          jnp.where(mask, gdz[:], 0.0))
+    gi = jnp.where(mask, gii[:], 0.0)
+    n_mom = max(cfg.n_sensors, 1) * cfg.n_bundles * N_MOMENTS
+    ct_mom = jnp.stack([ctm[j] for j in range(n_mom)])
+
+    ct_in = [((gp, gd, gi)), ct_mom]
+    if track_opl:
+        ct_in += [jnp.where(mask, g_opl_refs[0][:], 0.0),
+                  jnp.where(mask, g_opl_refs[1][:], 0.0)]
+    if track_field:
+        ct_in += [tuple(jnp.where(mask, g_field_refs[j][:], 0.0)
+                        for j in range(3)),
+                  tuple(jnp.where(mask, g_field_refs[3 + j][:], 0.0)
+                        for j in range(3))]
+    if has_grid:
+        ct_in.append(g_grid_ref[...])
+    cts = vjp(tuple(ct_in))
+    ct_rows, ct_pos, ct_d, ct_ii, ct_wl = cts[:5]
+    ct_Er, ct_Ei = (cts[5], cts[6]) if track_field else (None, None)
+
+    cpx[:], cpy[:], cpz[:] = (jnp.where(mask, c, 0.0) for c in ct_pos)
+    cdx[:], cdy[:], cdz[:] = (jnp.where(mask, c, 0.0) for c in ct_d)
+    cii[:] = jnp.where(mask, ct_ii, 0.0)
+    cwl[:] = jnp.where(mask, ct_wl, 0.0)
+    if track_field:
+        for j in range(3):
+            cf_refs[j][:] = jnp.where(mask, ct_Er[j], 0.0)
+            cf_refs[3 + j][:] = jnp.where(mask, ct_Ei[j], 0.0)
+
+    out_rows = []
+    for k in range(k_pad):
+        if k < K:
+            vec = jnp.stack(list(ct_rows[k]))
+            out_rows.append(jnp.concatenate(
+                [vec, jnp.zeros(128 - vec.size, jnp.float32)]))
+        else:
+            out_rows.append(jnp.zeros(128, jnp.float32))
+    ctab[0] = jnp.stack(out_rows)
+
+
+def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
+                            n_bounces, g_rays, g_moments, interpret=False,
+                            block_rows=16, g_opl=None, g_nfinal=None,
+                            f0=None, g_field=None, g_grid=None):
+    """Fused backward of trace_nonseq_pallas for DETERMINISTIC scenes
+    with small bounce budgets: the bounce loop is re-run UNROLLED inside
+    a Pallas kernel and transposed by jax.vjp at kernel-trace time (the
+    while_loop's early exit is a forward-only optimization — the pure
+    unrolled chain computes the same function).  Same contract shape as
+    trace_sequential_pallas_v2_bwd."""
+    n = rays.px.shape[0]
+    rows_total = max(1, -(-n // LANE))
+    n_padded = rows_total * LANE
+    grid = max(1, -(-rows_total // block_rows))
+    K = len(static_meta)
+    k_pad = max(8, -(-K // 8) * 8)
+
+    def pad2(a):
+        if n_padded != n:
+            a = jnp.pad(a, (0, n_padded - n))
+        return a.reshape(rows_total, LANE)
+
+    ins = [pad2(rays.px), pad2(rays.py), pad2(rays.pz),
+           pad2(rays.dx), pad2(rays.dy), pad2(rays.dz),
+           pad2(rays.intensity), pad2(rays.wavelength),
+           pad2(rays.ray_id)]
+    g = jnp.asarray
+    track_field = f0 is not None
+    if track_field:
+        ins += [pad2(f0.erx), pad2(f0.ery), pad2(f0.erz),
+                pad2(f0.eix), pad2(f0.eiy), pad2(f0.eiz)]
+    ins += [pad2(g(g_rays.px)), pad2(g(g_rays.py)), pad2(g(g_rays.pz)),
+            pad2(g(g_rays.dx)), pad2(g(g_rays.dy)), pad2(g(g_rays.dz)),
+            pad2(g(g_rays.intensity))]
+    track_opl = g_opl is not None
+    if track_opl:
+        ins += [pad2(g(g_opl)), pad2(g(g_nfinal))]
+    if track_field:
+        ins += [pad2(g(c)) for c in g_field]
+    has_grid = g_grid is not None
+    n_slots = max(cfg.n_sensors, 1)
+    if has_grid:
+        gh, gw = cfg.grid_shape
+        ins.append(jnp.asarray(g_grid, jnp.float32).reshape(n_slots,
+                                                            gh, gw))
+
+    ray_block = jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
+    n_cf = 6 if track_field else 0
+    out_shapes = ([ray_block] * (8 + n_cf)
+                  + [jax.ShapeDtypeStruct((grid, k_pad, 128), jnp.float32)])
+
+    kern = functools.partial(_kernel_nonseq_bwd, static_meta, cfg, n,
+                             k_pad, n_bounces, track_opl, track_field,
+                             has_grid)
+    flat_tab = flatten_table_rows(table)
+    ct_mom_flat = jnp.asarray(g_moments, jnp.float32).reshape(-1)
+    n_ray_ins = len(ins) - (1 if has_grid else 0)
+
+    if _HAS_PLTPU and not interpret:
+        block = pl.BlockSpec((block_rows, LANE), lambda i, tab, ctm: (i, 0))
+        in_specs = [block] * n_ray_ins
+        if has_grid:
+            in_specs.append(pl.BlockSpec((n_slots, gh, gw),
+                                         lambda i, tab, ctm: (0, 0, 0)))
+        out_specs = ([block] * (8 + n_cf)
+                     + [pl.BlockSpec((1, k_pad, 128),
+                                     lambda i, tab, ctm: (i, 0, 0))])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(grid,),
+            in_specs=in_specs, out_specs=out_specs)
+        outs = pl.pallas_call(
+            kern, grid_spec=grid_spec, out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(flat_tab, ct_mom_flat, *ins)
+    else:
+        block = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0))
+        in_specs = ([pl.BlockSpec(flat_tab.shape, lambda i: (0, 0)),
+                     pl.BlockSpec(ct_mom_flat.shape, lambda i: (0,))]
+                    + [block] * n_ray_ins)
+        if has_grid:
+            in_specs.append(pl.BlockSpec((n_slots, gh, gw),
+                                         lambda i: (0, 0, 0)))
+        out_specs = ([block] * (8 + n_cf)
+                     + [pl.BlockSpec((1, k_pad, 128), lambda i: (i, 0, 0))])
+        outs = pl.pallas_call(
+            kern, grid=(grid,),
+            in_specs=in_specs,
             out_specs=out_specs, out_shape=out_shapes,
             interpret=True,
         )(flat_tab, ct_mom_flat, *ins)
@@ -1350,8 +1710,10 @@ def fused_trace_grad(cfg, static_meta, opts, table, rays, key, E0=None):
     ``static_meta`` must be a tuple (hashability); ``opts`` is the static
     ``(interpret, block_rows, track_opl, track_field)`` tuple.
     Differentiable w.r.t. ``table``, ``rays`` and ``E0``; the backward
-    pass is the fused Pallas reverse kernel, falling back to the VJP of
-    the XLA driver for grid / opl / field configs."""
+    pass is the fused Pallas reverse kernel for every config (opl/field
+    streams and the irradiance-grid cotangent all ride the one kernel);
+    interpret-mode field/grid runs fall back to the VJP of the XLA
+    driver (identical gradients, fast under the interpreter)."""
     interpret, block_rows, track_opl, track_field = opts
     return trace_sequential_pallas_v2(table, rays, key, cfg,
                                       static_meta=list(static_meta),
@@ -1373,18 +1735,44 @@ def _fused_bwd(cfg, static_meta, opts, res, g):
     table, rays, key, E0, f_out = res
     g_rays, g_sens, g_aux = g
     interpret, block_rows, track_opl, track_field = opts
+    has_grid = bool(cfg.grid_shape)
 
-    if track_field and not cfg.grid_shape and not interpret:
-        # fused field backward: combine the aux field / field_power
-        # cotangents (power = |E|^2 => d/dE = 2E_out), run the reverse
-        # kernel with the 6 field streams, then chain the launch-field
-        # cotangent through FieldState.init's projection (which touches
-        # rays.dir) outside the kernel.  Gated off interpret mode: the
-        # transposed field chain takes tens of minutes under the pallas
-        # interpreter (thousands of eagerly-dispatched ops), and CPU runs
-        # get identical gradients from the XLA-recompute path below —
-        # real-TPU parity of this kernel: value/param-grad/E0-cotangent
-        # all match XLA to ~1e-6 (BASELINE.md).
+    if (track_field or has_grid) and interpret:
+        # interpret-mode field/grid traces: recompute-backward through the
+        # XLA driver — same function, same key schedule, exact gradients.
+        # (The transposed field chain takes tens of minutes under the
+        # pallas interpreter, and the one-hot grid transpose unrolls
+        # thousands of eagerly-dispatched matmuls; CPU runs get identical
+        # gradients from this path.  The wrapper itself still supports
+        # interpret=True for small parity tests.)
+        from ..core.trace import trace_sequential
+
+        def xla_run(table, rays, E0_):
+            return trace_sequential(table, rays, key, cfg,
+                                    static_meta=list(static_meta),
+                                    track_opl=track_opl,
+                                    track_field=track_field, E0=E0_)
+
+        if E0 is None:
+            _, vjp = jax.vjp(lambda t, r: xla_run(t, r, None), table, rays)
+            g_table, g_rays_in = vjp(g)
+            g_E0 = None
+        else:
+            _, vjp = jax.vjp(xla_run, table, rays, E0)
+            g_table, g_rays_in, g_E0 = vjp(g)
+        return g_table, g_rays_in, _zero_key_cotangent(key), g_E0
+
+    # Fused reverse kernel: one HBM round trip for the whole backward.
+    # opl/field ride as extra [tile] streams; the grid cotangent enters
+    # as a VMEM-resident [S, H, W] block whose one-hot MXU binning the
+    # in-kernel jax.vjp transposes (d loss / d grid -> d loss / d w).
+    # Field notes: the aux field / field_power cotangents combine as
+    # power = |E|^2 => d/dE = 2 E_out; the launch-field cotangent chains
+    # through FieldState.init's projection (touches rays.dir) outside
+    # the kernel.  Real-TPU parity: value/param-grad/E0-cotangent all
+    # match XLA to ~1e-6 (BASELINE.md).
+    f0 = g_field = init_vjp = None
+    if track_field:
         from ..core.field import FieldState
 
         g_f = g_aux['field']
@@ -1392,18 +1780,21 @@ def _fused_bwd(cfg, static_meta, opts, res, g):
         g_field = [jnp.asarray(getattr(g_f, leaf))
                    + 2.0 * getattr(f_out, leaf) * g_pw
                    for leaf in ('erx', 'ery', 'erz', 'eix', 'eiy', 'eiz')]
-
         if E0 is None:
             f0, init_vjp = jax.vjp(lambda r: FieldState.init(r, None), rays)
         else:
             f0, init_vjp = jax.vjp(FieldState.init, rays, E0)
 
-        g_table, ct = trace_sequential_pallas_v2_bwd(
-            table, rays, key, cfg, list(static_meta), g_rays,
-            g_sens.moments, interpret=interpret, block_rows=block_rows,
-            g_opl=g_aux['opl'] if track_opl else None,
-            g_nfinal=g_aux['n_final'] if track_opl else None,
-            f0=f0, g_field=g_field)
+    g_table, ct = trace_sequential_pallas_v2_bwd(
+        table, rays, key, cfg, list(static_meta), g_rays,
+        g_sens.moments, interpret=interpret, block_rows=block_rows,
+        g_opl=g_aux['opl'] if track_opl else None,
+        g_nfinal=g_aux['n_final'] if track_opl else None,
+        f0=f0, g_field=g_field,
+        g_grid=jnp.asarray(g_sens.grid, jnp.float32) if has_grid else None)
+
+    if track_field:
+        from ..core.field import FieldState
 
         ct_f0 = FieldState(erx=ct['f0'][0], ery=ct['f0'][1],
                            erz=ct['f0'][2], eix=ct['f0'][3],
@@ -1425,48 +1816,6 @@ def _fused_bwd(cfg, static_meta, opts, res, g):
                         + g_rays_init.wavelength))
         return g_table, g_rays_in, _zero_key_cotangent(key), g_E0
 
-    if track_opl and not (cfg.grid_shape or track_field):
-        # opl rides the fused backward kernel: the chain re-trace carries
-        # the (opl, n_cur) streams and jax.vjp transposes them with the
-        # rest — OPL/wavefront losses at large N keep the single-HBM-trip
-        # backward
-        g_table, ct = trace_sequential_pallas_v2_bwd(
-            table, rays, key, cfg, list(static_meta), g_rays,
-            g_sens.moments, interpret=interpret, block_rows=block_rows,
-            g_opl=g_aux['opl'], g_nfinal=g_aux['n_final'])
-        g_rays_in = g_rays.replace(
-            px=ct['px'], py=ct['py'], pz=ct['pz'],
-            dx=ct['dx'], dy=ct['dy'], dz=ct['dz'],
-            intensity=ct['intensity'],
-            wavelength=ct['wavelength'] + jnp.asarray(g_rays.wavelength))
-        return g_table, g_rays_in, _zero_key_cotangent(key), None
-
-    if cfg.grid_shape or track_field:
-        # grid scenes (the grid lives in a VMEM-resident block whose
-        # cotangent path the fused bwd kernel doesn't carry) and field
-        # traces: recompute-backward through the XLA driver — same
-        # function, same key schedule, exact gradients
-        from ..core.trace import trace_sequential
-
-        def xla_run(table, rays, E0_):
-            return trace_sequential(table, rays, key, cfg,
-                                    static_meta=list(static_meta),
-                                    track_opl=track_opl,
-                                    track_field=track_field, E0=E0_)
-
-        if E0 is None:
-            _, vjp = jax.vjp(lambda t, r: xla_run(t, r, None), table, rays)
-            g_table, g_rays_in = vjp(g)
-            g_E0 = None
-        else:
-            _, vjp = jax.vjp(xla_run, table, rays, E0)
-            g_table, g_rays_in, g_E0 = vjp(g)
-        return g_table, g_rays_in, _zero_key_cotangent(key), g_E0
-
-    # fused reverse kernel: one HBM round trip for the whole backward
-    g_table, ct = trace_sequential_pallas_v2_bwd(
-        table, rays, key, cfg, list(static_meta), g_rays, g_sens.moments,
-        interpret=interpret, block_rows=block_rows)
     g_rays_in = g_rays.replace(
         px=ct['px'], py=ct['py'], pz=ct['pz'],
         dx=ct['dx'], dy=ct['dy'], dz=ct['dz'],
@@ -1485,21 +1834,30 @@ fused_trace_grad.defvjp(_fused_fwd, _fused_bwd)
 # ---------------------------------------------------------------------------
 #
 # The nonseq forward kernel's bounce loop is a lax.while_loop with per-tile
-# early exit — not reverse-differentiable.  The backward pass instead
-# re-runs the XLA bounce loop (trace_nonsequential) under jax.vjp: both
-# paths compute the same function for DETERMINISTIC scenes (no stochastic
-# Fresnel), so the recomputed gradients are exact — ghost-analysis design
-# loops get the fused forward without giving up jax.grad.  Stochastic
-# Fresnel scenes draw from the in-kernel PRNG (a different stream than the
-# XLA driver's threefry), so a recomputed backward would differentiate a
-# DIFFERENT Monte-Carlo realization — that combination raises.
+# early exit — not reverse-differentiable directly.  For DETERMINISTIC
+# scenes with small bounce budgets (n_bounces * n_rows <=
+# _NONSEQ_BWD_MAX_VISITS) the backward is a fused Pallas kernel that
+# re-runs the bounce loop UNROLLED per tile and transposes it with
+# jax.vjp at kernel-trace time (trace_nonseq_pallas_bwd) — the early
+# exit is a forward-only optimization, the unrolled chain computes the
+# same function.  Larger budgets (and interpret mode, where the
+# transposed unrolled chain is pathologically slow under the
+# interpreter) re-run the XLA bounce loop (trace_nonsequential) under
+# jax.vjp instead: both paths compute the same function, so the
+# recomputed gradients are exact.  Stochastic Fresnel scenes draw from
+# the in-kernel PRNG (a different stream than the XLA driver's
+# threefry), so ANY recomputed backward would differentiate a DIFFERENT
+# Monte-Carlo realization — that combination raises.
+
+_NONSEQ_BWD_MAX_VISITS = 64     # n_bounces * n_rows unroll budget
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def fused_nonseq_grad(cfg, static_meta, opts, table, rays, key, E0=None):
-    """`trace_nonseq_pallas` with gradient support (XLA-recompute
-    backward).  ``opts`` is the static ``(interpret, block_rows,
-    n_bounces, track_field, track_opl)`` tuple."""
+    """`trace_nonseq_pallas` with gradient support (fused unrolled-bounce
+    backward kernel for small budgets, XLA-recompute otherwise).
+    ``opts`` is the static ``(interpret, block_rows, n_bounces,
+    track_field, track_opl)`` tuple."""
     interpret, block_rows, n_bounces, track_field, track_opl = opts
     return trace_nonseq_pallas(table, rays, key, n_bounces, cfg,
                                static_meta=list(static_meta),
@@ -1510,11 +1868,13 @@ def fused_nonseq_grad(cfg, static_meta, opts, table, rays, key, E0=None):
 
 def _fused_nonseq_fwd(cfg, static_meta, opts, table, rays, key, E0=None):
     out = fused_nonseq_grad(cfg, static_meta, opts, table, rays, key, E0)
-    return out, (table, rays, key, E0)
+    f_out = out[2].get('field') if opts[3] else None
+    return out, (table, rays, key, E0, f_out)
 
 
 def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
-    table, rays, key, E0 = res
+    table, rays, key, E0, f_out = res
+    g_rays, g_sens, g_aux = g
     interpret, block_rows, n_bounces, track_field, track_opl = opts
     if any(m.ph == 4 for m in static_meta):
         raise NotImplementedError(
@@ -1523,22 +1883,80 @@ def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
             "in-kernel PRNG draws a different branch realization than "
             "the XLA recompute would differentiate.  Use simulate() for "
             "Fresnel design loops, or fresnel='weighted' (deterministic).")
-    from ..core.trace import trace_nonsequential
+    has_grid = bool(cfg.grid_shape)
 
-    def xla_run(table, rays, E0_):
-        return trace_nonsequential(
-            table, rays, key, n_bounces, cfg,
-            static_meta=list(static_meta),
-            track_field=track_field, E0=E0_, track_opl=track_opl)
+    if interpret or n_bounces * len(static_meta) > _NONSEQ_BWD_MAX_VISITS:
+        from ..core.trace import trace_nonsequential
 
-    if E0 is None:
-        _, vjp = jax.vjp(lambda t, r: xla_run(t, r, None), table, rays)
-        g_table, g_rays_in = vjp(g)
-        g_E0 = None
-    else:
-        _, vjp = jax.vjp(xla_run, table, rays, E0)
-        g_table, g_rays_in, g_E0 = vjp(g)
-    return g_table, g_rays_in, _zero_key_cotangent(key), g_E0
+        def xla_run(table, rays, E0_):
+            return trace_nonsequential(
+                table, rays, key, n_bounces, cfg,
+                static_meta=list(static_meta),
+                track_field=track_field, E0=E0_, track_opl=track_opl)
+
+        if E0 is None:
+            _, vjp = jax.vjp(lambda t, r: xla_run(t, r, None), table, rays)
+            g_table, g_rays_in = vjp(g)
+            g_E0 = None
+        else:
+            _, vjp = jax.vjp(xla_run, table, rays, E0)
+            g_table, g_rays_in, g_E0 = vjp(g)
+        return g_table, g_rays_in, _zero_key_cotangent(key), g_E0
+
+    # fused unrolled-bounce reverse kernel (mirrors _fused_bwd's stream
+    # assembly: field-power cotangent folds as d|E|^2/dE = 2 E_out, the
+    # launch-field cotangent chains through FieldState.init outside)
+    f0 = g_field = init_vjp = None
+    if track_field:
+        from ..core.field import FieldState
+
+        g_f = g_aux['field']
+        g_pw = jnp.asarray(g_aux['field_power'])
+        g_field = [jnp.asarray(getattr(g_f, leaf))
+                   + 2.0 * getattr(f_out, leaf) * g_pw
+                   for leaf in ('erx', 'ery', 'erz', 'eix', 'eiy', 'eiz')]
+        if E0 is None:
+            f0, init_vjp = jax.vjp(lambda r: FieldState.init(r, None), rays)
+        else:
+            f0, init_vjp = jax.vjp(FieldState.init, rays, E0)
+
+    g_table, ct = trace_nonseq_pallas_bwd(
+        table, rays, key, cfg, list(static_meta), n_bounces, g_rays,
+        g_sens.moments, interpret=interpret, block_rows=block_rows,
+        g_opl=g_aux['opl'] if track_opl else None,
+        g_nfinal=g_aux['n_final'] if track_opl else None,
+        f0=f0, g_field=g_field,
+        g_grid=jnp.asarray(g_sens.grid, jnp.float32) if has_grid else None)
+
+    if track_field:
+        from ..core.field import FieldState
+
+        ct_f0 = FieldState(erx=ct['f0'][0], ery=ct['f0'][1],
+                           erz=ct['f0'][2], eix=ct['f0'][3],
+                           eiy=ct['f0'][4], eiz=ct['f0'][5])
+        if E0 is None:
+            (g_rays_init,) = init_vjp(ct_f0)
+            g_E0 = None
+        else:
+            g_rays_init, g_E0 = init_vjp(ct_f0)
+        g_rays_in = g_rays.replace(
+            px=ct['px'] + g_rays_init.px,
+            py=ct['py'] + g_rays_init.py,
+            pz=ct['pz'] + g_rays_init.pz,
+            dx=ct['dx'] + g_rays_init.dx,
+            dy=ct['dy'] + g_rays_init.dy,
+            dz=ct['dz'] + g_rays_init.dz,
+            intensity=ct['intensity'] + g_rays_init.intensity,
+            wavelength=(ct['wavelength'] + jnp.asarray(g_rays.wavelength)
+                        + g_rays_init.wavelength))
+        return g_table, g_rays_in, _zero_key_cotangent(key), g_E0
+
+    g_rays_in = g_rays.replace(
+        px=ct['px'], py=ct['py'], pz=ct['pz'],
+        dx=ct['dx'], dy=ct['dy'], dz=ct['dz'],
+        intensity=ct['intensity'],
+        wavelength=ct['wavelength'] + jnp.asarray(g_rays.wavelength))
+    return g_table, g_rays_in, _zero_key_cotangent(key), None
 
 
 fused_nonseq_grad.defvjp(_fused_nonseq_fwd, _fused_nonseq_bwd)

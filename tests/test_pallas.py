@@ -460,6 +460,142 @@ def test_nonseq_fused_gradients_match_xla(key):
                  .spot_rms(0)[0])(pf)
 
 
+def test_nonseq_fused_bwd_kernel_parity(key):
+    """The fused UNROLLED-bounce backward kernel (nonseq): cotangents
+    through moments, final rays AND the irradiance grid match jax.grad
+    through the XLA bounce loop on a deterministic mirror-fold scene.
+    (The e2e custom_vjp routes small-budget deterministic scenes through
+    this kernel on real TPU; interpret falls back to XLA-recompute, so
+    the kernel is exercised directly here.)"""
+    import jax.tree_util as jtu
+
+    from raytracetorch_tpu import Scene, SphericalMirror
+    from raytracetorch_tpu.core.trace import trace_nonsequential
+    from raytracetorch_tpu.ops.pallas_trace import trace_nonseq_pallas_bwd
+
+    scene = Scene([
+        SphericalMirror(c1=-0.025, d=0.0, translation=[0.0, 0.0, 40.0],
+                        c1_grad=True, name='mirror'),
+        SensorElement(radius=10.0, translation=[0.0, 0.0, 0.5],
+                      name='sensor'),
+    ], n_bounces=4)
+    scene.grid_shape = (16, 16)
+    scene.grid_half_extent = 4.0
+    p = scene.init_params()
+    cfg = scene.sensor_config()
+    meta = scene.static_meta()
+    table = scene.build_table(p)
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, 1.0]).sample(key, 1024)
+    W = jax.random.normal(jax.random.fold_in(key, 9), (1, 16, 16),
+                          jnp.float32)
+    comps = ('px', 'py', 'pz', 'dx', 'dy', 'dz', 'intensity')
+
+    def xla_loss(table, *ray_comps):
+        r = rays.replace(**dict(zip(comps, ray_comps)))
+        _, sens, _ = trace_nonsequential(table, r, key, 4, cfg,
+                                         static_meta=meta)
+        return (jnp.sum(sens.grid * W) + sens.spot_rms(0)[0]
+                + 0.1 * sens.total_weight(0)[0])
+
+    grads = jax.grad(xla_loss, argnums=tuple(range(8)), allow_int=True)(
+        table, *(getattr(rays, c) for c in comps))
+    gt_ref, gr_ref = grads[0], grads[1:]
+
+    # assemble the same loss's output cotangents by vjp of the scalar
+    # head (moments + grid enter linearly through sens)
+    def head(moments, grid):
+        from raytracetorch_tpu.core.sensor import SensorState
+        sens = SensorState(moments=moments, grid=grid)
+        return (jnp.sum(grid * W) + sens.spot_rms(0)[0]
+                + 0.1 * sens.total_weight(0)[0])
+
+    _, sens_x, _ = trace_nonsequential(table, rays, key, 4, cfg,
+                                       static_meta=meta)
+    _, head_vjp = jax.vjp(head, sens_x.moments, sens_x.grid)
+    g_mom, g_grid = head_vjp(jnp.float32(1.0))
+
+    zero_rays = rays.replace(**{c: jnp.zeros_like(getattr(rays, c))
+                                for c in comps})
+    gt_f, ct = trace_nonseq_pallas_bwd(
+        table, rays, key, cfg, meta, 4, zero_rays, g_mom, interpret=True,
+        block_rows=2, g_grid=g_grid)
+
+    for a, b in zip(jtu.tree_leaves(gt_f), jtu.tree_leaves(gt_ref)):
+        if not np.issubdtype(np.asarray(b).dtype, np.inexact):
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+    for c, b in zip(comps, gr_ref):
+        np.testing.assert_allclose(np.asarray(ct[c]), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5, err_msg=c)
+    assert float(jnp.abs(ct['intensity']).sum()) > 1.0
+
+
+def test_fused_grid_bwd_kernel_parity(key):
+    """The fused BACKWARD kernel's irradiance-grid cotangent path: the
+    in-kernel jax.vjp transposes the one-hot MXU binning (exact-f32
+    variant) so d loss/d grid[s, iy, ix] routes back into table and
+    per-ray cotangents identical to jax.grad through the XLA scatter
+    driver.  (The e2e custom_vjp routes grid configs through this kernel
+    on real TPU; interpret mode falls back to XLA-recompute, so the
+    kernel is exercised directly here on a tiny grid.)"""
+    import jax.tree_util as jtu
+
+    from raytracetorch_tpu.core.trace import trace_sequential
+    from raytracetorch_tpu.ops.pallas_trace import (
+        trace_sequential_pallas_v2_bwd)
+
+    scene = SequentialScene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    name='lens'),
+        SensorElement(radius=20.0, translation=[0, 0, 19.322],
+                      name='sensor'),
+    ])
+    scene.grid_shape = (16, 16)
+    scene.grid_half_extent = 5.0
+    p = scene.init_params()
+    cfg = scene.sensor_config()
+    meta = scene.static_meta()
+    table = scene.build_table(p)
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0, 0, -10.0]).sample(key, 1024)
+    W = jax.random.normal(jax.random.fold_in(key, 7), (1, 16, 16),
+                          jnp.float32)
+
+    comps = ('px', 'py', 'pz', 'dx', 'dy', 'dz', 'intensity')
+
+    def xla_loss(table, *ray_comps):
+        r = rays.replace(**dict(zip(comps, ray_comps)))
+        _, sens, _ = trace_sequential(table, r, key, cfg,
+                                      static_meta=meta)
+        return jnp.sum(sens.grid * W)
+
+    grads = jax.grad(xla_loss, argnums=tuple(range(8)), allow_int=True)(
+        table, *(getattr(rays, c) for c in comps))
+    gt_ref, gr_ref = grads[0], grads[1:]
+
+    zero_rays = rays.replace(**{c: jnp.zeros_like(getattr(rays, c))
+                                for c in comps})
+    g_mom = jnp.zeros((max(cfg.n_sensors, 1), cfg.n_bundles, 7),
+                      jnp.float32)
+    gt_f, ct = trace_sequential_pallas_v2_bwd(
+        table, rays, key, cfg, meta, zero_rays, g_mom, interpret=True,
+        block_rows=2, g_grid=W)
+
+    for a, b in zip(jtu.tree_leaves(gt_f), jtu.tree_leaves(gt_ref)):
+        if not np.issubdtype(np.asarray(b).dtype, np.inexact):
+            continue                        # int fields carry float0 cts
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for c, b in zip(comps, gr_ref):
+        np.testing.assert_allclose(np.asarray(ct[c]), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=c)
+    # the cotangents are non-trivial: rays actually hit bins with
+    # non-zero W weight
+    assert float(jnp.abs(ct['intensity']).sum()) > 1.0
+
+
 def test_nonseq_fused_grid_parity(key):
     """In-kernel irradiance grids in the NON-sequential fused kernel: the
     per-bounce one-hot MXU accumulation matches the XLA bounce loop's
