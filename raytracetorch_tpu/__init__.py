@@ -9,8 +9,9 @@ from .constants import GeomKind, PhysKind, SBKind, VBKind
 from .core.sensor import SensorConfig, SensorState
 from .core.table import SurfaceRec, SurfaceTable
 from .core.trace import trace_nonsequential, trace_sequential
-from .elements.aperture import (CircularAperture, EllipticAperture,
-                                FuzzyAperture, RectangularAperture)
+from .elements.aperture import (CircularAperture, ComponentFuzzy,
+                                EllipticAperture, FuzzyAperture,
+                                RectangularAperture)
 from .elements.base import Element, ElementCustom
 from .elements.ideal import (DiffractionGrating, IdealCylThinLens,
                              IdealMirror, IdealThinLens,

@@ -68,7 +68,8 @@ def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
             res['hit_s'], rays.dir_c, n_w, u)
     if fuzzy_fn is not None:
         # Custom apodization of a Fuzzy surface (reference phys/filter.py:36-50)
-        imod = imod * fuzzy_fn(v3.to_array(res['hit_s']))
+        from ..elements.aperture import call_fuzzy
+        imod = imod * call_fuzzy(fuzzy_fn, res['hit_s'])
 
     # Differentiable global hit recompute (reference shape.py:81): the t used
     # here is the same differentiable scalar chosen by the bound-masked
@@ -274,7 +275,8 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
                 row.ph_kind, row.ph, row.Rw, row.sb_kind, row.sb,
                 res['hit_s'], d, n_w, u)
         if k in fuzzy_fns:
-            imod_k = imod_k * fuzzy_fns[k](v3.to_array(res['hit_s']))
+            from ..elements.aperture import call_fuzzy
+            imod_k = imod_k * call_fuzzy(fuzzy_fns[k], res['hit_s'])
 
         pos_k = v3.fma(pos, res['t'], d)
         new_pos = v3.where(mask, pos_k, new_pos)

@@ -40,16 +40,54 @@ class _ApertureBase(Element):
                            ph_kind=PhysKind.APERTURE)]
 
 
+class ComponentFuzzy:
+    """Marks an apodization callable as *component-style*: it is called as
+    ``fn(x, y, z)`` with three planar [N] (or tile-shaped) arrays instead
+    of one stacked ``[N, 3]`` array.  Component-style callables work in the
+    fused Pallas kernels too, where ray state lives as planar component
+    tiles and an ``[..., 3]`` minor dim would waste 125/128 vector lanes
+    (see geom/vec3.py).  Restriction: the body must be elementwise jnp math
+    (no gathers/scatters/complex) so Mosaic can lower it."""
+
+    components = True
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, x, y, z):
+        return self.fn(x, y, z)
+
+
+def call_fuzzy(fn, hit_c):
+    """Dispatch a fuzzy apodization callable on a component-tuple hit:
+    component-style fns (``fn.components``) get the planar components,
+    legacy fns get the stacked [N, 3] array (reference phys/filter.py:44
+    passes the hit tensor)."""
+    if getattr(fn, 'components', False):
+        return fn(*hit_c)
+    from ..geom import vec3 as v3
+    return fn(v3.to_array(hit_c))
+
+
 class FuzzyAperture(Element):
     """Arbitrary-apodization plane: transmits with a user-supplied intensity
-    modulation ``intensity_fn(hit_local [N,3]) -> [N]`` (reference ``Fuzzy``,
-    phys/filter.py:36-50).  The callable is static scene structure (it is
-    traced into the jitted program), so it is not serializable to project
-    files."""
+    modulation (reference ``Fuzzy``, phys/filter.py:36-50).  Two calling
+    conventions:
 
-    def __init__(self, intensity_fn, name='fuzzy', **kw):
+    - ``intensity_fn(hit_local [N,3]) -> [N]`` (default, matches the
+      reference) — supported by the XLA drivers only;
+    - ``components=True``: ``intensity_fn(x, y, z) -> w`` on planar
+      component arrays — also supported by the fused Pallas kernels
+      (``simulate_fused``), where stacked [N, 3] intermediates would
+      destroy the lane layout.
+
+    The callable is static scene structure (it is traced into the jitted
+    program), so it is not serializable to project files."""
+
+    def __init__(self, intensity_fn, components=False, name='fuzzy', **kw):
         super().__init__(name=name, **kw)
-        self.intensity_fn = intensity_fn
+        self.intensity_fn = (ComponentFuzzy(intensity_fn) if components
+                             else intensity_fn)
 
     @property
     def n_surfaces(self):

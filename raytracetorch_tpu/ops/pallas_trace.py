@@ -47,10 +47,13 @@ truncation unsupported), no scatter (.at adds become Python-side scalar
 accumulation + concat), raised vmem_limit_bytes, and 0 * NaN sanitization
 before block reductions (uneven-grid tail rows read garbage VMEM).
 
-Limitations vs the XLA driver (asserted): no fuzzy callables, no path/hit
-recording — use the XLA path for those.  HALFSPACES (box/polyhedron)
-volume bounds are supported via scalar plane unrolling.  (v1 additionally
-lacks Fresnel/multi-sensor/grids; v2 supports them.)
+The v2/nonseq kernels support the FULL driver feature matrix
+(docs/GUIDE.md): fuzzy apodization needs the component-style callable
+form (legacy [N,3] fns assert) and path/hit recording streams per-surface
+/ per-bounce tiles to HBM (real-TPU parity vs the XLA drivers is bitwise
+for all of these).  HALFSPACES (box/polyhedron) volume bounds are
+supported via scalar plane unrolling.  (v1 — kept as the minimal working
+reference — lacks Fresnel/multi-sensor/grids/recording/fuzzy.)
 """
 
 from __future__ import annotations
@@ -363,9 +366,11 @@ def _grid_partial(cfg, x, y, w, exact_f32=False):
 
 
 def _kernel_v2(static_meta, cfg, n_valid, track_opl, track_field,
+               fuzzy_fns, record_paths, record_hits,
                tab, *refs):
     n_f = sum(1 for m in static_meta if m.ph == 4)     # FRESNEL rows
     capture = bool(cfg.grid_shape)  # sensor-hit capture for the grid pass
+    n_surf = len(static_meta)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     base = 9
     u_refs = refs[base:base + n_f]  # pre-drawn uniforms, one per Fresnel row
@@ -384,6 +389,14 @@ def _kernel_v2(static_meta, cfg, n_valid, track_opl, track_field,
         oopl, on_fin = outs[o_i], outs[o_i + 1]
         o_i += 2
     ofield = outs[o_i:o_i + 6] if track_field else ()
+    o_i += len(ofield)
+    opaths = ohits = ()
+    if record_paths:
+        opaths = outs[o_i:o_i + 3 * (n_surf + 1)]
+        o_i += len(opaths)
+    if record_hits:
+        ohits = outs[o_i:o_i + 4 * n_surf]
+        o_i += len(ohits)
     pos = (px[:], py[:], pz[:])
     d = (dx[:], dy[:], dz[:])
     intensity = ii[:]
@@ -411,9 +424,11 @@ def _kernel_v2(static_meta, cfg, n_valid, track_opl, track_field,
                    for j in range(3))
         Ei = tuple(jnp.where(flat < n_valid, field_refs[3 + j][:], 0.0)
                    for j in range(3))
-    (pos, d, intensity), mom_vec, caps, extras = _chain_pure(
+    (pos, d, intensity), mom_vec, caps, extras, recs = _chain_pure(
         static_meta, cfg, ray_id, u_vals, rows_k, pos, d, intensity,
-        wavelength, capture=capture, opl=opl, n_cur=n_cur, Er=Er, Ei=Ei)
+        wavelength, capture=capture, opl=opl, n_cur=n_cur, Er=Er, Ei=Ei,
+        fuzzy_fns=fuzzy_fns, record_paths=record_paths,
+        record_hits=record_hits)
 
     if capture:
         slots = [m.slot for m in static_meta if m.sensor]
@@ -425,6 +440,14 @@ def _kernel_v2(static_meta, cfg, n_valid, track_opl, track_field,
         for j in range(3):
             ofield[j][:] = Er_f[j]
             ofield[3 + j][:] = Ei_f[j]
+    if record_paths:
+        for s, p in enumerate(recs[0]):
+            for j in range(3):
+                opaths[3 * s + j][:] = p[j]
+    if record_hits:
+        for s, h in enumerate(recs[1]):
+            for j in range(4):
+                ohits[4 * s + j][:] = h[j]
 
     opx[:], opy[:], opz[:] = pos
     odx[:], ody[:], odz[:] = d
@@ -446,19 +469,32 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
                                cfg: SensorConfig = SensorConfig(),
                                static_meta=None, interpret=False,
                                block_rows=16, track_opl=False,
-                               track_field=False, E0=None):
+                               track_field=False, E0=None,
+                               fuzzy_fns=None, record_paths=False,
+                               record_hits=False):
     """Fused forward sequential trace, v2 (see module notes above).  Same
     contract/limitations as v1 except: dispersion, gratings, stochastic
     Fresnel, multi-sensor scenes (per-slot moments), irradiance grids
     (accumulated IN VMEM via one-hot MXU matmuls — no scatter), optical
-    path length (``track_opl``) and polarization transport
-    (``track_field``/``E0``) are all supported.  Fresnel branch uniforms
-    are pre-drawn outside the kernel with trace_sequential's exact key
-    schedule, so results are BITWISE identical to the XLA driver;
-    HALFSPACES (box/polyhedron) volume bounds unroll as scalar plane
-    reads.  Still unsupported: fuzzy callables, path/hit recording."""
+    path length (``track_opl``), polarization transport
+    (``track_field``/``E0``), COMPONENT-style fuzzy apodization
+    callables (``fuzzy_fns`` — elements/aperture.py::ComponentFuzzy;
+    legacy [N,3]-style callables assert) and path/hit recording
+    (``record_paths``/``record_hits`` — per-surface [tile] streams
+    written alongside the ray state; aux format matches
+    trace_sequential's bitwise) are all supported.  Fresnel branch
+    uniforms are pre-drawn outside the kernel with trace_sequential's
+    exact key schedule, so results are BITWISE identical to the XLA
+    driver; HALFSPACES (box/polyhedron) volume bounds unroll as scalar
+    plane reads."""
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
+    fuzzy_fns = dict(fuzzy_fns or {})
+    for k_f, fn in fuzzy_fns.items():
+        assert getattr(fn, 'components', False), (
+            "fuzzy callables on the fused path must be component-style "
+            "(FuzzyAperture(fn, components=True)): [N,3] hit arrays do "
+            "not tile onto TPU lanes — or use simulate() for legacy fns")
 
     n = rays.px.shape[0]
     # Rows only need LANE alignment: the grid may unevenly divide the row
@@ -507,12 +543,20 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
         out_shapes += [ray_block] * 2       # opl, n_final
     if track_field:
         out_shapes += [ray_block] * 6       # erx..eiz
+    n_surf = len(static_meta)
+    if record_paths:
+        out_shapes += [ray_block] * (3 * (n_surf + 1))
+    if record_hits:
+        out_shapes += [ray_block] * (4 * n_surf)
 
     kern = functools.partial(_kernel_v2, static_meta, cfg, n,
-                             track_opl, track_field)
+                             track_opl, track_field, fuzzy_fns,
+                             record_paths, record_hits)
     flat_tab = flatten_table_rows(table)
 
-    n_extra = (2 if track_opl else 0) + (6 if track_field else 0)
+    n_extra = ((2 if track_opl else 0) + (6 if track_field else 0)
+               + (3 * (n_surf + 1) if record_paths else 0)
+               + (4 * n_surf if record_hits else 0))
     if _HAS_PLTPU and not interpret:
         # index maps receive the scalar-prefetch operand as a trailing arg
         block = pl.BlockSpec((block_rows, LANE), lambda i, tab: (i, 0))
@@ -578,6 +622,22 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
                        eiy=unpad(outs[o_i + 4]), eiz=unpad(outs[o_i + 5]))
         aux['field'] = f
         aux['field_power'] = f.power()
+        o_i += 6
+    if record_paths:
+        # reassemble trace_sequential's [K+1, N, 3] stacked-path format
+        aux['paths'] = jnp.stack([
+            jnp.stack([unpad(outs[o_i + 3 * s + j]) for j in range(3)],
+                      axis=-1)
+            for s in range(n_surf + 1)])
+        o_i += 3 * (n_surf + 1)
+    if record_hits:
+        aux['hits'] = jnp.stack([
+            jnp.stack([unpad(outs[o_i + 4 * s + j]) for j in range(3)],
+                      axis=-1)
+            for s in range(n_surf)])
+        aux['hit_weights'] = jnp.stack(
+            [unpad(outs[o_i + 4 * s + 3]) for s in range(n_surf)])
+        o_i += 4 * n_surf
     return out_rays, sensors, aux
 
 
@@ -608,7 +668,8 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
 
 def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
                         pos, d, intensity, Er, Ei, opl, n_cur,
-                        track_field, track_opl, draw_u=None):
+                        track_field, track_opl, draw_u=None,
+                        fuzzy_fns=None, record=False):
     """One bounce of the incremental nearest-hit winner merge — the
     SINGLE implementation behind the forward kernel's while_loop body
     (``rows`` = _SmemRow list, ``draw_u`` = in-kernel PRNG draw) and the
@@ -634,6 +695,7 @@ def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
     slot_sel = jnp.full(shape, -1.0, jnp.float32)
     hitx = jnp.zeros(shape, jnp.float32)
     hity = jnp.zeros(shape, jnp.float32)
+    hitz = jnp.zeros(shape, jnp.float32) if record else None
     anyhit = jnp.zeros(shape, bool)
 
     for k, meta in enumerate(static_meta):
@@ -650,6 +712,10 @@ def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
         dir_k, imod_k = apply_physics_one(meta, row, res['hit_s'], d,
                                           n_w, u, wavelength=wavelength,
                                           field=field)
+        if fuzzy_fns and k in fuzzy_fns:
+            imod_k = imod_k * fuzzy_fns[k](res['hit_s'][0],
+                                           res['hit_s'][1],
+                                           res['hit_s'][2])
         if track_field:
             from ..core.field import transport_field
             Er_k, Ei_k = transport_field(meta, row, d, dir_k, n_w,
@@ -679,6 +745,8 @@ def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
             # poison the moment/grid reductions
             hitx = jnp.where(better & mask, res['hit_s'][0], hitx)
             hity = jnp.where(better & mask, res['hit_s'][1], hity)
+            if record:
+                hitz = jnp.where(better & mask, res['hit_s'][2], hitz)
         else:
             slot_sel = jnp.where(better, -1.0, slot_sel)
 
@@ -696,11 +764,12 @@ def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
         opl = opl + jnp.where(anyhit, n_cur * best_t, 0.0)
         n_cur = jnp.where(anyhit, n_next_acc, n_cur)
     return (new_pos, new_d, new_ii, Er, Ei, opl, n_cur,
-            slot_sel, hitx, hity, power_in, anyhit)
+            slot_sel, hitx, hity, power_in, anyhit, hitz)
 
 
 def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
-                   track_opl, tab, seed, *refs):
+                   track_opl, fuzzy_fns, record_paths, record_hits,
+                   tab, seed, *refs):
     has_grid = bool(cfg.grid_shape)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     base = 9
@@ -715,6 +784,14 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
     ofield = refs[base:base + (6 if track_field else 0)]
     base += len(ofield)
     oopl_refs = refs[base:base + (2 if track_opl else 0)]
+    base += len(oopl_refs)
+    opaths = ohits = ()
+    if record_paths:
+        opaths = refs[base:base + 3]        # (n_bounces, rows, LANE) each
+        base += 3
+    if record_hits:
+        ohits = refs[base:base + 5]         # hx, hy, hz, w, slot(int32)
+        base += 5
     grid_slots = sorted({m.slot for m in static_meta
                          if m.sensor}) if has_grid else []
     has_fresnel = any(m.ph == 4 for m in static_meta)
@@ -766,10 +843,27 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
         (b, _, pos, d, intensity, mom_acc, grid_acc, Er, Ei,
          opl, n_cur) = carry
         (new_pos, new_d, new_ii, Er, Ei, opl, n_cur, slot_sel,
-         hitx, hity, power_in, anyhit) = _nonseq_bounce_core(
+         hitx, hity, power_in, anyhit, hitz) = _nonseq_bounce_core(
             static_meta, cfg, rows_k, mask, ray_id, wavelength,
             pos, d, intensity, Er, Ei, opl, n_cur,
-            track_field, track_opl, draw_u=draw_u)
+            track_field, track_opl, draw_u=draw_u, fuzzy_fns=fuzzy_fns,
+            record=record_hits)
+
+        # per-bounce record streams: dynamic store at bounce index b
+        # (leading/untiled dim — Mosaic lowers pl.ds on it)
+        sl = (pl.ds(b, 1), slice(None), slice(None))
+        if record_paths:
+            for j in range(3):
+                opaths[j][sl] = new_pos[j][None]
+        if record_hits:
+            w_rec = jnp.where(slot_sel >= 0.0, intensity, 0.0)
+            if track_field:
+                w_rec = w_rec * power_in
+            ohits[0][sl] = hitx[None]
+            ohits[1][sl] = hity[None]
+            ohits[2][sl] = hitz[None]
+            ohits[3][sl] = w_rec[None]
+            ohits[4][sl] = jnp.maximum(slot_sel, 0.0).astype(jnp.int32)[None]
 
         # sensor moments: the *final* winner decides, with the incoming
         # intensity as weight (bounce_step records the same way)
@@ -828,11 +922,31 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
     mom0 = jnp.zeros((8, 128), jnp.float32)
     grid0 = tuple(jnp.zeros(cfg.grid_shape, jnp.float32)
                   for _ in grid_slots)
-    (_, _, pos, d, intensity, mom_acc, grid_acc,
+    (b_fin, _, pos, d, intensity, mom_acc, grid_acc,
      Er_f, Ei_f, opl_f, ncur_f) = jax.lax.while_loop(
         keep_going, bounce,
         (jnp.int32(0), jnp.int32(1), pos0, d0, ii0, mom0, grid0,
          Er0, Ei0, opl_init, ncur_init))
+
+    if record_paths or record_hits:
+        # early-exited bounces: trace_nonsequential's dead branch keeps
+        # the settled position and records zero-weight hits — fill the
+        # unexecuted tail slots to match
+        zeros_b = jnp.zeros(shape, jnp.float32)[None]
+        zeros_i = jnp.zeros(shape, jnp.int32)[None]
+
+        def fill(b, _):
+            sl = (pl.ds(b, 1), slice(None), slice(None))
+            if record_paths:
+                for j in range(3):
+                    opaths[j][sl] = pos[j][None]
+            if record_hits:
+                for j in range(4):
+                    ohits[j][sl] = zeros_b
+                ohits[4][sl] = zeros_i
+            return 0
+
+        jax.lax.fori_loop(b_fin, n_bounces, fill, 0)
 
     opx[:], opy[:], opz[:] = pos
     odx[:], ody[:], odz[:] = d
@@ -857,15 +971,26 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
 def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
                         cfg: SensorConfig = SensorConfig(),
                         static_meta=None, interpret=False, block_rows=16,
-                        track_field=False, E0=None, track_opl=False):
+                        track_field=False, E0=None, track_opl=False,
+                        fuzzy_fns=None, record_paths=False,
+                        record_hits=False):
     """Fused forward non-sequential trace (see section notes above).
-    Contract of ``core.trace.trace_nonsequential`` minus
-    recording/fuzzy (asserted; HALFSPACES volumes, in-kernel irradiance
-    grids (one-hot MXU binning per bounce) and — on real TPU —
-    stochastic Fresnel ARE supported; per-tile early exit);
-    returns ``(rays, sensors, {})``."""
+    Contract of ``core.trace.trace_nonsequential``: HALFSPACES volumes,
+    in-kernel irradiance grids (one-hot MXU binning per bounce), — on
+    real TPU — stochastic Fresnel, COMPONENT-style fuzzy callables,
+    per-bounce path/hit recording (``record_paths``/``record_hits``:
+    [B, rows, LANE] output blocks written at the traced bounce index;
+    early-exited bounces are back-filled with the settled state exactly
+    like the XLA driver's dead branch) and per-tile early exit.
+    Returns ``(rays, sensors, aux)``."""
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
+    fuzzy_fns = dict(fuzzy_fns or {})
+    for k_f, fn in fuzzy_fns.items():
+        assert getattr(fn, 'components', False), (
+            "fuzzy callables on the fused path must be component-style "
+            "(FuzzyAperture(fn, components=True)): [N,3] hit arrays do "
+            "not tile onto TPU lanes — or use simulate() for legacy fns")
     if interpret:
         for m in static_meta:
             assert m.ph != 4, \
@@ -905,9 +1030,18 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
         out_shapes += [ray_block] * 6
     if track_opl:
         out_shapes += [ray_block] * 2
+    bounce_block = jax.ShapeDtypeStruct((n_bounces, rows_total, LANE),
+                                        jnp.float32)
+    if record_paths:
+        out_shapes += [bounce_block] * 3
+    if record_hits:
+        out_shapes += [bounce_block] * 4
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (n_bounces, rows_total, LANE), jnp.int32))
 
     kern = functools.partial(_kernel_nonseq, static_meta, cfg, n, n_bounces,
-                             track_field, track_opl)
+                             track_field, track_opl, fuzzy_fns,
+                             record_paths, record_hits)
     flat_tab = flatten_table_rows(table)
     # PRNG seed for in-kernel Fresnel draws (tile id decorrelates tiles)
     seed = jax.random.key_data(key).reshape(-1)[:2].astype(jnp.int32)
@@ -925,6 +1059,12 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
             out_specs += [block] * 6
         if track_opl:
             out_specs += [block] * 2
+        bblock = pl.BlockSpec((n_bounces, block_rows, LANE),
+                              lambda i, tab, seed: (0, i, 0))
+        if record_paths:
+            out_specs += [bblock] * 3
+        if record_hits:
+            out_specs += [bblock] * 5
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(grid,),
             in_specs=[block] * len(ins), out_specs=out_specs)
@@ -944,6 +1084,12 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
             out_specs += [block] * 6
         if track_opl:
             out_specs += [block] * 2
+        bblock = pl.BlockSpec((n_bounces, block_rows, LANE),
+                              lambda i: (0, i, 0))
+        if record_paths:
+            out_specs += [bblock] * 3
+        if record_hits:
+            out_specs += [bblock] * 5
         outs = pl.pallas_call(
             kern, grid=(grid,),
             in_specs=[pl.BlockSpec(flat_tab.shape, lambda i: (0, 0)),
@@ -983,6 +1129,22 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
     if track_opl:
         aux['opl'] = unpad(outs[o_i])
         aux['n_final'] = unpad(outs[o_i + 1])
+        o_i += 2
+
+    def unpad_b(a):                        # [B, rows, LANE] -> [B, N]
+        return a.reshape(n_bounces, -1)[:, :n]
+
+    if record_paths:
+        # trace_nonsequential's [B, N, 3] per-bounce position stack
+        aux['paths'] = jnp.stack(
+            [unpad_b(outs[o_i + j]) for j in range(3)], axis=-1)
+        o_i += 3
+    if record_hits:
+        aux['hits'] = jnp.stack(
+            [unpad_b(outs[o_i + j]) for j in range(3)], axis=-1)
+        aux['hit_weights'] = unpad_b(outs[o_i + 3])
+        aux['hit_slots'] = unpad_b(outs[o_i + 4])
+        o_i += 5
     return out_rays, sensors, aux
 
 
@@ -1067,25 +1229,37 @@ class _FieldShim:
 
 def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
                 intensity, wavelength, capture=False, opl=None,
-                n_cur=None, Er=None, Ei=None):
+                n_cur=None, Er=None, Ei=None, fuzzy_fns=None,
+                record_paths=False, record_hits=False):
     """The fused surface chain — the SINGLE implementation behind both
     the forward kernel (_kernel_v2, rows = _SmemRow list) and the
     backward transpose (rows = _ValueRow list under jax.vjp).  Returns
-    ``((pos, d, intensity), mom_vec, caps, extras)`` where mom_vec is the
-    stacked [n_slots * B * N_MOMENTS] sensor-moment vector, ``caps``
-    holds one (x, y, w) triple per sensor row when ``capture`` (the
-    irradiance-grid hit capture), and ``extras`` carries the optional
-    (opl, n_cur, Er, Ei) streams.
+    ``((pos, d, intensity), mom_vec, caps, extras, recs)`` where mom_vec
+    is the stacked [n_slots * B * N_MOMENTS] sensor-moment vector,
+    ``caps`` holds one (x, y, w) triple per sensor row when ``capture``
+    (the irradiance-grid hit capture), ``extras`` carries the optional
+    (opl, n_cur, Er, Ei) streams and ``recs`` the optional
+    (paths, hits) record lists.
 
     ``opl``/``n_cur`` enable optical-path-length accumulation and
     ``Er``/``Ei`` (component tuples) the polarization transport — both
     are just more [tile] component streams through the same machinery,
     matching trace_sequential's track_opl/track_field bitwise (same
-    medium_after / transport_field formulas, same u schedule)."""
+    medium_after / transport_field formulas, same u schedule).
+
+    ``fuzzy_fns`` is a {row_index: component-style callable} map
+    (elements/aperture.py::ComponentFuzzy) applied as an imod multiply
+    exactly where trace_sequential applies it.  ``record_paths`` /
+    ``record_hits`` collect the per-surface position / surface-local hit
+    streams of trace_sequential's same-named flags: paths is a list of
+    K+1 position tuples (launch first), hits a list of K
+    (hx, hy, hz, w_after) tuples."""
     n_slots = max(cfg.n_sensors, 1)
     partials = [[[jnp.zeros((), intensity.dtype)] * N_MOMENTS
                  for _ in range(cfg.n_bundles)] for _ in range(n_slots)]
     caps = []
+    paths_rec = [pos] if record_paths else None
+    hits_rec = [] if record_hits else None
     f_idx = 0
     track_opl = opl is not None
     track_field = Er is not None
@@ -1103,6 +1277,9 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
         new_dir, imod = apply_physics_one(meta, row, res['hit_s'], d, n_w,
                                           u, wavelength=wavelength,
                                           field=field)
+        if fuzzy_fns and k in fuzzy_fns:
+            imod = imod * fuzzy_fns[k](res['hit_s'][0], res['hit_s'][1],
+                                       res['hit_s'][2])
         new_pos = tuple(p_ + res['t'] * d_ for p_, d_ in zip(pos, d))
 
         if meta.sensor:
@@ -1143,15 +1320,24 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
         pos = tuple(jnp.where(active, a, b) for a, b in zip(new_pos, pos))
         d = tuple(jnp.where(active, a, b) for a, b in zip(new_dir, d))
         intensity = jnp.where(active, intensity * imod, intensity)
+        if record_paths:
+            paths_rec.append(pos)
+        if record_hits:
+            # trace_sequential records the RAW surface-local hit and the
+            # post-update intensity masked to this surface's active rays
+            hits_rec.append((res['hit_s'][0], res['hit_s'][1],
+                             res['hit_s'][2],
+                             jnp.where(active, intensity, 0.0)))
 
     mom_vec = jnp.stack([partials[s][b][m] for s in range(n_slots)
                          for b in range(cfg.n_bundles)
                          for m in range(N_MOMENTS)])
-    return (pos, d, intensity), mom_vec, caps, (opl, n_cur, Er, Ei)
+    return ((pos, d, intensity), mom_vec, caps, (opl, n_cur, Er, Ei),
+            (paths_rec, hits_rec))
 
 
 def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
-                   track_field, has_grid, tab, ctm, *refs):
+                   track_field, has_grid, fuzzy_fns, tab, ctm, *refs):
     n_f = sum(1 for m in static_meta if m.ph == 4)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     base = 9
@@ -1203,13 +1389,10 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
         rows_v = [_ValueRow(v) for v in rows_flat]
         opl0 = jnp.zeros_like(intensity) if track_opl else None
         ncur0 = jnp.ones_like(intensity) if track_opl else None
-        state, mom_vec, caps, extras = _chain_pure(static_meta, cfg,
-                                                   ray_id, u_vals, rows_v,
-                                                   pos, d, intensity,
-                                                   wavelength,
-                                                   capture=has_grid,
-                                                   opl=opl0, n_cur=ncur0,
-                                                   Er=Er, Ei=Ei)
+        state, mom_vec, caps, extras, _ = _chain_pure(
+            static_meta, cfg, ray_id, u_vals, rows_v, pos, d, intensity,
+            wavelength, capture=has_grid, opl=opl0, n_cur=ncur0,
+            Er=Er, Ei=Ei, fuzzy_fns=fuzzy_fns)
         outs = [state, mom_vec]
         if track_opl:
             outs += [extras[0], extras[1]]
@@ -1291,7 +1474,8 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
                                    static_meta, g_rays, g_moments,
                                    interpret=False, block_rows=16,
                                    g_opl=None, g_nfinal=None,
-                                   f0=None, g_field=None, g_grid=None):
+                                   f0=None, g_field=None, g_grid=None,
+                                   fuzzy_fns=None):
     """Fused backward of trace_sequential_pallas_v2 (same wrapper shape):
     returns ``(ct_table, ct_comps)`` where ct_comps is a dict of per-ray
     input cotangents (px..wavelength; the wavelength entry EXCLUDES the
@@ -1347,7 +1531,8 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
                   + [jax.ShapeDtypeStruct((grid, k_pad, 128), jnp.float32)])
 
     kern = functools.partial(_kernel_v2_bwd, static_meta, cfg, n, k_pad,
-                             track_opl, track_field, has_grid)
+                             track_opl, track_field, has_grid,
+                             dict(fuzzy_fns or {}))
     flat_tab = flatten_table_rows(table)
     ct_mom_flat = jnp.asarray(g_moments, jnp.float32).reshape(-1)
     n_ray_ins = len(ins) - (1 if has_grid else 0)
@@ -1405,7 +1590,8 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
 
 def _nonseq_chain_pure(static_meta, cfg, n_bounces, ray_id, rows, mask,
                        pos, d, intensity, wavelength, capture=False,
-                       opl=None, n_cur=None, Er=None, Ei=None):
+                       opl=None, n_cur=None, Er=None, Ei=None,
+                       fuzzy_fns=None):
     """The UNROLLED deterministic bounce loop — the pure function the
     fused non-sequential backward transposes with jax.vjp (``rows`` =
     _ValueRow list).  Computes the same function as the forward kernel's
@@ -1423,10 +1609,10 @@ def _nonseq_chain_pure(static_meta, cfg, n_bounces, ray_id, rows, mask,
            for _ in range(n_slots)] if capture else None)
     for _b in range(n_bounces):
         (new_pos, new_d, new_ii, Er2, Ei2, opl2, ncur2, slot_sel,
-         hitx, hity, power_in, _anyhit) = _nonseq_bounce_core(
+         hitx, hity, power_in, _anyhit, _hz) = _nonseq_bounce_core(
             static_meta, cfg, rows, mask, ray_id, wavelength,
             pos, d, intensity, Er, Ei, opl, n_cur,
-            track_field, track_opl)
+            track_field, track_opl, fuzzy_fns=fuzzy_fns)
         for s in range(n_slots):
             for bb in range(cfg.n_bundles):
                 wmask = (slot_sel == s) & (ray_id == bb)
@@ -1454,7 +1640,8 @@ def _nonseq_chain_pure(static_meta, cfg, n_bounces, ray_id, rows, mask,
 
 
 def _kernel_nonseq_bwd(static_meta, cfg, n_valid, k_pad, n_bounces,
-                       track_opl, track_field, has_grid, tab, ctm, *refs):
+                       track_opl, track_field, has_grid, fuzzy_fns,
+                       tab, ctm, *refs):
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     base = 9
     f0_refs = refs[base:base + (6 if track_field else 0)]
@@ -1502,7 +1689,7 @@ def _kernel_nonseq_bwd(static_meta, cfg, n_valid, k_pad, n_bounces,
         state, mom_vec, gs, extras = _nonseq_chain_pure(
             static_meta, cfg, n_bounces, ray_id, rows_v, mask, pos, d,
             intensity, wavelength, capture=has_grid, opl=opl0,
-            n_cur=ncur0, Er=Er, Ei=Ei)
+            n_cur=ncur0, Er=Er, Ei=Ei, fuzzy_fns=fuzzy_fns)
         outs = [state, mom_vec]
         if track_opl:
             outs += [extras[0], extras[1]]
@@ -1570,7 +1757,8 @@ def _kernel_nonseq_bwd(static_meta, cfg, n_valid, k_pad, n_bounces,
 def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
                             n_bounces, g_rays, g_moments, interpret=False,
                             block_rows=16, g_opl=None, g_nfinal=None,
-                            f0=None, g_field=None, g_grid=None):
+                            f0=None, g_field=None, g_grid=None,
+                            fuzzy_fns=None):
     """Fused backward of trace_nonseq_pallas for DETERMINISTIC scenes
     with small bounce budgets: the bounce loop is re-run UNROLLED inside
     a Pallas kernel and transposed by jax.vjp at kernel-trace time (the
@@ -1620,7 +1808,7 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
 
     kern = functools.partial(_kernel_nonseq_bwd, static_meta, cfg, n,
                              k_pad, n_bounces, track_opl, track_field,
-                             has_grid)
+                             has_grid, dict(fuzzy_fns or {}))
     flat_tab = flatten_table_rows(table)
     ct_mom_flat = jnp.asarray(g_moments, jnp.float32).reshape(-1)
     n_ray_ins = len(ins) - (1 if has_grid else 0)
@@ -1703,24 +1891,42 @@ def _zero_key_cotangent(key):
     return jax.tree_util.tree_map(z, key)
 
 
+def _seq_opts(opts):
+    """Parse the static opts tuple of fused_trace_grad.  Short tuples
+    (round-2 callers) default the round-3 additions off: ``(interpret,
+    block_rows, track_opl, track_field[, fuzzy_items, record_paths,
+    record_hits])`` — fuzzy_items is a hashable tuple of (row, fn)."""
+    interpret, block_rows, track_opl, track_field = opts[:4]
+    fuzzy = dict(opts[4]) if len(opts) > 4 and opts[4] else {}
+    record_paths = opts[5] if len(opts) > 5 else False
+    record_hits = opts[6] if len(opts) > 6 else False
+    return (interpret, block_rows, track_opl, track_field, fuzzy,
+            record_paths, record_hits)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def fused_trace_grad(cfg, static_meta, opts, table, rays, key, E0=None):
     """`trace_sequential_pallas_v2` with gradient support.
 
     ``static_meta`` must be a tuple (hashability); ``opts`` is the static
-    ``(interpret, block_rows, track_opl, track_field)`` tuple.
-    Differentiable w.r.t. ``table``, ``rays`` and ``E0``; the backward
-    pass is the fused Pallas reverse kernel for every config (opl/field
-    streams and the irradiance-grid cotangent all ride the one kernel);
-    interpret-mode field/grid runs fall back to the VJP of the XLA
-    driver (identical gradients, fast under the interpreter)."""
-    interpret, block_rows, track_opl, track_field = opts
+    tuple ``_seq_opts`` parses.  Differentiable w.r.t. ``table``,
+    ``rays`` and ``E0``; the backward pass is the fused Pallas reverse
+    kernel for every config (opl/field streams and the irradiance-grid
+    cotangent all ride the one kernel); interpret-mode field/grid runs
+    and record_paths/record_hits runs fall back to the VJP of the XLA
+    driver (identical gradients — the record streams' cotangents then
+    flow exactly, matching simulate)."""
+    (interpret, block_rows, track_opl, track_field, fuzzy,
+     record_paths, record_hits) = _seq_opts(opts)
     return trace_sequential_pallas_v2(table, rays, key, cfg,
                                       static_meta=list(static_meta),
                                       interpret=interpret,
                                       block_rows=block_rows,
                                       track_opl=track_opl,
-                                      track_field=track_field, E0=E0)
+                                      track_field=track_field, E0=E0,
+                                      fuzzy_fns=fuzzy,
+                                      record_paths=record_paths,
+                                      record_hits=record_hits)
 
 
 def _fused_fwd(cfg, static_meta, opts, table, rays, key, E0=None):
@@ -1734,24 +1940,30 @@ def _fused_fwd(cfg, static_meta, opts, table, rays, key, E0=None):
 def _fused_bwd(cfg, static_meta, opts, res, g):
     table, rays, key, E0, f_out = res
     g_rays, g_sens, g_aux = g
-    interpret, block_rows, track_opl, track_field = opts
+    (interpret, block_rows, track_opl, track_field, fuzzy,
+     record_paths, record_hits) = _seq_opts(opts)
     has_grid = bool(cfg.grid_shape)
 
-    if (track_field or has_grid) and interpret:
-        # interpret-mode field/grid traces: recompute-backward through the
-        # XLA driver — same function, same key schedule, exact gradients.
-        # (The transposed field chain takes tens of minutes under the
-        # pallas interpreter, and the one-hot grid transpose unrolls
-        # thousands of eagerly-dispatched matmuls; CPU runs get identical
-        # gradients from this path.  The wrapper itself still supports
-        # interpret=True for small parity tests.)
+    if ((track_field or has_grid) and interpret) \
+            or record_paths or record_hits:
+        # Recompute-backward through the XLA driver — same function, same
+        # key schedule, exact gradients — for (a) interpret-mode
+        # field/grid traces (the transposed field chain takes tens of
+        # minutes under the pallas interpreter; the one-hot grid
+        # transpose unrolls thousands of eagerly-dispatched matmuls) and
+        # (b) recording runs (the fused reverse kernel carries no
+        # cotangent streams for the O(K*N) path/hit outputs; the XLA vjp
+        # propagates them exactly, matching simulate's gradients).
         from ..core.trace import trace_sequential
 
         def xla_run(table, rays, E0_):
             return trace_sequential(table, rays, key, cfg,
                                     static_meta=list(static_meta),
                                     track_opl=track_opl,
-                                    track_field=track_field, E0=E0_)
+                                    track_field=track_field, E0=E0_,
+                                    fuzzy_fns=fuzzy,
+                                    record_paths=record_paths,
+                                    record_hits=record_hits)
 
         if E0 is None:
             _, vjp = jax.vjp(lambda t, r: xla_run(t, r, None), table, rays)
@@ -1790,7 +2002,7 @@ def _fused_bwd(cfg, static_meta, opts, res, g):
         g_sens.moments, interpret=interpret, block_rows=block_rows,
         g_opl=g_aux['opl'] if track_opl else None,
         g_nfinal=g_aux['n_final'] if track_opl else None,
-        f0=f0, g_field=g_field,
+        f0=f0, g_field=g_field, fuzzy_fns=fuzzy,
         g_grid=jnp.asarray(g_sens.grid, jnp.float32) if has_grid else None)
 
     if track_field:
@@ -1852,18 +2064,34 @@ fused_trace_grad.defvjp(_fused_fwd, _fused_bwd)
 _NONSEQ_BWD_MAX_VISITS = 64     # n_bounces * n_rows unroll budget
 
 
+def _nonseq_opts(opts):
+    """Parse fused_nonseq_grad's static opts tuple (short tuples default
+    the round-3 additions off): ``(interpret, block_rows, n_bounces,
+    track_field, track_opl[, fuzzy_items, record_paths, record_hits])``."""
+    interpret, block_rows, n_bounces, track_field, track_opl = opts[:5]
+    fuzzy = dict(opts[5]) if len(opts) > 5 and opts[5] else {}
+    record_paths = opts[6] if len(opts) > 6 else False
+    record_hits = opts[7] if len(opts) > 7 else False
+    return (interpret, block_rows, n_bounces, track_field, track_opl,
+            fuzzy, record_paths, record_hits)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def fused_nonseq_grad(cfg, static_meta, opts, table, rays, key, E0=None):
     """`trace_nonseq_pallas` with gradient support (fused unrolled-bounce
-    backward kernel for small budgets, XLA-recompute otherwise).
-    ``opts`` is the static ``(interpret, block_rows, n_bounces,
-    track_field, track_opl)`` tuple."""
-    interpret, block_rows, n_bounces, track_field, track_opl = opts
+    backward kernel for small budgets, XLA-recompute otherwise —
+    recording runs always take the XLA-recompute path so the per-bounce
+    record streams' cotangents propagate exactly).  ``opts`` is the
+    static tuple ``_nonseq_opts`` parses."""
+    (interpret, block_rows, n_bounces, track_field, track_opl,
+     fuzzy, record_paths, record_hits) = _nonseq_opts(opts)
     return trace_nonseq_pallas(table, rays, key, n_bounces, cfg,
                                static_meta=list(static_meta),
                                interpret=interpret, block_rows=block_rows,
                                track_field=track_field, E0=E0,
-                               track_opl=track_opl)
+                               track_opl=track_opl, fuzzy_fns=fuzzy,
+                               record_paths=record_paths,
+                               record_hits=record_hits)
 
 
 def _fused_nonseq_fwd(cfg, static_meta, opts, table, rays, key, E0=None):
@@ -1875,7 +2103,8 @@ def _fused_nonseq_fwd(cfg, static_meta, opts, table, rays, key, E0=None):
 def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
     table, rays, key, E0, f_out = res
     g_rays, g_sens, g_aux = g
-    interpret, block_rows, n_bounces, track_field, track_opl = opts
+    (interpret, block_rows, n_bounces, track_field, track_opl,
+     fuzzy, record_paths, record_hits) = _nonseq_opts(opts)
     if any(m.ph == 4 for m in static_meta):
         raise NotImplementedError(
             "gradients through the fused non-sequential trace are "
@@ -1885,14 +2114,17 @@ def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
             "Fresnel design loops, or fresnel='weighted' (deterministic).")
     has_grid = bool(cfg.grid_shape)
 
-    if interpret or n_bounces * len(static_meta) > _NONSEQ_BWD_MAX_VISITS:
+    if interpret or record_paths or record_hits \
+            or n_bounces * len(static_meta) > _NONSEQ_BWD_MAX_VISITS:
         from ..core.trace import trace_nonsequential
 
         def xla_run(table, rays, E0_):
             return trace_nonsequential(
                 table, rays, key, n_bounces, cfg,
                 static_meta=list(static_meta),
-                track_field=track_field, E0=E0_, track_opl=track_opl)
+                track_field=track_field, E0=E0_, track_opl=track_opl,
+                fuzzy_fns=fuzzy, record_paths=record_paths,
+                record_hits=record_hits)
 
         if E0 is None:
             _, vjp = jax.vjp(lambda t, r: xla_run(t, r, None), table, rays)
@@ -1925,7 +2157,7 @@ def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
         g_sens.moments, interpret=interpret, block_rows=block_rows,
         g_opl=g_aux['opl'] if track_opl else None,
         g_nfinal=g_aux['n_final'] if track_opl else None,
-        f0=f0, g_field=g_field,
+        f0=f0, g_field=g_field, fuzzy_fns=fuzzy,
         g_grid=jnp.asarray(g_sens.grid, jnp.float32) if has_grid else None)
 
     if track_field:

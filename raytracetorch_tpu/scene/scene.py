@@ -180,21 +180,26 @@ class Scene:
 
     def simulate_fused(self, params, rays, key, n_bundles=None,
                        interpret=None, block_rows=16, track_field=False,
-                       E0=None, track_opl=False):
+                       E0=None, track_opl=False, record_paths=False,
+                       record_hits=False):
         """Fused non-sequential trace: the ENTIRE bounce loop runs per
         VMEM tile (ops/pallas_trace.py::trace_nonseq_pallas) — at large N
         the XLA loop round-trips the ray state through HBM once per
         bounce, this kernel once total (16M x 8 bounces: 49 vs 171 ms on
         v5e).  Early-exits per tile once all rays settle, so the default
-        100-bounce budget is safe.  Box/polyhedron volumes and — on real
+        100-bounce budget is safe.  Box/polyhedron volumes, — on real
         TPU — stochastic Fresnel (in-kernel PRNG, statistical parity,
-        PARITY.md §15), in-kernel irradiance grids and polarization
-        transport (``track_field``/``E0``) are supported; recording and
-        fuzzy stay on ``simulate`` (asserted).  ``jax.grad`` works for deterministic
-        scenes via XLA-recompute backward
-        (ops/pallas_trace.py::fused_nonseq_grad); stochastic-Fresnel
-        gradients raise (the in-kernel PRNG stream differs from the XLA
-        driver's)."""
+        PARITY.md §15), in-kernel irradiance grids, polarization
+        transport (``track_field``/``E0``), component-style fuzzy
+        apodization (``FuzzyAperture(fn, components=True)``; legacy
+        [N,3]-style callables assert with a pointer back to
+        ``simulate``) and per-bounce recording
+        (``record_paths``/``record_hits``, same aux format as
+        ``simulate``) are supported.  ``jax.grad`` works for
+        deterministic scenes (fused unrolled-bounce backward for small
+        budgets; XLA-recompute otherwise and for recording runs);
+        stochastic-Fresnel gradients raise (the in-kernel PRNG stream
+        differs from the XLA driver's)."""
         import jax as _jax
 
         from ..ops.pallas_trace import fused_nonseq_grad
@@ -202,9 +207,11 @@ class Scene:
             interpret = _jax.devices()[0].platform != 'tpu'
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
+        fuzzy = tuple(sorted(self.fuzzy_fns().items()))
         return fused_nonseq_grad(cfg, tuple(self.static_meta()),
                                  (interpret, block_rows, self.n_bounces,
-                                  track_field, track_opl),
+                                  track_field, track_opl, fuzzy,
+                                  record_paths, record_hits),
                                  table, rays, key, E0)
 
     def simulate_fused_sharded(self, params, rays, key, mesh,
@@ -270,23 +277,28 @@ class SequentialScene(Scene):
 
     def simulate_fused(self, params, rays, key, n_bundles=None,
                        interpret=None, block_rows=16, track_opl=False,
-                       track_field=False, E0=None):
+                       track_field=False, E0=None, record_paths=False,
+                       record_hits=False):
         """Fused Pallas trace: the whole surface chain runs in VMEM tiles —
         ONE HBM round trip for the ray state, vs one per surface for the
         XLA path.  Measured on v5e at the tuned block_rows=16: 2.4x
         faster at 64M rays (31.7 vs 77.4 ms), 2.7-2.9x at 4-16M; below
         ~2M rays XLA keeps the state in VMEM anyway and wins — use plain
-        ``simulate`` there, and for recording or fuzzy apodization
-        (asserted in ops/pallas_trace.py).
+        ``simulate`` there.
         Stochastic Fresnel, multi-sensor scenes, irradiance grids
-        (accumulated in VMEM via one-hot MXU matmuls), ``track_opl`` and
-        ``track_field``/``E0`` are supported with bitwise/parity-exact
-        results vs ``simulate``.
+        (accumulated in VMEM via one-hot MXU matmuls), ``track_opl``,
+        ``track_field``/``E0``, component-style fuzzy apodization
+        (``FuzzyAperture(fn, components=True)``; legacy [N,3]-style
+        callables assert with a pointer back to ``simulate``) and
+        per-surface recording (``record_paths``/``record_hits``, same
+        aux format as ``simulate``) are supported with
+        bitwise/parity-exact results vs ``simulate``.
         ``jax.grad`` works and also wins at large N: the backward pass is
         a fused Pallas reverse kernel (16M-ray grad step 20.6 vs 47.1 ms
         XLA on v5e; ops/pallas_trace.py::fused_trace_grad), including the
-        opl and field streams (16M opl grad step: 4.6 vs 10.3 ms); only
-        grid configs fall back to XLA-recompute backward."""
+        opl and field streams (16M opl grad step: 4.6 vs 10.3 ms); grid
+        configs ride it too; recording runs fall back to XLA-recompute
+        backward (the record streams' cotangents then flow exactly)."""
         import jax as _jax
 
         from ..ops.pallas_trace import fused_trace_grad
@@ -294,9 +306,11 @@ class SequentialScene(Scene):
             interpret = _jax.devices()[0].platform != 'tpu'
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
+        fuzzy = tuple(sorted(self.fuzzy_fns().items()))
         return fused_trace_grad(cfg, tuple(self.static_meta()),
                                 (interpret, block_rows, track_opl,
-                                 track_field), table, rays, key, E0)
+                                 track_field, fuzzy, record_paths,
+                                 record_hits), table, rays, key, E0)
 
     def simulate_fused_sharded(self, params, rays, key, mesh,
                                n_bundles=None, interpret=None,

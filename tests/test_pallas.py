@@ -723,3 +723,191 @@ def test_nonseq_fused_track_opl_parity(key):
                                np.asarray(aux_x['opl']), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(aux_f['n_final']),
                                np.asarray(aux_x['n_final']), rtol=1e-6)
+
+
+def test_fused_fuzzy_component_parity(key):
+    """Component-style fuzzy apodization (FuzzyAperture(fn,
+    components=True)) runs INSIDE the fused kernels: intensity parity
+    vs the XLA driver, and gradients flow through the apodizer in the
+    fused backward (round-3: the last asserted-off v2 feature)."""
+    from raytracetorch_tpu import FuzzyAperture
+
+    def apod(x, y, z):
+        return jnp.exp(-(x * x + y * y) / 8.0)
+
+    def make(components):
+        return SequentialScene([
+            SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                        name='lens'),
+            FuzzyAperture((apod if components
+                           else (lambda h: jnp.exp(
+                               -(h[:, 0]**2 + h[:, 1]**2) / 8.0))),
+                          components=components, name='apod',
+                          translation=[0, 0, 6.0]),
+            SensorElement(radius=6.0, translation=[0, 0, 19.0],
+                          name='sensor'),
+        ])
+
+    scene = make(True)
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0, 0, -10.0]).sample(key, 2999)
+    out_ref, sens_ref, _ = make(False).simulate(p, rays, key)
+    out_f, sens_f, _ = scene.simulate_fused(p, rays, key, block_rows=4)
+    np.testing.assert_allclose(np.asarray(out_f.intensity),
+                               np.asarray(out_ref.intensity), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sens_f.moments),
+                               np.asarray(sens_ref.moments), rtol=1e-5,
+                               atol=1e-3)
+
+    # gradient parity: the apodizer reweights the spot moments, so the
+    # lens-curvature gradient must include its chain
+    def loss(simulate):
+        def f(p):
+            _, s, _ = simulate(p, rays, key)
+            return s.spot_rms(0)[0]
+        return f
+
+    g_f = jax.grad(loss(lambda *a: scene.simulate_fused(
+        *a, block_rows=4)))(p)
+    g_x = jax.grad(loss(scene.simulate))(p)
+    np.testing.assert_allclose(np.asarray(g_f['lens']['c1']),
+                               np.asarray(g_x['lens']['c1']),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_fused_fuzzy_legacy_asserts(key):
+    """Legacy [N,3]-style fuzzy callables cannot tile onto TPU lanes:
+    the fused path refuses them with a pointer back to simulate."""
+    import pytest
+
+    from raytracetorch_tpu import FuzzyAperture
+
+    scene = SequentialScene([
+        FuzzyAperture(lambda h: jnp.exp(-h[:, 0]**2), name='apod'),
+        SensorElement(radius=6.0, translation=[0, 0, 10.0], name='sensor'),
+    ])
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, -5.0]).sample(key, 512)
+    with pytest.raises(AssertionError, match='component-style'):
+        scene.simulate_fused(p, rays, key, block_rows=2)
+
+
+def test_fused_record_parity(key):
+    """record_paths / record_hits in the fused sequential kernel: the
+    per-surface streams match trace_sequential's aux exactly (same
+    format: paths [K+1, N, 3], hits [K, N, 3], hit_weights [K, N])."""
+    scene = SequentialScene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    name='lens'),
+        CircularAperture(radius=5.0, name='stop'),
+        SensorElement(radius=6.0, translation=[0, 0, 19.0], name='sensor'),
+    ])
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0, 0, -10.0]).sample(key, 2999)
+    _, _, aux_x = scene.simulate(p, rays, key, record_paths=True,
+                                 record_hits=True)
+    _, _, aux_f = scene.simulate_fused(p, rays, key, record_paths=True,
+                                       record_hits=True, block_rows=4)
+    assert aux_f['paths'].shape == aux_x['paths'].shape
+    np.testing.assert_allclose(np.asarray(aux_f['paths']),
+                               np.asarray(aux_x['paths']), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux_f['hit_weights']),
+                               np.asarray(aux_x['hit_weights']), atol=1e-6)
+    # hit coordinates are meaningful where the surface was actually hit;
+    # weight-0 entries carry the intersection solver's miss sentinels,
+    # whose last-ulp fusion differences get magnified arbitrarily
+    w = np.asarray(aux_x['hit_weights']) > 0
+    np.testing.assert_allclose(np.asarray(aux_f['hits'])[w],
+                               np.asarray(aux_x['hits'])[w], atol=1e-5)
+
+
+def test_fused_record_gradients_match_xla(key):
+    """Recording runs stay differentiable on the fused driver: a loss on
+    BOTH a recorded stream and the sensor moments gets exact cotangents
+    (XLA-recompute backward — documented in simulate_fused)."""
+    scene = SequentialScene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    name='lens'),
+        SensorElement(radius=6.0, translation=[0, 0, 19.0], name='sensor'),
+    ])
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(3.0),
+                               translation=[0, 0, -10.0]).sample(key, 1500)
+
+    def loss(simulate):
+        def f(p):
+            _, s, aux = simulate(p, rays, key)
+            # touch the recorded hits AND the moments
+            return (s.spot_rms(0)[0]
+                    + 1e-3 * jnp.sum(aux['hits'][-1, :, 0]**2
+                                     * aux['hit_weights'][-1]))
+        return f
+
+    g_f = jax.grad(loss(lambda *a: scene.simulate_fused(
+        *a, record_hits=True, block_rows=2)))(p)
+    g_x = jax.grad(loss(lambda *a: scene.simulate(
+        *a, record_hits=True)))(p)
+    np.testing.assert_allclose(np.asarray(g_f['lens']['c1']),
+                               np.asarray(g_x['lens']['c1']),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_nonseq_fused_record_parity(key):
+    """Per-bounce record_paths / record_hits in the fused non-sequential
+    kernel (dynamic bounce-index stores; early-exited bounces back-fill
+    the settled state) match trace_nonsequential's stacked aux."""
+    from raytracetorch_tpu import Scene
+
+    scene = Scene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    name='lens'),
+        SensorElement(radius=6.0, translation=[0, 0, 19.0], name='sensor'),
+    ], n_bounces=6)
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(3.0),
+                               translation=[0, 0, -10.0]).sample(key, 2999)
+    _, _, aux_x = scene.simulate(p, rays, key, record_paths=True,
+                                 record_hits=True)
+    _, _, aux_f = scene.simulate_fused(p, rays, key, record_paths=True,
+                                       record_hits=True, block_rows=4)
+    assert aux_f['paths'].shape == aux_x['paths'].shape
+    np.testing.assert_allclose(np.asarray(aux_f['paths']),
+                               np.asarray(aux_x['paths']), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux_f['hit_weights']),
+                               np.asarray(aux_x['hit_weights']), atol=1e-6)
+    # hit coordinates / slots are meaningful where a sensor was crossed
+    w = np.asarray(aux_x['hit_weights']) > 0
+    np.testing.assert_allclose(np.asarray(aux_f['hits'])[w],
+                               np.asarray(aux_x['hits'])[w], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(aux_f['hit_slots'])[w],
+                                  np.asarray(aux_x['hit_slots'])[w])
+
+
+def test_nonseq_fused_fuzzy_parity(key):
+    """Component-style fuzzy apodization in the fused non-sequential
+    kernel matches the XLA bounce loop."""
+    from raytracetorch_tpu import FuzzyAperture, Scene
+
+    def apod(x, y, z):
+        return 1.0 / (1.0 + (x * x + y * y) / 4.0)
+
+    scene = Scene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    name='lens'),
+        FuzzyAperture(apod, components=True, name='apod',
+                      translation=[0, 0, 6.0]),
+        SensorElement(radius=6.0, translation=[0, 0, 19.0], name='sensor'),
+    ], n_bounces=6)
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(3.0),
+                               translation=[0, 0, -10.0]).sample(key, 2000)
+    out_ref, s_ref, _ = scene.simulate(p, rays, key)
+    out_f, s_f, _ = scene.simulate_fused(p, rays, key, block_rows=2)
+    np.testing.assert_allclose(np.asarray(out_f.intensity),
+                               np.asarray(out_ref.intensity), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_f.moments),
+                               np.asarray(s_ref.moments), rtol=1e-5,
+                               atol=1e-3)
