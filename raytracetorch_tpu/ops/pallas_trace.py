@@ -1754,17 +1754,205 @@ def _kernel_nonseq_bwd(static_meta, cfg, n_valid, k_pad, n_bounces,
     ctab[0] = jnp.stack(out_rows)
 
 
+def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
+                            track_opl, track_field, has_grid, fuzzy_fns,
+                            tab, ctm, *refs):
+    """Checkpointed (scan-style) non-sequential backward: the forward
+    bounce loop runs as a fori_loop checkpointing each bounce's INPUT
+    state into VMEM scratch, then a reverse fori_loop applies the vjp of
+    ONE bounce per step.  Unlike _kernel_nonseq_bwd's fully unrolled
+    transposed chain, the Mosaic program contains ~three bounce bodies
+    regardless of the bounce budget — compile time is O(1) in
+    n_bounces * n_rows (the unrolled 24-visit chain took ~330 s to
+    compile; this removes the round-3 64-visit budget cap entirely).
+    Moment/grid contributions are per-bounce SUMS, so each bounce's
+    contribution receives the same constant (ct_mom, ct_grid) cotangent
+    while the ray-state cotangent chains through the reverse loop.
+    Same ref layout as _kernel_nonseq_bwd; scratch refs trail."""
+    (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
+    base = 9
+    f0_refs = refs[base:base + (6 if track_field else 0)]
+    base += len(f0_refs)
+    (gpx, gpy, gpz, gdx, gdy, gdz, gii) = refs[base:base + 7]
+    base += 7
+    g_opl_refs = refs[base:base + (2 if track_opl else 0)]
+    base += len(g_opl_refs)
+    g_field_refs = refs[base:base + (6 if track_field else 0)]
+    base += len(g_field_refs)
+    g_grid_ref = None
+    if has_grid:
+        g_grid_ref = refs[base]
+        base += 1
+    (cpx, cpy, cpz, cdx, cdy, cdz, cii, cwl) = refs[base:base + 8]
+    base += 8
+    cf_refs = refs[base:base + (6 if track_field else 0)]
+    base += len(cf_refs)
+    ctab = refs[base]
+    scratch = refs[base + 1:]          # n_state VMEM checkpoint buffers
+
+    shape = px[:].shape
+    rows, lanes = shape
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    flat = (pl.program_id(0) * rows + r_idx) * lanes + l_idx
+    mask = flat < n_valid
+
+    pos = (jnp.where(mask, px[:], 0.0), jnp.where(mask, py[:], 0.0),
+           jnp.where(mask, pz[:], 0.0))
+    d = (jnp.where(mask, dx[:], 0.0), jnp.where(mask, dy[:], 0.0),
+         jnp.where(mask, dz[:], 1.0))
+    intensity = jnp.where(mask, ii[:], 0.0)
+    wavelength = jnp.where(mask, wl[:], 0.0)
+    rid_t = rid[:]
+    ray_id = jnp.where(mask, rid_t, jnp.full_like(rid_t, -1))
+
+    K = len(static_meta)
+    n_slots = max(cfg.n_sensors, 1)
+    rows_flat = tuple(tuple(tab[k, j] for j in range(_ROW_SIZE))
+                      for k in range(K))
+
+    state0 = pos + d + (intensity,)
+    if track_opl:
+        state0 += (jnp.zeros(shape, jnp.float32),
+                   jnp.ones(shape, jnp.float32))
+    if track_field:
+        state0 += tuple(jnp.where(mask, f0_refs[j][:], 0.0)
+                        for j in range(6))
+    n_state = len(state0)
+    assert len(scratch) == n_state
+
+    def bounce_fn(rows_flat, wl_, state, with_aux):
+        """ONE bounce, state -> (state', [mom_contrib, grid_contrib]) —
+        exactly one iteration of _nonseq_chain_pure's loop body (same
+        core, same moment/grid formulas), so the chained vjp transposes
+        the same function the unrolled kernel does."""
+        rows_v = [_ValueRow(v) for v in rows_flat]
+        pos = state[0:3]
+        d = state[3:6]
+        ii_ = state[6]
+        i = 7
+        opl = n_cur = None
+        if track_opl:
+            opl, n_cur = state[7], state[8]
+            i = 9
+        Er = Ei = None
+        if track_field:
+            Er = tuple(state[i:i + 3])
+            Ei = tuple(state[i + 3:i + 6])
+        (new_pos, new_d, new_ii, Er2, Ei2, opl2, ncur2, slot_sel,
+         hitx, hity, power_in, _any, _hz) = _nonseq_bounce_core(
+            static_meta, cfg, rows_v, mask, ray_id, wl_,
+            pos, d, ii_, Er, Ei, opl, n_cur,
+            track_field, track_opl, fuzzy_fns=fuzzy_fns)
+        new_state = tuple(new_pos) + tuple(new_d) + (new_ii,)
+        if track_opl:
+            new_state += (opl2, ncur2)
+        if track_field:
+            new_state += tuple(Er2) + tuple(Ei2)
+        if not with_aux:
+            return new_state
+        cols = []
+        for s in range(n_slots):
+            for bb in range(cfg.n_bundles):
+                wmask = (slot_sel == s) & (ray_id == bb)
+                w = jnp.where(wmask, ii_, 0.0)
+                if track_field:
+                    w = w * power_in
+                x = jnp.where(w > 0, hitx, 0.0)
+                y = jnp.where(w > 0, hity, 0.0)
+                cols += [jnp.sum(w), jnp.sum(w * x), jnp.sum(w * y),
+                         jnp.sum(w * x * x), jnp.sum(w * y * y),
+                         jnp.sum(w * x * y),
+                         jnp.sum((w > 0).astype(w.dtype))]
+        mom_vec = jnp.stack(cols)
+        if not has_grid:
+            return new_state, mom_vec
+        g_w = ii_ * power_in if track_field else ii_
+        gs = [_grid_partial(cfg, hitx, hity,
+                            jnp.where(slot_sel == s, g_w, 0.0),
+                            exact_f32=True) for s in range(n_slots)]
+        return new_state, mom_vec, jnp.stack(gs)
+
+    # ---- forward: checkpoint each bounce's input state ----
+    def fwd_body(b, state):
+        sl = (pl.ds(b, 1), slice(None), slice(None))
+        for j in range(n_state):
+            scratch[j][sl] = state[j][None]
+        return bounce_fn(rows_flat, wavelength, state, with_aux=False)
+
+    jax.lax.fori_loop(0, n_bounces, fwd_body, state0)
+
+    # ---- reverse: one bounce-vjp per step, constant mom/grid cotangent
+    n_mom = n_slots * cfg.n_bundles * N_MOMENTS
+    ct_mom = jnp.stack([ctm[j] for j in range(n_mom)])
+    ct_grid = g_grid_ref[...] if has_grid else None
+
+    ct_state = ((jnp.where(mask, gpx[:], 0.0), jnp.where(mask, gpy[:], 0.0),
+                 jnp.where(mask, gpz[:], 0.0), jnp.where(mask, gdx[:], 0.0),
+                 jnp.where(mask, gdy[:], 0.0), jnp.where(mask, gdz[:], 0.0),
+                 jnp.where(mask, gii[:], 0.0)))
+    if track_opl:
+        ct_state += (jnp.where(mask, g_opl_refs[0][:], 0.0),
+                     jnp.where(mask, g_opl_refs[1][:], 0.0))
+    if track_field:
+        ct_state += tuple(jnp.where(mask, g_field_refs[j][:], 0.0)
+                          for j in range(6))
+
+    ct_rows0 = jnp.zeros((K, 128), jnp.float32)
+    ct_wl0 = jnp.zeros(shape, jnp.float32)
+
+    def bwd_body(i, carry):
+        ct_state, ct_rows_acc, ct_wl = carry
+        b = n_bounces - 1 - i
+        sl = (pl.ds(b, 1), slice(None), slice(None))
+        state_b = tuple(scratch[j][sl][0] for j in range(n_state))
+        _, vjp = jax.vjp(
+            lambda rf, w_, s_: bounce_fn(rf, w_, s_, with_aux=True),
+            rows_flat, wavelength, state_b)
+        ct_in = (ct_state, ct_mom) + ((ct_grid,) if has_grid else ())
+        ct_rows_b, ct_wl_b, ct_state = vjp(
+            ct_in if has_grid else ct_in[:2])
+        mat = jnp.stack([
+            jnp.concatenate([jnp.stack(list(r)),
+                             jnp.zeros(128 - _ROW_SIZE, jnp.float32)])
+            for r in ct_rows_b])
+        return ct_state, ct_rows_acc + mat, ct_wl + ct_wl_b
+
+    ct_state, ct_rows_acc, ct_wl = jax.lax.fori_loop(
+        0, n_bounces, bwd_body, (ct_state, ct_rows0, ct_wl0))
+
+    cpx[:], cpy[:], cpz[:] = (jnp.where(mask, c, 0.0)
+                              for c in ct_state[0:3])
+    cdx[:], cdy[:], cdz[:] = (jnp.where(mask, c, 0.0)
+                              for c in ct_state[3:6])
+    cii[:] = jnp.where(mask, ct_state[6], 0.0)
+    cwl[:] = jnp.where(mask, ct_wl, 0.0)
+    if track_field:
+        i = 9 if track_opl else 7
+        for j in range(6):
+            cf_refs[j][:] = jnp.where(mask, ct_state[i + j], 0.0)
+
+    if k_pad > K:
+        ct_rows_acc = jnp.concatenate(
+            [ct_rows_acc, jnp.zeros((k_pad - K, 128), jnp.float32)])
+    ctab[0] = ct_rows_acc
+
+
 def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
                             n_bounces, g_rays, g_moments, interpret=False,
                             block_rows=16, g_opl=None, g_nfinal=None,
                             f0=None, g_field=None, g_grid=None,
-                            fuzzy_fns=None):
-    """Fused backward of trace_nonseq_pallas for DETERMINISTIC scenes
-    with small bounce budgets: the bounce loop is re-run UNROLLED inside
-    a Pallas kernel and transposed by jax.vjp at kernel-trace time (the
-    while_loop's early exit is a forward-only optimization — the pure
-    unrolled chain computes the same function).  Same contract shape as
-    trace_sequential_pallas_v2_bwd."""
+                            fuzzy_fns=None, mode='scan'):
+    """Fused backward of trace_nonseq_pallas for DETERMINISTIC scenes.
+    ``mode='scan'`` (default) checkpoints each bounce's input state in
+    VMEM scratch and reverse-scans the vjp of ONE bounce — compile time
+    and code size are O(1) in the bounce budget, so ANY n_bounces works.
+    ``mode='unrolled'`` re-runs the loop UNROLLED and transposes the
+    whole chain with jax.vjp at kernel-trace time (the round-3 original;
+    Mosaic compile time scales with n_bounces * n_rows — kept for
+    comparison).  The early exit of the forward kernel is a forward-only
+    optimization — both backward forms compute the same function.  Same
+    contract shape as trace_sequential_pallas_v2_bwd."""
     n = rays.px.shape[0]
     rows_total = max(1, -(-n // LANE))
     n_padded = rows_total * LANE
@@ -1806,12 +1994,19 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
     out_shapes = ([ray_block] * (8 + n_cf)
                   + [jax.ShapeDtypeStruct((grid, k_pad, 128), jnp.float32)])
 
-    kern = functools.partial(_kernel_nonseq_bwd, static_meta, cfg, n,
+    kern_fn = (_kernel_nonseq_bwd_scan if mode == 'scan'
+               else _kernel_nonseq_bwd)
+    kern = functools.partial(kern_fn, static_meta, cfg, n,
                              k_pad, n_bounces, track_opl, track_field,
                              has_grid, dict(fuzzy_fns or {}))
     flat_tab = flatten_table_rows(table)
     ct_mom_flat = jnp.asarray(g_moments, jnp.float32).reshape(-1)
     n_ray_ins = len(ins) - (1 if has_grid else 0)
+    scratch_shapes = []
+    if mode == 'scan':
+        n_state = 7 + (2 if track_opl else 0) + (6 if track_field else 0)
+        scratch_shapes = [pltpu.VMEM((n_bounces, block_rows, LANE),
+                                     jnp.float32)] * n_state
 
     if _HAS_PLTPU and not interpret:
         block = pl.BlockSpec((block_rows, LANE), lambda i, tab, ctm: (i, 0))
@@ -1824,7 +2019,8 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
                                      lambda i, tab, ctm: (i, 0, 0))])
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(grid,),
-            in_specs=in_specs, out_specs=out_specs)
+            in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=scratch_shapes)
         outs = pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shapes,
             compiler_params=pltpu.CompilerParams(
@@ -1844,7 +2040,7 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
             kern, grid=(grid,),
             in_specs=in_specs,
             out_specs=out_specs, out_shape=out_shapes,
-            interpret=True,
+            interpret=True, scratch_shapes=scratch_shapes,
         )(flat_tab, ct_mom_flat, *ins)
 
     def unpad(a):
@@ -2047,21 +2243,19 @@ fused_trace_grad.defvjp(_fused_fwd, _fused_bwd)
 #
 # The nonseq forward kernel's bounce loop is a lax.while_loop with per-tile
 # early exit — not reverse-differentiable directly.  For DETERMINISTIC
-# scenes with small bounce budgets (n_bounces * n_rows <=
-# _NONSEQ_BWD_MAX_VISITS) the backward is a fused Pallas kernel that
-# re-runs the bounce loop UNROLLED per tile and transposes it with
-# jax.vjp at kernel-trace time (trace_nonseq_pallas_bwd) — the early
-# exit is a forward-only optimization, the unrolled chain computes the
-# same function.  Larger budgets (and interpret mode, where the
-# transposed unrolled chain is pathologically slow under the
-# interpreter) re-run the XLA bounce loop (trace_nonsequential) under
+# scenes the backward is a fused Pallas kernel that re-runs the bounce
+# loop and transposes it with jax.vjp at kernel-trace time
+# (trace_nonseq_pallas_bwd; default mode='scan': per-bounce VMEM
+# checkpoints + a reverse loop over ONE bounce's vjp, O(1) compile time
+# in the budget — the early exit is a forward-only optimization, the
+# re-run chain computes the same function).  Interpret mode (where the
+# transposed chain is pathologically slow under the interpreter) and
+# recording runs re-run the XLA bounce loop (trace_nonsequential) under
 # jax.vjp instead: both paths compute the same function, so the
 # recomputed gradients are exact.  Stochastic Fresnel scenes draw from
 # the in-kernel PRNG (a different stream than the XLA driver's
 # threefry), so ANY recomputed backward would differentiate a DIFFERENT
 # Monte-Carlo realization — that combination raises.
-
-_NONSEQ_BWD_MAX_VISITS = 64     # n_bounces * n_rows unroll budget
 
 
 def _nonseq_opts(opts):
@@ -2078,11 +2272,11 @@ def _nonseq_opts(opts):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def fused_nonseq_grad(cfg, static_meta, opts, table, rays, key, E0=None):
-    """`trace_nonseq_pallas` with gradient support (fused unrolled-bounce
-    backward kernel for small budgets, XLA-recompute otherwise —
-    recording runs always take the XLA-recompute path so the per-bounce
-    record streams' cotangents propagate exactly).  ``opts`` is the
-    static tuple ``_nonseq_opts`` parses."""
+    """`trace_nonseq_pallas` with gradient support: the fused
+    checkpointed-scan backward kernel for ANY deterministic budget;
+    interpret-mode and recording runs take the XLA-recompute path (the
+    per-bounce record streams' cotangents then propagate exactly).
+    ``opts`` is the static tuple ``_nonseq_opts`` parses."""
     (interpret, block_rows, n_bounces, track_field, track_opl,
      fuzzy, record_paths, record_hits) = _nonseq_opts(opts)
     return trace_nonseq_pallas(table, rays, key, n_bounces, cfg,
@@ -2114,8 +2308,7 @@ def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
             "Fresnel design loops, or fresnel='weighted' (deterministic).")
     has_grid = bool(cfg.grid_shape)
 
-    if interpret or record_paths or record_hits \
-            or n_bounces * len(static_meta) > _NONSEQ_BWD_MAX_VISITS:
+    if interpret or record_paths or record_hits:
         from ..core.trace import trace_nonsequential
 
         def xla_run(table, rays, E0_):

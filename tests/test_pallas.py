@@ -911,3 +911,113 @@ def test_nonseq_fused_fuzzy_parity(key):
     np.testing.assert_allclose(np.asarray(s_f.moments),
                                np.asarray(s_ref.moments), rtol=1e-5,
                                atol=1e-3)
+
+
+def test_nonseq_bwd_scan_matches_unrolled(key):
+    """The checkpointed-scan backward kernel computes the same cotangents
+    as the unrolled transposed chain (same per-bounce core, same
+    moment/grid formulas) — mode parity on a mirror-fold scene with a
+    grid loss."""
+    from raytracetorch_tpu import Scene, SphericalMirror
+    from raytracetorch_tpu.ops.pallas_trace import trace_nonseq_pallas_bwd
+
+    scene = Scene([
+        SphericalMirror(c1=-0.025, d=0.0, translation=[0.0, 0.0, 40.0],
+                        c1_grad=True, name='mirror'),
+        SensorElement(radius=10.0, translation=[0.0, 0.0, 0.5],
+                      name='sensor'),
+    ], n_bounces=4)
+    scene.grid_shape = (16, 16)
+    scene.grid_half_extent = 4.0
+    p = scene.init_params()
+    cfg = scene.sensor_config()
+    meta = scene.static_meta()
+    table = scene.build_table(p)
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, 1.0]).sample(key, 1024)
+    g_mom = jax.random.normal(jax.random.fold_in(key, 1),
+                              (1, 1, 7), jnp.float32)
+    g_grid = jax.random.normal(jax.random.fold_in(key, 2), (1, 16, 16),
+                               jnp.float32)
+    g_rays = rays.replace(
+        px=jnp.ones_like(rays.px), py=jnp.zeros_like(rays.py),
+        pz=jnp.zeros_like(rays.pz), dx=jnp.zeros_like(rays.dx),
+        dy=jnp.zeros_like(rays.dy), dz=jnp.zeros_like(rays.dz),
+        intensity=jnp.ones_like(rays.intensity))
+
+    import jax.tree_util as jtu
+    outs = {}
+    for mode in ('scan', 'unrolled'):
+        outs[mode] = trace_nonseq_pallas_bwd(
+            table, rays, key, cfg, meta, 4, g_rays, g_mom,
+            interpret=True, block_rows=2, g_grid=g_grid, mode=mode)
+    for a, b in zip(jtu.tree_leaves(outs['scan']),
+                    jtu.tree_leaves(outs['unrolled'])):
+        if not np.issubdtype(np.asarray(b).dtype, np.inexact):
+            continue
+        # per-bounce accumulation vs one whole-chain vjp: same math,
+        # different f32 summation order -> ~1e-5 relative noise (and
+        # ~1e-6-level absolute residue on near-cancelling ray cotangents)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_nonseq_bwd_scan_large_budget(key):
+    """The scan backward removes the 64-visit cap: a 25-bounce x
+    3-row budget (75 visits — the unrolled chain's compile time made
+    this impractical) gets exact cotangents vs jax.grad through the XLA
+    bounce loop."""
+    from raytracetorch_tpu import Scene, SphericalMirror
+    from raytracetorch_tpu.core.trace import trace_nonsequential
+    from raytracetorch_tpu.ops.pallas_trace import trace_nonseq_pallas_bwd
+
+    scene = Scene([
+        SphericalMirror(c1=-0.02, d=0.0, translation=[0.0, 0.0, 40.0],
+                        c1_grad=True, name='m1'),
+        SphericalMirror(c1=0.02, d=0.0, translation=[0.0, 0.0, 0.0],
+                        rotation=[0.0, jnp.pi, 0.0], name='m2'),
+        SensorElement(radius=3.0, translation=[6.0, 0.0, 20.0],
+                      name='sensor'),
+    ], n_bounces=25)
+    p = scene.init_params()
+    cfg = scene.sensor_config()
+    meta = scene.static_meta()
+    table = scene.build_table(p)
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, 1.0]).sample(key, 512)
+    comps = ('px', 'py', 'pz', 'dx', 'dy', 'dz', 'intensity')
+
+    def xla_loss(table, *ray_comps):
+        r = rays.replace(**dict(zip(comps, ray_comps)))
+        _, sens, _ = trace_nonsequential(table, r, key, 25, cfg,
+                                         static_meta=meta)
+        return sens.total_weight(0)[0] + sens.spot_rms(0)[0]
+
+    import jax.tree_util as jtu
+    grads = jax.grad(xla_loss, argnums=tuple(range(8)), allow_int=True)(
+        table, *(getattr(rays, c) for c in comps))
+    gt_ref, gr_ref = grads[0], grads[1:]
+
+    def head(moments):
+        from raytracetorch_tpu.core.sensor import SensorState
+        sens = SensorState(moments=moments, grid=None)
+        return sens.total_weight(0)[0] + sens.spot_rms(0)[0]
+
+    _, sens_x, _ = trace_nonsequential(table, rays, key, 25, cfg,
+                                       static_meta=meta)
+    _, head_vjp = jax.vjp(head, sens_x.moments)
+    (g_mom,) = head_vjp(jnp.float32(1.0))
+
+    zero_rays = rays.replace(**{c: jnp.zeros_like(getattr(rays, c))
+                                for c in comps})
+    gt_f, ct = trace_nonseq_pallas_bwd(
+        table, rays, key, cfg, meta, 25, zero_rays, g_mom,
+        interpret=True, block_rows=2, mode='scan')
+    for a, b in zip(jtu.tree_leaves(gt_f), jtu.tree_leaves(gt_ref)):
+        if not np.issubdtype(np.asarray(b).dtype, np.inexact):
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+    for c, b in zip(comps, gr_ref):
+        np.testing.assert_allclose(np.asarray(ct[c]), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5, err_msg=c)
