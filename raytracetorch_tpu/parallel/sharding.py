@@ -76,11 +76,13 @@ def shard_index(mesh, axes):
     return idx
 
 
-def shard_map_trace(local, mesh):
+def shard_map_trace(local, mesh, n_extra=0, aux=False):
     """shard_map wiring shared by the fused-kernel sharded drivers
-    (scene.simulate_fused_sharded): ``local(table, rays_shard, key)`` runs
-    per shard; the table and key replicate, rays shard over the ray axes,
-    and outputs are (sharded rays, replicated sensors).  Returns
+    (scene.simulate_fused_sharded): ``local(table, rays_shard, key,
+    *extra)`` runs per shard; the table, key and any ``n_extra`` trailing
+    args (e.g. a launch-polarization vector) replicate, rays shard over
+    the ray axes, and outputs are (sharded rays, replicated sensors[,
+    sharded per-ray aux dict when ``aux``]).  Returns
     ``(wrapped_fn, axes)``."""
     from jax.sharding import PartitionSpec as P
     try:
@@ -89,8 +91,8 @@ def shard_map_trace(local, mesh):
         from jax import shard_map
     axes = mesh_ray_axes(mesh)
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), P(axes), P()),
-                   out_specs=(P(axes), P()),
+                   in_specs=(P(), P(axes), P()) + (P(),) * n_extra,
+                   out_specs=(P(axes), P()) + ((P(axes),) if aux else ()),
                    check_rep=False)
     return fn, axes
 

@@ -216,14 +216,19 @@ class Scene:
 
     def simulate_fused_sharded(self, params, rays, key, mesh,
                                n_bundles=None, interpret=None,
-                               block_rows=16):
+                               block_rows=16, track_opl=False,
+                               track_field=False, E0=None):
         """``simulate_fused`` across a device mesh (see the sequential
         variant's docstring): shard_map runs the bounce-loop kernel on
-        each ray shard and psums the sensor moments.  The PRNG key is
-        folded with the shard index (Fresnel draws decorrelate)."""
+        each ray shard and psums the sensor moments and irradiance grid.
+        The PRNG key is folded with the shard index (Fresnel draws
+        decorrelate).  Per-ray aux streams (``track_opl`` /
+        ``track_field``; ``E0`` is a replicated launch vector) come back
+        sharded along N like the rays; differentiable like
+        ``simulate_fused``."""
         import jax as _jax
 
-        from ..ops.pallas_trace import trace_nonseq_pallas
+        from ..ops.pallas_trace import fused_nonseq_grad
         from ..parallel.sharding import (mesh_ray_axes, shard_index,
                                          shard_map_trace)
 
@@ -231,22 +236,28 @@ class Scene:
             interpret = _jax.devices()[0].platform != 'tpu'
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
-        meta = self.static_meta()
-        n_bounces = self.n_bounces
+        meta_t = tuple(self.static_meta())
+        fuzzy = tuple(sorted(self.fuzzy_fns().items()))
+        opts = (interpret, block_rows, self.n_bounces, track_field,
+                track_opl, fuzzy)
         axes = mesh_ray_axes(mesh)
 
-        def local(table, rays_shard, key):
+        def local(table, rays_shard, key, *e0):
             k_local = jax.random.fold_in(key, shard_index(mesh, axes))
-            out, sens, _ = trace_nonseq_pallas(
-                table, rays_shard, k_local, n_bounces, cfg,
-                static_meta=meta, interpret=interpret,
-                block_rows=block_rows)
-            return out, sens.replace(
-                moments=_jax.lax.psum(sens.moments, axes))
+            out, sens, aux = fused_nonseq_grad(
+                cfg, meta_t, opts, table, rays_shard, k_local,
+                e0[0] if e0 else None)
+            sens = sens.replace(
+                moments=_jax.lax.psum(sens.moments, axes),
+                grid=(_jax.lax.psum(sens.grid, axes)
+                      if cfg.grid_shape else sens.grid))
+            return out, sens, aux
 
-        f, _ = shard_map_trace(local, mesh)
-        out, sens = f(table, rays, key)
-        return out, sens, {}
+        f, _ = shard_map_trace(local, mesh,
+                               n_extra=0 if E0 is None else 1, aux=True)
+        args = (table, rays, key) + (() if E0 is None
+                                     else (jnp.asarray(E0),))
+        return f(*args)
 
     # -- conversions (reference scene/base.py:261-289, sequential.py:80-105)
 
@@ -314,16 +325,20 @@ class SequentialScene(Scene):
 
     def simulate_fused_sharded(self, params, rays, key, mesh,
                                n_bundles=None, interpret=None,
-                               block_rows=16):
+                               block_rows=16, track_opl=False,
+                               track_field=False, E0=None):
         """``simulate_fused`` across a device mesh: shard_map runs the
         Pallas kernel per-shard on the local ray slice (pallas_call does
         not auto-shard like the XLA trace does), then psums the sensor
         moments/grids over the mesh — the production path for >>10M-ray
         batches on multi-chip slices.  Differentiable like simulate_fused.
 
-        The PRNG key is folded with the shard index so stochastic Fresnel
-        draws decorrelate across shards (results therefore match an
-        unsharded trace statistically, not bitwise, for Fresnel scenes).
+        Per-ray aux streams (``track_opl`` / ``track_field``; ``E0`` is
+        a replicated launch-polarization vector) come back sharded along
+        N like the rays.  The PRNG key is folded with the shard index so
+        stochastic Fresnel draws decorrelate across shards (results
+        therefore match an unsharded trace statistically, not bitwise,
+        for Fresnel scenes).
         """
         import jax as _jax
 
@@ -336,22 +351,26 @@ class SequentialScene(Scene):
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
         meta_t = tuple(self.static_meta())
+        fuzzy = tuple(sorted(self.fuzzy_fns().items()))
+        opts = (interpret, block_rows, track_opl, track_field, fuzzy)
         axes = mesh_ray_axes(mesh)
 
-        def local(table, rays_shard, key):
+        def local(table, rays_shard, key, *e0):
             k_local = jax.random.fold_in(key, shard_index(mesh, axes))
-            out, sens, _ = fused_trace_grad(
-                cfg, meta_t, (interpret, block_rows, False, False),
-                table, rays_shard, k_local)
+            out, sens, aux = fused_trace_grad(
+                cfg, meta_t, opts, table, rays_shard, k_local,
+                e0[0] if e0 else None)
             sens = sens.replace(
                 moments=_jax.lax.psum(sens.moments, axes),
                 grid=(_jax.lax.psum(sens.grid, axes)
                       if cfg.grid_shape else sens.grid))
-            return out, sens
+            return out, sens, aux
 
-        f, _ = shard_map_trace(local, mesh)
-        out, sens = f(table, rays, key)
-        return out, sens, {}
+        f, _ = shard_map_trace(local, mesh,
+                               n_extra=0 if E0 is None else 1, aux=True)
+        args = (table, rays, key) + (() if E0 is None
+                                     else (jnp.asarray(E0),))
+        return f(*args)
 
     def paraxial(self, params):
         """Full-system 5x5 paraxial matrix: chain every element's surface

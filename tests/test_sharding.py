@@ -133,3 +133,43 @@ def test_sharded_nonseq_fused_matches(key):
     assert int(np.sum(dp > 1e-4)) <= 8
     np.testing.assert_allclose(np.asarray(s_sh.moments)[0, 0, 0],
                                np.asarray(s_ref.moments)[0, 0, 0], atol=8.0)
+
+
+def test_sharded_fused_aux_streams(key):
+    """track_opl / track_field through the SHARDED fused drivers: per-ray
+    aux streams come back sharded along N and match the unsharded XLA
+    trace; the nonseq grid now psums across shards too."""
+    from raytracetorch_tpu import Scene
+
+    scene = _scene()
+    params = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0.0, 0.0, -10.0]).sample(key,
+                                                                     4096)
+    mesh = make_mesh(8)
+    _, _, aux_ref = scene.simulate(params, rays, key, track_opl=True,
+                                   track_field=True)
+    _, _, aux_sh = jax.jit(lambda p, r, k: scene.simulate_fused_sharded(
+        p, r, k, mesh, block_rows=1, track_opl=True,
+        track_field=True))(params, shard_rays(rays, mesh), key)
+    np.testing.assert_allclose(np.asarray(aux_sh['opl']),
+                               np.asarray(aux_ref['opl']), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux_sh['field_power']),
+                               np.asarray(aux_ref['field_power']),
+                               rtol=1e-5, atol=1e-6)
+
+    # non-sequential: grid psum + opl stream
+    ns = scene.to_base()
+    ns.n_bounces = 8
+    ns.grid_shape = (16, 16)
+    ns.grid_half_extent = 2.0
+    pn = ns.init_params()
+    _, s_ref, auxn_ref = ns.simulate(pn, rays, key, track_opl=True)
+    _, s_sh, auxn_sh = jax.jit(lambda p, r, k: ns.simulate_fused_sharded(
+        p, r, k, mesh, block_rows=1, track_opl=True))(
+            pn, shard_rays(rays, mesh), key)
+    np.testing.assert_allclose(np.asarray(s_sh.grid),
+                               np.asarray(s_ref.grid), rtol=1e-5,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(auxn_sh['opl']),
+                               np.asarray(auxn_ref['opl']), rtol=1e-6)
