@@ -82,7 +82,9 @@ def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
     if field is not None:
         w = w * field.power()
     sensors = sensors.record(cfg, row.sensor_slot, rays.ray_id,
-                             res['hit_s'], w)
+                             res['hit_s'], w,
+                             maybe_sensor=(static_meta is None
+                                           or static_meta.sensor))
 
     rays = rays.masked_update(active, new_pos, new_dir, imod)
     res['n_w'], res['new_dir'], res['imod'] = n_w, new_dir, imod
