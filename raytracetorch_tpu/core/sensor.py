@@ -136,7 +136,7 @@ class SensorState(struct.PyTreeNode):
         )
 
     def record(self, cfg: SensorConfig, slot, ray_id, hit_local, weight,
-               maybe_sensor=True):
+               maybe_sensor=True, grid_cond=False):
         """Accumulate hits (weight already masked to zero for non-hits and
         non-sensor surfaces).  ``slot`` may be a scalar (sequential trace) or
         [N] (non-sequential winners).  ``hit_local`` is a component tuple.
@@ -172,8 +172,19 @@ class SensorState(struct.PyTreeNode):
             e = float(cfg.grid_half_extent)
             if weight.dtype == jnp.float32:
                 if jnp.ndim(slot) == 0:
-                    grid = grid.at[slot].add(
-                        _bin_grid((h, w), e, _BIN_TILE, x, y, weight))
+                    if grid_cond:
+                        # non-sequential bounce loops: most bounces have
+                        # no sensor crossing at all — skip the binning
+                        # matmuls entirely then (the fused kernel's same
+                        # guard measured 2.8x on ghost-analysis scenes)
+                        grid = grid.at[slot].add(jax.lax.cond(
+                            jnp.any(weight > 0),
+                            lambda: _bin_grid((h, w), e, _BIN_TILE,
+                                              x, y, weight),
+                            lambda: jnp.zeros((h, w), jnp.float32)))
+                    else:
+                        grid = grid.at[slot].add(
+                            _bin_grid((h, w), e, _BIN_TILE, x, y, weight))
                 else:
                     # non-sequential [N]-slot winners: one masked binning
                     # pass per sensor slot (S is small and static)

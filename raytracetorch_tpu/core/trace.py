@@ -324,7 +324,8 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
     if static_meta is not None:
         for s in sorted({m.slot for m in static_meta if m.sensor}):
             w_s = jnp.where(sens_slot == s, sens_w, 0.0)
-            sensors = sensors.record(cfg, s, rays.ray_id, sens_hit, w_s)
+            sensors = sensors.record(cfg, s, rays.ray_id, sens_hit, w_s,
+                                     grid_cond=True)
     else:
         sensors = sensors.record(cfg, sens_slot, rays.ray_id, sens_hit,
                                  sens_w)
