@@ -35,7 +35,7 @@ from .rays.sources import (Bundle, CollimatedDisk, CollimatedLine, Fan,
                            sample_bundles)
 from .optim.constraints import (spacing_constraint, system_length_constraint,
                                 thickness_constraint)
-from .optim.fit import fit, fit_lbfgs
+from .optim.fit import fit, fit_lbfgs, fit_lm
 from .optim.goals import focal_length_loss, spot_size_loss, spot_target_loss
 from .project import (load_params, load_project, load_scene, save_params,
                       save_project)

@@ -118,3 +118,89 @@ def fit_lbfgs(loss_fn, params, trainable=None, steps=50, jit=True, **lbfgs_kw):
     if jit:
         run = jax.jit(run)
     return run(params, opt_state)
+
+
+def fit_lm(residual_fn, params, trainable=None, steps=30, lam0=1e-3,
+           lam_up=4.0, lam_down=0.5, scales=None, jit=True):
+    """Levenberg–Marquardt (damped least squares) over a residual vector —
+    THE classic lens-design optimizer (Zemax/CodeV-style DLS), beyond the
+    reference's Adam/LBFGS (tests/test_optimize_singlet.py:52): merit
+    functions in optical design are naturally sums of squared residuals
+    (per-field spot radii, centroid targets, focal-length errors), and a
+    Gauss–Newton model of that structure converges in a handful of
+    iterations where first-order methods need hundreds.
+
+    ``residual_fn(params) -> [m]`` returns the residual vector; the merit
+    is ``0.5 * sum(r^2)``.  Per-step: J = jacfwd(residuals) (parameters are
+    dozens of scalars — forward mode gives the whole Jacobian in one pass
+    per input dim), solve ``(JᵀJ + λ·diag(JᵀJ)) dp = Jᵀ r`` (Marquardt
+    diagonal scaling, so parameters spanning many orders of magnitude —
+    curvatures ~1e-2 vs asphere a10 ~1e-12 — damp in their own units), and
+    accept/reject with adaptive λ.  Rejected steps keep the parameters and
+    raise λ — the loop is a fixed-length lax.scan, so the whole design
+    loop stays one jitted program.
+
+    Non-trainable leaves (per ``trainable``) get their Jacobian columns
+    zeroed — with λ > 0 their update is exactly zero.  Returns
+    ``(params, costs [steps])``."""
+    from jax import lax
+    from jax.flatten_util import ravel_pytree
+
+    y0_tree, to_p = _apply_scales(params, scales)
+    res_of_y = (residual_fn if scales is None
+                else (lambda y: residual_fn(to_p(y))))
+    y0, unravel = ravel_pytree(y0_tree)
+
+    if trainable is not None:
+        mask_tree = jax.tree_util.tree_map(
+            lambda p_, m: jnp.broadcast_to(
+                jnp.asarray(m, jnp.float32)
+                if not isinstance(m, bool) else
+                jnp.float32(1.0 if m else 0.0), jnp.shape(p_)),
+            params, trainable,
+            is_leaf=lambda x: isinstance(x, bool)
+            or not isinstance(x, dict))
+        mask_flat, _ = ravel_pytree(mask_tree)
+        mask_flat = mask_flat.astype(y0.dtype)
+    else:
+        mask_flat = jnp.ones_like(y0)
+
+    def res_flat(yv):
+        return jnp.ravel(res_of_y(unravel(yv)))
+
+    n = y0.shape[0]
+    hi = lax.Precision.HIGHEST       # small matmuls: never bf16 (CLAUDE.md)
+
+    def step(carry, _):
+        y, lam, cost = carry
+        r = res_flat(y)
+        jac = jax.jacfwd(res_flat)(y) * mask_flat[None, :]
+        jtj = lax.dot_general(jac, jac, (((0,), (0,)), ((), ())),
+                              precision=hi)
+        jtr = lax.dot_general(jac, r, (((0,), (0,)), ((), ())),
+                              precision=hi)
+        diag = jnp.diag(jtj)
+        a = jtj + lam * jnp.diag(jnp.maximum(diag, 1e-12))
+        dp = jnp.linalg.solve(a, jtr) * mask_flat
+        y_new = y - dp
+        r_new = res_flat(y_new)
+        cost_new = 0.5 * jnp.sum(r_new * r_new)
+        accept = cost_new < cost
+        y = jnp.where(accept, y_new, y)
+        lam = jnp.where(accept, lam * lam_down, lam * lam_up)
+        cost = jnp.where(accept, cost_new, cost)
+        return (y, lam, cost), cost
+
+    def run(y):
+        r0 = res_flat(y)
+        cost0 = 0.5 * jnp.sum(r0 * r0)
+        (y, _, _), costs = lax.scan(
+            step, (y, jnp.asarray(lam0, y.dtype), cost0), None,
+            length=steps)
+        return y, costs
+
+    if jit:
+        run = jax.jit(run)
+    y, costs = run(y0)
+    out = unravel(y)
+    return (to_p(out) if scales is not None else out), costs

@@ -137,3 +137,39 @@ def test_constraints_barriers(key):
     # gap = 26; d(-log(gap-5))/d z_b = -1/21
     np.testing.assert_allclose(float(g2['b']['trans'][2]), -1.0 / 21.0,
                                rtol=1e-4)
+
+
+def test_lm_converges_in_few_iterations(key):
+    """fit_lm (damped least squares — the classic lens-design optimizer,
+    beyond the reference's Adam/LBFGS): per-ray transverse errors at the
+    target plane as the residual vector.  Gauss-Newton structure gets the
+    best-form singlet in a handful of iterations."""
+    from raytracetorch_tpu.optim.fit import fit_lm
+
+    scene = _design_scene()
+    params = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(5.0),
+                               translation=[0, 0, -10.0]).sample(key, 2000)
+
+    def residuals(p, target_z=100.0):
+        out, _, _ = scene.simulate(p, rays, key)
+        t = (target_z - out.pos[:, 2]) / (out.dir[:, 2] + 1e-6)
+        x = out.pos[:, 0] + t * out.dir[:, 0]
+        y = out.pos[:, 1] + t * out.dir[:, 1]
+        return jnp.concatenate([x, y])
+
+    c0 = 0.5 * float(jnp.sum(residuals(params) ** 2))
+    p2, costs = fit_lm(residuals, params, trainable=scene.trainable(),
+                       steps=12)
+    assert float(costs[-1]) < c0 * 0.02, f"{c0} -> {float(costs[-1])}"
+    # costs are monotone non-increasing (rejected steps keep the params)
+    cs = np.asarray(costs)
+    assert np.all(np.diff(cs) <= 1e-6 * cs[:-1] + 1e-12)
+
+    ratio = float(p2['lens']['c1']) / float(p2['lens']['c2'])
+    assert -7.5 < ratio < -4.5, f"ratio {ratio}"
+    # non-trainable leaves are EXACTLY untouched (zeroed Jacobian columns)
+    np.testing.assert_array_equal(np.asarray(p2['lens']['t']),
+                                  np.asarray(params['lens']['t']))
+    np.testing.assert_array_equal(np.asarray(p2['lens']['ior_glass']),
+                                  np.asarray(params['lens']['ior_glass']))
