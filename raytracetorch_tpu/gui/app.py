@@ -93,6 +93,17 @@ INDEX_HTML = r"""<!DOCTYPE html>
       style="font-size:11px"></select></h3>
   <canvas id="spot" width="300" height="300"></canvas>
   <div id="metrics"></div>
+  <h3>Irradiance
+    <select id="irrres" style="font-size:11px">
+      <option>64</option><option selected>128</option><option>256</option>
+    </select>
+    <label style="font-size:11px"><input type="checkbox" id="irrlog"
+      checked> log</label>
+    <button onclick="doIrradiance()" style="font-size:11px">refresh</button>
+  </h3>
+  <img id="irr" width="300" height="300"
+       style="background:#101214;border:1px solid #2a2e35;border-radius:4px;display:none">
+  <div id="irrinfo" style="font-size:11px;color:#9aa"></div>
   <h3>Optimize</h3>
   <div class="row">
     <select id="loss"><option value="spot_size">spot size</option>
@@ -360,6 +371,22 @@ async function doTrace() {
     });
   $('metrics').innerHTML = mh + '</table>';
   st(`traced ${r.n_rays} rays, ${r.n_alive} alive`);
+}
+async function doIrradiance() {
+  st('binning irradiance…');
+  try {
+    const r = await post('/api/irradiance', {
+      sensor: +($('spotsel').value || 0),
+      res: +$('irrres').value, log: $('irrlog').checked});
+    if (r.error) { st('irradiance: ' + r.error); return; }
+    const img = $('irr');
+    img.src = 'data:image/png;base64,' + r.png;
+    img.style.display = 'block';
+    $('irrinfo').textContent =
+      `±${r.half_extent.toPrecision(3)} · total ${r.total.toFixed(1)}` +
+      ` · peak ${r.peak.toPrecision(3)} / cell`;
+    st('irradiance ok');
+  } catch (e) { st('irradiance failed: ' + e); }
 }
 let lastSpots = [];
 function drawSpots(spots) {

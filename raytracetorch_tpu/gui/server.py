@@ -269,6 +269,51 @@ class Workbench:
 
     # -- optimize --------------------------------------------------------------
 
+    def irradiance(self, sensor=0, res=128, half_extent=None, log=True):
+        """Sensor irradiance image (the north-star 'sensor irradiance
+        accumulation' view): re-trace with a [res, res] grid on the scene
+        — binned by one-hot MXU matmuls, core/sensor.py::_bin_grid, so a
+        full-resolution image costs about the same as the plain trace —
+        and return it as a false-color PNG.  ``half_extent=None``
+        auto-fits the window to centroid + 4 RMS of the selected
+        sensor's spot."""
+        if not self.scene.bundles:
+            raise ValueError("add a bundle (ray source) first")
+        k1, k2 = jax.random.split(self.key)
+        rays = self.scene.sample_rays(k1)
+        sensor = int(sensor)
+        if half_extent is None:
+            _, sensors, _ = self.scene.simulate(self.params, rays, k2)
+            c = np.asarray(sensors.centroid(sensor))
+            r = np.asarray(sensors.spot_rms(sensor))
+            half_extent = float(max(float(np.abs(c).max())
+                                    + 4.0 * float(r.max()), 1e-3))
+        old = (self.scene.grid_shape, self.scene.grid_half_extent)
+        try:
+            self.scene.grid_shape = (int(res), int(res))
+            self.scene.grid_half_extent = float(half_extent)
+            _, sensors, _ = self.scene.simulate(self.params, rays, k2)
+        finally:
+            self.scene.grid_shape, self.scene.grid_half_extent = old
+        g = np.asarray(sensors.grid[min(sensor, sensors.grid.shape[0] - 1)])
+        peak = float(g.max())
+        norm = g / max(peak, 1e-12)
+        if log:
+            norm = np.log1p(norm * 1e3) / np.log(1e3 + 1.0)
+        # compact inferno-style ramp (black -> purple -> orange -> white)
+        t = norm[..., None]
+        stops = np.asarray([[0.0, 0.0, 0.0], [0.35, 0.05, 0.38],
+                            [0.9, 0.35, 0.05], [0.98, 0.9, 0.55],
+                            [1.0, 1.0, 1.0]])
+        seg = np.clip(t * (len(stops) - 1), 0, len(stops) - 1 - 1e-6)
+        i0 = seg.astype(np.int32)
+        frac = seg - i0
+        rgb = stops[i0[..., 0]] * (1 - frac) + stops[i0[..., 0] + 1] * frac
+        png = encode_rgb(rgb[::-1])            # sensor-local +y up
+        return {'png': base64.b64encode(png).decode(),
+                'half_extent': float(half_extent),
+                'total': float(g.sum()), 'peak': peak, 'res': int(res)}
+
     def optimize(self, loss_kind='spot_size', steps=50, lr=1e-3,
                  f_target=None):
         scene = self.scene
@@ -596,6 +641,12 @@ def make_handler(wb: Workbench):
                 return wb.trace()
             if p == '/api/pick':
                 return wb.pick(float(body['x']), float(body['y']))
+            if p == '/api/irradiance':
+                return wb.irradiance(
+                    sensor=int(body.get('sensor', 0)),
+                    res=int(body.get('res', 128)),
+                    half_extent=body.get('half_extent'),
+                    log=bool(body.get('log', True)))
             if p == '/api/gizmo':
                 if body.get('begin'):     # one undo entry per drag gesture
                     wb.push_undo()

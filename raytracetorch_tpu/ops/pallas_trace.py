@@ -680,7 +680,8 @@ def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
     argmin-with-first-tie semantics exactly.  Returns the advanced state
     plus the winner info the callers accumulate sensors/grids from:
     ``(pos, d, intensity, Er, Ei, opl, n_cur, slot_sel, hitx, hity,
-    power_in, anyhit)``."""
+    power_in, anyhit, hitz)`` — hitz is None unless ``record`` (the
+    per-bounce hit recorder needs the full sensor-local vector)."""
     from ..constants import BIG
 
     shape = pos[0].shape

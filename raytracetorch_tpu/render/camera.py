@@ -13,26 +13,31 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import BIG, PhysKind
 from ..core.intersect import intersect, normal_world
 from ..rays.ray import Rays
 
-# Reference base colors (render/camera.py:270-301)
-_COLOR_REFLECT = jnp.array([1.0, 0.6, 0.0])
-_COLOR_BLOCK = jnp.array([0.2, 0.2, 0.2])
-_COLOR_TRANSMIT = jnp.array([0.0, 0.8, 0.2])
-_COLOR_OTHER = jnp.array([1.0, 0.0, 1.0])
+# Reference base colors (render/camera.py:270-301).  Plain numpy on
+# purpose: a module-scope jnp.array would initialize the DEFAULT backend
+# (axon/TPU in this container) at import time, before entry points like
+# ``python -m raytracetorch_tpu.gui --cpu`` get a chance to select the
+# CPU platform — every jitted consumer converts these at trace time.
+_COLOR_REFLECT = np.array([1.0, 0.6, 0.0], np.float32)
+_COLOR_BLOCK = np.array([0.2, 0.2, 0.2], np.float32)
+_COLOR_TRANSMIT = np.array([0.0, 0.8, 0.2], np.float32)
+_COLOR_OTHER = np.array([1.0, 0.0, 1.0], np.float32)
 
 # IOR colormap breakpoints (render/camera.py:282-298)
-_IOR_STOPS = jnp.array([1.0, 1.3, 1.4, 1.7, 2.0])
-_IOR_COLORS = jnp.array([
+_IOR_STOPS = np.array([1.0, 1.3, 1.4, 1.7, 2.0], np.float32)
+_IOR_COLORS = np.array([
     [0.9, 0.9, 0.9],   # white
     [0.0, 1.0, 1.0],   # cyan
     [0.3, 0.6, 1.0],   # blue
     [0.0, 0.0, 0.5],   # navy
     [0.3, 0.0, 0.3],   # purple
-])
+], np.float32)
 
 
 class Camera:

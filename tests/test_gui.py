@@ -280,3 +280,41 @@ def test_nested_emission_model_form(server):
     assert cfg['class'] == 'SolidAngleEmission'
     assert cfg['params']['cone_angle'] == pytest.approx(0.3)
     _post(base, '/api/bundle/delete', {'index': len(wb.scene.bundles) - 1})
+
+
+def test_irradiance_endpoint(server):
+    """/api/irradiance: sensor irradiance image via the one-hot MXU grid
+    binning — PNG payload, auto-fitted window, flux accounting."""
+    import base64 as b64
+    base, _ = server
+    r = _post(base, '/api/irradiance', {'res': 64, 'log': True})
+    assert r.get('error') is None, r
+    assert r['res'] == 64
+    png = b64.b64decode(r['png'])
+    assert png[:8] == b'\x89PNG\r\n\x1a\n'
+    assert r['total'] > 100.0          # most of the 2000 rays land
+    assert r['peak'] > 0
+    assert r['half_extent'] > 0
+    # explicit window override round-trips
+    r2 = _post(base, '/api/irradiance',
+               {'res': 32, 'half_extent': 2.0, 'log': False})
+    assert r2['half_extent'] == 2.0 and r2['res'] == 32
+
+
+def test_import_does_not_initialize_backend():
+    """Importing the package (incl. gui.server) must NOT initialize a jax
+    backend: a module-scope jnp.array would claim the container's default
+    axon/TPU backend at import time, before entry points like
+    ``python -m raytracetorch_tpu.gui --cpu`` can select CPU (regression:
+    render/camera.py's color constants used to do exactly that)."""
+    import subprocess
+    import sys
+    code = (
+        "import jax\n"
+        "import raytracetorch_tpu\n"
+        "import raytracetorch_tpu.gui.server\n"
+        "import sys\n"
+        "sys.exit(1 if jax._src.xla_bridge._backends else 0)\n")
+    r = subprocess.run([sys.executable, '-c', code], cwd='/root/repo',
+                       capture_output=True, timeout=240)
+    assert r.returncode == 0, (r.stdout, r.stderr)
