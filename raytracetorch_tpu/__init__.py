@@ -44,6 +44,7 @@ from .scene.scene import describe
 from .utils.coatings import coating_rt, unpolarized_reflectance
 from .utils.glass import glass, glass_pair
 from .utils.tolerancing import monte_carlo_tolerance, per_ray_perturbed_trace
+from .utils.imaging import convolve_psf, simulate_image
 from .utils.psf import (diffraction_mtf, diffraction_psf,
                         polychromatic_psf, pupil_from_trace, strehl_ratio)
 from .utils.wavefront import best_focus, wavefront_rms
