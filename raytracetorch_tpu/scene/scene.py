@@ -388,6 +388,14 @@ class SequentialScene(Scene):
             m_sys = mm(all_m[i + 1], m_sys)
         return m_sys
 
+    def seidel(self, params, aperture, field, **kw):
+        """Third-order aberration report (utils/seidel.py): marginal+chief
+        paraxial trace -> S_I..S_V, C_I/C_II, per-surface breakdown.
+        Differentiable w.r.t. ``params`` — Seidel sums work as design
+        targets.  See :func:`raytracetorch_tpu.utils.seidel.seidel`."""
+        from ..utils.seidel import seidel as _seidel
+        return _seidel(self, params, aperture, field, **kw)
+
     def to_base(self):
         base = Scene(self.elements, n_bounces=self.n_bounces)
         base.bundles = list(self.bundles)
