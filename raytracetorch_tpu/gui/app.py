@@ -104,6 +104,14 @@ INDEX_HTML = r"""<!DOCTYPE html>
   <img id="irr" width="300" height="300"
        style="background:#101214;border:1px solid #2a2e35;border-radius:4px;display:none">
   <div id="irrinfo" style="font-size:11px;color:#9aa"></div>
+  <h3>Aberrations
+    <input type="number" id="sd-ap" placeholder="aperture" step="any"
+      style="width:58px;font-size:11px" title="marginal-ray height at the stop">
+    <input type="number" id="sd-field" value="0.02" step="any"
+      style="width:48px;font-size:11px" title="chief-ray slope (field)">
+    <button onclick="doSeidel()" style="font-size:11px">refresh</button>
+  </h3>
+  <div id="seidel" style="font-size:11px"></div>
   <h3>Optimize</h3>
   <div class="row">
     <select id="loss"><option value="spot_size">spot size</option>
@@ -387,6 +395,31 @@ async function doIrradiance() {
       ` · peak ${r.peak.toPrecision(3)} / cell`;
     st('irradiance ok');
   } catch (e) { st('irradiance failed: ' + e); }
+}
+async function doSeidel() {
+  st('seidel…');
+  try {
+    const body = {field: +($('sd-field').value || 0.02)};
+    if ($('sd-ap').value !== '') body.aperture = +$('sd-ap').value;
+    const r = await post('/api/seidel', body);
+    const cols = ['S_I','S_II','S_III','S_IV','S_V','C_I','C_II'];
+    let h = '<table><tr><th style="text-align:left">surf</th>' +
+      cols.map(c=>`<th>${c}</th>`).join('') + '</tr>';
+    for (const s of r.surfaces)
+      h += `<tr><td style="text-align:left">${s.label}</td>` +
+        cols.map(c=>`<td>${s[c].toExponential(1)}</td>`).join('') + '</tr>';
+    h += `<tr><td style="text-align:left"><b>total</b></td>` +
+      cols.map(c=>`<td><b>${r.totals[c].toExponential(1)}</b></td>`).join('') +
+      '</tr></table>';
+    h += `<div style="color:#9aa;margin-top:4px">` +
+      `image z ${r.z_image.toFixed(4)} · ap ${r.aperture.toPrecision(3)}` +
+      ` · field ${r.field}</div><table>` +
+      Object.entries(r.derived).map(([k,v]) =>
+        `<tr><td style="text-align:left">${k.replace(/_/g,' ')}</td>` +
+        `<td>${v.toExponential(3)}</td></tr>`).join('') + '</table>';
+    $('seidel').innerHTML = h;
+    st('seidel ok');
+  } catch (e) { st('seidel failed: ' + e); }
 }
 let lastSpots = [];
 function drawSpots(spots) {

@@ -314,6 +314,48 @@ class Workbench:
                 'half_extent': float(half_extent),
                 'total': float(g.sum()), 'peak': peak, 'res': int(res)}
 
+    def seidel(self, aperture=None, field=0.02):
+        """Third-order aberration report of the current sequential scene
+        (utils/seidel.py): per-surface S_I..S_V + C_I/C_II rows, totals,
+        and the real-ray-calibrated image-plane conversions.  ``aperture``
+        defaults to the first CircularAperture's radius, else the largest
+        element semi-diameter."""
+        if not self.scene.sequential:
+            raise ValueError("Seidel analysis needs a sequential scene")
+        if aperture is None:
+            from ..elements.aperture import CircularAperture
+            for el in self.scene.elements:
+                if isinstance(el, CircularAperture):
+                    aperture = float(np.asarray(
+                        self.params[el.name]['radius']))
+                    break
+        if aperture is None:
+            ds = [float(getattr(el, 'd', 0.0) or 0.0)
+                  for el in self.scene.elements if not el.is_sensor]
+            aperture = max(ds) / 2.0 if ds and max(ds) > 0 else 1.0
+        rep = self.scene.seidel(self.params, aperture=float(aperture),
+                                field=float(field))
+        surfaces = [
+            {'label': lab,
+             **{k: float(np.asarray(getattr(rep, a))[i])
+                for k, a in (('S_I', 's1'), ('S_II', 's2'), ('S_III', 's3'),
+                             ('S_IV', 's4'), ('S_V', 's5'),
+                             ('C_I', 'c1'), ('C_II', 'c2'))}}
+            for i, lab in enumerate(rep.labels)]
+        totals = {k: float(getattr(rep, k))
+                  for k in ('S_I', 'S_II', 'S_III', 'S_IV', 'S_V',
+                            'C_I', 'C_II')}
+        derived = {k: float(getattr(rep, k)) for k in (
+            'transverse_spherical', 'coma_tangential', 'astigmatism_ts',
+            'field_curvature_sagittal', 'field_curvature_tangential',
+            'petzval_curvature', 'distortion_transverse',
+            'axial_color_longitudinal', 'lateral_color_transverse')}
+        return {'surfaces': surfaces, 'totals': totals, 'derived': derived,
+                'wavefront': {k: float(v)
+                              for k, v in rep.wavefront_coeffs.items()},
+                'z_image': float(rep.z_image), 'H': float(rep.H),
+                'aperture': float(aperture), 'field': float(field)}
+
     def optimize(self, loss_kind='spot_size', steps=50, lr=1e-3,
                  f_target=None):
         scene = self.scene
@@ -647,6 +689,9 @@ def make_handler(wb: Workbench):
                     res=int(body.get('res', 128)),
                     half_extent=body.get('half_extent'),
                     log=bool(body.get('log', True)))
+            if p == '/api/seidel':
+                return wb.seidel(aperture=body.get('aperture'),
+                                 field=float(body.get('field', 0.02)))
             if p == '/api/gizmo':
                 if body.get('begin'):     # one undo entry per drag gesture
                     wb.push_undo()

@@ -301,6 +301,28 @@ def test_irradiance_endpoint(server):
     assert r2['half_extent'] == 2.0 and r2['res'] == 32
 
 
+def test_seidel_endpoint(server):
+    """/api/seidel: third-order aberration report of the live scene —
+    per-surface rows, totals matching a direct utils/seidel.py call,
+    aperture defaulting to the stop radius."""
+    base, wb = server
+    r = _post(base, '/api/seidel', {'field': 0.02})
+    assert r.get('error') is None, r
+    assert r['aperture'] == 5.0                    # from the stop element
+    assert [s['label'] for s in r['surfaces']] == ['lens[0]', 'lens[1]']
+    rep = wb.scene.seidel(wb.params, aperture=5.0, field=0.02)
+    assert np.isclose(r['totals']['S_I'], float(rep.S_I), rtol=1e-6)
+    assert np.isclose(r['z_image'], float(rep.z_image), rtol=1e-6)
+    assert np.isclose(sum(s['S_II'] for s in r['surfaces']),
+                      r['totals']['S_II'], rtol=1e-5)
+    assert set(r['wavefront']) == {'W040', 'W131', 'W222', 'W220', 'W311'}
+    assert 'petzval_curvature' in r['derived']
+    # explicit aperture override
+    r2 = _post(base, '/api/seidel', {'aperture': 2.0, 'field': 0.02})
+    assert r2['aperture'] == 2.0
+    assert abs(r2['totals']['S_I']) < abs(r['totals']['S_I'])  # ~y^4 scaling
+
+
 def test_import_does_not_initialize_backend():
     """Importing the package (incl. gui.server) must NOT initialize a jax
     backend: a module-scope jnp.array would claim the container's default
