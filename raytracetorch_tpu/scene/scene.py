@@ -396,6 +396,15 @@ class SequentialScene(Scene):
         from ..utils.seidel import seidel as _seidel
         return _seidel(self, params, aperture, field, **kw)
 
+    def field_scan(self, params, fields, **kw):
+        """Real-ray field analysis (utils/fieldscan.py): astigmatic field
+        curves z_T/z_S, distortion and relative illumination across a fan
+        of field angles, in one batched trace.  Differentiable focus /
+        distortion outputs.  See
+        :func:`raytracetorch_tpu.utils.fieldscan.field_scan`."""
+        from ..utils.fieldscan import field_scan as _fs
+        return _fs(self, params, fields, **kw)
+
     def to_base(self):
         base = Scene(self.elements, n_bounces=self.n_bounces)
         base.bundles = list(self.bundles)
