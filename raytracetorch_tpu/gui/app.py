@@ -411,6 +411,13 @@ async function doSeidel() {
     h += `<tr><td style="text-align:left"><b>total</b></td>` +
       cols.map(c=>`<td><b>${r.totals[c].toExponential(1)}</b></td>`).join('') +
       '</tr></table>';
+    const fo = r.first_order;
+    h += `<div style="color:#9aa;margin-top:4px">` +
+      `EFL ${fo.efl.toPrecision(5)} · f/${fo.fno.toPrecision(3)}` +
+      ` · NA ${fo.na_image.toPrecision(3)} · BFL ${fo.bfl.toPrecision(4)}` +
+      `<br>EnP ${fo.enp_z.toPrecision(4)} (r ${fo.enp_semi.toPrecision(3)})` +
+      ` · ExP ${fo.exp_z.toPrecision(4)} (r ${fo.exp_semi.toPrecision(3)})` +
+      `</div>`;
     h += `<div style="color:#9aa;margin-top:4px">` +
       `image z ${r.z_image.toFixed(4)} · ap ${r.aperture.toPrecision(3)}` +
       ` · field ${r.field}</div><table>` +

@@ -350,9 +350,15 @@ class Workbench:
             'field_curvature_sagittal', 'field_curvature_tangential',
             'petzval_curvature', 'distortion_transverse',
             'axial_color_longitudinal', 'lateral_color_transverse')}
+        fo = self.scene.first_order(self.params, aperture=float(aperture),
+                                    field=float(field))
+        gaussian = {k: float(getattr(fo, k)) for k in (
+            'efl', 'bfl', 'ffl', 'enp_z', 'enp_semi', 'exp_z', 'exp_semi',
+            'fno', 'na_image')}
         return {'surfaces': surfaces, 'totals': totals, 'derived': derived,
                 'wavefront': {k: float(v)
                               for k, v in rep.wavefront_coeffs.items()},
+                'first_order': gaussian,
                 'z_image': float(rep.z_image), 'H': float(rep.H),
                 'aperture': float(aperture), 'field': float(field)}
 

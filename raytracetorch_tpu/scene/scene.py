@@ -396,6 +396,21 @@ class SequentialScene(Scene):
         from ..utils.seidel import seidel as _seidel
         return _seidel(self, params, aperture, field, **kw)
 
+    def first_order(self, params, **kw):
+        """Gaussian system report (utils/firstorder.py): EFL/BFL/FFL,
+        principal planes, entrance/exit pupils, F-number, NA, Lagrange
+        invariant — differentiable scalars.  See
+        :func:`raytracetorch_tpu.utils.firstorder.first_order`."""
+        from ..utils.firstorder import first_order as _fo
+        return _fo(self, params, **kw)
+
+    def ray_fan(self, params, **kw):
+        """Transverse ray-fan analysis (utils/firstorder.py): tangential
+        + sagittal aberration fans vs relative pupil height at a field.
+        See :func:`raytracetorch_tpu.utils.firstorder.ray_fan`."""
+        from ..utils.firstorder import ray_fan as _rf
+        return _rf(self, params, **kw)
+
     def field_scan(self, params, fields, **kw):
         """Real-ray field analysis (utils/fieldscan.py): astigmatic field
         curves z_T/z_S, distortion and relative illumination across a fan

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .seidel import _stop_segment, _y_at, paraxial_prescription, paraxial_ray
+from .seidel import _resolve_stop, _y_at, paraxial_prescription, paraxial_ray
 
 _GOLDEN = 2.399963229728653  # radians
 
@@ -100,18 +100,7 @@ def field_scan(scene, params, fields, aperture=None, wavelength=None,
     discrete count (piecewise-constant gradients).
     """
     surfs, ap_stop_z, stop_r, _ = paraxial_prescription(scene, params)
-    if stop_z is None and stop_after is None:
-        stop_z = ap_stop_z if ap_stop_z is not None else surfs[0].z
-        seg = _stop_segment(surfs, stop_z, None)
-    elif stop_after is not None:
-        cands = [s.z for s in surfs
-                 if s.label.rsplit('[', 1)[0] == stop_after]
-        if not cands:
-            raise KeyError(f"no optical element named {stop_after!r}")
-        stop_z = cands[-1]
-        seg = _stop_segment(surfs, None, stop_after)
-    else:
-        seg = _stop_segment(surfs, stop_z, None)
+    stop_z, seg = _resolve_stop(surfs, ap_stop_z, stop_z, stop_after)
     if aperture is None:
         aperture = stop_r
     if aperture is None:

@@ -246,6 +246,21 @@ def _y_at(surfs, ys, u_outs, u0, z, seg):
     return ys[seg - 1] + (z - surfs[seg - 1].z) * u_outs[seg - 1]
 
 
+def _resolve_stop(surfs, ap_stop_z, stop_z, stop_after):
+    """Shared stop resolution (seidel / field_scan / first_order):
+    returns ``(stop_z, seg)`` from an explicit plane, an element name, the
+    scene's aperture element, or the first vertex — in that priority."""
+    if stop_z is None and stop_after is not None:
+        cands = [s.z for s in surfs
+                 if s.label.rsplit('[', 1)[0] == stop_after]
+        if not cands:
+            raise KeyError(f"no optical element named {stop_after!r}")
+        return cands[-1], _stop_segment(surfs, None, stop_after)
+    if stop_z is None:
+        stop_z = ap_stop_z if ap_stop_z is not None else surfs[0].z
+    return stop_z, _stop_segment(surfs, stop_z, stop_after)
+
+
 def _stop_segment(surfs, stop_z, stop_after_label):
     """Which inter-surface gap holds the stop.  With ``stop_after_label``
     (an element name) the gap is structural; otherwise locate by z
@@ -418,18 +433,7 @@ def seidel(scene, params, aperture, field, object_z=None, stop_z=None,
     """
     surfs, ap_stop_z, _, _ = paraxial_prescription(
         scene, params, lines=lines, axis_direction=axis_direction)
-    if stop_z is None and stop_after is not None:
-        # stop plane at the named element's exit: use its last surface z
-        cands = [s.z for s in surfs
-                 if s.label.rsplit('[', 1)[0] == stop_after]
-        if not cands:
-            raise KeyError(f"no optical element named {stop_after!r}")
-        stop_z = cands[-1]
-        seg = _stop_segment(surfs, None, stop_after)
-    else:
-        if stop_z is None:
-            stop_z = ap_stop_z if ap_stop_z is not None else surfs[0].z
-        seg = _stop_segment(surfs, stop_z, stop_after)
+    stop_z, seg = _resolve_stop(surfs, ap_stop_z, stop_z, stop_after)
 
     # Two basis rays from the first-surface plane span all paraxial rays.
     yP, uP_in, uP_out, _ = paraxial_ray(surfs, 1.0, 0.0)

@@ -317,6 +317,9 @@ def test_seidel_endpoint(server):
                       r['totals']['S_II'], rtol=1e-5)
     assert set(r['wavefront']) == {'W040', 'W131', 'W222', 'W220', 'W311'}
     assert 'petzval_curvature' in r['derived']
+    fo = wb.scene.first_order(wb.params, aperture=5.0, field=0.02)
+    assert np.isclose(r['first_order']['efl'], float(fo.efl), rtol=1e-6)
+    assert np.isclose(r['first_order']['fno'], float(fo.fno), rtol=1e-6)
     # explicit aperture override
     r2 = _post(base, '/api/seidel', {'aperture': 2.0, 'field': 0.02})
     assert r2['aperture'] == 2.0
