@@ -44,6 +44,7 @@ from .scene.scene import describe
 from .utils.coatings import coating_rt, unpolarized_reflectance
 from .utils.glass import glass, glass_pair
 from .utils.fieldscan import FieldScan, field_scan
+from .utils.focus import best_focus_plane, refocus, through_focus_rms
 from .utils.firstorder import FirstOrder, RayFan, first_order, ray_fan
 from .utils.seidel import SeidelReport, paraxial_prescription, seidel, seidel_table
 from .utils.tolerancing import monte_carlo_tolerance, per_ray_perturbed_trace
