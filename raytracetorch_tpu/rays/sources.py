@@ -42,13 +42,17 @@ class Bundle(struct.PyTreeNode):
     def sample_dir(self, key, n):
         return jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
 
-    def sample(self, key, n) -> Rays:
+    def sample(self, key, n, dtype=jnp.float32) -> Rays:
+        """Draw n rays.  ``dtype`` sets the ray precision (pass
+        jnp.float64 under jax.enable_x64 to match f64 scene params — the
+        sensor record otherwise downcasts, see tests/test_x64.py)."""
         kp, kd = jax.random.split(key)
         pos = self.sample_pos(kp, n)
         direction = self.sample_dir(kd, n)
         pos_g, dir_g = self.frame.place(pos, direction)
-        wl = jnp.full((n,), self.wavelength, jnp.float32)
-        return Rays.create(pos_g, dir_g, ray_id=self.ray_id, wavelength=wl)
+        wl = jnp.full((n,), self.wavelength, dtype)
+        return Rays.create(pos_g, dir_g, ray_id=self.ray_id, wavelength=wl,
+                           dtype=dtype)
 
 
 def disk_sample(key, n, r_inner2, r_outer2, theta_min=0.0, theta_max=TWO_PI):
@@ -172,7 +176,7 @@ class LambertianSphere(Bundle):
 
     radius: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
 
-    def sample(self, key, n):
+    def sample(self, key, n, dtype=jnp.float32):
         kp, kd = jax.random.split(key)
         k1, k2 = jax.random.split(kp)
         cos_t = 2.0 * jax.random.uniform(k1, (n,)) - 1.0
@@ -188,8 +192,9 @@ class LambertianSphere(Bundle):
                 + local[:, 2:3] * normals)
 
         pos_g, dir_g = self.frame.place(pos, dirs)
-        wl = jnp.full((n,), self.wavelength, jnp.float32)
-        return Rays.create(pos_g, dir_g, ray_id=self.ray_id, wavelength=wl)
+        wl = jnp.full((n,), self.wavelength, dtype)
+        return Rays.create(pos_g, dir_g, ray_id=self.ray_id, wavelength=wl,
+                           dtype=dtype)
 
 
 class RayleighScatter(Bundle):
