@@ -112,6 +112,18 @@ INDEX_HTML = r"""<!DOCTYPE html>
     <button onclick="doSeidel()" style="font-size:11px">refresh</button>
   </h3>
   <div id="seidel" style="font-size:11px"></div>
+  <h3>Field / fans
+    <input type="number" id="fc-max" value="0.05" step="any"
+      style="width:48px;font-size:11px" title="max field slope">
+    <input type="number" id="rf-field" value="0.0" step="any"
+      style="width:44px;font-size:11px" title="fan field slope">
+    <button onclick="doCurves()" style="font-size:11px">refresh</button>
+  </h3>
+  <canvas id="fieldcurves" width="300" height="110"
+    style="background:#101214;border:1px solid #2a2e35;border-radius:4px"></canvas>
+  <canvas id="rayfan" width="300" height="110"
+    style="background:#101214;border:1px solid #2a2e35;border-radius:4px;margin-top:3px"></canvas>
+  <div id="fcinfo" style="font-size:11px;color:#9aa"></div>
   <h3>Optimize</h3>
   <div class="row">
     <select id="loss"><option value="spot_size">spot size</option>
@@ -427,6 +439,62 @@ async function doSeidel() {
     $('seidel').innerHTML = h;
     st('seidel ok');
   } catch (e) { st('seidel failed: ' + e); }
+}
+function plotXY(cv, series, title) {
+  // series: [{x:[], y:[], color, label}] — autoscaled line chart
+  const c = cv.getContext('2d');
+  c.fillStyle = '#101214'; c.fillRect(0,0,cv.width,cv.height);
+  let xs = [], ys = [];
+  series.forEach(s => { xs = xs.concat(s.x); ys = ys.concat(s.y); });
+  if (!xs.length) return;
+  const xlo = Math.min(...xs), xhi = Math.max(...xs);
+  const ylo = Math.min(...ys, 0), yhi = Math.max(...ys, 0);
+  const X = x => 28 + (x - xlo)/Math.max(xhi - xlo, 1e-30) * (cv.width - 36);
+  const Y = y => cv.height - 14 - (y - ylo)/Math.max(yhi - ylo, 1e-30) * (cv.height - 24);
+  c.strokeStyle = '#2a2e35';
+  c.beginPath(); c.moveTo(X(Math.min(Math.max(0, xlo), xhi)), 8);
+  c.lineTo(X(Math.min(Math.max(0, xlo), xhi)), cv.height - 12); c.stroke();
+  c.beginPath(); c.moveTo(26, Y(0)); c.lineTo(cv.width - 6, Y(0)); c.stroke();
+  for (const s of series) {
+    c.strokeStyle = s.color; c.beginPath();
+    s.x.forEach((x, i) => i ? c.lineTo(X(x), Y(s.y[i])) : c.moveTo(X(x), Y(s.y[i])));
+    c.stroke();
+  }
+  c.fillStyle = '#8b93a1'; c.fillText(title, 6, 11);
+  let lx = cv.width - 6;
+  for (const s of [...series].reverse()) {
+    if (!s.label) continue;
+    lx -= c.measureText(s.label).width + 10;
+    c.fillStyle = s.color; c.fillText(s.label, lx, 11);
+  }
+  c.fillStyle = '#566'; c.font = '9px sans-serif';
+  c.fillText(yhi.toExponential(1), 2, 20);
+  c.fillText(ylo.toExponential(1), 2, cv.height - 4);
+  c.font = '10px sans-serif';
+}
+async function doCurves() {
+  st('field scan…');
+  try {
+    const fs = await post('/api/fieldscan', {max_field: +val('fc-max')});
+    plotXY($('fieldcurves'), [
+      {x: fs.fields, y: fs.field_t, color: '#6fd3ff', label: 'T'},
+      {x: fs.fields, y: fs.field_s, color: '#ffb347', label: 'S'},
+      {x: fs.fields, y: fs.distortion_pct, color: '#9dff6f', label: 'dist%'},
+    ], 'field curves');
+    const rf = await post('/api/rayfan', {field: +val('rf-field')});
+    const t = {x: [], y: []}, s = {x: [], y: []};
+    rf.pupil.forEach((p, i) => {
+      if (rf.alive_t[i]) { t.x.push(p); t.y.push(rf.ey_t[i]); }
+      if (rf.alive_s[i]) { s.x.push(p); s.y.push(rf.ex_s[i]); }
+    });
+    plotXY($('rayfan'), [
+      {x: t.x, y: t.y, color: '#6fd3ff', label: 'ey T'},
+      {x: s.x, y: s.y, color: '#ffb347', label: 'ex S'},
+    ], `ray fan @ field ${val('rf-field')}`);
+    $('fcinfo').textContent = `image z ${fs.z_image.toFixed(4)} · ` +
+      `rel illum ${fs.rel_illumination[fs.rel_illumination.length-1].toFixed(3)} at max field`;
+    st('field scan ok');
+  } catch (e) { st('field scan failed: ' + e); }
 }
 let lastSpots = [];
 function drawSpots(spots) {

@@ -362,6 +362,33 @@ class Workbench:
                 'z_image': float(rep.z_image), 'H': float(rep.H),
                 'aperture': float(aperture), 'field': float(field)}
 
+    def fieldscan(self, max_field=0.05, n_fields=9, aperture=None):
+        """Astigmatic field curves + distortion + vignetting across the
+        field (utils/fieldscan.py) for the curves panel."""
+        if not self.scene.sequential:
+            raise ValueError("field scan needs a sequential scene")
+        fields = jnp.linspace(1e-4, float(max_field), int(n_fields))
+        fs = self.scene.field_scan(self.params, fields, aperture=aperture)
+        return {'fields': _tolist(fs.fields),
+                'field_t': _tolist(fs.field_t),
+                'field_s': _tolist(fs.field_s),
+                'distortion_pct': _tolist(fs.distortion_pct),
+                'rel_illumination': _tolist(fs.rel_illumination),
+                'z_image': float(fs.z_image)}
+
+    def rayfan(self, field=0.0, aperture=None, n=33):
+        """Tangential/sagittal transverse-aberration fans
+        (utils/firstorder.py::ray_fan) for the fan panel."""
+        if not self.scene.sequential:
+            raise ValueError("ray fans need a sequential scene")
+        fan = self.scene.ray_fan(self.params, field=float(field),
+                                 aperture=aperture, n=int(n))
+        return {'pupil': _tolist(fan.pupil),
+                'ey_t': _tolist(fan.ey_t), 'ex_s': _tolist(fan.ex_s),
+                'alive_t': _tolist(fan.alive_t),
+                'alive_s': _tolist(fan.alive_s),
+                'z_image': float(fan.z_image)}
+
     def optimize(self, loss_kind='spot_size', steps=50, lr=1e-3,
                  f_target=None):
         scene = self.scene
@@ -698,6 +725,15 @@ def make_handler(wb: Workbench):
             if p == '/api/seidel':
                 return wb.seidel(aperture=body.get('aperture'),
                                  field=float(body.get('field', 0.02)))
+            if p == '/api/fieldscan':
+                return wb.fieldscan(
+                    max_field=float(body.get('max_field', 0.05)),
+                    n_fields=int(body.get('n_fields', 9)),
+                    aperture=body.get('aperture'))
+            if p == '/api/rayfan':
+                return wb.rayfan(field=float(body.get('field', 0.0)),
+                                 aperture=body.get('aperture'),
+                                 n=int(body.get('n', 33)))
             if p == '/api/gizmo':
                 if body.get('begin'):     # one undo entry per drag gesture
                     wb.push_undo()

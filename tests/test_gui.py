@@ -326,6 +326,23 @@ def test_seidel_endpoint(server):
     assert abs(r2['totals']['S_I']) < abs(r['totals']['S_I'])  # ~y^4 scaling
 
 
+def test_fieldscan_and_rayfan_endpoints(server):
+    """/api/fieldscan and /api/rayfan: curve data matching direct calls
+    to the analysis layer."""
+    import jax.numpy as jnp
+    base, wb = server
+    r = _post(base, '/api/fieldscan', {'max_field': 0.04, 'n_fields': 5})
+    assert len(r['fields']) == 5 and len(r['field_t']) == 5
+    fs = wb.scene.field_scan(wb.params, jnp.linspace(1e-4, 0.04, 5))
+    assert np.allclose(r['field_t'], np.asarray(fs.field_t), rtol=1e-5)
+    assert np.allclose(r['distortion_pct'],
+                       np.asarray(fs.distortion_pct), rtol=1e-4, atol=1e-8)
+    f = _post(base, '/api/rayfan', {'field': 0.0, 'n': 9})
+    assert len(f['pupil']) == 9
+    ey = np.asarray(f['ey_t'])
+    assert np.allclose(ey, -ey[::-1], atol=1e-6)     # on-axis fan is odd
+
+
 def test_import_does_not_initialize_backend():
     """Importing the package (incl. gui.server) must NOT initialize a jax
     backend: a module-scope jnp.array would claim the container's default
