@@ -37,6 +37,8 @@ from .optim.constraints import (spacing_constraint, system_length_constraint,
                                 thickness_constraint)
 from .optim.fit import fit, fit_lbfgs, fit_lm
 from .optim.goals import focal_length_loss, spot_size_loss, spot_target_loss
+from .optim.multiconfig import (config_params, config_sweep,
+                                multiconfig_loss, stack_configs)
 from .project import (load_params, load_project, load_scene, save_params,
                       save_project)
 from .scene.scene import Scene, SequentialScene
