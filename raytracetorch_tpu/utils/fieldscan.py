@@ -72,9 +72,73 @@ class FieldScan(struct.PyTreeNode):
         return self.z_tangential - self.z_sagittal
 
 
+def _stop_crossing(paths, stop_z):
+    """(x, y) where each recorded ray path crosses the plane z = stop_z,
+    by monotone-z polyline interpolation over ``paths`` [S+1, R, 3].
+
+    Returns ``(xy [R, 2], found [R] bool)``.  Valid for centered unfolded
+    systems (the same restriction as locating a stop by z,
+    :func:`seidel._stop_segment`): path z is non-decreasing, so the
+    crossing segment is unique.  Rays blocked before the stop never cross
+    (``found`` False) — callers keep their paraxial aim."""
+    a, b = paths[:-1], paths[1:]                        # [S, R, 3]
+    az, bz = a[..., 2], b[..., 2]
+    # inclusive at both ends (the stop's own aperture row may be the LAST
+    # recorded point); first-hit mask de-duplicates a crossing landing
+    # exactly on a shared path vertex
+    hit = (az <= stop_z) & (bz >= stop_z)               # [S, R]
+    first = hit & (jnp.cumsum(hit.astype(jnp.int32), 0) == 1)
+    dz = jnp.where(jnp.abs(bz - az) < 1e-30, 1e-30, bz - az)
+    frac = ((stop_z - az) / dz)[..., None]
+    xy = a[..., :2] + frac * (b[..., :2] - a[..., :2])  # [S, R, 2]
+    w = first.astype(xy.dtype)[..., None]
+    return jnp.sum(xy * w, 0), jnp.any(hit, 0)
+
+
+def _aim(scene, params, pos, dirs, targets, ys_p, stop_z, key, lam,
+         n_iter, dtype):
+    """Real-ray pupil aiming: Newton-refine launch (x, y) so each traced
+    ray crosses the stop plane at ``targets`` [R, 2].
+
+    The first step uses the paraxial Jacobian — a zero-slope launch shift
+    of d moves the stop crossing by ``ys_p * d`` (the P basis ray's stop
+    height for unit height at the first vertex).  Subsequent steps secant-
+    update the Jacobian per ray and coordinate from the last two traces
+    (the paraxial slope can be off by >10% on fast lenses at wide field,
+    where a fixed-Jacobian iteration contracts slowly).  Differentiable
+    (fixed unrolled iterations of pure traced functions)."""
+    from ..rays.ray import Rays
+    inv_j0 = 1.0 / jnp.where(jnp.abs(ys_p) < 1e-12, 1e-12, ys_p)
+    stop_z = jnp.asarray(stop_z, dtype)
+
+    def trace_xy(pos_):
+        rays = Rays.create(pos_, dirs, wavelength=lam, dtype=dtype)
+        _, _, aux = scene.simulate(params, rays, key, record_paths=True)
+        return _stop_crossing(aux['paths'], stop_z)
+
+    xy, found = trace_xy(pos)
+    err = xy - targets
+    pos_next = pos.at[:, :2].add(
+        jnp.where(found[:, None], -err * inv_j0, 0.0))
+    for _ in range(n_iter - 1):
+        xy1, found1 = trace_xy(pos_next)
+        err1 = xy1 - targets
+        d_pos = pos_next[:, :2] - pos[:, :2]
+        d_err = err1 - err
+        # per-ray, per-coordinate secant slope; fall back to the paraxial
+        # slope where the coordinate didn't move (e.g. a centered x)
+        ok = (jnp.abs(d_pos) > 1e-14) & (jnp.abs(d_err) > 1e-14)
+        inv_j = jnp.where(ok, d_pos / jnp.where(ok, d_err, 1.0), inv_j0)
+        pos, err = pos_next, err1
+        pos_next = pos_next.at[:, :2].add(
+            jnp.where(found1[:, None], -err1 * inv_j, 0.0))
+    return pos_next
+
+
 def field_scan(scene, params, fields, aperture=None, wavelength=None,
                n_pupil=64, rel_probe=0.02, z_start=None, stop_z=None,
-               stop_after=None, key=None, dtype=None):
+               stop_after=None, key=None, dtype=None, aiming='paraxial',
+               n_aim_iter=3):
     """Scan a centered SequentialScene across field angles with real rays.
 
     Parameters
@@ -94,6 +158,14 @@ def field_scan(scene, params, fields, aperture=None, wavelength=None,
         first vertex.
     stop_z / stop_after : stop override, as in :func:`seidel`.
     key : PRNG key for stochastic physics (Fresnel MC); default 0.
+    aiming : 'paraxial' (default) launches every probe from the linear
+        two-basis-ray solve; 'real' Newton-refines each launch with
+        ``n_aim_iter`` extra traced iterations until the REAL ray crosses
+        the stop at its target height — the classic "ray aiming" that
+        keeps wide-angle scans honest when pupil aberration makes the
+        paraxial aim miss the stop (chief rays then sample the wrong
+        pupil zone, skewing distortion and vignetting).  Differentiable
+        either way.
 
     Returns a :class:`FieldScan`.  Focus/distortion outputs are
     differentiable w.r.t. ``params``; the illumination fraction is a
@@ -177,9 +249,25 @@ def field_scan(scene, params, fields, aperture=None, wavelength=None,
     from ..rays.ray import Rays
     lam = (None if wavelength is None
            else jnp.full((pos.shape[0],), wavelength, dtype))
-    rays = Rays.create(pos, dirs, wavelength=lam, dtype=dtype)
     if key is None:
         key = jax.random.PRNGKey(0)
+
+    if aiming == 'real':
+        # stop-plane target (x, y) per probe, in pos/dirs row order:
+        # [chief xF, T+dh xF, T-dh xF, sagittal xF, disk xF*P]
+        zF = jnp.zeros((F,), dtype)
+        tx = [zF, zF, zF, jnp.full((F,), dh, dtype)]
+        ty = [zF, jnp.full((F,), dh, dtype), jnp.full((F,), -dh, dtype), zF]
+        if n_pupil:
+            tx.append(jnp.broadcast_to(hx[None], (F, n_pupil)).reshape(-1))
+            ty.append(jnp.broadcast_to(hy[None], (F, n_pupil)).reshape(-1))
+        targets = jnp.stack([jnp.concatenate(tx), jnp.concatenate(ty)], -1)
+        pos = _aim(scene, params, pos, dirs, targets, YsP, stop_z, key,
+                   lam, n_aim_iter, dtype)
+    elif aiming != 'paraxial':
+        raise ValueError(f"aiming must be 'paraxial' or 'real': {aiming!r}")
+
+    rays = Rays.create(pos, dirs, wavelength=lam, dtype=dtype)
     out, _, _ = scene.simulate(params, rays, key)
 
     px, py, pz = out.px, out.py, out.pz

@@ -147,3 +147,119 @@ def test_rect_aperture_scene_rejected_by_prescription():
         p = sc.init_params(jnp.float64)
         fs = field_scan(sc, p, jnp.asarray([1e-3]), n_pupil=16)
         assert np.isfinite(float(fs.z_sagittal[0]))
+
+
+# ---------------------------------------------------------------------------
+# Real-ray pupil aiming (aiming='real')
+# ---------------------------------------------------------------------------
+
+def _strong_scene():
+    els = [SingletLens(c1=0.08, c2=-0.08, d=10.0, t=3.5, ior_glass=N_G,
+                       name='L'),
+           CircularAperture(radius=3.0, translation=(0, 0, 4.0),
+                            name='stop')]
+    return SequentialScene(els)
+
+
+def test_real_aiming_centers_chief_on_stop():
+    # A strong lens ahead of the stop bends the chief nonlinearly (pupil
+    # aberration): the paraxial aim misses the stop center at wide field;
+    # 3 Newton iterations land it to float precision.
+    from raytracetorch_tpu.rays.ray import Rays
+    from raytracetorch_tpu.utils.fieldscan import _aim, _stop_crossing
+    from raytracetorch_tpu.utils.seidel import (_resolve_stop, _y_at,
+                                                paraxial_prescription,
+                                                paraxial_ray)
+    with enable_x64():
+        sc = _strong_scene()
+        p = sc.init_params(jnp.float64)
+        surfs, apz, _, _ = paraxial_prescription(sc, p)
+        stop_z, seg = _resolve_stop(surfs, apz, None, None)
+        yP, _, uP, _ = paraxial_ray(surfs, 1.0, 0.0)
+        yQ, _, uQ, _ = paraxial_ray(surfs, 0.0, 1.0)
+        YsP = _y_at(surfs, yP, uP, 0.0, stop_z, seg)
+        YsQ = _y_at(surfs, yQ, uQ, 1.0, stop_z, seg)
+        u = 0.3
+        z1 = float(surfs[0].z)
+        z_start = z1 - 40.0
+        y0 = float((0.0 - u * YsQ) / YsP - (z1 - z_start) * u)
+        norm = 1.0 / np.sqrt(1.0 + u * u)
+        pos = jnp.asarray([[0.0, y0, z_start]])
+        dirs = jnp.asarray([[0.0, u * norm, norm]])
+        key = jax.random.PRNGKey(0)
+
+        def miss(pos_):
+            rays = Rays.create(pos_, dirs, dtype=jnp.float64)
+            _, _, aux = sc.simulate(p, rays, key, record_paths=True)
+            xy, found = _stop_crossing(aux['paths'],
+                                       jnp.asarray(stop_z, jnp.float64))
+            assert bool(found[0])
+            return abs(float(xy[0, 1]))
+
+        m_par = miss(pos)
+        pos_re = _aim(sc, p, pos, dirs, jnp.zeros((1, 2), jnp.float64),
+                      YsP, stop_z, key, None, 3, jnp.float64)
+        m_real = miss(pos_re)
+        assert m_par > 1e-4, f"test not probing pupil aberration: {m_par}"
+        assert m_real < 1e-7, f"real aim residual {m_real}"
+        assert m_real < m_par / 1e3
+
+
+def test_real_aiming_matches_paraxial_small_field():
+    # Pupil aberration vanishes at small field: both aim modes must give
+    # the same curves (and the real mode must not perturb anything else).
+    with enable_x64():
+        sc = _scene()
+        p = sc.init_params(jnp.float64)
+        th = jnp.asarray([1e-3, 0.03])
+        a = field_scan(sc, p, th, n_pupil=16)
+        b = field_scan(sc, p, th, n_pupil=16, aiming='real')
+        np.testing.assert_allclose(np.asarray(a.z_tangential),
+                                   np.asarray(b.z_tangential), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a.z_sagittal),
+                                   np.asarray(b.z_sagittal), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a.distortion_pct),
+                                   np.asarray(b.distortion_pct),
+                                   rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.transmission),
+                                   np.asarray(b.transmission), atol=1e-9)
+
+
+def test_real_aiming_wide_field_shifts_distortion():
+    # At wide field on the strong lens the two aim modes measure visibly
+    # different distortion (the paraxial chief samples the wrong pupil
+    # zone) — the whole point of ray aiming.
+    with enable_x64():
+        sc = _strong_scene()
+        p = sc.init_params(jnp.float64)
+        th = jnp.asarray([0.3])
+        a = field_scan(sc, p, th, n_pupil=0)
+        b = field_scan(sc, p, th, n_pupil=0, aiming='real')
+        assert abs(float(a.chief_y[0]) - float(b.chief_y[0])) > 1e-5
+
+
+def test_real_aiming_gradient():
+    with enable_x64():
+        sc = _scene()
+        p = sc.init_params(jnp.float64)
+
+        def ft(c1v):
+            q = dict(p)
+            q['L'] = dict(q['L'])
+            q['L']['c1'] = c1v
+            fs = field_scan(sc, q, jnp.asarray([0.04]), n_pupil=0,
+                            aiming='real')
+            return fs.field_t[0]
+
+        c1v = jnp.asarray(C1, jnp.float64)
+        g = float(jax.grad(ft)(c1v))
+        eps = 1e-6
+        fd = float((ft(c1v + eps) - ft(c1v - eps)) / (2 * eps))
+        assert np.isclose(g, fd, rtol=1e-4)
+
+
+def test_bad_aiming_value_raises():
+    sc = _scene()
+    p = sc.init_params()
+    with pytest.raises(ValueError):
+        field_scan(sc, p, jnp.asarray([0.02]), n_pupil=0, aiming='newton')
