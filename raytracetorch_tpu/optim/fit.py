@@ -121,7 +121,7 @@ def fit_lbfgs(loss_fn, params, trainable=None, steps=50, jit=True, **lbfgs_kw):
 
 
 def fit_lm(residual_fn, params, trainable=None, steps=30, lam0=1e-3,
-           lam_up=4.0, lam_down=0.5, scales=None, jit=True):
+           lam_up=4.0, lam_down=0.5, scales=None, jit=True, mode='eager'):
     """Levenberg–Marquardt (damped least squares) over a residual vector —
     THE classic lens-design optimizer (Zemax/CodeV-style DLS), beyond the
     reference's Adam/LBFGS (tests/test_optimize_singlet.py:52): merit
@@ -137,12 +137,23 @@ def fit_lm(residual_fn, params, trainable=None, steps=30, lam0=1e-3,
     diagonal scaling, so parameters spanning many orders of magnitude —
     curvatures ~1e-2 vs asphere a10 ~1e-12 — damp in their own units), and
     accept/reject with adaptive λ.  Rejected steps keep the parameters and
-    raise λ — the loop is a fixed-length lax.scan, so the whole design
-    loop stays one jitted program.
+    raise λ.
 
-    Non-trainable leaves (per ``trainable``) get their Jacobian columns
-    zeroed — with λ > 0 their update is exactly zero.  Returns
-    ``(params, costs [steps])``."""
+    ``mode='eager'`` (default) drives the λ loop in Python over two
+    jitted programs (residuals; their Jacobian) and solves the tiny
+    normal equations on the host in float64.  This compiles each traced
+    program ONCE: the alternative ``mode='scan'`` (one fixed-length
+    lax.scan = one jitted program, no host round-trips) embeds THREE
+    copies of the residual graph in the scan body, and XLA:CPU's fusion
+    pass turned that into ~19 duplicated 50 MB kernels (~300 s compile)
+    for a 3-element design — eager compiles the same design in tens of
+    seconds and costs only ~3 dispatches/step, noise for a design loop
+    even over the axon tunnel.
+
+    Non-trainable leaves (per ``trainable``) are held at their initial
+    values and EXCLUDED from the differentiated subspace (the Jacobian
+    has only trainable columns — smaller tangent batch, smaller solve).
+    Returns ``(params, costs [steps])``."""
     from jax import lax
     from jax.flatten_util import ravel_pytree
 
@@ -151,56 +162,100 @@ def fit_lm(residual_fn, params, trainable=None, steps=30, lam0=1e-3,
                 else (lambda y: residual_fn(to_p(y))))
     y0, unravel = ravel_pytree(y0_tree)
 
+    # Differentiate ONLY the trainable subspace: frozen entries are held
+    # at their initial values and never see a tangent.  This is not just
+    # the algebraic equivalent of zeroing Jacobian columns — it shrinks
+    # the jacfwd tangent batch (and the XLA graph) from len(y) to
+    # n_trainable, which cut a 4-element design-loop compile from ~300 s
+    # to tens of seconds and makes the normal-equations solve
+    # n_t x n_t instead of n x n.  The mask is static structure (which
+    # parameters train is a design-time fact), so the gather indices are
+    # concrete at trace time.
+    import numpy as np
     if trainable is not None:
         mask_tree = jax.tree_util.tree_map(
-            lambda p_, m: jnp.broadcast_to(
-                jnp.asarray(m, jnp.float32)
-                if not isinstance(m, bool) else
-                jnp.float32(1.0 if m else 0.0), jnp.shape(p_)),
+            lambda p_, m: np.broadcast_to(
+                np.asarray(m, np.float32), jnp.shape(p_)),
             params, trainable,
             is_leaf=lambda x: isinstance(x, bool)
             or not isinstance(x, dict))
-        mask_flat, _ = ravel_pytree(mask_tree)
-        mask_flat = mask_flat.astype(y0.dtype)
+        mask_flat, _ = ravel_pytree(
+            jax.tree_util.tree_map(jnp.asarray, mask_tree))
+        mask_np = np.asarray(mask_flat)
     else:
-        mask_flat = jnp.ones_like(y0)
+        mask_np = np.ones((y0.shape[0],), np.float32)
+    (t_idx,) = np.nonzero(mask_np > 0)
+    t_idx = jnp.asarray(t_idx, jnp.int32)
+    yt0 = y0[t_idx]
 
-    def res_flat(yv):
-        return jnp.ravel(res_of_y(unravel(yv)))
+    def embed(yt):
+        return y0.at[t_idx].set(yt)
 
-    n = y0.shape[0]
+    def res_flat(yt):
+        return jnp.ravel(res_of_y(unravel(embed(yt))))
+
     hi = lax.Precision.HIGHEST       # small matmuls: never bf16 (CLAUDE.md)
 
-    def step(carry, _):
-        y, lam, cost = carry
-        r = res_flat(y)
-        jac = jax.jacfwd(res_flat)(y) * mask_flat[None, :]
-        jtj = lax.dot_general(jac, jac, (((0,), (0,)), ((), ())),
-                              precision=hi)
-        jtr = lax.dot_general(jac, r, (((0,), (0,)), ((), ())),
-                              precision=hi)
-        diag = jnp.diag(jtj)
-        a = jtj + lam * jnp.diag(jnp.maximum(diag, 1e-12))
-        dp = jnp.linalg.solve(a, jtr) * mask_flat
-        y_new = y - dp
-        r_new = res_flat(y_new)
-        cost_new = 0.5 * jnp.sum(r_new * r_new)
-        accept = cost_new < cost
-        y = jnp.where(accept, y_new, y)
-        lam = jnp.where(accept, lam * lam_down, lam * lam_up)
-        cost = jnp.where(accept, cost_new, cost)
-        return (y, lam, cost), cost
+    if mode == 'scan':
+        def step(carry, _):
+            y, lam, cost = carry
+            r = res_flat(y)
+            jac = jax.jacfwd(res_flat)(y)
+            jtj = lax.dot_general(jac, jac, (((0,), (0,)), ((), ())),
+                                  precision=hi)
+            jtr = lax.dot_general(jac, r, (((0,), (0,)), ((), ())),
+                                  precision=hi)
+            diag = jnp.diag(jtj)
+            a = jtj + lam * jnp.diag(jnp.maximum(diag, 1e-12))
+            dp = jnp.linalg.solve(a, jtr)
+            y_new = y - dp
+            r_new = res_flat(y_new)
+            cost_new = 0.5 * jnp.sum(r_new * r_new)
+            accept = cost_new < cost
+            y = jnp.where(accept, y_new, y)
+            lam = jnp.where(accept, lam * lam_down, lam * lam_up)
+            cost = jnp.where(accept, cost_new, cost)
+            return (y, lam, cost), cost
 
-    def run(y):
-        r0 = res_flat(y)
-        cost0 = 0.5 * jnp.sum(r0 * r0)
-        (y, _, _), costs = lax.scan(
-            step, (y, jnp.asarray(lam0, y.dtype), cost0), None,
-            length=steps)
-        return y, costs
+        def run(yt):
+            r0 = res_flat(yt)
+            cost0 = 0.5 * jnp.sum(r0 * r0)
+            (yt, _, _), costs = lax.scan(
+                step, (yt, jnp.asarray(lam0, y0.dtype), cost0), None,
+                length=steps)
+            return yt, costs
 
-    if jit:
-        run = jax.jit(run)
-    y, costs = run(y0)
-    out = unravel(y)
+        if jit:
+            run = jax.jit(run)
+        yt, costs = run(yt0)
+        out = unravel(embed(yt))
+        return (to_p(out) if scales is not None else out), costs
+
+    if mode != 'eager':
+        raise ValueError(f"mode must be 'eager' or 'scan': {mode!r}")
+
+    rfn = jax.jit(res_flat) if jit else res_flat
+    jfn = jax.jit(jax.jacfwd(res_flat)) if jit else jax.jacfwd(res_flat)
+    yt = yt0
+    lam = float(lam0)
+    r = np.asarray(rfn(yt), np.float64)
+    cost = 0.5 * float(r @ r)
+    costs = []
+    for _ in range(steps):
+        jac = np.asarray(jfn(yt), np.float64)
+        jtj = jac.T @ jac
+        jtr = jac.T @ r
+        diag = np.maximum(np.diag(jtj), 1e-12)
+        dp = np.linalg.solve(jtj + lam * np.diag(diag), jtr)
+        y_new = yt - jnp.asarray(dp, yt.dtype)
+        r_new = np.asarray(rfn(y_new), np.float64)
+        cost_new = 0.5 * float(r_new @ r_new)
+        if cost_new < cost:
+            yt, r, cost = y_new, r_new, cost_new
+            lam *= lam_down
+        else:
+            lam *= lam_up
+        costs.append(cost)
+    out = unravel(embed(yt))
+    costs = jnp.asarray(costs, y0.dtype)
     return (to_p(out) if scales is not None else out), costs
