@@ -37,7 +37,7 @@ from .optim.constraints import (spacing_constraint, system_length_constraint,
                                 thickness_constraint)
 from .optim.fit import fit, fit_lbfgs, fit_lm
 from .optim.goals import focal_length_loss, spot_size_loss, spot_target_loss
-from .optim.merit import default_merit, spot_residuals
+from .optim.merit import default_merit, opd_residuals, spot_residuals
 from .optim.multiconfig import (config_params, config_sweep,
                                 multiconfig_loss, stack_configs)
 from .project import (load_params, load_project, load_scene, save_params,

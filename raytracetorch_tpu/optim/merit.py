@@ -1,12 +1,16 @@
-"""Default merit function: RMS spot over a field x wavelength x pupil grid.
+"""Default merit functions: RMS spot / RMS wavefront over a field x
+wavelength x pupil grid.
 
-The classic lens-design merit (the Zemax/CodeV "default merit function",
-RMS-spot flavor): for every field angle and wavelength, fill the stop with
-a deterministic pupil grid of rays, trace them all to the image plane, and
-measure each ray's transverse deviation from its cell's reference point
-(centroid or chief ray).  The residual VECTOR feeds ``fit_lm`` (damped
-least squares — the optimizer this merit was born for); its sum of
-squares is a scalar loss for ``fit`` / ``fit_lbfgs``.
+The classic lens-design merits (the Zemax/CodeV "default merit
+function", RMS-spot and RMS-wavefront flavors): for every field angle
+and wavelength, fill the stop with a deterministic pupil grid of rays,
+trace them all to the image plane, and measure each ray's deviation
+from its cell's reference — transverse landing error about the
+centroid/chief ray (:func:`spot_residuals`) or optical path difference
+about the reference sphere in waves (:func:`opd_residuals`).  The
+residual VECTOR feeds ``fit_lm`` (damped least squares — the optimizer
+these merits were born for); its sum of squares is a scalar loss for
+``fit`` / ``fit_lbfgs``.
 
 The torch reference has only single-bundle spot losses re-simulated per
 bundle in a Python loop (reference ``optim/goals.py:99-187``); this is
@@ -66,40 +70,15 @@ def _structural_stop(scene, surfs, ap_stop_z, stop_z, stop_after):
     return (live if live is not None else surfs[0].z), seg
 
 
-def spot_residuals(scene, params, fields, wavelengths=None, n_pupil=32,
-                   aperture=None, stop_z=None, stop_after=None,
-                   reference='centroid', field_weights=None,
-                   wavelength_weights=None, aiming='paraxial',
-                   n_aim_iter=3, image_z=None, key=None, dtype=None):
-    """Weighted transverse ray errors on the image plane, [F*W*P, 2].
-
-    Parameters
-    ----------
-    fields : [F] object-space chief-ray slopes (tan of field angles).
-    wavelengths : [W] wavelengths in um, or None for one monochromatic
-        pass at the catalog base line (0.5876 um stamped only if the
-        scene is dispersive — an unstamped trace uses base indices).
-    n_pupil : rays per (field, wavelength) cell, sunflower layout over
-        the stop (deterministic — the merit is smooth in ``params``).
-    reference : 'centroid' measures RMS about each cell's weighted
-        centroid (pure blur, distortion-free); 'chief' measures about the
-        cell's chief-ray landing point (penalizes asymmetric blur the way
-        a centered detector sees it).
-    field_weights / wavelength_weights : [F] / [W] relative weights
-        (uniform default).  Residuals are scaled so the merit's sum of
-        squares is the weighted mean-square transverse error in lens
-        units.
-    aiming : 'paraxial' or 'real' (see utils/fieldscan.field_scan).
-    image_z : override the evaluation plane; default is the paraxial
-        image plane recomputed from ``params`` every call (so refocus by
-        curvature change is followed automatically).  Pass the sensor's
-        z to design against a FIXED detector instead.
-    key : PRNG key for stochastic physics; default 0.
-
-    Vignetted/blocked rays contribute zero residual and zero centroid
-    weight (their disappearance is a step — like every spot optimizer,
-    treat vignetting as structure, not gradient signal).
-    """
+def _grid_trace(scene, params, fields, wavelengths, n_pupil, aperture,
+                stop_z, stop_after, aiming, n_aim_iter, image_z, key,
+                dtype, track_opl=False):
+    """Shared engine of the merit functions: build the aimed field x
+    wavelength x pupil ray grid, trace it once, and land it on the image
+    plane.  Returns a dict with the traced rays (``out``/``aux``), the
+    LAUNCH components (for incoming-wavefront phase), landing ``x``/
+    ``y``/``w`` reshaped [F, W, P], the pupil-grid wavelengths ``lam``
+    (or None), ``z_img`` and the (F, W, P) shape."""
     from ..rays.ray import Rays
     from ..utils.fieldscan import _aim
 
@@ -187,7 +166,8 @@ def spot_residuals(scene, params, fields, wavelengths=None, n_pupil=32,
         (px, py, pz), (dxc, dyc, dzc), jnp.ones((n,), dtype),
         jnp.zeros((n,), jnp.int32),
         lam if lam is not None else jnp.zeros((n,), dtype))
-    out, _, _ = scene.simulate(params, rays, key)
+    kw = {'track_opl': True} if track_opl else {}
+    out, _, aux = scene.simulate(params, rays, key, **kw)
 
     # transverse landing point on the image plane
     dz = jnp.where(jnp.abs(out.dz) < 1e-30, 1e-30, out.dz)
@@ -196,6 +176,15 @@ def spot_residuals(scene, params, fields, wavelengths=None, n_pupil=32,
     y = (out.py + t * out.dy).reshape(F, W, P)
     w = out.intensity.reshape(F, W, P)
 
+    return dict(out=out, aux=aux, x=x, y=y, w=w, z_img=z_img,
+                lam=lam, shape=(F, W, P), dtype=dtype,
+                launch=(px, py, pz), dirs=(dxc, dyc, dzc))
+
+
+def _cell_reference(g, reference):
+    """Per-cell reference point [F, W, 1] on the image plane: the
+    weighted landing centroid or the chief ray's landing point."""
+    x, y, w = g['x'], g['y'], g['w']
     if reference == 'centroid':
         wsum = jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-12)
         rx = jnp.sum(w * x, -1, keepdims=True) / wsum
@@ -205,14 +194,63 @@ def spot_residuals(scene, params, fields, wavelengths=None, n_pupil=32,
     else:
         raise ValueError(
             f"reference must be 'centroid' or 'chief': {reference!r}")
+    return rx, ry
 
+
+def _cell_scale(g, field_weights, wavelength_weights):
+    """sqrt weighting [F, W, P] making the merit's sum of squares the
+    weighted mean-square residual (per-ray intensity times normalized
+    cell weight over P rays)."""
+    F, W, P = g['shape']
+    dtype = g['dtype']
     wf = (jnp.ones((F,), dtype) if field_weights is None
           else jnp.asarray(field_weights, dtype))
     wl = (jnp.ones((W,), dtype) if wavelength_weights is None
           else jnp.asarray(wavelength_weights, dtype))
     cell_w = wf[:, None] * wl[None, :]                   # [F, W]
-    scale = jnp.sqrt(w * cell_w[..., None]
-                     / (jnp.sum(cell_w) * P))            # [F, W, P]
+    return jnp.sqrt(g['w'] * cell_w[..., None]
+                    / (jnp.sum(cell_w) * P))             # [F, W, P]
+
+
+def spot_residuals(scene, params, fields, wavelengths=None, n_pupil=32,
+                   aperture=None, stop_z=None, stop_after=None,
+                   reference='centroid', field_weights=None,
+                   wavelength_weights=None, aiming='paraxial',
+                   n_aim_iter=3, image_z=None, key=None, dtype=None):
+    """Weighted transverse ray errors on the image plane, [F*W*P, 2].
+
+    Parameters
+    ----------
+    fields : [F] object-space chief-ray slopes (tan of field angles).
+    wavelengths : [W] wavelengths in um, or None for one monochromatic
+        pass at the catalog base line (0.5876 um stamped only if the
+        scene is dispersive — an unstamped trace uses base indices).
+    n_pupil : rays per (field, wavelength) cell, sunflower layout over
+        the stop (deterministic — the merit is smooth in ``params``).
+    reference : 'centroid' measures RMS about each cell's weighted
+        centroid (pure blur, distortion-free); 'chief' measures about the
+        cell's chief-ray landing point (penalizes asymmetric blur the way
+        a centered detector sees it).
+    field_weights / wavelength_weights : [F] / [W] relative weights
+        (uniform default).  Residuals are scaled so the merit's sum of
+        squares is the weighted mean-square transverse error in lens
+        units.
+    aiming : 'paraxial' or 'real' (see utils/fieldscan.field_scan).
+    image_z : override the evaluation plane; default is the paraxial
+        image plane recomputed from ``params`` every call (so refocus by
+        curvature change is followed automatically).  Pass the sensor's
+        z to design against a FIXED detector instead.
+    key : PRNG key for stochastic physics; default 0.
+
+    Vignetted/blocked rays contribute zero residual and zero centroid
+    weight (their disappearance is a step — like every spot optimizer,
+    treat vignetting as structure, not gradient signal).
+    """
+    g = _grid_trace(scene, params, fields, wavelengths, n_pupil, aperture,
+                    stop_z, stop_after, aiming, n_aim_iter, image_z, key,
+                    dtype)
+    rx, ry = _cell_reference(g, reference)
+    scale = _cell_scale(g, field_weights, wavelength_weights)
     # Pack the (x, y) residual pair with a broadcast where, NOT
     # jnp.stack: a concatenate of two deep computed blocks inside a
     # jvp'd program trips a pathological XLA:CPU fusion-emitter blowup
@@ -221,27 +259,109 @@ def spot_residuals(scene, params, fields, wavelengths=None, n_pupil=32,
     # The where-select fuses elementwise and compiles sanely; reduces of
     # the stacked form never hit this because reduce-of-concat is
     # algebraically split before fusion.
-    res_x = ((x - rx) * scale).reshape(-1)
-    res_y = ((y - ry) * scale).reshape(-1)
+    res_x = ((g['x'] - rx) * scale).reshape(-1)
+    res_y = ((g['y'] - ry) * scale).reshape(-1)
     sel = (jax.lax.iota(jnp.int32, 2) == 0)[:, None]     # [2, 1]
     res2 = jnp.where(sel, res_x[None, :], res_y[None, :])
     return jnp.transpose(res2)                           # [F*W*P, 2]
 
 
-def default_merit(scene, fields, **kw):
-    """Build ``(loss_fn, residual_fn)`` closures over :func:`spot_residuals`.
+def opd_residuals(scene, params, fields, wavelengths=None, n_pupil=32,
+                  aperture=None, stop_z=None, stop_after=None,
+                  reference='centroid', field_weights=None,
+                  wavelength_weights=None, aiming='paraxial',
+                  n_aim_iter=3, image_z=None, key=None, dtype=None,
+                  wave_scale=1e-3):
+    """Weighted wavefront errors in WAVES over the pupil grid, [F*W*P].
 
-    ``residual_fn(params) -> [m]`` (flattened) feeds ``fit_lm``;
-    ``loss_fn(params) -> scalar`` is its sum of squares (the weighted
-    mean-square transverse spot error) for ``fit`` / ``fit_lbfgs``.
-    All :func:`spot_residuals` keywords pass through::
+    The RMS-wavefront flavor of the default merit: each ray's optical
+    path is accumulated through the trace (``track_opl``), continued to
+    its closest approach to the cell's image reference point (the
+    reference sphere's center — the same 'centroid'/'chief' choice as
+    :func:`spot_residuals`), corrected for the INCOMING plane wave's
+    phase across the launch plane (off-axis fields launch from a plane
+    that is not their wavefront), and measured about the cell's weighted
+    mean (piston removed; defocus is NOT removed — refocus is the
+    designer's job via ``image_z`` or a floating ``best_focus`` solve).
+    The merit's sum of squares is the weighted mean-square wavefront
+    error in squared waves, so ``sqrt(loss)`` is the familiar "RMS
+    wavefront error in waves" a diffraction-limited spec (< 0.07 waves,
+    Marechal) is written against.
+
+    ``wave_scale`` converts the wavelength list's units (um) to the
+    trace's length units (default 1e-3: lens units in mm).  With
+    ``wavelengths=None`` the d line (0.5876 um) sets the wave unit.
+    All other parameters are as in :func:`spot_residuals`.
+
+    Physics note: built on Fermat's principle exactly like
+    utils/wavefront.py::wavefront_rms (OPL + remaining distance to the
+    reference point is constant across a perfect pupil), generalized to
+    tilted fields by the launch-phase term n0 * (d . p0).
+    """
+    g = _grid_trace(scene, params, fields, wavelengths, n_pupil, aperture,
+                    stop_z, stop_after, aiming, n_aim_iter, image_z, key,
+                    dtype, track_opl=True)
+    F, W, P = g['shape']
+    rx, ry = _cell_reference(g, reference)
+    out = g['out']
+
+    # incoming wavefront: rays of one cell share a direction d but
+    # launch at different p0 — the optical path from the incoming plane
+    # wave (the wavefront through the origin, normal d) to the launch
+    # point is n0 * (d . p0) (n0 = 1 object-space ambient), and the
+    # traced OPL starts at ZERO on the launch plane, so it must be
+    # added back for rays to share a common wavefront, not a common
+    # plane.
+    px0, py0, pz0 = g['launch']
+    dx0, dy0, dz0 = g['dirs']
+    phase0 = px0 * dx0 + py0 * dy0 + pz0 * dz0
+
+    # continue each ray to its closest approach to the cell's reference
+    # point (utils/wavefront.py::opl_to_point, componentized): the total
+    # OPL to the reference sphere through that point.
+    rxf = jnp.broadcast_to(rx, (F, W, P)).reshape(-1)
+    ryf = jnp.broadcast_to(ry, (F, W, P)).reshape(-1)
+    z_img = jnp.broadcast_to(g['z_img'], rxf.shape)
+    t_close = ((rxf - out.px) * out.dx + (ryf - out.py) * out.dy
+               + (z_img - out.pz) * out.dz)
+    opd = (phase0 + g['aux']['opl'] + t_close).reshape(F, W, P)
+
+    # piston removal per cell (weighted), then waves
+    w = g['w']
+    wsum = jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-12)
+    piston = jnp.sum(w * opd, -1, keepdims=True) / wsum
+    lam_g = (jnp.full((F, W, P), LINE_D, g['dtype']) if g['lam'] is None
+             else g['lam'].reshape(F, W, P))
+    scale = _cell_scale(g, field_weights, wavelength_weights)
+    res = (opd - piston) / (lam_g * wave_scale) * scale
+    return res.reshape(-1)                               # [F*W*P]
+
+
+def default_merit(scene, fields, metric='spot', **kw):
+    """Build ``(loss_fn, residual_fn)`` closures over the default merit.
+
+    ``metric='spot'`` measures transverse ray errors in lens units
+    (:func:`spot_residuals`); ``metric='wavefront'`` measures optical
+    path differences in waves (:func:`opd_residuals` — ``sqrt(loss)`` is
+    the RMS wavefront error).  ``residual_fn(params) -> [m]``
+    (flattened) feeds ``fit_lm``; ``loss_fn(params) -> scalar`` is its
+    sum of squares for ``fit`` / ``fit_lbfgs``.  All keyword arguments
+    pass through::
 
         loss, resid = default_merit(scene, fields=[0., 0.05, 0.1],
                                     wavelengths=[0.486, 0.588, 0.656])
         params, hist = fit_lm(resid, params, trainable=scene.trainable())
     """
+    if metric == 'spot':
+        fn = spot_residuals
+    elif metric == 'wavefront':
+        fn = opd_residuals
+    else:
+        raise ValueError(
+            f"metric must be 'spot' or 'wavefront': {metric!r}")
+
     def residual_fn(params):
-        return spot_residuals(scene, params, fields, **kw).reshape(-1)
+        return fn(scene, params, fields, **kw).reshape(-1)
 
     def loss_fn(params):
         r = residual_fn(params)

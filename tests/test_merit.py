@@ -145,3 +145,111 @@ def test_bad_reference_raises():
     p = scene.init_params()
     with pytest.raises(ValueError):
         spot_residuals(scene, p, fields=[0.0], reference='median')
+
+
+# ---------------------------------------------------------------------------
+# Wavefront (RMS OPD) metric
+# ---------------------------------------------------------------------------
+
+def test_opd_tilted_plane_wave_is_zero():
+    # A tilted plane wave through a flat window reaches ANY reference
+    # point with constant total OPL (parallel rays cross a plane plate
+    # on identical paths): total = d.p0 + opl + t_close = const exactly.
+    # Regression for the launch-phase sign — without the +d.p0
+    # incoming-wavefront term the apparent OPD would be
+    # ~tan(field) * pupil_diameter / lambda ~ thousands of waves.
+    from raytracetorch_tpu.optim.merit import opd_residuals
+    scene = SequentialScene([
+        SingletLens(c1=0.0, c2=0.0, d=25.4, t=3.0, ior_glass=1.5168,
+                    name='window'),
+        CircularAperture(radius=8.0, translation=(0, 0, 5.0), name='stop'),
+    ])
+    p = scene.init_params()
+    r = opd_residuals(scene, p, fields=[0.0, 0.3], n_pupil=32, image_z=20.0)
+    rms_waves = float(jnp.sqrt(jnp.sum(r * r)))
+    # f32 floor: ~ulp(25 lens units)/lambda ~ 0.01 waves; a sign error in
+    # the launch-phase term would read ~8000 waves here.
+    assert rms_waves < 0.05, rms_waves
+
+
+def test_opd_matches_seidel_spherical():
+    # On-axis singlet at the paraxial image plane: the wavefront error is
+    # primary spherical W(rho) = W040 rho^4 (+ higher orders, small at
+    # this aperture), and piston-removed RMS over the uniform pupil is
+    # W040 * sqrt(E[rho^8] - E[rho^4]^2) = W040 * sqrt(4/45).
+    from raytracetorch_tpu.optim.merit import opd_residuals
+    from raytracetorch_tpu.utils.seidel import seidel
+    scene = _singlet_scene()
+    p = scene.init_params()
+    ap = 5.0
+    rep = seidel(scene, p, aperture=ap, field=0.0)
+    w040_waves = float(rep.S_I) / 8.0 / (0.5876e-3)
+    expect = abs(w040_waves) * np.sqrt(4.0 / 45.0)
+    r = opd_residuals(scene, p, fields=[0.0], n_pupil=256, aperture=ap)
+    rms = float(jnp.sqrt(jnp.sum(r * r)))
+    assert expect > 0.05            # the check must not be vacuous
+    assert abs(rms - expect) < 0.15 * expect, (rms, expect)
+
+
+def test_opd_defocus_quadratic():
+    # Shifting the evaluation plane off paraxial focus adds defocus
+    # W020 rho^2, RMS = W020 * sqrt(1/12); W020 = dz * u_marginal^2 / 2.
+    from raytracetorch_tpu.optim.merit import opd_residuals
+    scene = _singlet_scene()
+    p = scene.init_params()
+    # paraxial image plane and marginal slope from the first-order report
+    fo = scene.first_order(p) if hasattr(scene, 'first_order') else None
+    base = opd_residuals(scene, p, fields=[0.0], n_pupil=128, aperture=3.0)
+    rms0 = float(jnp.sqrt(jnp.sum(base * base)))
+    out = {}
+    for dz in (1.0, 2.0):
+        # image_z = paraxial + dz: recompute paraxial z via seidel
+        from raytracetorch_tpu.utils.seidel import seidel
+        rep = seidel(scene, p, aperture=3.0, field=0.0)
+        r = opd_residuals(scene, p, fields=[0.0], n_pupil=128,
+                          aperture=3.0, image_z=float(rep.z_image) + dz)
+        out[dz] = float(jnp.sqrt(jnp.sum(r * r)))
+        u = abs(float(rep.u_img))
+        w020_waves = dz * u * u / 2.0 / 0.5876e-3
+        expect = w020_waves * np.sqrt(1.0 / 12.0)
+        # defocus dominates the residual spherical at these dz
+        assert abs(out[dz] - expect) < 0.25 * expect + rms0, (dz, out[dz],
+                                                              expect)
+    assert out[2.0] > 1.5 * out[1.0]
+
+
+def test_wavefront_merit_designs_best_form():
+    # LM on the wavefront merit finds the same best-form bending the
+    # spot merit does (minimum-spherical bend ~ minimum-W040 bend).
+    scene = SequentialScene([
+        SingletLens(c1=0.004, c2=-0.0155, d=25.4, t=4.0,
+                    ior_glass=1.5168, c1_grad=True, c2_grad=True,
+                    name='lens'),
+        CircularAperture(radius=8.0, translation=(0, 0, 2.5), name='stop'),
+    ])
+    p = scene.init_params()
+    loss, resid = default_merit(scene, fields=[0.0], n_pupil=32,
+                                metric='wavefront', image_z=101.5)
+    l0 = float(loss(p))
+    p2, _ = fit_lm(resid, p, trainable=scene.trainable(), steps=25)
+    lf = float(loss(p2))
+    assert lf < l0 * 0.05, f"LM failed: {l0} -> {lf}"
+    ratio = float(p2['lens']['c1']) / float(p2['lens']['c2'])
+    assert -7.5 < ratio < -4.5, f"ratio {ratio}"
+
+
+def test_wavefront_merit_gradient_finite():
+    scene = _singlet_scene()
+    p = scene.init_params()
+    loss, _ = default_merit(scene, fields=[0.0, 0.06], n_pupil=16,
+                            metric='wavefront',
+                            wavelengths=[F_LINE, C_LINE])
+    g = jax.grad(loss)(p)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_bad_metric_raises():
+    scene = _singlet_scene()
+    with pytest.raises(ValueError):
+        default_merit(scene, fields=[0.0], metric='strehl')
