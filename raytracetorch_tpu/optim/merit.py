@@ -72,19 +72,28 @@ def _structural_stop(scene, surfs, ap_stop_z, stop_z, stop_after):
 
 def _grid_trace(scene, params, fields, wavelengths, n_pupil, aperture,
                 stop_z, stop_after, aiming, n_aim_iter, image_z, key,
-                dtype, track_opl=False):
+                dtype, track_opl=False, aim_params=None):
     """Shared engine of the merit functions: build the aimed field x
     wavelength x pupil ray grid, trace it once, and land it on the image
     plane.  Returns a dict with the traced rays (``out``/``aux``), the
     LAUNCH components (for incoming-wavefront phase), landing ``x``/
     ``y``/``w`` reshaped [F, W, P], the pupil-grid wavelengths ``lam``
-    (or None), ``z_img`` and the (F, W, P) shape."""
+    (or None), ``z_img`` and the (F, W, P) shape.
+
+    ``aim_params`` freezes the paraxial prescription, pupil aim and
+    default image plane at a reference parameter set while the TRACE
+    runs on ``params`` — the tolerancing configuration (perturbed
+    as-built system, nominal ray grid, no implicit re-aim
+    compensation), and the only way to evaluate the merit on a
+    decentered/tilted parameter set (the centered-system paraxial
+    machinery rejects those)."""
     from ..rays.ray import Rays
     from ..utils.fieldscan import _aim
 
     if dtype is None:
         dtype = jnp.result_type(float)
-    surfs, ap_stop_z, stop_r, _ = paraxial_prescription(scene, params)
+    ap_src = params if aim_params is None else aim_params
+    surfs, ap_stop_z, stop_r, _ = paraxial_prescription(scene, ap_src)
     stop_z, seg = _structural_stop(scene, surfs, ap_stop_z, stop_z,
                                    stop_after)
     if aperture is None:
@@ -155,7 +164,7 @@ def _grid_trace(scene, params, fields, wavelengths, n_pupil, aperture,
         targets = jnp.stack(
             [jnp.broadcast_to(hx[None, None], (F, W, P)).reshape(-1),
              jnp.broadcast_to(hy[None, None], (F, W, P)).reshape(-1)], -1)
-        pos = _aim(scene, params, pos, dirs, targets, YsP, stop_z, key,
+        pos = _aim(scene, ap_src, pos, dirs, targets, YsP, stop_z, key,
                    lam, n_aim_iter, dtype)
         px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
     elif aiming != 'paraxial':
@@ -216,7 +225,8 @@ def spot_residuals(scene, params, fields, wavelengths=None, n_pupil=32,
                    aperture=None, stop_z=None, stop_after=None,
                    reference='centroid', field_weights=None,
                    wavelength_weights=None, aiming='paraxial',
-                   n_aim_iter=3, image_z=None, key=None, dtype=None):
+                   n_aim_iter=3, image_z=None, key=None, dtype=None,
+                   aim_params=None):
     """Weighted transverse ray errors on the image plane, [F*W*P, 2].
 
     Parameters
@@ -242,13 +252,19 @@ def spot_residuals(scene, params, fields, wavelengths=None, n_pupil=32,
         z to design against a FIXED detector instead.
     key : PRNG key for stochastic physics; default 0.
 
+    aim_params : reference parameter pytree that FREEZES the pupil aim,
+        paraxial prescription and default image plane (the trace still
+        runs on ``params``).  Required to evaluate the merit on
+        decentered/tilted parameter sets — pass the nominal design when
+        tolerancing (utils/sensitivity.py does this in its docs).
+
     Vignetted/blocked rays contribute zero residual and zero centroid
     weight (their disappearance is a step — like every spot optimizer,
     treat vignetting as structure, not gradient signal).
     """
     g = _grid_trace(scene, params, fields, wavelengths, n_pupil, aperture,
                     stop_z, stop_after, aiming, n_aim_iter, image_z, key,
-                    dtype)
+                    dtype, aim_params=aim_params)
     rx, ry = _cell_reference(g, reference)
     scale = _cell_scale(g, field_weights, wavelength_weights)
     # Pack the (x, y) residual pair with a broadcast where, NOT
@@ -271,7 +287,7 @@ def opd_residuals(scene, params, fields, wavelengths=None, n_pupil=32,
                   reference='centroid', field_weights=None,
                   wavelength_weights=None, aiming='paraxial',
                   n_aim_iter=3, image_z=None, key=None, dtype=None,
-                  wave_scale=1e-3):
+                  wave_scale=1e-3, aim_params=None):
     """Weighted wavefront errors in WAVES over the pupil grid, [F*W*P].
 
     The RMS-wavefront flavor of the default merit: each ray's optical
@@ -300,7 +316,7 @@ def opd_residuals(scene, params, fields, wavelengths=None, n_pupil=32,
     """
     g = _grid_trace(scene, params, fields, wavelengths, n_pupil, aperture,
                     stop_z, stop_after, aiming, n_aim_iter, image_z, key,
-                    dtype, track_opl=True)
+                    dtype, track_opl=True, aim_params=aim_params)
     F, W, P = g['shape']
     rx, ry = _cell_reference(g, reference)
     out = g['out']
