@@ -150,22 +150,82 @@ class SensitivityReport:
         return '\n'.join(rows)
 
 
-def _batched_rms(loss_fn, params, axes, deltas, jit=True):
-    """sqrt(loss) for every row of ``deltas`` [B, K] in one vmapped call."""
-    def batch(d):
-        p = _stacked_perturbed(params, axes, d)
-        return jnp.sqrt(jax.vmap(loss_fn)(p))
+def _batched_rms(loss_fn, params, axes, deltas, jit=True, comp0=None,
+                 comp_iters=2, comp_scale=1.0):
+    """sqrt(loss) for every row of ``deltas`` [B, K] in one vmapped call.
+
+    With ``comp0`` (a [C] vector of initial compensator values),
+    ``loss_fn(params, c)`` is minimized over ``c`` PER ROW before the
+    rms is read — the as-built system is evaluated AFTER its
+    compensators (focus, image distance, a spacing) are re-optimized,
+    which is how real tolerancing is run.  The minimizer is a
+    DERIVATIVE-FREE coordinate parabolic search (probe ±comp_scale per
+    axis, jump to the fitted vertex): the classic focus compensator is
+    exactly quadratic in the plane position (ray landing points are
+    linear in z) so the first vertex IS the minimum; ``comp_iters``
+    (default 2) halves the probe each pass for mildly non-quadratic
+    compensators.  No AD through the compensator loop — second
+    derivatives of a full trace trip XLA:CPU's jvp-fusion pathology
+    (CLAUDE.md), and a quadratic fit needs none.  Non-convex probes
+    (concave parabola) keep the previous value."""
+    if comp0 is None:
+        def batch(d):
+            p = _stacked_perturbed(params, axes, d)
+            return jnp.sqrt(jax.vmap(loss_fn)(p))
+    else:
+        c0 = jnp.asarray(comp0, jnp.result_type(float)).reshape(-1)
+        C = c0.shape[0]
+        h0 = jnp.broadcast_to(
+            jnp.asarray(comp_scale, c0.dtype).reshape(-1), (C,))
+
+        def one(p):
+            def f(c):
+                return loss_fn(p, c)
+
+            def step(carry, _):
+                c, h = carry
+                f0 = f(c)
+                for j in range(C):          # static unroll, C is tiny
+                    fp = f(c.at[j].add(h[j]))
+                    fm = f(c.at[j].add(-h[j]))
+                    denom = fp - 2.0 * f0 + fm
+                    ok = denom > 1e-30
+                    dcj = jnp.where(
+                        ok, 0.5 * h[j] * (fm - fp)
+                        / jnp.where(ok, denom, 1.0), 0.0)
+                    # bound the extrapolation: a nearly-flat parabola
+                    # must not fling the compensator away
+                    dcj = jnp.clip(dcj, -8.0 * h[j], 8.0 * h[j])
+                    c = c.at[j].add(dcj)
+                    f0 = f(c)
+                return (c, h * 0.5), None
+
+            (c, _), _ = jax.lax.scan(step, (c0, h0), None,
+                                     length=comp_iters)
+            return jnp.sqrt(f(c))
+
+        def batch(d):
+            p = _stacked_perturbed(params, axes, d)
+            return jax.vmap(one)(p)
     if jit:
         batch = jax.jit(batch)
     return batch(jnp.asarray(deltas))
 
 
-def tolerance_sensitivity(loss_fn, params, tols, jit=True):
+def tolerance_sensitivity(loss_fn, params, tols, jit=True, comp0=None,
+                          comp_iters=2, comp_scale=1.0):
     """Per-axis merit change at each tolerance limit (both signs).
 
     ``loss_fn(params) -> scalar`` (e.g. from ``default_merit``).  All
     2K+1 perturbed systems — +limit and -limit per axis plus the nominal
     — trace in ONE vmapped call.  Returns a :class:`SensitivityReport`.
+
+    ``comp0`` switches on COMPENSATED tolerancing: ``loss_fn(params, c)``
+    is then re-minimized over the compensator vector ``c`` (starting at
+    ``comp0``) for every perturbed system before its sensitivity is
+    read — e.g. ``lambda p, c: spot_loss(p, image_z=z0 + c[0])`` models
+    a focus adjustment at test.  Sensitivities of compensatable
+    perturbations (despace, curvature error) drop accordingly.
     """
     axes = perturbation_axes(tols)
     K = len(axes)
@@ -173,14 +233,16 @@ def tolerance_sensitivity(loss_fn, params, tols, jit=True):
     deltas = np.zeros((2 * K + 1, K))
     deltas[np.arange(K), np.arange(K)] = limits
     deltas[K + np.arange(K), np.arange(K)] = -limits
-    rms = np.asarray(_batched_rms(loss_fn, params, axes, deltas, jit))
+    rms = np.asarray(_batched_rms(loss_fn, params, axes, deltas, jit,
+                                  comp0, comp_iters, comp_scale))
     return SensitivityReport(labels=axis_labels(axes), limits=limits,
                              rms0=float(rms[-1]),
                              rms_plus=rms[:K], rms_minus=rms[K:2 * K])
 
 
 def allocate_tolerances(loss_fn, params, tols, budget, n_iter=4,
-                        grow_cap=10.0, jit=True):
+                        grow_cap=10.0, jit=True, comp0=None,
+                        comp_iters=2, comp_scale=1.0):
     """Inverse tolerancing: rescale every axis limit so each contributes
     equally to the as-built budget (equal-contribution RSS).
 
@@ -200,7 +262,8 @@ def allocate_tolerances(loss_fn, params, tols, budget, n_iter=4,
     t0 = np.array([a[3] for a in axes])
 
     rms0 = float(np.asarray(
-        _batched_rms(loss_fn, params, axes, np.zeros((1, K)), jit))[0])
+        _batched_rms(loss_fn, params, axes, np.zeros((1, K)), jit,
+                     comp0, comp_iters, comp_scale))[0])
     if budget <= rms0:
         raise ValueError(
             f"budget {budget} must exceed the nominal merit {rms0}")
@@ -214,7 +277,8 @@ def allocate_tolerances(loss_fn, params, tols, budget, n_iter=4,
         d = np.zeros((2 * K, K))
         d[np.arange(K), np.arange(K)] = t
         d[K + np.arange(K), np.arange(K)] = -t
-        rms = np.asarray(_batched_rms(loss_fn, params, axes, d, jit))
+        rms = np.asarray(_batched_rms(loss_fn, params, axes, d, jit,
+                                      comp0, comp_iters, comp_scale))
         c = rms ** 2 - rms0 ** 2
         return np.maximum(np.maximum(c[:K], c[K:]), 1e-30)
 
@@ -235,7 +299,8 @@ def allocate_tolerances(loss_fn, params, tols, budget, n_iter=4,
         t_a, c_a, t_b = t_b, c_b, t_new
 
     new_tols = _rebuild_spec(tols, axes, t_b)
-    report = tolerance_sensitivity(loss_fn, params, new_tols, jit)
+    report = tolerance_sensitivity(loss_fn, params, new_tols, jit,
+                                   comp0, comp_iters, comp_scale)
     return new_tols, report
 
 
@@ -261,7 +326,8 @@ def _rebuild_spec(tols, axes, t_new):
 
 
 def tolerance_yield(loss_fn, params, tols, key, n_trials=256, budget=None,
-                    distribution='uniform', jit=True):
+                    distribution='uniform', jit=True, comp0=None,
+                    comp_iters=2, comp_scale=1.0):
     """Monte-Carlo as-built merit distribution under the tolerance spec.
 
     Every trial draws ALL axes at once (uniform over ±limit, or normal
@@ -282,7 +348,8 @@ def tolerance_yield(loss_fn, params, tols, key, n_trials=256, budget=None,
     else:
         raise ValueError(
             f"distribution must be 'uniform' or 'normal': {distribution!r}")
-    rms = _batched_rms(loss_fn, params, axes, draws, jit)
+    rms = _batched_rms(loss_fn, params, axes, draws, jit, comp0,
+                       comp_iters, comp_scale)
     frac = (None if budget is None
             else float(jnp.mean((rms <= budget).astype(jnp.float32))))
     return rms, frac

@@ -149,3 +149,49 @@ def test_yield_monotone_in_tolerance():
     assert y1 > 0.5              # the RSS-estimate budget passes most builds
     with pytest.raises(ValueError):
         tolerance_yield(loss, p, TOLS, key, distribution='cauchy')
+
+
+def test_focus_compensator_kills_despace():
+    # COMPENSATED tolerancing: with a focus compensator (image plane
+    # re-optimized per build), despace sensitivity must collapse -- a
+    # z-shifted lens against an adjustable detector is the same system.
+    scene = _scene()
+    p = scene.init_params()
+
+    def loss_c(params, c):
+        loss, _ = default_merit(scene, fields=[0.0, 0.05], n_pupil=16,
+                                image_z=101.5 + c[0], aim_params=p)
+        return loss(params)
+
+    tols_z = {'lens': {'trans': [0.0, 0.0, 0.25]}}
+    loss0 = _merit(scene, p)
+    rep_fix = tolerance_sensitivity(loss0, p, tols_z)
+    rep_cmp = tolerance_sensitivity(loss_c, p, tols_z,
+                                    comp0=jnp.zeros((1,)))
+    dz_fix = max(rep_fix.rms_plus[0], rep_fix.rms_minus[0]) - rep_fix.rms0
+    dz_cmp = max(rep_cmp.rms_plus[0], rep_cmp.rms_minus[0]) - rep_cmp.rms0
+    assert dz_fix > 0.005                 # uncompensated: real defocus
+    assert abs(dz_cmp) < dz_fix * 0.05    # compensated: ~gone
+    # refocusing also improves the NOMINAL (the fixed plane was not the
+    # aberrated best focus)
+    assert rep_cmp.rms0 < rep_fix.rms0 * (1 + 1e-6)
+
+
+def test_compensated_yield_not_worse():
+    scene = _scene()
+    p = scene.init_params()
+    loss0 = _merit(scene, p)
+
+    def loss_c(params, c):
+        loss, _ = default_merit(scene, fields=[0.0, 0.05], n_pupil=16,
+                                image_z=101.5 + c[0], aim_params=p)
+        return loss(params)
+
+    rep = tolerance_sensitivity(loss0, p, TOLS)
+    budget = rep.rss
+    key = jax.random.PRNGKey(7)
+    _, y_fix = tolerance_yield(loss0, p, TOLS, key, n_trials=48,
+                               budget=budget)
+    _, y_cmp = tolerance_yield(loss_c, p, TOLS, key, n_trials=48,
+                               budget=budget, comp0=jnp.zeros((1,)))
+    assert y_cmp >= y_fix
