@@ -50,6 +50,7 @@ from .utils.fieldscan import FieldScan, field_scan
 from .utils.focus import best_focus_plane, refocus, through_focus_rms
 from .utils.firstorder import FirstOrder, RayFan, first_order, ray_fan
 from .utils.seidel import SeidelReport, paraxial_prescription, seidel, seidel_table
+from .utils.ghosts import ghost_pairs, ghost_report, ghost_trace
 from .utils.sensitivity import (allocate_tolerances, tolerance_sensitivity,
                                 tolerance_yield)
 from .utils.tolerancing import monte_carlo_tolerance, per_ray_perturbed_trace

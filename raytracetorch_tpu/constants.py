@@ -99,3 +99,7 @@ class PhysKind(enum.IntEnum):
                      # always refract, intensity *= (1 - R) — the
                      # differentiable "main beam with coating losses"
                      # model (MC FRESNEL branch draws are stop-gradient)
+    REFLECT_W = 9    # (beyond reference) deterministic weighted Fresnel
+                     # REFLECTION: always reflect, intensity *= R — the
+                     # ghost-surface functor (utils/ghosts.py synthesizes
+                     # two-reflection stray-light paths from these)

@@ -193,7 +193,8 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
     direction the intensity trace chose, ``imod`` its intensity modifier.
     Returns the new (Er, Ei) component tuples (unmasked — the caller merges
     with the interaction mask)."""
-    if meta.ph in (PhysKind.SNELL, PhysKind.FRESNEL, PhysKind.FRESNEL_W):
+    if meta.ph in (PhysKind.SNELL, PhysKind.FRESNEL, PhysKind.FRESNEL_W,
+                   PhysKind.REFLECT_W):
         if meta.disp and wavelength is not None:
             from .static_dispatch import dispersive_iors
             n_in, n_out = dispersive_iors(row, wavelength, meta)
@@ -269,7 +270,8 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
 
         Er_new = v3.add(v3.scale(s_hat, as_r), v3.scale(p_out, ap_r))
         Ei_new = v3.add(v3.scale(s_hat, as_i), v3.scale(p_out, ap_i))
-        if meta.ph in (PhysKind.FRESNEL, PhysKind.FRESNEL_W):
+        if meta.ph in (PhysKind.FRESNEL, PhysKind.FRESNEL_W,
+                       PhysKind.REFLECT_W):
             # Energy-exact estimator semantics: the branch power already
             # lives in the draw probability (FRESNEL: the polarized draw
             # u < R_pol of static_dispatch.polarized_R) or in the

@@ -172,6 +172,7 @@ def apply_physics(ph_kind, ph, Rw, sb_kind, sb, hit_local, d, n, u):
     out = v3.where(kind == PhysKind.SNELL, snell, out)
     out = v3.where(kind == PhysKind.FRESNEL, fresnel, out)
     out = v3.where(kind == PhysKind.FRESNEL_W, snell, out)
+    out = v3.where(kind == PhysKind.REFLECT_W, refl, out)
     out = v3.where(kind == PhysKind.LINEAR, linear, out)
     out = v3.where(kind == PhysKind.APERTURE, v3.scale(d, aper_mod), out)
 
@@ -188,4 +189,9 @@ def apply_physics(ph_kind, ph, Rw, sb_kind, sb, hit_local, d, n, u):
     imod = jnp.where(ph_kind == PhysKind.APERTURE, aper_mod, imod)
     imod = jnp.where(ph_kind == PhysKind.FRESNEL_W,
                      jnp.clip(1.0 - R_w, 0.0, 1.0), imod)
+    # weighted Fresnel reflection (ghost surface): reflect with
+    # intensity *= R; TIR reflects with full power (R_w has tir -> 0,
+    # but a TIR'd ghost surface reflects everything)
+    imod = jnp.where(ph_kind == PhysKind.REFLECT_W,
+                     jnp.where(tir, 1.0, jnp.clip(R_w, 0.0, 1.0)), imod)
     return out, imod

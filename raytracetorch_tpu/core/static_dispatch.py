@@ -428,6 +428,25 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
             R = fresnel_reflectance(cos_i, cos_t, n1, n2)
         imod = jnp.where(tir, 1.0, jnp.clip(1.0 - R, 0.0, 1.0))
         return snell_dir(d, n, n_in, n_out), imod
+    if kind == PhysKind.REFLECT_W:
+        # deterministic weighted Fresnel REFLECTION — the ghost-surface
+        # functor (utils/ghosts.py): always reflect, intensity *= R of
+        # the interface the main beam would refract through.  TIR
+        # reflects with full power.  Differentiable in R (and coating
+        # thicknesses) like FRESNEL_W; under track_field the field takes
+        # the (complex) reflection amplitudes and is renormalized
+        # (transport_field), so R is counted exactly once here.
+        from .physics import fresnel_reflectance, refract_components
+        _, cos_i, n1, n2, _, tir, cos_t, _ = refract_components(
+            d, n, n_in, n_out)
+        if field is not None:
+            R = polarized_R(meta, row, d, n, n_in, n_out, field, wavelength)
+        elif meta.n_coat:
+            R = coated_reflectance(meta, row, d, n, n_in, n_out, wavelength)
+        else:
+            R = fresnel_reflectance(cos_i, cos_t, n1, n2)
+        imod = jnp.where(tir, 1.0, jnp.clip(R, 0.0, 1.0))
+        return reflect_dir(d, n), imod
     if kind == PhysKind.LINEAR:
         return linear_dir(d, hit_local, row.Rw, row.ph[..., 2], row.ph[..., 3],
                           row.ph[..., 4], row.ph[..., 5]), ones

@@ -87,6 +87,19 @@ def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
                                            or static_meta.sensor))
 
     rays = rays.masked_update(active, new_pos, new_dir, imod)
+    # REFLECT_W rows DEFINE a ghost path (utils/ghosts.py): a ray that
+    # misses its ghost-reflection surface leaves the path entirely —
+    # otherwise the unreflected beam would sail on to the sensor and
+    # contaminate the ghost's statistics with primary-beam flux.
+    from ..constants import PhysKind
+    if static_meta is not None:
+        if static_meta.ph == PhysKind.REFLECT_W:
+            rays = rays.replace(
+                intensity=jnp.where(active, rays.intensity, 0.0))
+    else:
+        kill = jnp.logical_and(row.ph_kind == PhysKind.REFLECT_W, ~active)
+        rays = rays.replace(
+            intensity=jnp.where(kill, 0.0, rays.intensity))
     res['n_w'], res['new_dir'], res['imod'] = n_w, new_dir, imod
     return rays, sensors, active, res
 

@@ -1,0 +1,311 @@
+"""Ghost-image (stray light) analysis: two-reflection path enumeration.
+
+Every pair of refracting surfaces (i, j), i < j, in a sequential system
+spawns a ghost: light transmits to surface j, Fresnel-reflects back,
+travels to surface i, reflects forward again, and continues to the
+detector — the source of flare spots and "ghost pupils" in photographs
+of bright sources.  The classic workflow (a commercial ghost-focus
+generator) enumerates all S(S-1)/2 sequences, ranks them by detector
+irradiance, and re-traces the dangerous ones in detail.
+
+TPU-first design: a ghost path is just a REORDERED surface table — rows
+[0..j-1], j as a :data:`PhysKind.REFLECT_W` row (reflect, intensity *=
+Fresnel R — deterministic and differentiable, the ghost analog of
+FRESNEL_W), rows [j-1..i+1] traversed backward (the trace's two-sided
+refraction handles the reversed pass with the SAME rows), i as
+REFLECT_W, then [i+1..end] forward again.  :func:`ghost_report` stacks
+ALL pairs into one padded [n_ghosts, L] table batch and traces a probe
+pencil through every ghost in ONE vmapped dense-path program — no
+per-pair compiles, no Python loop over device calls.
+:func:`ghost_trace` re-traces a single pair with the statically
+specialized driver (full coating/dispersion fidelity) for detailed
+irradiance maps.
+
+The torch reference has no ghost analysis; the capability subsumed is
+its Fresnel reflection functor (reference phys/std.py:148-203) composed
+into multi-bounce stray-light paths.
+
+Limitations: sequential centered systems whose sensor rows follow the
+refracting rows (the usual layout); the batched report uses the dense
+physics path — base (undispersed) indices and bare-interface Fresnel R.
+Coated-surface ghosts (where a ghost hunt matters most!) are exact in
+:func:`ghost_trace`, which goes through the static path.  Ghost tables
+are for the XLA drivers only: the fused Pallas kernels apply REFLECT_W's
+physics but not its miss-kill path semantics (core/trace.py::
+_surface_step), so do not feed a ghost table to ``simulate_fused``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import PhysKind
+
+_REFRACTING = (PhysKind.SNELL, PhysKind.FRESNEL, PhysKind.FRESNEL_W)
+
+
+def _meta_with_ph(m, ph):
+    """Copy a StaticRowMeta with a different physics kind."""
+    from ..core.static_dispatch import StaticRowMeta
+    return StaticRowMeta(ph, m.sb, m.vb, sensor=m.sensor, invert=m.invert,
+                         asph=m.asph, disp=m.disp, plane=m.plane,
+                         slot=m.slot, n_coat=m.n_coat, dispm=m.dispm,
+                         metal=m.metal, metal_nk=m.metal_nk,
+                         coat_k=m.coat_k)
+
+
+def ghost_pairs(scene):
+    """All two-reflection sequences: (i, j) row-index pairs over the
+    scene's refracting surface rows, i < j."""
+    metas = scene.static_meta()
+    refr = [k for k, m in enumerate(metas) if m.ph in _REFRACTING]
+    return [(i, j) for a, j in enumerate(refr) for i in refr[:a]]
+
+
+def _ghost_order(pair, n_rows):
+    """Row visit order of the two-reflection path and the positions of
+    the two REFLECT_W rows within it."""
+    i, j = pair
+    if not 0 <= i < j < n_rows:
+        raise ValueError(f"bad ghost pair {pair} for {n_rows} rows")
+    order = list(range(j + 1))                   # 0..j   (j reflects)
+    order += list(range(j - 1, i - 1, -1))       # j-1..i (i reflects)
+    order += list(range(i + 1, n_rows))          # i+1..end
+    reflect_pos = (j, j + (j - i))
+    return order, reflect_pos
+
+
+def ghost_table(scene, params, pair, transmission='fresnel'):
+    """Synthesize the (table, static_meta) of one two-reflection ghost.
+
+    ``transmission='fresnel'`` converts every refracting row to
+    FRESNEL_W so the ghost flux carries the true product
+    T...T * R_j * T... * R_i * T... ; ``'ideal'`` keeps lossless Snell
+    transmission (flux = R_i * R_j only)."""
+    base = scene.build_table(params)
+    metas = list(scene.static_meta())
+    n_rows = len(metas)
+    order, refl_pos = _ghost_order(pair, n_rows)
+
+    idx = jnp.asarray(order, jnp.int32)
+    table = jax.tree_util.tree_map(lambda a: a[idx], base)
+
+    new_metas = []
+    kinds = []
+    for pos, src in enumerate(order):
+        m = metas[src]
+        ph = m.ph
+        if pos in refl_pos:
+            ph = int(PhysKind.REFLECT_W)
+        elif transmission == 'fresnel' and m.ph in (PhysKind.SNELL,
+                                                    PhysKind.FRESNEL):
+            ph = int(PhysKind.FRESNEL_W)
+        elif transmission not in ('fresnel', 'ideal'):
+            raise ValueError(
+                f"transmission must be 'fresnel' or 'ideal': "
+                f"{transmission!r}")
+        new_metas.append(m if ph == m.ph else _meta_with_ph(m, ph))
+        kinds.append(ph)
+    table = table.replace(ph_kind=jnp.asarray(kinds, jnp.int32))
+    return table, tuple(new_metas)
+
+
+def ghost_trace(scene, params, rays, key, pair, transmission='fresnel',
+                **kw):
+    """Real trace of one ghost path with full static fidelity (coatings,
+    dispersion, recording kwargs of ``trace_sequential``).  Returns
+    ``(rays_out, sensors, aux)`` — sensor rows in the tail segment
+    accumulate the ghost's detector irradiance."""
+    from ..core.trace import trace_sequential
+    table, metas = ghost_table(scene, params, pair, transmission)
+    cfg = scene.sensor_config()
+    kw.setdefault('static_meta', metas)
+    return trace_sequential(table, rays, key, cfg, **kw)
+
+
+@dataclasses.dataclass
+class GhostReport:
+    """Ranked two-reflection ghost table (host-side).
+
+    Per ghost: the surface-row pair, transmitted ``flux`` fraction
+    (T...R_j...R_i...T), least-squares focus ``z_focus`` of the probe
+    pencil, RMS radius ``r_det`` on the detector plane, and
+    ``irradiance`` = flux / (pi r_det^2 + pi r_floor^2) — the figure a
+    ghost hunt ranks by (a ghost focused ON the detector concentrates
+    its tiny flux into a bright artifact).  ``primary`` rows hold the
+    same metrics for the direct (no-reflection) path for normalization.
+    """
+
+    pairs: list
+    flux: np.ndarray
+    z_focus: np.ndarray
+    r_det: np.ndarray
+    irradiance: np.ndarray
+    primary_flux: float
+    primary_r_det: float
+    primary_irradiance: float
+    z_det: float
+
+    def ranked(self):
+        return np.argsort(self.irradiance)[::-1]
+
+    def table(self, top=None):
+        rows = [f"{'ghost (j<-i)':<16}{'flux':>12}{'z_focus':>12}"
+                f"{'r_det':>12}{'rel irr':>12}"]
+        rows.append('-' * len(rows[0]))
+        sel = self.ranked()[:top]
+        for k in sel:
+            i, j = self.pairs[k]
+            rel = self.irradiance[k] / max(self.primary_irradiance, 1e-30)
+            rows.append(f"{f'{j} -> {i}':<16}{self.flux[k]:>12.3e}"
+                        f"{self.z_focus[k]:>12.4g}{self.r_det[k]:>12.4g}"
+                        f"{rel:>12.3e}")
+        rows.append(f"primary: flux {self.primary_flux:.4f}  r_det "
+                    f"{self.primary_r_det:.4g}  (detector z "
+                    f"{self.z_det:.4g})")
+        return '\n'.join(rows)
+
+
+def _probe_pencil(aperture, z_start, n_probe, dtype):
+    """On-axis collimated probe: a chief ray plus ``n_probe - 1`` rays on
+    two pupil circles (meridional + skew coverage for the focus solve)."""
+    k = jnp.arange(n_probe, dtype=dtype)
+    r = aperture * jnp.where(k > 0, jnp.where(k % 2 == 0, 1.0, 0.55), 0.0)
+    th = k * 2.399963229728653
+    px = r * jnp.cos(th)
+    py = r * jnp.sin(th)
+    pz = jnp.full((n_probe,), z_start, dtype)
+    return px, py, pz
+
+
+def ghost_report(scene, params, aperture, z_det=None, n_probe=16,
+                 r_floor=None, key=None):
+    """Trace a probe pencil through EVERY two-reflection ghost (and the
+    primary path) in one vmapped batch; rank by detector irradiance.
+
+    ``aperture`` is the probe pupil radius; ``z_det`` the detector plane
+    (default: the scene's last sensor row z, else the last row z);
+    ``r_floor`` the blur radius floor standing in for the diffraction/
+    pixel limit (default aperture/200) so a perfectly focused ghost gets
+    a large finite irradiance, not infinity.
+
+    Uses the DENSE physics path so every ghost shares one program: all
+    refracting rows become weighted-Fresnel (FRESNEL_W / REFLECT_W at
+    the pair), so fluxes are bare-interface Fresnel products at base
+    indices.  Follow up on the top offenders with :func:`ghost_trace`.
+    """
+    from ..core.sensor import SensorConfig
+    from ..core.trace import trace_sequential
+    from ..rays.ray import Rays
+
+    dtype = jnp.result_type(float)
+    base = scene.build_table(params)
+    metas = scene.static_meta()
+    n_rows = len(metas)
+    pairs = ghost_pairs(scene)
+    if not pairs:
+        raise ValueError("scene has fewer than two refracting surfaces")
+
+    if z_det is None:
+        sensor_rows = [k for k, m in enumerate(metas) if m.sensor]
+        row_z = np.asarray(base.tw)[:, 2]
+        z_det = float(row_z[sensor_rows[-1]] if sensor_rows
+                      else row_z[-1])
+
+    # visit orders, padded to a common length with inert repeats of the
+    # last row (TRANSMIT at the final z: the ray re-intersects at t < eps
+    # -> masked no-op)
+    orders, kinds, sens = [], [], []
+    seqs = [None] + pairs                  # row 0 = the primary path
+    L = max(n_rows, *(2 * (j - i) + n_rows for i, j in pairs))
+    for pr in seqs:
+        if pr is None:
+            order, refl = list(range(n_rows)), ()
+        else:
+            order, refl = _ghost_order(pr, n_rows)
+        kk = []
+        for pos, src in enumerate(order):
+            ph = metas[src].ph
+            if pos in refl:
+                ph = int(PhysKind.REFLECT_W)
+            elif ph in (PhysKind.SNELL, PhysKind.FRESNEL):
+                ph = int(PhysKind.FRESNEL_W)
+            kk.append(ph)
+        ss = [bool(metas[src].sensor) for src in order]
+        pad = L - len(order)
+        orders.append(order + [order[-1]] * pad)
+        kinds.append(kk + [int(PhysKind.TRANSMIT)] * pad)
+        sens.append(ss + [False] * pad)
+
+    idx = jnp.asarray(orders, jnp.int32)                 # [G, L]
+    stacked = jax.tree_util.tree_map(lambda a: a[idx], base)
+    stacked = stacked.replace(
+        ph_kind=jnp.asarray(kinds, jnp.int32),
+        is_sensor=jnp.asarray(sens))
+
+    row_z0 = float(np.asarray(base.tw)[0, 2])
+    z_start = min(row_z0, z_det) - max(abs(z_det - row_z0), 1.0)
+    px, py, pz = _probe_pencil(jnp.asarray(aperture, dtype), z_start,
+                               n_probe, dtype)
+    zero = jnp.zeros((n_probe,), dtype)
+    rays = Rays.from_components(
+        (px, py, pz), (zero, zero, jnp.ones((n_probe,), dtype)),
+        jnp.ones((n_probe,), dtype), jnp.zeros((n_probe,), jnp.int32),
+        zero)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    cfg = SensorConfig()
+
+    def one(tbl):
+        out, _, _ = trace_sequential(tbl, rays, key, cfg)
+        return out
+
+    out = jax.jit(jax.vmap(one))(stacked)                # leaves [G, P]
+
+    w = out.intensity                                    # [G, P]
+    wsum = jnp.maximum(jnp.sum(w, -1), 1e-30)
+    flux = jnp.sum(w, -1) / n_probe
+
+    # least-squares point of closest approach per ghost (the ghost
+    # focus), intensity-weighted — utils/wavefront.py::best_focus
+    # componentized over the [G, P] batch
+    d = (out.dx, out.dy, out.dz)
+    p = (out.px, out.py, out.pz)
+    A = jnp.zeros((w.shape[0], 3, 3), dtype)
+    b = jnp.zeros((w.shape[0], 3), dtype)
+    for a_ in range(3):
+        for b_ in range(3):
+            proj = (1.0 if a_ == b_ else 0.0) - d[a_] * d[b_]
+            A = A.at[:, a_, b_].set(jnp.sum(w * proj, -1))
+            b = b.at[:, a_].add(jnp.sum(w * proj * p[b_], -1))
+    A = A + 1e-9 * jnp.eye(3, dtype=dtype)[None]
+    focus = jnp.linalg.solve(A, b[..., None])[..., 0]    # [G, 3]
+
+    # landing radius on the detector plane
+    dz = jnp.where(jnp.abs(out.dz) < 1e-30, 1e-30, out.dz)
+    t = (z_det - out.pz) / dz
+    xd = out.px + t * out.dx
+    yd = out.py + t * out.dy
+    r2 = jnp.sum(w * (xd * xd + yd * yd), -1) / wsum
+    cx = jnp.sum(w * xd, -1) / wsum
+    cy = jnp.sum(w * yd, -1) / wsum
+    r_det = jnp.sqrt(jnp.maximum(r2 - cx * cx - cy * cy, 0.0))
+
+    if r_floor is None:
+        r_floor = float(aperture) / 200.0
+    irr = flux / (jnp.pi * (r_det * r_det + r_floor * r_floor))
+
+    flux = np.asarray(flux)
+    z_f = np.asarray(focus[:, 2])
+    r_det = np.asarray(r_det)
+    irr = np.asarray(irr)
+    return GhostReport(pairs=pairs, flux=flux[1:], z_focus=z_f[1:],
+                       r_det=r_det[1:], irradiance=irr[1:],
+                       primary_flux=float(flux[0]),
+                       primary_r_det=float(r_det[0]),
+                       primary_irradiance=float(irr[0]),
+                       z_det=float(z_det))
