@@ -112,6 +112,12 @@ INDEX_HTML = r"""<!DOCTYPE html>
     <button onclick="doSeidel()" style="font-size:11px">refresh</button>
   </h3>
   <div id="seidel" style="font-size:11px"></div>
+  <h3>Ghosts
+    <input type="number" id="gh-ap" placeholder="aperture" step="any"
+      style="width:58px;font-size:11px" title="probe pupil radius">
+    <button onclick="doGhosts()" style="font-size:11px">refresh</button>
+  </h3>
+  <div id="ghosts" style="font-size:11px"></div>
   <h3>Field / fans
     <input type="number" id="fc-max" value="0.05" step="any"
       style="width:48px;font-size:11px" title="max field slope">
@@ -471,6 +477,28 @@ function plotXY(cv, series, title) {
   c.fillText(yhi.toExponential(1), 2, 20);
   c.fillText(ylo.toExponential(1), 2, cv.height - 4);
   c.font = '10px sans-serif';
+}
+async function doGhosts() {
+  st('ghosts…');
+  try {
+    const body = {};
+    if ($('gh-ap').value !== '') body.aperture = +$('gh-ap').value;
+    const r = await post('/api/ghosts', body);
+    let h = '<table><tr><th style="text-align:left">pair j→i</th>' +
+      '<th>flux</th><th>z focus</th><th>r det</th><th>rel irr</th></tr>';
+    for (const g of r.ghosts)
+      h += `<tr><td style="text-align:left">${g.pair[1]} → ${g.pair[0]}</td>` +
+        `<td>${g.flux.toExponential(2)}</td>` +
+        `<td>${g.z_focus.toPrecision(4)}</td>` +
+        `<td>${g.r_det.toPrecision(3)}</td>` +
+        `<td>${g.rel_irr.toExponential(2)}</td></tr>`;
+    h += '</table>' +
+      `<div style="color:#9aa">${r.n_pairs} two-reflection sequences · ` +
+      `primary flux ${r.primary_flux.toFixed(4)} · detector z ` +
+      `${r.z_det.toFixed(3)}</div>`;
+    $('ghosts').innerHTML = h;
+    st('ghosts ok');
+  } catch (e) { st('ghosts failed: ' + e); }
 }
 async function doCurves() {
   st('field scan…');

@@ -389,6 +389,37 @@ class Workbench:
                 'alive_s': _tolist(fan.alive_s),
                 'z_image': float(fan.z_image)}
 
+    def ghosts(self, aperture=None, top=8):
+        """Ranked two-reflection ghost table (utils/ghosts.py) for the
+        stray-light panel: every pair traced in one vmapped batch."""
+        if not self.scene.sequential:
+            raise ValueError("ghost analysis needs a sequential scene")
+        from ..utils.ghosts import ghost_report
+        if aperture is None:
+            from ..elements.aperture import CircularAperture
+            for el in self.scene.elements:
+                if isinstance(el, CircularAperture):
+                    aperture = float(np.asarray(
+                        self.params[el.name]['radius']))
+                    break
+        if aperture is None:
+            ds = [float(getattr(el, 'd', 0.0) or 0.0)
+                  for el in self.scene.elements if not el.is_sensor]
+            aperture = max(ds) / 2.0 if ds and max(ds) > 0 else 1.0
+        rep = ghost_report(self.scene, self.params, aperture=float(aperture))
+        order = rep.ranked()[:int(top)]
+        rows = [{'pair': list(rep.pairs[k]),
+                 'flux': float(rep.flux[k]),
+                 'z_focus': float(rep.z_focus[k]),
+                 'r_det': float(rep.r_det[k]),
+                 'rel_irr': float(rep.irradiance[k]
+                                  / max(rep.primary_irradiance, 1e-30))}
+                for k in order]
+        return {'ghosts': rows, 'n_pairs': len(rep.pairs),
+                'primary_flux': rep.primary_flux,
+                'primary_r_det': rep.primary_r_det,
+                'z_det': rep.z_det, 'aperture': float(aperture)}
+
     def optimize(self, loss_kind='spot_size', steps=50, lr=1e-3,
                  f_target=None):
         scene = self.scene
@@ -730,6 +761,8 @@ def make_handler(wb: Workbench):
                     max_field=float(body.get('max_field', 0.05)),
                     n_fields=int(body.get('n_fields', 9)),
                     aperture=body.get('aperture'))
+            if p == '/api/ghosts':
+                return self._json(wb.ghosts(**body))
             if p == '/api/rayfan':
                 return wb.rayfan(field=float(body.get('field', 0.0)),
                                  aperture=body.get('aperture'),

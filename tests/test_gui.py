@@ -343,6 +343,26 @@ def test_fieldscan_and_rayfan_endpoints(server):
     assert np.allclose(ey, -ey[::-1], atol=1e-6)     # on-axis fan is odd
 
 
+def test_ghosts_endpoint(server):
+    """/api/ghosts: ranked two-reflection stray-light table of the live
+    scene, aperture defaulting to the stop radius, fluxes matching a
+    direct utils/ghosts.py report."""
+    from raytracetorch_tpu.utils.ghosts import ghost_report
+    base, wb = server
+    r = _post(base, '/api/ghosts', {})
+    assert r.get('error') is None, r
+    assert r['aperture'] == 5.0
+    assert r['n_pairs'] >= 1 and len(r['ghosts']) >= 1
+    rep = ghost_report(wb.scene, wb.params, aperture=5.0)
+    top = r['ghosts'][0]
+    k = rep.pairs.index(tuple(top['pair']))
+    assert np.isclose(top['flux'], float(rep.flux[k]), rtol=1e-5)
+    assert k == rep.ranked()[0]
+    # rows arrive ranked by relative irradiance
+    irr = [g['rel_irr'] for g in r['ghosts']]
+    assert irr == sorted(irr, reverse=True)
+
+
 def test_import_does_not_initialize_backend():
     """Importing the package (incl. gui.server) must NOT initialize a jax
     backend: a module-scope jnp.array would claim the container's default
