@@ -258,10 +258,34 @@ def ghost_report(scene, params, aperture, z_det=None, n_probe=16,
         zero)
     if key is None:
         key = jax.random.PRNGKey(0)
-    cfg = SensorConfig()
+
+    # scan-based dense trace: the report's table batch has TRACED kinds
+    # (every sequence shares one program), so the per-row physics is the
+    # dense compute-all-select path — and a lax.scan over rows keeps the
+    # compile O(1) in path length (the unrolled driver's 26-step dense
+    # graph took XLA:CPU minutes to fuse; the scan compiles in seconds).
+    from ..core.intersect import intersect as _intersect
+    from ..core.intersect import normal_world as _normal_world
+    from ..core.physics import apply_physics as _apply_physics
+    from ..geom import vec3 as v3
 
     def one(tbl):
-        out, _, _ = trace_sequential(tbl, rays, key, cfg)
+        def body(pr, trow):
+            res = _intersect(trow, pr.pos_c, pr.dir_c)
+            active = res['valid'] & (pr.intensity > 0)
+            n_w = _normal_world(trow, res['hit_s'])
+            u = jnp.zeros_like(pr.intensity)   # all kinds deterministic
+            new_dir, imod = _apply_physics(
+                trow.ph_kind, trow.ph, trow.Rw, trow.sb_kind, trow.sb,
+                res['hit_s'], pr.dir_c, n_w, u)
+            new_pos = v3.fma(pr.pos_c, res['t'], pr.dir_c)
+            pr = pr.masked_update(active, new_pos, new_dir, imod)
+            kill = jnp.logical_and(trow.ph_kind == PhysKind.REFLECT_W,
+                                   ~active)
+            return pr.replace(intensity=jnp.where(kill, 0.0,
+                                                  pr.intensity)), None
+
+        out, _ = jax.lax.scan(body, rays, tbl)
         return out
 
     out = jax.jit(jax.vmap(one))(stacked)                # leaves [G, P]
