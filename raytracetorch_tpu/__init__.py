@@ -18,7 +18,7 @@ from .elements.ideal import (DiffractionGrating, IdealCylThinLens,
                              LinearElement, paraxial_dist_mat,
                              paraxial_lens_mat, paraxial_mirror_mat,
                              paraxial_refract_mat)
-from .elements.lens import (AsphericLens, CylSingletLens, DoubletLens,
+from .elements.lens import (AsphericLens, CylSingletLens, DoubletLens, FreeformLens,
                             SingletLens, TripletLens, WedgePrism)
 from .elements.mirror import (CylindricalMirror, ParabolicMirror,
                               ParabolicMirrorOffAxis, ParabolicMirrorXZ,

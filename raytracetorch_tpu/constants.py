@@ -30,6 +30,9 @@ CYL_EDGE_EPS = 1e-4    # reference geom/cylindrics.py:51 (edge z slack)
 MAX_HALFSPACES = 8     # padded per-surface half-space bound capacity
 MAX_COAT_LAYERS = 8     # thin-film stack ceiling per surface (table coat row
                         # is 2*MAX_COAT_LAYERS wide: (n, d_um) interleaved)
+MAX_FF_TERMS = 12       # XY-polynomial term ceiling per freeform surface
+                        # (exponent pairs are STATIC; the table ff row holds
+                        # the traced coefficients)
 
 
 class GeomKind(enum.IntEnum):

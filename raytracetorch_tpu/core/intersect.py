@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from ..geom import vec3 as v3
 from ..geom.bounds import sb_check_inverted, vb_check
-from ..geom.surfaces import (asph_normal, asph_refine, min_positive,
+from ..geom.surfaces import (asph_normal, asph_refine, ff_normal,
+                             ff_refine, min_positive,
                              solve_roots, surface_normal)
 
 
@@ -65,7 +66,19 @@ def intersect(row, pos, direction, static_meta=None):
     else:
         (t1, v1), (t2, v2) = solve_roots(row.q, o_s, d_s)
 
-    if static_meta is not None and static_meta.asph:
+    if static_meta is not None and getattr(static_meta, 'ff', None):
+        # Freeform XY-polynomial surface: Newton-refine the base-conic
+        # roots onto S(x, y) (geom/surfaces.py::ff_refine); exponent
+        # pairs are static, coefficients traced table entries
+        c = row.q[..., 0]
+        kc2 = row.q[..., 2] * c
+        acoef = [row.asph[..., i] for i in range(4)]
+        fcoef = [row.ff[..., m] for m in range(len(static_meta.ff))]
+        t1, v1 = ff_refine(c, kc2, acoef, static_meta.ff, fcoef,
+                           o_s, d_s, t1, v1)
+        t2, v2 = ff_refine(c, kc2, acoef, static_meta.ff, fcoef,
+                           o_s, d_s, t2, v2)
+    elif static_meta is not None and static_meta.asph:
         # Even asphere: Newton-refine the base-conic roots onto the aspheric
         # surface (reference geom/complex.py stubs this; see
         # geom/surfaces.py::asph_refine)
@@ -133,7 +146,13 @@ def normal_world(row, hit_s, static_meta=None):
 
     n_world = n_local @ Rw.T — the composed form of the reference's two
     rotations (primitives.py:94, shape.py:85)."""
-    if static_meta is not None and static_meta.asph:
+    if static_meta is not None and getattr(static_meta, 'ff', None):
+        c = row.q[..., 0]
+        kc2 = row.q[..., 2] * c
+        acoef = [row.asph[..., i] for i in range(4)]
+        fcoef = [row.ff[..., m] for m in range(len(static_meta.ff))]
+        n_local = ff_normal(c, kc2, acoef, static_meta.ff, fcoef, hit_s)
+    elif static_meta is not None and static_meta.asph:
         c = row.q[..., 0]
         kc2 = row.q[..., 2] * c
         coeffs = [row.asph[..., i] for i in range(4)]

@@ -90,11 +90,12 @@ class StaticRowMeta:
 
     __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp',
                  'plane', 'slot', 'n_coat', 'dispm', 'metal', 'metal_nk',
-                 'coat_k')
+                 'coat_k', 'ff')
 
     def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False,
                  disp=False, plane=False, slot=0, n_coat=0,
-                 dispm=(1, 1), metal=False, metal_nk=None, coat_k=None):
+                 dispm=(1, 1), metal=False, metal_nk=None, coat_k=None,
+                 ff=None):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
@@ -112,6 +113,9 @@ class StaticRowMeta:
         # thin-metal beamsplitters, inconel ND).  Normalized to None when
         # every layer is dielectric so the cheap real-matrix coating path
         # stays the compile-time default.
+        # STATIC freeform exponent pairs ((i, j), ...) or None
+        self.ff = (tuple((int(a), int(b)) for a, b in ff)
+                   if ff else None)
         ck = (tuple(float(k) for k in coat_k)
               if coat_k is not None else None)
         if ck is not None and not any(k != 0.0 for k in ck):

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..constants import MAX_HALFSPACES, PhysKind, SBKind, VBKind
+from ..constants import (MAX_FF_TERMS, MAX_HALFSPACES, PhysKind, SBKind,
+                         VBKind)
 
 
 class SurfaceTable(struct.PyTreeNode):
@@ -48,6 +49,9 @@ class SurfaceTable(struct.PyTreeNode):
     ph_kind: jnp.ndarray    # [K] int32 physics kind
     ph: jnp.ndarray         # [K, 6] physics params
     asph: jnp.ndarray       # [K, 4] even-asphere coefficients a4..a10
+    ff: jnp.ndarray         # [K, MAX_FF_TERMS] freeform XY-poly coefficients
+                            # (matching STATIC exponent pairs live on
+                            # StaticRowMeta.ff)
     disp: jnp.ndarray       # [K, 12] dispersion coefficients: [in 6 | out 6]
                             # (Cauchy B in the side's slot 0; Sellmeier
                             # B1 B2 B3 C1 C2 C3 — see DispModel)
@@ -96,6 +100,9 @@ class SurfaceRec:
     ph: Sequence = ()            # up to 6 entries: ior_in, ior_out, Cx, Cy, Dx, Dy
     asph: Sequence = ()          # even-asphere a4..a10 (is_asphere marks use)
     is_asphere: bool = False
+    ff: Sequence = ()            # freeform XY-poly coefficients (traced)
+    ff_powers: tuple = ()        # STATIC (i, j) exponent pairs per coeff
+                                 # (carried on StaticRowMeta, not a column)
     disp: Sequence = ()          # 12-wide [in 6 | out 6] per DispModel layout
     disp_model: tuple = (0, 0)   # (DispModel of ior_in side, of ior_out side)
     is_dispersive: bool = False
@@ -159,6 +166,7 @@ def stack_records(recs, elem_ids, surf_ids, dtype=jnp.float32):
         ph_kind=jnp.asarray([int(r.ph_kind) for r in recs], jnp.int32),
         ph=jnp.stack([_pad_vec(r.ph, 6, dtype) for r in recs]),
         asph=jnp.stack([_pad_vec(r.asph, 4, dtype) for r in recs]),
+        ff=jnp.stack([_pad_vec(r.ff, MAX_FF_TERMS, dtype) for r in recs]),
         disp=jnp.stack([_pad_vec(r.disp, 12, dtype) for r in recs]),
         coat=jnp.stack([_pad_vec(r.coat, 16, dtype) for r in recs]),
         is_sensor=jnp.asarray([bool(r.is_sensor) for r in recs]),

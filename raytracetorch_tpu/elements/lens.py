@@ -677,6 +677,73 @@ class AsphericLens(SingletLens):
         return recs
 
 
+class FreeformLens(AsphericLens):
+    """Singlet whose faces add an XY-polynomial FREEFORM sag on top of the
+    conic + even-asphere base: S(x, y) = conic(r²) + Σ a_k r^(2k+4)
+    + Σ c_m x^i y^j — the industry freeform surface (anamorphic and
+    non-rotationally-symmetric correctors; no reference counterpart, the
+    reference's most general surface is the stubbed asphere,
+    reference geom/complex.py:6-10).
+
+    ``xy1`` / ``xy2`` give each face's terms as (i, j, coeff) triples;
+    the exponent pairs are STATIC scene structure (they pick the traced
+    polynomial), the coefficients live in the parameter pytree
+    (``xy1_grad=True`` makes the whole face's coefficient vector
+    trainable).  Intersection is a fixed-count Newton refinement from
+    the base-conic root (geom/surfaces.py::ff_refine) and the exact
+    normal comes from the sag gradient, so refraction differentiates
+    w.r.t. every coefficient — freeform design by jax.grad
+    (tests/test_freeform.py)."""
+
+    def __init__(self, c1, c2, d, t, ior_glass, ior_media=1.0,
+                 k1=0.0, k2=0.0, a1=(), a2=(), xy1=(), xy2=(),
+                 xy1_grad=False, xy2_grad=False, name='freeform', **kw):
+        super().__init__(c1, c2, d, t, ior_glass, ior_media=ior_media,
+                         k1=k1, k2=k2, a1=a1, a2=a2, name=name, **kw)
+        from ..constants import MAX_FF_TERMS
+
+        def split(xy, label):
+            terms = [(int(i), int(j), float(v)) for i, j, v in xy]
+            if len(terms) > MAX_FF_TERMS:
+                raise ValueError(
+                    f"{label}: at most {MAX_FF_TERMS} freeform terms "
+                    f"per face (got {len(terms)})")
+            for i, j, _ in terms:
+                if i < 0 or j < 0 or i + j < 1:
+                    raise ValueError(
+                        f"{label}: exponents must be >= 0 with i+j >= 1 "
+                        f"(got ({i}, {j}); piston belongs in translation)")
+            return (tuple((i, j) for i, j, _ in terms),
+                    [v for _, _, v in terms])
+
+        pw1, v1 = split(xy1, 'xy1')
+        pw2, v2 = split(xy2, 'xy2')
+        self._ff_powers = (pw1, pw2)
+        if pw1:
+            self._init.update(xy1=v1)
+            self._grads.update(xy1=xy1_grad)
+        if pw2:
+            self._init.update(xy2=v2)
+            self._grads.update(xy2=xy2_grad)
+
+    def param_scales(self):
+        scales = super().param_scales()
+        r = self._init['radius']
+        for key, pw in zip(('xy1', 'xy2'), self._ff_powers):
+            if pw:
+                scales[key] = [r ** -(i + j) for i, j in pw]
+        return scales
+
+    def build(self, p):
+        recs = super().build(p)
+        for face, (key, pw) in enumerate(zip(('xy1', 'xy2'),
+                                             self._ff_powers)):
+            if pw:
+                recs[face].ff = tuple(p[key][m] for m in range(len(pw)))
+                recs[face].ff_powers = pw
+        return recs
+
+
 class WedgePrism(Element):
     """Thin wedge prism: flat entrance face + exit face tilted by
     ``wedge_angle`` about x, refracting with the glass index.  Small-angle

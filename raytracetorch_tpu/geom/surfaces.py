@@ -299,3 +299,95 @@ def sag_z(c, r):
 
 def jax_relu(x):
     return jnp.maximum(x, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Freeform (XY-polynomial) surfaces
+# ---------------------------------------------------------------------------
+
+def _ipow(v, n):
+    """v**n for a small STATIC integer n, as an explicit multiply chain
+    (stays planar/VPU-friendly and Mosaic-safe)."""
+    out = None
+    for _ in range(int(n)):
+        out = v if out is None else out * v
+    return out if out is not None else jnp.ones_like(v)
+
+
+def ff_sag_grad(c, kc2, asph_coeffs, powers, ff_coeffs, x, y):
+    """Freeform sag and its partials.
+
+    S(x, y) = conic(r²) + even-asphere(r²) + Σ_m c_m x^i_m y^j_m, the
+    industry XY-polynomial surface (no rotational symmetry — anamorphic
+    and off-axis corrector terms).  ``powers`` is a STATIC tuple of
+    (i, j) integer exponent pairs, unrolled at trace time;
+    ``ff_coeffs`` the matching traced coefficients.  Returns
+    ``(S, dS/dx, dS/dy)`` — the partials drive both the Newton root
+    refinement and the exact surface normal, so refraction through a
+    freeform is differentiable in every coefficient.
+    """
+    r2 = x * x + y * y
+    term = jnp.maximum(1.0 - kc2 * r2, 0.0)
+    sq = jnp.sqrt(term + 1e-24)
+    sag = c * r2 / (1.0 + sq)
+    dsag = c / (1.0 + sq) + c * r2 * kc2 / (2.0 * sq * (1.0 + sq) ** 2)
+    rp, i = r2 * r2, 2.0
+    drp = r2
+    for a in asph_coeffs:
+        sag = sag + a * rp
+        dsag = dsag + i * a * drp
+        rp = rp * r2
+        drp = drp * r2
+        i = i + 1.0
+    gx = 2.0 * x * dsag
+    gy = 2.0 * y * dsag
+    for (pi, pj), cm in zip(powers, ff_coeffs):
+        xi = _ipow(x, pi)
+        yj = _ipow(y, pj)
+        sag = sag + cm * xi * yj
+        if pi > 0:
+            gx = gx + cm * float(pi) * _ipow(x, pi - 1) * yj
+        if pj > 0:
+            gy = gy + cm * float(pj) * xi * _ipow(y, pj - 1)
+    return sag, gx, gy
+
+
+def ff_refine(c, kc2, asph_coeffs, powers, ff_coeffs, o, d, t0, valid,
+              n_iter=8):
+    """Newton-refine a base-conic root onto the freeform surface.
+
+    Same implicit-function scheme as :func:`asph_refine` (fixed
+    iteration count, gradients flow through the final residual), but
+    first-order only — the XY polynomial's second partials buy little
+    here and Newton-8 matches Halley-4's residual floor on the
+    magnitudes freeform correctors use (|coeff·x^i y^j| ≪ aperture).
+    """
+    def G_dG(t):
+        x = o[0] + t * d[0]
+        y = o[1] + t * d[1]
+        z = o[2] + t * d[2]
+        sag, gx, gy = ff_sag_grad(c, kc2, asph_coeffs, powers, ff_coeffs,
+                                  x, y)
+        g = z - sag
+        dg = d[2] - gx * d[0] - gy * d[1]
+        return g, dg
+
+    t = t0
+    for _ in range(n_iter):
+        g, dg = G_dG(t)
+        dg = jnp.where(jnp.abs(dg) < 1e-12,
+                       jnp.where(dg < 0, -1e-12, 1e-12), dg)
+        t = t - g / dg
+    g, _ = G_dG(t)
+    converged = jnp.abs(g) < 1e-4
+    return t, valid & converged & (t > INTERSECT_EPS)
+
+
+def ff_normal(c, kc2, asph_coeffs, powers, ff_coeffs, p_local):
+    """Unit normal of the freeform surface (+z at the vertex):
+    grad(z - S(x, y)) = (-dS/dx, -dS/dy, 1), normalized."""
+    x, y, _ = p_local
+    _, gx, gy = ff_sag_grad(c, kc2, asph_coeffs, powers, ff_coeffs, x, y)
+    gz = jnp.ones_like(x)
+    inv = 1.0 / jnp.sqrt(gx * gx + gy * gy + 1.0 + 1e-24)
+    return -gx * inv, -gy * inv, gz * inv

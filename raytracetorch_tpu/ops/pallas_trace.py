@@ -237,9 +237,9 @@ _ROW_FIELDS = (            # (name, shape) — row-major into the flat vector
     ('Rs', (3, 3)), ('ts', (3,)), ('sb', (4,)), ('vb', (8,)),
     ('ph', (6,)), ('asph', (4,)), ('disp', (12,)),
     ('hp_n', (8, 3)), ('hp_d', (8,)), ('hp_mask', (8,)),
-    ('coat', (16,)),
+    ('coat', (16,)), ('ff', (12,)),
 )
-ROW_WIDTH = 128            # padded flat width (sum of sizes = 120)
+ROW_WIDTH = 160            # padded flat width (sum of sizes = 132)
 
 
 def flatten_table_rows(table):
@@ -1172,7 +1172,7 @@ def _row_size():
     return total
 
 
-_ROW_SIZE = _row_size()    # = 102 (54 core + 40 half-space + 8 coat)
+_ROW_SIZE = _row_size()    # = 132 (120 through coat + 12 freeform)
 
 
 class _ValueView:
@@ -1465,9 +1465,9 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
         if k < K:
             vec = jnp.stack(list(ct_rows[k]))
             out_rows.append(jnp.concatenate(
-                [vec, jnp.zeros(128 - vec.size, jnp.float32)]))
+                [vec, jnp.zeros(ROW_WIDTH - vec.size, jnp.float32)]))
         else:
-            out_rows.append(jnp.zeros(128, jnp.float32))
+            out_rows.append(jnp.zeros(ROW_WIDTH, jnp.float32))
     ctab[0] = jnp.stack(out_rows)
 
 
@@ -1529,7 +1529,7 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
     ray_block = jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
     n_cf = 6 if track_field else 0
     out_shapes = ([ray_block] * (8 + n_cf)
-                  + [jax.ShapeDtypeStruct((grid, k_pad, 128), jnp.float32)])
+                  + [jax.ShapeDtypeStruct((grid, k_pad, ROW_WIDTH), jnp.float32)])
 
     kern = functools.partial(_kernel_v2_bwd, static_meta, cfg, n, k_pad,
                              track_opl, track_field, has_grid,
@@ -1547,7 +1547,7 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
             in_specs.append(pl.BlockSpec((n_slots, gh, gw),
                                          lambda i, tab, ctm: (0, 0, 0)))
         out_specs = ([block] * (8 + n_cf)
-                     + [pl.BlockSpec((1, k_pad, 128),
+                     + [pl.BlockSpec((1, k_pad, ROW_WIDTH),
                                      lambda i, tab, ctm: (i, 0, 0))])
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(grid,),
@@ -1566,7 +1566,7 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
             in_specs.append(pl.BlockSpec((n_slots, gh, gw),
                                          lambda i: (0, 0, 0)))
         out_specs = ([block] * (8 + n_cf)
-                     + [pl.BlockSpec((1, k_pad, 128), lambda i: (i, 0, 0))])
+                     + [pl.BlockSpec((1, k_pad, ROW_WIDTH), lambda i: (i, 0, 0))])
         outs = pl.pallas_call(
             kern, grid=(grid,),
             in_specs=in_specs,
@@ -1749,9 +1749,9 @@ def _kernel_nonseq_bwd(static_meta, cfg, n_valid, k_pad, n_bounces,
         if k < K:
             vec = jnp.stack(list(ct_rows[k]))
             out_rows.append(jnp.concatenate(
-                [vec, jnp.zeros(128 - vec.size, jnp.float32)]))
+                [vec, jnp.zeros(ROW_WIDTH - vec.size, jnp.float32)]))
         else:
-            out_rows.append(jnp.zeros(128, jnp.float32))
+            out_rows.append(jnp.zeros(ROW_WIDTH, jnp.float32))
     ctab[0] = jnp.stack(out_rows)
 
 
@@ -1899,7 +1899,7 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
         ct_state += tuple(jnp.where(mask, g_field_refs[j][:], 0.0)
                           for j in range(6))
 
-    ct_rows0 = jnp.zeros((K, 128), jnp.float32)
+    ct_rows0 = jnp.zeros((K, ROW_WIDTH), jnp.float32)
     ct_wl0 = jnp.zeros(shape, jnp.float32)
 
     def bwd_body(i, carry):
@@ -1915,7 +1915,8 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
             ct_in if has_grid else ct_in[:2])
         mat = jnp.stack([
             jnp.concatenate([jnp.stack(list(r)),
-                             jnp.zeros(128 - _ROW_SIZE, jnp.float32)])
+                             jnp.zeros(ROW_WIDTH - _ROW_SIZE,
+                                       jnp.float32)])
             for r in ct_rows_b])
         return ct_state, ct_rows_acc + mat, ct_wl + ct_wl_b
 
@@ -1935,7 +1936,7 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
 
     if k_pad > K:
         ct_rows_acc = jnp.concatenate(
-            [ct_rows_acc, jnp.zeros((k_pad - K, 128), jnp.float32)])
+            [ct_rows_acc, jnp.zeros((k_pad - K, ROW_WIDTH), jnp.float32)])
     ctab[0] = ct_rows_acc
 
 
@@ -1993,7 +1994,7 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
     ray_block = jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
     n_cf = 6 if track_field else 0
     out_shapes = ([ray_block] * (8 + n_cf)
-                  + [jax.ShapeDtypeStruct((grid, k_pad, 128), jnp.float32)])
+                  + [jax.ShapeDtypeStruct((grid, k_pad, ROW_WIDTH), jnp.float32)])
 
     kern_fn = (_kernel_nonseq_bwd_scan if mode == 'scan'
                else _kernel_nonseq_bwd)
@@ -2016,7 +2017,7 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
             in_specs.append(pl.BlockSpec((n_slots, gh, gw),
                                          lambda i, tab, ctm: (0, 0, 0)))
         out_specs = ([block] * (8 + n_cf)
-                     + [pl.BlockSpec((1, k_pad, 128),
+                     + [pl.BlockSpec((1, k_pad, ROW_WIDTH),
                                      lambda i, tab, ctm: (i, 0, 0))])
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(grid,),
@@ -2036,7 +2037,7 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
             in_specs.append(pl.BlockSpec((n_slots, gh, gw),
                                          lambda i: (0, 0, 0)))
         out_specs = ([block] * (8 + n_cf)
-                     + [pl.BlockSpec((1, k_pad, 128), lambda i: (i, 0, 0))])
+                     + [pl.BlockSpec((1, k_pad, ROW_WIDTH), lambda i: (i, 0, 0))])
         outs = pl.pallas_call(
             kern, grid=(grid,),
             in_specs=in_specs,

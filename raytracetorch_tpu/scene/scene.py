@@ -153,7 +153,8 @@ class Scene:
                                               dispm=r.disp_model,
                                               metal=r.is_metal,
                                               metal_nk=r.metal_nk,
-                                              coat_k=r.coat_k))
+                                              coat_k=r.coat_k,
+                                              ff=r.ff_powers or None))
                 if el.is_sensor:    # mirrors build_table's slot assignment
                     slot += 1
             self._static_meta = meta

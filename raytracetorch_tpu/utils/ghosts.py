@@ -55,7 +55,7 @@ def _meta_with_ph(m, ph):
                          asph=m.asph, disp=m.disp, plane=m.plane,
                          slot=m.slot, n_coat=m.n_coat, dispm=m.dispm,
                          metal=m.metal, metal_nk=m.metal_nk,
-                         coat_k=m.coat_k)
+                         coat_k=m.coat_k, ff=m.ff)
 
 
 def ghost_pairs(scene):

@@ -40,6 +40,10 @@ EXEMPLARS = {
     'AsphericLens': dict(c1=0.0167, c2=-0.0028, d=25.4, t=4.0,
                          ior_glass=1.5168, k1=-0.8, a1=(1e-6, 2e-9),
                          k1_grad=True),
+    'FreeformLens': dict(c1=0.0167, c2=-0.0028, d=25.4, t=4.0,
+                         ior_glass=1.5168, xy1=[(2, 0, 1e-3), (0, 2, -2e-3),
+                                                (2, 1, 1e-5)],
+                         xy1_grad=True),
     'WedgePrism': dict(wedge_angle=0.1, d=10.0, t=3.0, ior_glass=1.5),
     'SphericalMirror': dict(c1=-0.025, d=8.0, rotation=[0.1, 0.0, 0.0]),
     'CylindricalMirror': dict(c1=-0.025, d=8.0),
