@@ -19,7 +19,7 @@ from .elements.ideal import (DiffractionGrating, IdealCylThinLens,
                              paraxial_lens_mat, paraxial_mirror_mat,
                              paraxial_refract_mat)
 from .elements.lens import (AsphericLens, CylSingletLens, DoubletLens, FreeformLens,
-                            SingletLens, TripletLens, WedgePrism)
+                            SingletLens, TripletLens, WedgePrism, ZernikeLens)
 from .elements.mirror import (CylindricalMirror, ParabolicMirror,
                               ParabolicMirrorOffAxis, ParabolicMirrorXZ,
                               SphericalMirror)

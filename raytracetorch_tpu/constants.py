@@ -30,7 +30,10 @@ CYL_EDGE_EPS = 1e-4    # reference geom/cylindrics.py:51 (edge z slack)
 MAX_HALFSPACES = 8     # padded per-surface half-space bound capacity
 MAX_COAT_LAYERS = 8     # thin-film stack ceiling per surface (table coat row
                         # is 2*MAX_COAT_LAYERS wide: (n, d_um) interleaved)
-MAX_FF_TERMS = 12       # XY-polynomial term ceiling per freeform surface
+MAX_FF_TERMS = 32       # XY-polynomial term ceiling per freeform surface
+                        # (32 covers the full monomial span of Zernike
+                        # terms through n=6 / Noll j=28; compute cost is
+                        # per STATIC term, the pad only sizes the table)
                         # (exponent pairs are STATIC; the table ff row holds
                         # the traced coefficients)
 

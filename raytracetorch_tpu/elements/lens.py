@@ -744,6 +744,107 @@ class FreeformLens(AsphericLens):
         return recs
 
 
+class ZernikeLens(AsphericLens):
+    """Singlet whose faces add a ZERNIKE sag on top of the conic +
+    even-asphere base: S(x, y) = conic(r²) + Σ a_k r^(2k+4)
+    + Σ z_j Z_j(x/R_n, y/R_n) — the other industry freeform standard
+    (Zemax "Zernike Standard Sag"; no reference counterpart, the
+    reference's most general surface is the stubbed asphere,
+    reference geom/complex.py:6-10).
+
+    ``z1`` / ``z2`` give each face's terms as (j, coeff) pairs in NOLL
+    indexing (same convention as utils/wavefront.py::zernike_fit, so a
+    measured wavefront error maps 1:1 onto a corrector prescription);
+    coefficients are unnormalized sag amplitudes in lens units over the
+    normalization radius ``norm_radius`` (default: the semi-diameter).
+
+    Implementation: each Zernike term is expanded HOST-side into exact
+    monomial coefficients (geom/zernike.py), so the surface rides the
+    entire existing freeform path — XLA driver, both fused Pallas
+    kernels, Newton-refined intersection, exact normals — while the
+    parameter pytree keeps the ZERNIKE basis: the static basis-change
+    matrix is applied inside ``build``, so ``jax.grad`` / ``fit``
+    design directly in z_j (tests/test_zernike_lens.py).
+    """
+
+    def __init__(self, c1, c2, d, t, ior_glass, ior_media=1.0,
+                 k1=0.0, k2=0.0, a1=(), a2=(), z1=(), z2=(),
+                 z1_grad=False, z2_grad=False, norm_radius=None,
+                 name='zernike', **kw):
+        super().__init__(c1, c2, d, t, ior_glass, ior_media=ior_media,
+                         k1=k1, k2=k2, a1=a1, a2=a2, name=name, **kw)
+        from ..constants import MAX_FF_TERMS
+        from ..geom.zernike import zernike_monomial_map
+        rn = float(d) / 2.0 if norm_radius is None else float(norm_radius)
+        if rn <= 0.0:
+            raise ValueError(f"norm_radius must be positive, got {rn}")
+        self._norm_radius = rn
+
+        def split(terms, label):
+            idx, vals = [], []
+            for j, v in terms:
+                j = int(j)
+                if j < 2:
+                    raise ValueError(
+                        f"{label}: piston (Noll j=1) is a pure z offset, "
+                        "not a surface shape — use translation")
+                if j in idx:
+                    raise ValueError(f"{label}: duplicate Noll index {j}")
+                idx.append(j)
+                vals.append(float(v))
+            if not idx:
+                return [], None
+            powers, M = zernike_monomial_map(tuple(idx), rn)
+            if len(powers) > MAX_FF_TERMS:
+                raise ValueError(
+                    f"{label}: Zernike set spans {len(powers)} monomials "
+                    f"(> MAX_FF_TERMS={MAX_FF_TERMS}); use fewer / "
+                    "lower-order terms")
+            return vals, (powers, M)
+
+        v1, m1 = split(z1, 'z1')
+        v2, m2 = split(z2, 'z2')
+        self._zern_maps = (m1, m2)
+        if m1:
+            self._init.update(z1=v1)
+            self._grads.update(z1=z1_grad)
+        if m2:
+            self._init.update(z2=v2)
+            self._grads.update(z2=z2_grad)
+
+    def param_scales(self):
+        scales = super().param_scales()
+        # Zernike coefficients are already rim-sag amplitudes in length
+        # units (the basis is O(1) over the normalization disk), so a
+        # normalized optimizer step is well-conditioned at scale 1.
+        for key in ('z1', 'z2'):
+            if key in self._init:
+                scales[key] = [1.0] * len(self._init[key])
+        return scales
+
+    def build(self, p):
+        recs = super().build(p)
+        for face, (key, zm) in enumerate(zip(('z1', 'z2'),
+                                             self._zern_maps)):
+            if zm:
+                powers, M = zm
+                z = p[key]
+                ff = []
+                # static basis change as unrolled scalar FMAs (exact f32;
+                # a [n_mono, n_zern] matmul would round through bf16 on
+                # the MXU, CLAUDE.md perf rule 2)
+                for row in M:
+                    acc = None
+                    for k, w in enumerate(row):
+                        if w != 0.0:
+                            term = w * z[k]
+                            acc = term if acc is None else acc + term
+                    ff.append(acc if acc is not None else 0.0 * z[0])
+                recs[face].ff = tuple(ff)
+                recs[face].ff_powers = powers
+        return recs
+
+
 class WedgePrism(Element):
     """Thin wedge prism: flat entrance face + exit face tilted by
     ``wedge_angle`` about x, refracting with the glass index.  Small-angle

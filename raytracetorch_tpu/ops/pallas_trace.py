@@ -237,9 +237,9 @@ _ROW_FIELDS = (            # (name, shape) — row-major into the flat vector
     ('Rs', (3, 3)), ('ts', (3,)), ('sb', (4,)), ('vb', (8,)),
     ('ph', (6,)), ('asph', (4,)), ('disp', (12,)),
     ('hp_n', (8, 3)), ('hp_d', (8,)), ('hp_mask', (8,)),
-    ('coat', (16,)), ('ff', (12,)),
+    ('coat', (16,)), ('ff', (32,)),
 )
-ROW_WIDTH = 160            # padded flat width (sum of sizes = 132)
+ROW_WIDTH = 160            # padded flat width (sum of sizes = 152)
 
 
 def flatten_table_rows(table):

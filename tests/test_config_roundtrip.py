@@ -44,6 +44,10 @@ EXEMPLARS = {
                          ior_glass=1.5168, xy1=[(2, 0, 1e-3), (0, 2, -2e-3),
                                                 (2, 1, 1e-5)],
                          xy1_grad=True),
+    'ZernikeLens': dict(c1=0.0167, c2=-0.0028, d=25.4, t=4.0,
+                        ior_glass=1.5168, z1=[(4, 1e-3), (6, -2e-4),
+                                              (11, 5e-5)],
+                        z1_grad=True, norm_radius=10.0),
     'WedgePrism': dict(wedge_angle=0.1, d=10.0, t=3.0, ior_glass=1.5),
     'SphericalMirror': dict(c1=-0.025, d=8.0, rotation=[0.1, 0.0, 0.0]),
     'CylindricalMirror': dict(c1=-0.025, d=8.0),

@@ -175,4 +175,4 @@ def test_bad_terms_raise():
                      xy1=[(0, 0, 1.0)])          # piston
     with pytest.raises(ValueError):
         FreeformLens(c1=0.0, c2=0.0, d=10.0, t=2.0, ior_glass=1.5,
-                     xy1=[(2, 0, 1e-3)] * 13)    # > MAX_FF_TERMS
+                     xy1=[(2, 0, 1e-3)] * 33)    # > MAX_FF_TERMS
