@@ -215,9 +215,13 @@ function formHtml(fields, values, prefix) {
       if (f.name === 'coating')
         rows = rows.map(r => (Array.isArray(r) && r.length === 2)
                              ? [r[0], 0, r[1]] : r);
+      // single-label lists (asphere coefficients) store flat scalars
+      if (f.labels.length === 1)
+        rows = rows.map(r => Array.isArray(r) ? r : [r]);
       h += `<label>${f.name}</label><div class="pairs" id="${id}">` +
         rows.map(r=>pairRowHtml(id, r, f.labels)).join('') + `</div>` +
-        `<button type="button" onclick="addPairRow('${id}')">+ ${f.name} layer</button>`;
+        `<button type="button" onclick="addPairRow('${id}')">+ ${f.name} ` +
+        `${f.name==='coating'?'layer':'term'}</button>`;
     } else if (f.kind === 'numlist') {
       const a = Array.isArray(v) ? v : [];
       h += `<label>${f.name}<span class="v3">` +
@@ -254,8 +258,13 @@ function readForm(fields, prefix) {
     } else if (f.kind === 'pairs') {
       const rows = [];
       $(id).querySelectorAll('.prow').forEach(sp => {
-        const vals = [...sp.querySelectorAll('input')].map(i=>+(i.value||0));
-        if (vals.some(x=>x!==0)) rows.push(vals);
+        const ins = [...sp.querySelectorAll('input')];
+        const vals = ins.map(i=>+(i.value||0));
+        // 1-label lists are positional (a1[k] = a_{2k+4}): keep any
+        // non-empty entry even if it is 0, and store flat scalars
+        const keep = f.labels.length === 1 ? ins.some(i=>i.value!=='')
+                                           : vals.some(x=>x!==0);
+        if (keep) rows.push(f.labels.length === 1 ? vals[0] : vals);
       });
       if (rows.length) out[f.name] = rows;
     } else if (f.kind === 'numlist') {

@@ -560,6 +560,14 @@ def registry():
                 break
         return merged
 
+    _TERM_FIELDS = {             # structured list editors for surface
+        'xy1': ['i', 'j', 'c'],  # term lists: freeform XY monomials,
+        'xy2': ['i', 'j', 'c'],  # Zernike (Noll j, coeff) pairs, even-
+        'z1': ['j', 'coeff'],    # asphere coefficient lists.  Reuses the
+        'z2': ['j', 'coeff'],    # variable-row 'pairs' widget; 1-label
+        'a1': ['a'], 'a2': ['a'],  # lists flatten client-side (app.js)
+    }
+
     def element_fields(cls):
         out = []
         for pname, p in _ctor_params(cls).items():
@@ -584,6 +592,11 @@ def registry():
                                        if pname == 'coating'
                                        else ['B1', 'B2', 'B3',
                                              'C1', 'C2', 'C3']),
+                            'required': False})
+                continue
+            if pname in _TERM_FIELDS:
+                out.append({'name': pname, 'default': None, 'kind': 'pairs',
+                            'labels': _TERM_FIELDS[pname],
                             'required': False})
                 continue
             if pname == 'metal':

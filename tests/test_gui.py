@@ -249,6 +249,37 @@ def test_structured_coating_and_metal_fields(server):
             'ior_glass': 1.5, 'c1_grad': True, 'c2_grad': True}}})
 
 
+def test_structured_term_list_fields(server):
+    """Freeform / Zernike / asphere term lists expose the variable-row
+    'pairs' editor (xy = (i, j, c) triples, z = (Noll j, coeff) pairs,
+    a = flat coefficient list), and an element add carrying Zernike
+    terms through the form payload builds a traceable ZernikeLens."""
+    base, wb = server
+    reg = json.loads(_get(base, '/api/registry'))
+    ff = {f['name']: f for f in reg['elements']['FreeformLens']}
+    assert ff['xy1']['kind'] == 'pairs'
+    assert ff['xy1']['labels'] == ['i', 'j', 'c']
+    zf = {f['name']: f for f in reg['elements']['ZernikeLens']}
+    assert zf['z1']['labels'] == ['j', 'coeff']
+    assert zf['a1']['kind'] == 'pairs' and zf['a1']['labels'] == ['a']
+
+    n_before = len(wb.scene.elements)
+    r = _post(base, '/api/element/add', {
+        'config': {'class': 'ZernikeLens', 'name': 'zcorr', 'params': {
+            'name': 'zcorr', 'c1': 0.0, 'c2': 0.0, 'd': 14.0, 't': 2.0,
+            'ior_glass': 1.5168, 'z1': [[4, 1e-3], [6, -2e-4]],
+            'a1': [1e-5], 'z1_grad': True, 'norm_radius': 7.0,
+            'translation': [0.0, 0.0, -6.0]}}})
+    assert r['ok']
+    assert len(wb.scene.elements) == n_before + 1
+    assert list(np.asarray(wb.params['zcorr']['z1'])) == \
+        pytest.approx([1e-3, -2e-4])
+    out = _post(base, '/api/trace', {})
+    assert out['n_alive'] > 0
+    _post(base, '/api/element/delete', {'index': n_before})
+    assert len(wb.scene.elements) == n_before
+
+
 def test_nested_emission_model_form(server):
     """Bundle registry exposes the polymorphic nested emission sub-form
     (subclass dropdown + inline fields, reference gui/forms.py:219-437),
