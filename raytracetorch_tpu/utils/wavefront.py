@@ -39,17 +39,43 @@ def opl_to_point(rays, opl, point, n_medium=1.0):
     return opl + n_medium * t_close
 
 
-def wavefront_rms(rays, opl, point=None, weights=None, n_medium=1.0):
+def wavefront_rms(rays, opl, point=None, weights=None, n_medium=1.0,
+                  refocus=False):
     """Intensity-weighted RMS optical-path-difference about ``point``
     (default: the bundle's best focus), in the trace's length units.
-    Divide by the wavelength for waves."""
+    Divide by the wavelength for waves.
+
+    ``refocus=True`` re-solves the reference point itself for minimum OPD
+    variance: moving the reference by dF changes each ray's
+    ``opl_to_point`` by exactly ``n (d_i . dF)`` (closest approach is
+    linear in F), so projecting out the span of [1, dx, dy, dz] removes
+    piston AND the tilt/defocus a better reference sphere would absorb —
+    the RMS wavefront error a designer reports.  The transverse-ray
+    ``best_focus`` default can differ from the OPD optimum by several
+    waves of tilt on asymmetric systems (examples/20_zernike_corrector).
+    """
     if point is None:
         point = best_focus(rays)
     total = opl_to_point(rays, opl, point, n_medium)
     w = rays.intensity if weights is None else weights
     wsum = jnp.maximum(jnp.sum(w), 1e-12)
     mean = jnp.sum(total * w) / wsum
-    var = jnp.sum(w * (total - mean) ** 2) / wsum
+    tc = total - mean
+    if refocus:
+        # weighted LS of (centered) total onto centered/normalized
+        # (dx, dy, dz) via 3x3 normal equations of planar [N] reductions
+        # (an [N, 4] design matrix would waste 124/128 TPU lanes, and the
+        # raw [1, dz] pair is near-collinear in f32 — dz ~ 1)
+        def cnorm(a):
+            ac = a - jnp.sum(w * a) / wsum
+            return ac / jnp.sqrt(jnp.sum(w * ac * ac) + 1e-20)
+        cols = (cnorm(rays.dx), cnorm(rays.dy), cnorm(rays.dz))
+        G = jnp.stack([jnp.stack([jnp.sum(w * a * b) for b in cols])
+                       for a in cols])
+        b = jnp.stack([jnp.sum(w * a * tc) for a in cols])
+        k = jnp.linalg.solve(G + 1e-6 * jnp.eye(3), b)
+        tc = tc - (k[0] * cols[0] + k[1] * cols[1] + k[2] * cols[2])
+    var = jnp.sum(w * tc ** 2) / wsum
     return jnp.sqrt(jnp.maximum(var, 0.0))
 
 
@@ -57,7 +83,10 @@ def wavefront_rms(rays, opl, point=None, weights=None, n_medium=1.0):
 # Zernike decomposition
 # ---------------------------------------------------------------------------
 
-# (n, m) indices of the first 15 Noll-ordered Zernike terms
+# (n, m) indices of the first 15 Noll-ordered Zernike terms.  Kept as a
+# literal table: it is the regression anchor for the general
+# geom/zernike.py::noll_nm rule (tests/test_zernike_lens.py), which
+# zernike_basis uses so fits can run to arbitrary order.
 _NOLL_NM = [(0, 0), (1, 1), (1, -1), (2, 0), (2, -2), (2, 2), (3, -1),
             (3, 1), (3, -3), (3, 3), (4, 0), (4, 2), (4, -2), (4, 4),
             (4, -4)]
@@ -65,7 +94,13 @@ _NOLL_NM = [(0, 0), (1, 1), (1, -1), (2, 0), (2, -2), (2, 2), (3, -1),
 ZERNIKE_NAMES = ['piston', 'tilt x', 'tilt y', 'defocus', 'astig 45',
                  'astig 0', 'coma y', 'coma x', 'trefoil y', 'trefoil x',
                  'spherical', 'astig2 0', 'astig2 45', 'quadrafoil 0',
-                 'quadrafoil 45']
+                 'quadrafoil 45', 'coma2 x', 'coma2 y', 'trefoil2 x',
+                 'trefoil2 y', 'pentafoil x', 'pentafoil y', 'spherical2']
+
+
+def zernike_name(j):
+    """Human name of Noll term ``j`` (1-based); 'z<j>' beyond the table."""
+    return ZERNIKE_NAMES[j - 1] if j <= len(ZERNIKE_NAMES) else f'z{j}'
 
 
 def _zernike_radial(n, m, rho):
@@ -84,10 +119,11 @@ def zernike_basis(x, y, radius, n_terms=15):
     """[N, n_terms] Zernike values (Noll order, unit normalization omitted —
     coefficients are in the same length units as the OPD) over the pupil
     coordinates (x, y) normalized by ``radius``."""
+    from ..geom.zernike import noll_nm
     rho = jnp.sqrt(x * x + y * y) / radius
     theta = jnp.arctan2(y, x)
     cols = []
-    for n, m in _NOLL_NM[:n_terms]:
+    for n, m in (noll_nm(j) for j in range(1, n_terms + 1)):
         r = _zernike_radial(n, m, rho)
         if m == 0:
             cols.append(r)

@@ -6,7 +6,8 @@ import numpy as np
 
 from raytracetorch_tpu import (CollimatedDisk, Rays, SequentialScene,
                                SingletLens)
-from raytracetorch_tpu.utils.wavefront import (best_focus, wavefront_rms)
+from raytracetorch_tpu.utils.wavefront import (best_focus, wavefront_rms,
+                                               zernike_name)
 
 
 def _scene(**kw):
@@ -59,6 +60,34 @@ def test_wavefront_rms_tracks_aberration(key):
     assert small < 5e-5
     assert 5e-5 < large < 1e-3
     assert large > small * 5
+
+
+def test_refocus_absorbs_reference_tilt(key):
+    """refocus=True re-solves the reference sphere center, so a reference
+    point displaced laterally off the true focus (pure wavefront TILT —
+    several waves for a 0.1-unit offset) must not inflate the RMS; about
+    the true focus both modes agree."""
+    scene = _scene()
+    p = scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0, 0, -10.0]).sample(key, 4000)
+    out, _, aux = scene.simulate(p, rays, key, track_opl=True)
+    F = best_focus(out)
+    at_f = float(wavefront_rms(out, aux['opl'], point=F))
+    off = F + jnp.array([0.1, 0.0, 0.0])
+    plain = float(wavefront_rms(out, aux['opl'], point=off))
+    refoc = float(wavefront_rms(out, aux['opl'], point=off, refocus=True))
+    assert plain > 20 * at_f            # tilt dominates the naive RMS
+    assert refoc < at_f + 2e-5          # ...and is fully projected out
+    both = float(wavefront_rms(out, aux['opl'], point=F, refocus=True))
+    assert both <= at_f + 1e-7          # refocus never increases the RMS
+
+
+def test_zernike_names():
+    assert zernike_name(4) == 'defocus'
+    assert zernike_name(11) == 'spherical'
+    assert zernike_name(22) == 'spherical2'
+    assert zernike_name(25) == 'z25'
 
 
 def test_wavefront_differentiable(key):

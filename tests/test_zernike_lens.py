@@ -33,12 +33,13 @@ def test_noll_table_matches_wavefront():
 
 def test_monomial_expansion_matches_zernike_basis():
     # the cartesian expansion and the polar-form analysis basis are the
-    # SAME functions — float-exact to accumulation order
+    # SAME functions — float-exact to accumulation order (through j=28:
+    # zernike_basis follows noll_nm beyond its literal 15-term table)
     k = jax.random.PRNGKey(0)
     xy = jax.random.uniform(k, (2, 300), minval=-0.9, maxval=0.9)
-    Z = np.asarray(zernike_basis(xy[0], xy[1], 1.0, n_terms=15))
+    Z = np.asarray(zernike_basis(xy[0], xy[1], 1.0, n_terms=28))
     u, v = np.asarray(xy[0], np.float64), np.asarray(xy[1], np.float64)
-    for j in range(2, 16):
+    for j in range(2, 29):
         poly = zernike_xy_poly(*noll_nm(j))
         zm = sum(float(c) * u ** i * v ** kk for (i, kk), c in poly.items())
         assert np.abs(zm - Z[:, j - 1]).max() < 1e-5, j
