@@ -1,0 +1,359 @@
+"""Zemax ``.zmx`` prescription import.
+
+Interop with the industry's dominant exchange format, so published and
+vendor prescriptions load directly into a traceable, differentiable
+``SequentialScene``.  No reference counterpart (the torch reference has
+only its own ``.rtt`` JSON format, reference project.py:1-60) — this is
+a beyond-reference capability like the glass catalog it leans on.
+
+Supported subset (the sequential-design core of the format):
+
+* ``MODE SEQ`` files; lens units MM/CM/IN/METER (scaled to the scene's
+  lens unit = mm).
+* ``STANDARD`` and ``EVENASPH`` surface types: curvature, conic,
+  even-asphere terms r^4..r^10 (Zemax PARM 2..5 — a PARM 1 r^2 term has
+  no exact counterpart and raises).
+* Glass runs: 2 consecutive refracting faces -> ``SingletLens`` /
+  ``AsphericLens``, 3 -> cemented ``DoubletLens``, 4 -> ``TripletLens``.
+  Named glasses resolve through ``utils.glass`` (Sellmeier coefficients
+  when cataloged, else the (nd, vd) Cauchy model from the GLAS line).
+* ``STOP`` surface -> ``CircularAperture``; the image surface ->
+  ``SensorElement``.
+* ``ENPD`` / ``WAVM`` become the suggested entrance-pupil radius and
+  wavelength list on the returned metadata.
+
+Out of scope (raise ValueError, never import silently wrong): mirrors,
+coordinate breaks / tilted surfaces, diffractive surfaces, and glass
+runs longer than four faces.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from dataclasses import dataclass, field
+
+_UNIT_MM = {'MM': 1.0, 'CM': 10.0, 'IN': 25.4, 'METER': 1000.0, 'M': 1000.0}
+
+_SUPPORTED_TYPES = {'STANDARD', 'EVENASPH'}
+
+
+@dataclass
+class ZmxSurface:
+    """One SURF block, in file order (Zemax conventions, scaled to mm)."""
+    index: int
+    type: str = 'STANDARD'
+    curv: float = 0.0           # 1/radius; + = center of curvature at +z
+    disz: float = 0.0           # gap to the NEXT surface (inf for object)
+    conic: float = 0.0
+    parm: dict = field(default_factory=dict)   # Zemax PARM i -> value
+    glass: str | None = None    # material AFTER this surface (None = air)
+    nd: float | None = None     # index from the GLAS line, if given
+    vd: float | None = None
+    semi_diam: float = 0.0      # DIAM value (Zemax stores the semi-diam)
+    is_stop: bool = False
+    comment: str = ''
+
+
+@dataclass
+class ZmxImport:
+    """Result of :func:`load_zmx`."""
+    scene: object               # SequentialScene
+    elements: list              # the same elements, importable order
+    wavelengths_um: list        # WAVM wavelengths
+    primary_wave_um: float | None
+    enpd: float | None          # entrance pupil DIAMETER (mm)
+    name: str = ''
+    surfaces: list = field(default_factory=list)   # parsed ZmxSurface rows
+
+
+def _read_text(path_or_text):
+    """.zmx files ship as UTF-16 (BOM) or plain ASCII; accept raw text,
+    bytes, or a path."""
+    if isinstance(path_or_text, bytes):
+        data = path_or_text
+    elif isinstance(path_or_text, str) and '\n' not in path_or_text \
+            and os.path.exists(path_or_text):
+        with open(path_or_text, 'rb') as f:
+            data = f.read()
+    elif isinstance(path_or_text, str):
+        return path_or_text
+    elif isinstance(path_or_text, io.IOBase):
+        data = path_or_text.read()
+        if isinstance(data, str):
+            return data
+    else:
+        raise TypeError(f'cannot read zmx from {type(path_or_text)}')
+    for enc in ('utf-16', 'utf-8-sig', 'latin-1'):
+        try:
+            text = data.decode(enc)
+        except (UnicodeDecodeError, UnicodeError):
+            continue
+        if 'SURF' in text or 'VERS' in text or 'MODE' in text:
+            return text
+    raise ValueError('not a recognizable .zmx file (no SURF/VERS/MODE '
+                     'keyword under utf-16/utf-8/latin-1)')
+
+
+def parse_zmx(path_or_text):
+    """-> (surfaces, meta) — the raw keyword-level parse, mm-scaled.
+
+    ``meta``: dict with 'name', 'mode', 'unit_scale', 'enpd',
+    'wavelengths_um', 'primary_wave_um'.
+    """
+    text = _read_text(path_or_text)
+    surfaces = []
+    cur = None
+    meta = {'name': '', 'mode': 'SEQ', 'unit_scale': 1.0, 'enpd': None,
+            'wavelengths_um': [], 'primary_wave_um': None}
+    waves = {}
+    primary_idx = 1
+    scale = 1.0
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        parts = line.split()
+        kw = parts[0].upper()
+        args = parts[1:]
+        if kw == 'UNIT' and args:
+            scale = _UNIT_MM.get(args[0].upper())
+            if scale is None:
+                raise ValueError(f'unsupported lens unit {args[0]!r}')
+            meta['unit_scale'] = scale
+        elif kw == 'MODE' and args:
+            meta['mode'] = args[0].upper()
+        elif kw == 'NAME':
+            meta['name'] = ' '.join(args)
+        elif kw == 'ENPD' and args:
+            meta['enpd'] = float(args[0])
+        elif kw in ('WAVM', 'WAVL', 'WAVE') and len(args) >= 2:
+            try:
+                waves[int(args[0])] = float(args[1])
+            except ValueError:
+                pass
+        elif kw == 'PWAV' and args:
+            primary_idx = int(args[0])
+        elif kw == 'SURF':
+            cur = ZmxSurface(index=int(args[0]))
+            surfaces.append(cur)
+        elif cur is None:
+            continue
+        elif kw == 'TYPE' and args:
+            cur.type = args[0].upper()
+        elif kw == 'CURV' and args:
+            cur.curv = float(args[0])
+        elif kw == 'CONI' and args:
+            cur.conic = float(args[0])
+        elif kw == 'DISZ' and args:
+            a = args[0].upper()
+            cur.disz = float('inf') if a == 'INFINITY' else float(args[0])
+        elif kw == 'PARM' and len(args) >= 2:
+            cur.parm[int(args[0])] = float(args[1])
+        elif kw == 'DIAM' and args:
+            cur.semi_diam = float(args[0])
+        elif kw == 'STOP':
+            cur.is_stop = True
+        elif kw == 'GLAS' and args:
+            cur.glass = args[0]
+            if len(args) >= 5:
+                try:
+                    nd, vd = float(args[3]), float(args[4])
+                    if nd > 1.0:
+                        cur.nd, cur.vd = nd, (vd if vd > 0 else None)
+                except ValueError:
+                    pass
+        elif kw == 'COMM':
+            cur.comment = ' '.join(args)
+    # apply unit scaling (UNIT may appear before or after SURF blocks —
+    # Zemax writes it in the header, but scale at the end to be safe).
+    # WAVM wavelengths are ALWAYS micrometers, independent of UNIT.
+    if scale != 1.0:
+        for s in surfaces:
+            s.curv = s.curv / scale
+            if s.disz != float('inf'):
+                s.disz *= scale
+            s.semi_diam *= scale
+            # even-asphere PARM i multiplies r^(2i): coefficient carries
+            # units of length^(1-2i)
+            s.parm = {i: v / scale ** (2 * i - 1) for i, v in s.parm.items()}
+        if meta['enpd']:
+            meta['enpd'] *= scale
+    meta['wavelengths_um'] = [waves[k] for k in sorted(waves)]
+    meta['primary_wave_um'] = waves.get(primary_idx) or (
+        meta['wavelengths_um'][0] if meta['wavelengths_um'] else None)
+    return surfaces, meta
+
+
+def _glass_kwargs(surf, suffix=''):
+    """Trace-model kwargs for the glass AFTER ``surf`` (Sellmeier from
+    the catalog when the name is known, else the GLAS line's (nd, vd))."""
+    from .glass import CATALOG, SELLMEIER, glass
+    name = surf.glass.upper()
+    if name in SELLMEIER:
+        kw = glass(surf.glass, model='sellmeier')
+        return {f'ior_glass{suffix}': kw['ior_glass'],
+                f'sellmeier{suffix}': kw['sellmeier']}
+    if name in CATALOG:
+        kw = glass(surf.glass, model='abbe')
+        return {f'ior_glass{suffix}': kw['ior_glass'],
+                f'abbe_vd{suffix}': kw['abbe_vd']}
+    if surf.nd is None:
+        raise ValueError(
+            f"surface {surf.index}: glass {surf.glass!r} is not in the "
+            "catalog and its GLAS line carries no (nd, vd)")
+    out = {f'ior_glass{suffix}': surf.nd}
+    if surf.vd is not None:
+        out[f'abbe_vd{suffix}'] = surf.vd
+    return out
+
+
+def _asphere_terms(surf):
+    """(k, a) for an EVENASPH face: conic + (a4, a6, a8, a10)."""
+    bad = [i for i in surf.parm if i not in (1, 2, 3, 4, 5)]
+    if bad:
+        raise ValueError(
+            f'surface {surf.index}: even-asphere terms beyond r^10 '
+            f'(PARM {sorted(bad)}) are not supported')
+    if surf.parm.get(1, 0.0):
+        raise ValueError(
+            f'surface {surf.index}: a PARM 1 (r^2) asphere term has no '
+            'exact counterpart here — fold it into CURV upstream')
+    a = tuple(surf.parm.get(i, 0.0) for i in (2, 3, 4, 5))
+    return surf.conic, (a if any(a) else ())
+
+
+def load_zmx(path_or_text, n_media=1.0):
+    """Import a sequential ``.zmx`` prescription -> :class:`ZmxImport`.
+
+    The returned ``scene`` is a ready ``SequentialScene``:
+    lens groups (singlet / cemented doublet / triplet, spheric or even
+    aspheric), the stop as a ``CircularAperture``, and the image plane
+    as a ``SensorElement`` — positioned on the z axis by the cumulative
+    DISZ gaps with surface 1 at z = 0.
+    """
+    from ..elements.aperture import CircularAperture
+    from ..elements.lens import (AsphericLens, DoubletLens, SingletLens,
+                                 TripletLens)
+    from ..elements.sensor import SensorElement
+    from ..scene.scene import SequentialScene
+
+    surfaces, meta = parse_zmx(path_or_text)
+    if meta['mode'] not in ('SEQ', ''):
+        raise ValueError(f"only sequential (MODE SEQ) files are supported, "
+                         f"got MODE {meta['mode']}")
+    if not surfaces:
+        raise ValueError('no SURF blocks found')
+    for s in surfaces:
+        if s.type not in _SUPPORTED_TYPES:
+            raise ValueError(
+                f'surface {s.index}: TYPE {s.type} not supported '
+                f'(supported: {sorted(_SUPPORTED_TYPES)})')
+        if s.glass and s.glass.upper() in ('MIRROR', 'MIRR'):
+            raise ValueError(
+                f'surface {s.index}: mirror import is not supported '
+                '(fold geometry) — build reflective systems directly')
+
+    # object surface = index 0 (infinite or finite gap to surface 1)
+    body = [s for s in surfaces if s.index > 0]
+    if len(body) < 2:
+        raise ValueError('need at least one surface plus the image plane')
+    image = body[-1]
+
+    elements = []
+    z = 0.0                       # cursor: z of the CURRENT surface vertex
+    i = 0
+    n_lens = 0
+    while i < len(body) - 1:      # image plane handled after the loop
+        s = body[i]
+        if s.glass is None:
+            # bare surface: the STOP becomes a physical aperture; plain
+            # dummy planes are pure spacing
+            if s.is_stop and s.semi_diam > 0:
+                if s.curv != 0.0 or s.conic != 0.0:
+                    raise ValueError(
+                        f'surface {s.index}: curved stop not supported')
+                elements.append(CircularAperture(
+                    radius=s.semi_diam, translation=[0.0, 0.0, z],
+                    name=f'stop_s{s.index}'))
+            z += s.disz
+            i += 1
+            continue
+        # glass run: faces i .. j where j is the first surface back in air
+        j = i
+        while body[j].glass is not None:
+            j += 1
+            if j >= len(body) - 1:
+                raise ValueError(
+                    f'surface {body[i].index}: glass run reaches the '
+                    'image plane (no closing air gap)')
+        faces = body[i:j + 1]
+        n_faces = len(faces)
+        curvs = [f.curv for f in faces]
+        ts = [f.disz for f in faces[:-1]]
+        if any(t <= 0 for t in ts):
+            raise ValueError(
+                f'surface {faces[0].index}: non-positive glass thickness')
+        semi = max(f.semi_diam for f in faces)
+        if semi <= 0:
+            semi = (meta['enpd'] or 10.0) / 2.0 * 1.1
+        d = 2.0 * semi
+        zc = z + sum(ts) / 2.0             # element center (vertices are
+        n_lens += 1                        # centered on sum(ts)/2)
+        name = f'lens{n_lens}_s{faces[0].index}'
+        aspheric = any(f.conic or f.parm for f in faces)
+        if n_faces == 2:
+            gkw = _glass_kwargs(faces[0])
+            if aspheric:
+                k1, a1 = _asphere_terms(faces[0])
+                k2, a2 = _asphere_terms(faces[1])
+                elements.append(AsphericLens(
+                    c1=curvs[0], c2=curvs[1], d=d, t=ts[0],
+                    k1=k1, k2=k2, a1=a1, a2=a2, ior_media=n_media,
+                    translation=[0.0, 0.0, zc], name=name, **gkw))
+            else:
+                elements.append(SingletLens(
+                    c1=curvs[0], c2=curvs[1], d=d, t=ts[0],
+                    ior_media=n_media,
+                    translation=[0.0, 0.0, zc], name=name, **gkw))
+        elif n_faces == 3:
+            if aspheric:
+                raise ValueError(
+                    f'surface {faces[0].index}: aspheric cemented '
+                    'doublets are not supported')
+            gkw = {**_glass_kwargs(faces[0], '1'),
+                   **_glass_kwargs(faces[1], '2')}
+            elements.append(DoubletLens(
+                c1=curvs[0], c2=curvs[1], c3=curvs[2], d=d,
+                t1=ts[0], t2=ts[1], ior_media=n_media,
+                translation=[0.0, 0.0, zc], name=name, **gkw))
+        elif n_faces == 4:
+            if aspheric:
+                raise ValueError(
+                    f'surface {faces[0].index}: aspheric cemented '
+                    'triplets are not supported')
+            gkw = {**_glass_kwargs(faces[0], '1'),
+                   **_glass_kwargs(faces[1], '2'),
+                   **_glass_kwargs(faces[2], '3')}
+            elements.append(TripletLens(
+                c1=curvs[0], c2=curvs[1], c3=curvs[2], c4=curvs[3], d=d,
+                t1=ts[0], t2=ts[1], t3=ts[2], ior_media=n_media,
+                translation=[0.0, 0.0, zc], name=name, **gkw))
+        else:
+            raise ValueError(
+                f'surface {faces[0].index}: cemented run of {n_faces} '
+                'faces (max supported: 4 — a cemented triplet)')
+        z += sum(ts) + faces[-1].disz
+        i = j + 1
+
+    sensor_r = image.semi_diam if image.semi_diam > 0 else \
+        ((meta['enpd'] or 10.0))
+    elements.append(SensorElement(radius=sensor_r,
+                                  translation=[0.0, 0.0, z],
+                                  name='image'))
+    scene = SequentialScene(elements)
+    return ZmxImport(scene=scene, elements=elements,
+                     wavelengths_um=meta['wavelengths_um'],
+                     primary_wave_um=meta['primary_wave_um'],
+                     enpd=meta['enpd'], name=meta['name'],
+                     surfaces=surfaces)
