@@ -148,6 +148,12 @@ INDEX_HTML = r"""<!DOCTYPE html>
     <button class="sec" onclick="post('/api/save',{path:val('path')}).then(()=>st('saved'))">Save</button>
     <button class="sec" onclick="post('/api/load',{path:val('path')}).then(refreshAll)">Load</button>
   </div>
+  <div class="row">
+    <input type="file" id="zmxfile" accept=".zmx,.ZMX" style="display:none"
+           onchange="importZmx(this.files[0])">
+    <button class="sec" onclick="$('zmxfile').click()">Import .zmx</button>
+    <button class="sec" onclick="exportZmx()">Export .zmx</button>
+  </div>
 </div>
 
 <script>
@@ -156,6 +162,26 @@ let selEl = -1, selBu = -1;
 const $ = id => document.getElementById(id);
 const val = id => $(id).value;
 const st = m => { $('status').textContent = m; };
+async function importZmx(file) {
+  if (!file) return;
+  const buf = await file.arrayBuffer();
+  // .zmx ships UTF-16 (BOM) or ASCII — sniff the BOM client-side
+  const u8 = new Uint8Array(buf);
+  const enc = (u8[0] === 0xFF && u8[1] === 0xFE) ? 'utf-16le' :
+              (u8[0] === 0xFE && u8[1] === 0xFF) ? 'utf-16be' : 'utf-8';
+  const text = new TextDecoder(enc).decode(buf);
+  const r = await post('/api/import_zmx', {text});
+  st(`imported ${r.n_elements} elements` + (r.name ? ` (${r.name})` : ''));
+  refreshAll();
+}
+async function exportZmx() {
+  const r = await post('/api/export_zmx', {});
+  const a = document.createElement('a');
+  a.href = URL.createObjectURL(new Blob([r.text], {type:'text/plain'}));
+  a.download = (val('path')||'scene').replace(/\.rtt$/,'') + '.zmx';
+  a.click();
+  st('exported .zmx');
+}
 async function post(url, body) {
   const r = await fetch(url, {method:'POST', body: JSON.stringify(body||{})});
   const j = await r.json();

@@ -859,6 +859,28 @@ def make_handler(wb: Workbench):
                 if os.path.exists(ppath):
                     wb.params = projmod.load_params(ppath)
                 return {'ok': True}
+            if p == '/api/import_zmx':
+                from ..utils.zemax import load_zmx
+                wb.push_undo()
+                imp = load_zmx(body.get('text') or body['path'])
+                sc = imp.scene
+                if imp.enpd:          # tracing bundle sized to the pupil
+                    from ..rays.sources import CollimatedDisk
+                    z0 = min(float(np.asarray(e._trans_init)[2])
+                             for e in sc.elements) - 10.0
+                    sc.add_bundle(CollimatedDisk.make(
+                        radius=jnp.float32(imp.enpd / 2.0),
+                        translation=[0.0, 0.0, z0]), 400)
+                wb.set_scene(sc)
+                return {'ok': True, 'n_elements': len(sc.elements),
+                        'name': imp.name,
+                        'wavelengths_um': imp.wavelengths_um,
+                        'enpd': imp.enpd}
+            if p == '/api/export_zmx':
+                from ..utils.zemax import save_zmx
+                text = save_zmx(wb.scene, wb.params,
+                                path=body.get('path'))
+                return {'ok': True, 'text': text}
             raise ValueError(f'unknown endpoint {p}')
 
     return Handler

@@ -357,3 +357,156 @@ def load_zmx(path_or_text, n_media=1.0):
                      primary_wave_um=meta['primary_wave_um'],
                      enpd=meta['enpd'], name=meta['name'],
                      surfaces=surfaces)
+
+
+# ---------------------------------------------------------------------------
+# Export
+# ---------------------------------------------------------------------------
+
+def _glass_name(el, suffix, nd):
+    """Catalog name for an element's glass (reverse lookup), else a
+    synthetic name whose (nd, vd) ride the GLAS line."""
+    from .glass import CATALOG, SELLMEIER
+    sell = getattr(el, 'sellmeier' + suffix, None)
+    if sell is not None:
+        for name, coeffs in SELLMEIER.items():
+            if tuple(coeffs) == tuple(sell):
+                return name, None
+    vd = getattr(el, 'abbe_vd' + suffix, None)
+    if vd is not None:
+        for name, (cnd, cvd) in CATALOG.items():
+            if abs(cnd - nd) < 5e-5 and abs(cvd - vd) < 5e-2:
+                return name, vd
+    return f'G{el.name.upper()}{suffix or ""}'[:16], vd
+
+
+def save_zmx(scene, params, path=None, wavelengths_um=(0.5875618,),
+             enpd=None, name='raytracetorch_tpu export'):
+    """Export a sequential scene to Zemax ``.zmx`` text (UTF-8/ASCII).
+
+    Takes the CURRENT ``params`` so optimized designs round-trip with
+    their optimized curvatures/thicknesses/aspheres.  Supported
+    elements: ``SingletLens`` / ``AsphericLens`` (conic + r^4..r^10
+    terms), cemented ``DoubletLens`` / ``TripletLens``,
+    ``CircularAperture`` (exported as the STOP), ``SensorElement``
+    (the image plane, must be last).  Elements must be axial (no
+    rotation, no x/y decenter) — anything else raises, the same
+    import-or-fail contract as :func:`load_zmx`.  Returns the text;
+    also writes it when ``path`` is given.
+    """
+    import numpy as np
+
+    from ..elements.aperture import CircularAperture
+    from ..elements.lens import (AsphericLens, CylSingletLens, DoubletLens,
+                                 FreeformLens, SingletLens, TripletLens,
+                                 ZernikeLens)
+    from ..elements.sensor import SensorElement
+
+    rows = []                    # (z_vertex, dict of per-surface lines)
+
+    def f(x):
+        return float(np.asarray(x))
+
+    for el in scene.elements:
+        p = params[el.name]
+        trans = np.asarray(p['trans'], float)
+        rot = np.asarray(p.get('rot_vec', [0.0, 0.0, 0.0]), float)
+        if abs(trans[0]) > 1e-12 or abs(trans[1]) > 1e-12 or \
+                np.abs(rot).max() > 1e-12:
+            raise ValueError(
+                f'element {el.name!r}: .zmx export supports axial '
+                'systems only (no decenter/tilt)')
+        zc = float(trans[2])
+        if isinstance(el, (FreeformLens, ZernikeLens, CylSingletLens)):
+            raise ValueError(
+                f'element {el.name!r}: {type(el).__name__} has no '
+                'supported .zmx surface type here')
+        if isinstance(el, (DoubletLens, TripletLens)):
+            tnames = ('t1', 't2') if isinstance(el, DoubletLens) \
+                else ('t1', 't2', 't3')
+            cnames = ('c1', 'c2', 'c3') if isinstance(el, DoubletLens) \
+                else ('c1', 'c2', 'c3', 'c4')
+            ts = [f(p[t]) for t in tnames]
+            z = zc - sum(ts) / 2.0
+            semi = f(p['radius'])
+            for k, cn in enumerate(cnames):
+                glas = None
+                if k < len(ts):
+                    sfx = str(k + 1)
+                    nd = f(p['ior_glass' + sfx])
+                    gname, vd = _glass_name(el, sfx, nd)
+                    glas = (gname, nd, vd)
+                rows.append((z, dict(curv=f(p[cn]), semi=semi, glas=glas)))
+                if k < len(ts):
+                    z += ts[k]
+        elif isinstance(el, SingletLens):     # includes AsphericLens
+            t = f(p['t'])
+            z = zc - t / 2.0
+            semi = f(p['radius'])
+            nd = f(p['ior_glass'])
+            gname, vd = _glass_name(el, '', nd)
+            asph = isinstance(el, AsphericLens)
+            for face in (1, 2):
+                d = dict(curv=f(p[f'c{face}']), semi=semi,
+                         glas=(gname, nd, vd) if face == 1 else None)
+                if asph:
+                    k = f(p[f'k{face}'])
+                    a = [f(v) for v in np.asarray(p[f'a{face}'])]
+                    if k or any(a):
+                        d['conic'] = k
+                        d['parm'] = {i + 2: a[i] for i in range(len(a))
+                                     if a[i]}
+                        d['type'] = 'EVENASPH'
+                rows.append((z, d))
+                z += t if face == 1 else 0.0
+        elif isinstance(el, CircularAperture):
+            rows.append((zc, dict(curv=0.0, semi=f(p['radius']),
+                                  glas=None, stop=True)))
+        elif isinstance(el, SensorElement):
+            r = p.get('radius')
+            semi = f(r) if r is not None else f(p.get('half_x', 1.0))
+            rows.append((zc, dict(curv=0.0, semi=semi, glas=None,
+                                  image=True)))
+        else:
+            raise ValueError(
+                f'element {el.name!r}: {type(el).__name__} is not '
+                'exportable to .zmx')
+
+    if not rows:
+        raise ValueError('empty scene')
+    zs = [z for z, _ in rows]
+    if any(b < a - 1e-9 for a, b in zip(zs, zs[1:])):
+        raise ValueError('elements are not in increasing-z order')
+    if not rows[-1][1].get('image'):
+        raise ValueError('the last element must be the SensorElement '
+                         '(image plane)')
+
+    out = [f'NAME {name}', 'MODE SEQ', 'UNIT MM X W X CM MR CPMM']
+    if enpd:
+        out.append(f'ENPD {enpd:.9g}')
+    for i, w in enumerate(wavelengths_um, start=1):
+        out.append(f'WAVM {i} {w:.9g} 1')
+    out.append('SURF 0')
+    out.append('  TYPE STANDARD')
+    out.append('  DISZ INFINITY')
+    for i, (z, d) in enumerate(rows, start=1):
+        disz = (zs[i] - z) if i < len(rows) else 0.0
+        out.append(f'SURF {i}')
+        out.append(f"  TYPE {d.get('type', 'STANDARD')}")
+        if d.get('stop'):
+            out.append('  STOP')
+        out.append(f"  CURV {d['curv']:.12g}")
+        if d.get('conic'):
+            out.append(f"  CONI {d['conic']:.12g}")
+        for pi, pv in sorted(d.get('parm', {}).items()):
+            out.append(f'  PARM {pi} {pv:.12g}')
+        out.append(f'  DISZ {disz:.9g}')
+        if d['glas'] is not None:
+            gname, nd, vd = d['glas']
+            out.append(f'  GLAS {gname} 0 0 {nd:.9g} {0.0 if vd is None else vd:.9g}')
+        out.append(f"  DIAM {d['semi']:.9g} 1 0 0 1 \"\"")
+    text = '\n'.join(out) + '\n'
+    if path is not None:
+        with open(path, 'w') as fh:
+            fh.write(text)
+    return text

@@ -280,6 +280,28 @@ def test_structured_term_list_fields(server):
     assert len(wb.scene.elements) == n_before
 
 
+def test_zmx_import_export_endpoints(server):
+    """POST /api/import_zmx replaces the scene with the imported
+    prescription (plus an ENPD-sized tracing bundle) and /api/export_zmx
+    returns .zmx text that re-imports to the same system."""
+    from test_zemax import SINGLET_ZMX
+    base, wb = server
+    n_before = len(wb.scene.elements)
+    r = _post(base, '/api/import_zmx', {'text': SINGLET_ZMX})
+    assert r['ok'] and r['n_elements'] == 3
+    assert r['enpd'] == 8.0 and len(r['wavelengths_um']) == 3
+    assert len(wb.scene.bundles) == 1          # pupil-sized bundle added
+    out = _post(base, '/api/trace', {})
+    assert out['n_alive'] > 0
+    r2 = _post(base, '/api/export_zmx', {})
+    assert 'SURF 3' in r2['text'] and 'N-BK7' in r2['text']
+    from raytracetorch_tpu.utils.zemax import load_zmx
+    imp = load_zmx(r2['text'])
+    assert len(imp.scene.elements) == 3
+    _post(base, '/api/undo', {})               # restore the shared scene
+    assert len(wb.scene.elements) == n_before
+
+
 def test_nested_emission_model_form(server):
     """Bundle registry exposes the polymorphic nested emission sub-form
     (subclass dropdown + inline fields, reference gui/forms.py:219-437),

@@ -15,7 +15,8 @@ import pytest
 from raytracetorch_tpu import (AsphericLens, CircularAperture,
                                CollimatedDisk, DoubletLens, SensorElement,
                                SingletLens)
-from raytracetorch_tpu.utils.zemax import ZmxSurface, load_zmx, parse_zmx
+from raytracetorch_tpu.utils.zemax import (ZmxSurface, load_zmx, parse_zmx,
+                                           save_zmx)
 
 # An f/5-ish N-BK7 biconvex singlet with a front stop, bfl-positioned
 # image plane.  Layout: OBJ - STOP - lens(2 faces) - IMA.
@@ -76,12 +77,12 @@ SURF 2
   TYPE STANDARD
   CURV -0.016
   DISZ 2.0
-  GLAS MYSTERYFLINT 0 0 1.6477 33.85
+  GLAS MYSTERYFLINT 0 0 1.6012 38.47
   DIAM 7.0
 SURF 3
   TYPE STANDARD
   CURV -0.004
-  DISZ 111.124184
+  DISZ 104.481651
   DIAM 7.0
 SURF 4
   TYPE STANDARD
@@ -177,7 +178,7 @@ def test_doublet_import_and_glass_fallback(key):
     assert isinstance(lens, DoubletLens)
     assert lens.sellmeier1 is not None       # cataloged -> Sellmeier
     assert lens.sellmeier2 is None           # unknown -> GLAS-line Abbe
-    assert lens.abbe_vd2 == pytest.approx(33.85)
+    assert lens.abbe_vd2 == pytest.approx(38.47)
     # center: vertices at 0/4/6 -> center z = 3
     assert np.allclose(np.asarray(lens._trans_init), [0, 0, 3.0])
     p = imp.scene.init_params()
@@ -219,6 +220,62 @@ def test_import_is_differentiable(key):
     assert np.isfinite(float(lg['c1'])) and float(lg['c1']) != 0.0
 
 
+def test_export_roundtrip_singlet():
+    """save_zmx(load_zmx(x)) re-imports to the same first-order system:
+    EFL, element classes, vertex placement, catalog glass."""
+    imp = load_zmx(SINGLET_ZMX)
+    p = imp.scene.init_params()
+    text = save_zmx(imp.scene, p, wavelengths_um=[0.5875618], enpd=8.0)
+    imp2 = load_zmx(text)
+    assert [type(e) for e in imp2.scene.elements] == \
+        [type(e) for e in imp.scene.elements]
+    for a, b in zip(imp.scene.elements, imp2.scene.elements):
+        assert np.allclose(a._trans_init, b._trans_init, atol=1e-6)
+    assert imp2.scene.elements[1].sellmeier is not None   # named N-BK7
+    p2 = imp2.scene.init_params()
+    f1 = float(imp.scene.first_order(p).efl)
+    f2 = float(imp2.scene.first_order(p2).efl)
+    assert f2 == pytest.approx(f1, rel=1e-6)
+
+
+def test_export_carries_optimized_params_and_aspheres(tmp_path):
+    """Export uses the LIVE params (an optimized curvature survives) and
+    EVENASPH conic/terms roundtrip."""
+    imp = load_zmx(ASPH_ZMX)
+    p = imp.scene.init_params()
+    p['lens1_s1']['c1'] = jnp.asarray(0.025)      # 'optimized' curvature
+    path = tmp_path / 'out.zmx'
+    save_zmx(imp.scene, p, path=str(path))
+    imp2 = load_zmx(str(path))
+    p2 = imp2.scene.init_params()
+    assert float(p2['lens1_s1']['c1']) == pytest.approx(0.025)
+    assert float(p2['lens1_s1']['k1']) == pytest.approx(-0.6)
+    assert float(p2['lens1_s1']['a1'][0]) == pytest.approx(1e-5)
+    assert float(p2['lens1_s1']['a1'][1]) == pytest.approx(-2e-8)
+
+
+def test_export_doublet_glass_fallback_roundtrip():
+    imp = load_zmx(DOUBLET_ZMX)
+    p = imp.scene.init_params()
+    text = save_zmx(imp.scene, p)
+    assert 'N-BK7' in text                 # catalog reverse lookup
+    imp2 = load_zmx(text)
+    lens = imp2.scene.elements[0]
+    assert isinstance(lens, DoubletLens)
+    assert lens.abbe_vd2 == pytest.approx(38.47, abs=1e-3)
+    f1 = float(imp.scene.first_order(p).efl)
+    f2 = float(imp2.scene.first_order(imp2.scene.init_params()).efl)
+    assert f2 == pytest.approx(f1, rel=1e-5)
+
+
+def test_export_rejects_tilted():
+    imp = load_zmx(SINGLET_ZMX)
+    p = imp.scene.init_params()
+    p['lens1_s2']['rot_vec'] = jnp.asarray([0.1, 0.0, 0.0])
+    with pytest.raises(ValueError, match='axial'):
+        save_zmx(imp.scene, p)
+
+
 def test_unsupported_constructs_raise():
     with pytest.raises(ValueError, match='MIRROR|mirror'):
         load_zmx(SINGLET_ZMX.replace('GLAS N-BK7 0 0 1.516800 64.167336',
@@ -232,8 +289,8 @@ def test_unsupported_constructs_raise():
         load_zmx(SINGLET_ZMX.replace('MODE SEQ', 'MODE NSC'))
     with pytest.raises(ValueError, match='glass run'):
         # glass continues into the image plane
-        load_zmx(DOUBLET_ZMX.replace('  CURV -0.004\n  DISZ 111.124184\n'
+        load_zmx(DOUBLET_ZMX.replace('  CURV -0.004\n  DISZ 104.481651\n'
                                      '  DIAM 7.0',
-                                     '  CURV -0.004\n  DISZ 111.124184\n'
+                                     '  CURV -0.004\n  DISZ 104.481651\n'
                                      '  GLAS N-BK7 0 0 1.5168 64.17\n'
                                      '  DIAM 7.0'))
