@@ -72,3 +72,136 @@ def stokes_parameters(field: FieldState, d=None):
 def degree_of_polarization(s0, s1, s2, s3):
     """DoP of an (ensemble-averaged) Stokes vector — 1 for pure states."""
     return jnp.sqrt(s1 * s1 + s2 * s2 + s3 * s3) / jnp.maximum(s0, 1e-24)
+
+
+# ---------------------------------------------------------------------------
+# Jones pupil
+# ---------------------------------------------------------------------------
+
+class JonesPupil:
+    """Polarization aberration map of a system: the 2x2 Jones matrix at
+    every pupil sample, from TWO field-tracked traces (x- and y-polarized
+    input) — the standard polarization-ray-tracing analysis
+    (Chipman-style; nothing comparable in the reference, whose Fresnel
+    functor is intensity-only, reference phys/std.py:148).
+
+    Traced data stays in (re, im) float arrays (the axon tunnel rejects
+    complex arrays — CLAUDE.md); the derived maps assemble complex
+    matrices HOST-side with numpy.
+
+    Attributes: ``j_re`` / ``j_im`` [n, n, 2, 2] (row = output x/y
+    analyzer, column = input x/y polarization), ``mask`` [n, n] (rays
+    that reached the sensor with power), ``xs`` the pupil sample
+    coordinates.
+    """
+
+    def __init__(self, j_re, j_im, mask, xs):
+        import numpy as np
+        self.j_re = np.asarray(j_re)
+        self.j_im = np.asarray(j_im)
+        self.mask = np.asarray(mask)
+        self.xs = np.asarray(xs)
+
+    @property
+    def jones(self):
+        """[n, n, 2, 2] complex Jones matrices (numpy, host-side)."""
+        return self.j_re + 1j * self.j_im
+
+    @property
+    def transmittance(self):
+        """Unpolarized intensity transmittance map: mean of |J e|^2 over
+        the two input polarizations = ||J||_F^2 / 2."""
+        import numpy as np
+        return np.where(self.mask,
+                        0.5 * np.sum(self.j_re ** 2 + self.j_im ** 2,
+                                     axis=(-2, -1)), 0.0)
+
+    def _singvals(self):
+        import numpy as np
+        s = np.linalg.svd(self.jones, compute_uv=False)
+        return s[..., 0], s[..., 1]
+
+    @property
+    def diattenuation(self):
+        """D = (T_max - T_min)/(T_max + T_min) from the singular values
+        of J — 0 for a polarization-neutral pupil point, 1 for a
+        perfect polarizer."""
+        import numpy as np
+        s1, s2 = self._singvals()
+        return np.where(self.mask,
+                        (s1 ** 2 - s2 ** 2)
+                        / np.maximum(s1 ** 2 + s2 ** 2, 1e-24), 0.0)
+
+    @property
+    def retardance(self):
+        """Phase difference (radians) of the eigenvalues of the unitary
+        factor of J = U H (polar decomposition): the pupil's phase
+        aberration BETWEEN polarization states, independent of the
+        shared OPD (which lives in ``track_opl``)."""
+        import numpy as np
+        J = self.jones
+        # polar decomposition via SVD: J = (W Vh)(V S Vh) -> U = W Vh
+        W, s, Vh = np.linalg.svd(J)
+        U = W @ Vh
+        lam = np.linalg.eigvals(U)
+        d = np.abs(np.angle(lam[..., 0] * np.conj(lam[..., 1])))
+        return np.where(self.mask, np.where(d > np.pi, 2 * np.pi - d, d),
+                        0.0)
+
+
+def jones_pupil(scene, params, key, pupil_radius, n=32, launch_z=-10.0,
+                wavelength=None):
+    """Trace the Jones pupil of ``scene``: an n x n collimated grid over
+    the pupil, field-tracked twice (x / y input polarization), output
+    fields projected onto the exit transverse basis.
+
+    The exit basis is the parallel transport of (x_hat, y_hat) onto each
+    output direction (x_out = normalize(x_hat - (x_hat.d) d),
+    y_out = d x x_out) so a perfect axial system reads as the identity
+    Jones matrix times the Fresnel transmission amplitude.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..rays.ray import Rays
+
+    R = float(pupil_radius)
+    xs = jnp.linspace(-R * (1 - 0.5 / n), R * (1 - 0.5 / n), n)
+    X, Y = jnp.meshgrid(xs, xs, indexing='xy')
+    x, y = X.reshape(-1), Y.reshape(-1)
+    inside = (x * x + y * y) <= R * R
+    zero = jnp.zeros_like(x)
+    rays = Rays.from_components(
+        (x, y, zero + launch_z), (zero, zero, jnp.ones_like(x)),
+        inside.astype(jnp.float32), jnp.zeros(x.shape, jnp.int32),
+        zero if wavelength is None else zero + wavelength)
+
+    cols = []
+    for E0 in ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0]):
+        out, _, aux = scene.simulate(params, rays, key, track_field=True,
+                                     E0=jnp.broadcast_to(
+                                         jnp.asarray(E0), (x.shape[0], 3)))
+        f = aux['field']
+        d = out.dir_c
+        # exit transverse basis by projecting x_hat off d
+        bx = (1.0 - d[0] * d[0], -d[0] * d[1], -d[0] * d[2])
+        nrm = 1.0 / jnp.sqrt(jnp.maximum(v3.dot(bx, bx), 1e-24))
+        bx = tuple(c * nrm for c in bx)
+        by = (d[1] * bx[2] - d[2] * bx[1],
+              d[2] * bx[0] - d[0] * bx[2],
+              d[0] * bx[1] - d[1] * bx[0])
+        Er, Ei = f.r_c, f.i_c
+        cols.append(((v3.dot(bx, Er), v3.dot(bx, Ei)),
+                     (v3.dot(by, Er), v3.dot(by, Ei)),
+                     out.intensity))
+    (xx_r, xx_i), (yx_r, yx_i), wx = cols[0]
+    (xy_r, xy_i), (yy_r, yy_i), wy = cols[1]
+    j_re = jnp.stack([jnp.stack([xx_r, xy_r], -1),
+                      jnp.stack([yx_r, yy_r], -1)], -2)
+    j_im = jnp.stack([jnp.stack([xx_i, xy_i], -1),
+                      jnp.stack([yx_i, yy_i], -1)], -2)
+    mask = inside & (wx > 0) & (wy > 0)
+    shape = (n, n)
+    return JonesPupil(j_re.reshape(shape + (2, 2)),
+                      j_im.reshape(shape + (2, 2)),
+                      mask.reshape(shape), xs)

@@ -7,7 +7,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raytracetorch_tpu import ElementCustom, Rays, SequentialScene, SingletLens
+from raytracetorch_tpu import (ElementCustom, Rays, SensorElement,
+                               SequentialScene, SingletLens)
 from raytracetorch_tpu.constants import PhysKind
 from raytracetorch_tpu.elements import shapes
 from raytracetorch_tpu.utils.polarization import polarized_sequential_trace
@@ -287,3 +288,54 @@ def test_weighted_fresnel_track_field_polarized_loss(key):
                                  E0=[[1.0, 0.0, 0.0]])
     flux = float(out.intensity[0]) * float(aux['field_power'][0])
     np.testing.assert_allclose(flux, 1.0 - rs_b, rtol=1e-4)
+
+
+def test_jones_pupil_axial_plate_is_identity(key):
+    """Normal incidence through a plate: J = t*I with t the two-face
+    Fresnel amplitude product; no diattenuation, no retardance."""
+    from raytracetorch_tpu.utils.polarization import jones_pupil
+    n = 1.5168
+    sc = SequentialScene([
+        SingletLens(c1=0.0, c2=0.0, d=30.0, t=3.0, ior_glass=n,
+                    name='plate'),
+        SensorElement(radius=40.0, translation=[0, 0, 30.0], name='s')])
+    jp = jones_pupil(sc, sc.init_params(), key, pupil_radius=3.0, n=8)
+    J = jp.jones[jp.mask]
+    t = (2.0 / (1 + n)) * (2 * n / (1 + n))       # in + out faces
+    np.testing.assert_allclose(np.abs(J[:, 0, 0]), t, atol=2e-4)
+    np.testing.assert_allclose(np.abs(J[:, 1, 1]), t, atol=2e-4)
+    np.testing.assert_allclose(np.abs(J[:, 0, 1]), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.abs(J[:, 1, 0]), 0.0, atol=1e-5)
+    assert jp.diattenuation[jp.mask].max() < 1e-4
+    assert jp.retardance[jp.mask].max() < 1e-4
+    np.testing.assert_allclose(jp.transmittance[jp.mask], t * t, atol=5e-4)
+
+
+def test_jones_pupil_tilted_plate_diattenuation(key):
+    """A plate tilted 0.9 rad about x: plane of incidence is y-z, so
+    p = y transmits more than s = x; the center-pupil diattenuation
+    matches the analytic two-face Fresnel value and the retardance
+    stays ~0 (lossless dielectric, no TIR)."""
+    import math
+
+    from raytracetorch_tpu.utils.polarization import jones_pupil
+    n = 1.5168
+    th = 0.9
+    sc = SequentialScene([
+        SingletLens(c1=0.0, c2=0.0, d=30.0, t=3.0, ior_glass=n,
+                    rotation=[th, 0.0, 0.0], name='plate'),
+        SensorElement(radius=40.0, translation=[0, 0, 30.0], name='s')])
+    jp = jones_pupil(sc, sc.init_params(), key, pupil_radius=4.0, n=16)
+    c = 8
+    assert jp.mask[c, c]
+    J = jp.jones[c, c]
+    assert np.abs(J[1, 1]) > np.abs(J[0, 0])      # p (=y) wins
+    thp = math.asin(math.sin(th) / n)
+    ts = (2 * math.cos(th) / (math.cos(th) + n * math.cos(thp))) * \
+         (2 * n * math.cos(thp) / (n * math.cos(thp) + math.cos(th)))
+    tp = (2 * math.cos(th) / (n * math.cos(th) + math.cos(thp))) * \
+         (2 * n * math.cos(thp) / (math.cos(thp) + n * math.cos(th)))
+    Ts, Tp = ts ** 2, tp ** 2
+    np.testing.assert_allclose(jp.diattenuation[c, c],
+                               (Tp - Ts) / (Tp + Ts), atol=2e-3)
+    assert jp.retardance[c, c] < 1e-3
