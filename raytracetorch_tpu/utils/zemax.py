@@ -19,12 +19,16 @@ Supported subset (the sequential-design core of the format):
   when cataloged, else the (nd, vd) Cauchy model from the GLAS line).
 * ``STOP`` surface -> ``CircularAperture``; the image surface ->
   ``SensorElement``.
+* ``COORDBRK`` surfaces: x/y decenters + intrinsic x/y/z tilts
+  (degrees) with the order flag, tracked as a running rigid frame —
+  perturbed/wedged prescriptions import with correct element poses
+  (restore pairs compose back to identity exactly).
 * ``ENPD`` / ``WAVM`` become the suggested entrance-pupil radius and
   wavelength list on the returned metadata.
 
-Out of scope (raise ValueError, never import silently wrong): mirrors,
-coordinate breaks / tilted surfaces, diffractive surfaces, and glass
-runs longer than four faces.
+Out of scope (raise ValueError, never import silently wrong): mirrors
+(fold geometry), diffractive surfaces, tilted cemented interfaces, and
+glass runs longer than four faces.
 """
 
 from __future__ import annotations
@@ -223,15 +227,75 @@ def _asphere_terms(surf):
     return surf.conic, (a if any(a) else ())
 
 
+def _rx(a):
+    import numpy as np
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+
+def _ry(a):
+    import numpy as np
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+
+def _rz(a):
+    import numpy as np
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+
+def _rotvec(M):
+    """Axis-angle (Rodrigues) vector of a rotation matrix, or None for
+    identity.  Matches geom/transform.py::rodrigues (local->world)."""
+    import numpy as np
+    c = (np.trace(M) - 1.0) / 2.0
+    th = float(np.arccos(min(1.0, max(-1.0, c))))
+    if th < 1e-12:
+        return None
+    if th > 3.0:
+        raise ValueError('net coordinate-break rotation approaches 180 '
+                         'degrees — not a sequential prescription')
+    v = np.array([M[2, 1] - M[1, 2], M[0, 2] - M[2, 0],
+                  M[1, 0] - M[0, 1]]) / (2.0 * np.sin(th))
+    return [float(th * x) for x in v]
+
+
+def _cb_apply(o, M, s):
+    """Apply a COORDBRK surface to the running frame (o, M).
+
+    Zemax semantics: PARM 1/2 = x/y decenter (lens units), PARM 3/4/5 =
+    tilts about x, y, z (DEGREES, right-handed, applied intrinsically in
+    that order), PARM 6 = order flag (0: decenter then tilt; 1: tilts in
+    reverse order z, y, x then decenter — so a (CB, negated-CB order 1)
+    pair restores the frame exactly).  DISZ then advances along the NEW
+    local z.
+    """
+    import numpy as np
+    dx, dy = s.parm.get(1, 0.0), s.parm.get(2, 0.0)
+    ax, ay, az = (np.deg2rad(s.parm.get(k, 0.0)) for k in (3, 4, 5))
+    if int(s.parm.get(6, 0.0)) == 0:
+        o = o + M @ np.array([dx, dy, 0.0])
+        M = M @ _rx(ax) @ _ry(ay) @ _rz(az)
+    else:
+        M = M @ _rz(az) @ _ry(ay) @ _rx(ax)
+        o = o + M @ np.array([dx, dy, 0.0])
+    return o + M @ np.array([0.0, 0.0, s.disz]), M
+
+
 def load_zmx(path_or_text, n_media=1.0):
     """Import a sequential ``.zmx`` prescription -> :class:`ZmxImport`.
 
     The returned ``scene`` is a ready ``SequentialScene``:
     lens groups (singlet / cemented doublet / triplet, spheric or even
     aspheric), the stop as a ``CircularAperture``, and the image plane
-    as a ``SensorElement`` — positioned on the z axis by the cumulative
-    DISZ gaps with surface 1 at z = 0.
+    as a ``SensorElement`` — placed by the cumulative DISZ gaps with
+    surface 1 at z = 0.  COORDBRK surfaces tilt/decenter the running
+    frame (``_cb_apply``), so perturbed/wedged prescriptions import with
+    the correct element poses.
     """
+    import numpy as np
+
     from ..elements.aperture import CircularAperture
     from ..elements.lens import (AsphericLens, DoubletLens, SingletLens,
                                  TripletLens)
@@ -245,10 +309,16 @@ def load_zmx(path_or_text, n_media=1.0):
     if not surfaces:
         raise ValueError('no SURF blocks found')
     for s in surfaces:
+        if s.type == 'COORDBRK':
+            if s.glass:
+                raise ValueError(
+                    f'surface {s.index}: GLAS on a TYPE COORDBRK surface '
+                    'is not supported')
+            continue
         if s.type not in _SUPPORTED_TYPES:
             raise ValueError(
                 f'surface {s.index}: TYPE {s.type} not supported '
-                f'(supported: {sorted(_SUPPORTED_TYPES)})')
+                f'(supported: {sorted(_SUPPORTED_TYPES)} + COORDBRK)')
         if s.glass and s.glass.upper() in ('MIRROR', 'MIRR'):
             raise ValueError(
                 f'surface {s.index}: mirror import is not supported '
@@ -261,11 +331,25 @@ def load_zmx(path_or_text, n_media=1.0):
     image = body[-1]
 
     elements = []
-    z = 0.0                       # cursor: z of the CURRENT surface vertex
+    o = np.zeros(3)               # running frame: CURRENT vertex position
+    M = np.eye(3)                 # + local->world orientation
     i = 0
     n_lens = 0
+
+    def pose_kw(local_z=0.0):
+        t = o + M @ np.array([0.0, 0.0, local_z])
+        kw = {'translation': [float(v) for v in t]}
+        rv = _rotvec(M)
+        if rv is not None:
+            kw['rotation'] = rv
+        return kw
+
     while i < len(body) - 1:      # image plane handled after the loop
         s = body[i]
+        if s.type == 'COORDBRK':
+            o, M = _cb_apply(o, M, s)
+            i += 1
+            continue
         if s.glass is None:
             # bare surface: the STOP becomes a physical aperture; plain
             # dummy planes are pure spacing
@@ -274,9 +358,9 @@ def load_zmx(path_or_text, n_media=1.0):
                     raise ValueError(
                         f'surface {s.index}: curved stop not supported')
                 elements.append(CircularAperture(
-                    radius=s.semi_diam, translation=[0.0, 0.0, z],
-                    name=f'stop_s{s.index}'))
-            z += s.disz
+                    radius=s.semi_diam,
+                    name=f'stop_s{s.index}', **pose_kw()))
+            o = o + M @ np.array([0.0, 0.0, s.disz])
             i += 1
             continue
         # glass run: faces i .. j where j is the first surface back in air
@@ -288,6 +372,10 @@ def load_zmx(path_or_text, n_media=1.0):
                     f'surface {body[i].index}: glass run reaches the '
                     'image plane (no closing air gap)')
         faces = body[i:j + 1]
+        if any(f.type == 'COORDBRK' for f in faces):
+            raise ValueError(
+                f'surface {body[i].index}: coordinate break adjacent to '
+                'a glass run (tilted cemented interfaces) not supported')
         n_faces = len(faces)
         curvs = [f.curv for f in faces]
         ts = [f.disz for f in faces[:-1]]
@@ -298,7 +386,7 @@ def load_zmx(path_or_text, n_media=1.0):
         if semi <= 0:
             semi = (meta['enpd'] or 10.0) / 2.0 * 1.1
         d = 2.0 * semi
-        zc = z + sum(ts) / 2.0             # element center (vertices are
+        pose = pose_kw(sum(ts) / 2.0)      # element center (vertices are
         n_lens += 1                        # centered on sum(ts)/2)
         name = f'lens{n_lens}_s{faces[0].index}'
         aspheric = any(f.conic or f.parm for f in faces)
@@ -310,12 +398,11 @@ def load_zmx(path_or_text, n_media=1.0):
                 elements.append(AsphericLens(
                     c1=curvs[0], c2=curvs[1], d=d, t=ts[0],
                     k1=k1, k2=k2, a1=a1, a2=a2, ior_media=n_media,
-                    translation=[0.0, 0.0, zc], name=name, **gkw))
+                    name=name, **pose, **gkw))
             else:
                 elements.append(SingletLens(
                     c1=curvs[0], c2=curvs[1], d=d, t=ts[0],
-                    ior_media=n_media,
-                    translation=[0.0, 0.0, zc], name=name, **gkw))
+                    ior_media=n_media, name=name, **pose, **gkw))
         elif n_faces == 3:
             if aspheric:
                 raise ValueError(
@@ -326,7 +413,7 @@ def load_zmx(path_or_text, n_media=1.0):
             elements.append(DoubletLens(
                 c1=curvs[0], c2=curvs[1], c3=curvs[2], d=d,
                 t1=ts[0], t2=ts[1], ior_media=n_media,
-                translation=[0.0, 0.0, zc], name=name, **gkw))
+                name=name, **pose, **gkw))
         elif n_faces == 4:
             if aspheric:
                 raise ValueError(
@@ -338,19 +425,18 @@ def load_zmx(path_or_text, n_media=1.0):
             elements.append(TripletLens(
                 c1=curvs[0], c2=curvs[1], c3=curvs[2], c4=curvs[3], d=d,
                 t1=ts[0], t2=ts[1], t3=ts[2], ior_media=n_media,
-                translation=[0.0, 0.0, zc], name=name, **gkw))
+                name=name, **pose, **gkw))
         else:
             raise ValueError(
                 f'surface {faces[0].index}: cemented run of {n_faces} '
                 'faces (max supported: 4 — a cemented triplet)')
-        z += sum(ts) + faces[-1].disz
+        o = o + M @ np.array([0.0, 0.0, sum(ts) + faces[-1].disz])
         i = j + 1
 
     sensor_r = image.semi_diam if image.semi_diam > 0 else \
         ((meta['enpd'] or 10.0))
-    elements.append(SensorElement(radius=sensor_r,
-                                  translation=[0.0, 0.0, z],
-                                  name='image'))
+    elements.append(SensorElement(radius=sensor_r, name='image',
+                                  **pose_kw()))
     scene = SequentialScene(elements)
     return ZmxImport(scene=scene, elements=elements,
                      wavelengths_um=meta['wavelengths_um'],

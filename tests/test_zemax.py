@@ -294,3 +294,109 @@ def test_unsupported_constructs_raise():
                                      '  CURV -0.004\n  DISZ 104.481651\n'
                                      '  GLAS N-BK7 0 0 1.5168 64.17\n'
                                      '  DIAM 7.0'))
+
+
+# -- coordinate breaks ------------------------------------------------------
+
+CB_TILT_ZMX = """\
+MODE SEQ
+UNIT MM X W X CM MR CPMM
+ENPD 6.0
+WAVM 1 0.58756180 1
+SURF 0
+  TYPE STANDARD
+  DISZ INFINITY
+SURF 1
+  TYPE COORDBRK
+  PARM 1 0.0
+  PARM 2 0.0
+  PARM 3 5.0
+  DISZ 4.0
+SURF 2
+  TYPE STANDARD
+  CURV 0.02
+  DISZ 3.0
+  GLAS N-BK7 0 0 1.5168 64.17
+  DIAM 6.0
+SURF 3
+  TYPE STANDARD
+  CURV -0.02
+  DISZ 2.0
+  DIAM 6.0
+SURF 4
+  TYPE COORDBRK
+  PARM 3 -5.0
+  PARM 6 1
+  DISZ 40.0
+SURF 5
+  TYPE STANDARD
+  DISZ 0.0
+  DIAM 8.0
+"""
+
+
+def test_coordbrk_tilt_matches_rotated_element(key):
+    """A 5-degree tilt-about-x COORDBRK must place the lens exactly like
+    a directly-built SingletLens with rotation=[5 deg, 0, 0] at the
+    frame-advanced center — trace parity to float precision."""
+    import math
+
+    from raytracetorch_tpu import SequentialScene
+    imp = load_zmx(CB_TILT_ZMX)
+    lens = imp.scene.elements[0]
+    th = math.radians(5.0)
+    assert np.allclose(lens._rot_init, [th, 0, 0], atol=1e-12)
+    # frame: CB advances 4 along the TILTED z, lens center 1.5 further
+    ez = np.array([0.0, -math.sin(th), math.cos(th)])
+    np.testing.assert_allclose(lens._trans_init, 5.5 * ez, atol=1e-9)
+
+    direct = SequentialScene([
+        SingletLens(c1=0.02, c2=-0.02, d=12.0, t=3.0, ior_glass=1.5168,
+                    sellmeier=lens.sellmeier,
+                    translation=list(5.5 * ez),
+                    rotation=[th, 0.0, 0.0], name='lens1_s2'),
+        SensorElement(radius=8.0,
+                      translation=list(np.asarray(
+                          imp.scene.elements[-1]._trans_init)),
+                      name='image')])
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, -6.0]).sample(key, 700)
+    o1, _, _ = imp.scene.simulate(imp.scene.init_params(), rays, key)
+    o2, _, _ = direct.simulate(direct.init_params(), rays, key)
+    np.testing.assert_allclose(np.asarray(o1.px), np.asarray(o2.px),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o1.py), np.asarray(o2.py),
+                               atol=1e-6)
+
+
+def test_coordbrk_restore_pair_returns_to_axis():
+    """The (CB, negated-CB with order flag 1) bracket is the standard
+    'tilt this element' idiom: after the second break the frame must be
+    EXACTLY axial again (image plane un-rotated, on-axis)."""
+    imp = load_zmx(CB_TILT_ZMX)
+    image = imp.scene.elements[-1]
+    assert np.allclose(image._rot_init, [0, 0, 0], atol=1e-12)
+    # z: 4 (tilted, but restored before advancing) ... the restore CB's
+    # own DISZ runs along the RESTORED axis, so x stays 0
+    t = np.asarray(image._trans_init)
+    assert abs(t[0]) < 1e-9
+    assert t[2] > 40.0
+
+
+def test_coordbrk_decenter_shifts_focus(key):
+    """A pure y-decenter of the lens puts the focal spot on the lens's
+    own displaced axis: centroid y ~ dy."""
+    dy = 0.8
+    txt = CB_TILT_ZMX.replace('  PARM 2 0.0\n  PARM 3 5.0',
+                              f'  PARM 2 {dy}\n  PARM 3 0.0') \
+                     .replace('  PARM 3 -5.0\n  PARM 6 1',
+                              f'  PARM 2 {-dy}\n  PARM 6 1') \
+                     .replace('DISZ 40.0', 'DISZ 45.875187')  # at focus
+    imp = load_zmx(txt)
+    assert np.allclose(imp.scene.elements[0]._trans_init[:2], [0.0, dy])
+    p = imp.scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, -6.0]).sample(key, 4000)
+    out, sensors, _ = imp.scene.simulate(p, rays, key)
+    cy = float(sensors.centroid(0)[0][1])
+    assert cy == pytest.approx(dy, abs=0.05)
