@@ -23,12 +23,18 @@ Supported subset (the sequential-design core of the format):
   (degrees) with the order flag, tracked as a running rigid frame —
   perturbed/wedged prescriptions import with correct element poses
   (restore pairs compose back to identity exactly).
+* Fold mirrors (``GLAS MIRROR``): flat or spherical, at any COORDBRK
+  tilt incl. normal incidence.  Zemax encodes reversed propagation as
+  NEGATIVE thicknesses/curvatures after an odd number of mirrors; the
+  importer tracks that parity and gives each subsequent element a
+  beam-aligned frame (180-degree flip) with re-signed curvatures, so a
+  folded system traces identically to its unfolded equivalent.
 * ``ENPD`` / ``WAVM`` become the suggested entrance-pupil radius and
   wavelength list on the returned metadata.
 
-Out of scope (raise ValueError, never import silently wrong): mirrors
-(fold geometry), diffractive surfaces, tilted cemented interfaces, and
-glass runs longer than four faces.
+Out of scope (raise ValueError, never import silently wrong): Mangin
+and aspheric mirrors, diffractive surfaces, tilted cemented
+interfaces, and glass runs longer than four faces.
 """
 
 from __future__ import annotations
@@ -253,11 +259,16 @@ def _rotvec(M):
     th = float(np.arccos(min(1.0, max(-1.0, c))))
     if th < 1e-12:
         return None
-    if th > 3.0:
-        raise ValueError('net coordinate-break rotation approaches 180 '
-                         'degrees — not a sequential prescription')
-    v = np.array([M[2, 1] - M[1, 2], M[0, 2] - M[2, 0],
-                  M[1, 0] - M[0, 1]]) / (2.0 * np.sin(th))
+    if th > np.pi - 1e-4:
+        # near/at 180 degrees (normal-incidence folds): the antisymmetric
+        # part vanishes; read the axis off (M + I)/2 = axis axis^T
+        A = (M + np.eye(3)) / 2.0
+        k = int(np.argmax(np.diag(A)))
+        v = A[:, k] / np.sqrt(max(float(A[k, k]), 1e-30))
+        v = v / np.linalg.norm(v)
+    else:
+        v = np.array([M[2, 1] - M[1, 2], M[0, 2] - M[2, 0],
+                      M[1, 0] - M[0, 1]]) / (2.0 * np.sin(th))
     return [float(th * x) for x in v]
 
 
@@ -299,6 +310,7 @@ def load_zmx(path_or_text, n_media=1.0):
     from ..elements.aperture import CircularAperture
     from ..elements.lens import (AsphericLens, DoubletLens, SingletLens,
                                  TripletLens)
+    from ..elements.mirror import SphericalMirror
     from ..elements.sensor import SensorElement
     from ..scene.scene import SequentialScene
 
@@ -319,10 +331,10 @@ def load_zmx(path_or_text, n_media=1.0):
             raise ValueError(
                 f'surface {s.index}: TYPE {s.type} not supported '
                 f'(supported: {sorted(_SUPPORTED_TYPES)} + COORDBRK)')
-        if s.glass and s.glass.upper() in ('MIRROR', 'MIRR'):
+        if s.glass and s.glass.upper() in ('MIRROR', 'MIRR') and (
+                s.conic or s.parm):
             raise ValueError(
-                f'surface {s.index}: mirror import is not supported '
-                '(fold geometry) — build reflective systems directly')
+                f'surface {s.index}: aspheric mirrors are not supported')
 
     # object surface = index 0 (infinite or finite gap to surface 1)
     body = [s for s in surfaces if s.index > 0]
@@ -332,14 +344,24 @@ def load_zmx(path_or_text, n_media=1.0):
 
     elements = []
     o = np.zeros(3)               # running frame: CURRENT vertex position
-    M = np.eye(3)                 # + local->world orientation
-    i = 0
-    n_lens = 0
+    M = np.eye(3)                 # + local->world orientation (Zemax Z)
+    parity = 1                    # -1 after an odd number of mirrors:
+    i = 0                         # the beam then travels along -z_Z and
+    n_lens = 0                    # the file's DISZ/CURV values negate
+    n_mirror = 0
+    FLIP = _ry(np.pi)             # beam-aligned element frame = M @ FLIP
 
-    def pose_kw(local_z=0.0):
+    def pose_kw(local_z=0.0, beam_frame=False):
+        """Element pose: center offset ``local_z`` along the CURRENT
+        Zemax z (signed — callers pass raw DISZ sums so folds work
+        unchanged); orientation = M, with the 180-degree flip composed
+        in when ``beam_frame`` and parity < 0 (our elements expect the
+        beam along their local +z; Zemax encodes reversed propagation
+        as negative thicknesses instead)."""
         t = o + M @ np.array([0.0, 0.0, local_z])
+        E = M @ FLIP if (beam_frame and parity < 0) else M
         kw = {'translation': [float(v) for v in t]}
-        rv = _rotvec(M)
+        rv = _rotvec(E)
         if rv is not None:
             kw['rotation'] = rv
         return kw
@@ -348,6 +370,18 @@ def load_zmx(path_or_text, n_media=1.0):
         s = body[i]
         if s.type == 'COORDBRK':
             o, M = _cb_apply(o, M, s)
+            i += 1
+            continue
+        if s.glass and s.glass.upper() in ('MIRROR', 'MIRR'):
+            n_mirror += 1
+            semi = s.semi_diam if s.semi_diam > 0 else \
+                (meta['enpd'] or 10.0) / 2.0 * 1.4
+            elements.append(SphericalMirror(
+                c1=parity * s.curv, d=2.0 * semi,
+                name=f'mirror{n_mirror}_s{s.index}',
+                **pose_kw(beam_frame=True)))
+            parity = -parity
+            o = o + M @ np.array([0.0, 0.0, s.disz])
             i += 1
             continue
         if s.glass is None:
@@ -359,7 +393,8 @@ def load_zmx(path_or_text, n_media=1.0):
                         f'surface {s.index}: curved stop not supported')
                 elements.append(CircularAperture(
                     radius=s.semi_diam,
-                    name=f'stop_s{s.index}', **pose_kw()))
+                    name=f'stop_s{s.index}',
+                    **pose_kw(beam_frame=True)))
             o = o + M @ np.array([0.0, 0.0, s.disz])
             i += 1
             continue
@@ -376,9 +411,18 @@ def load_zmx(path_or_text, n_media=1.0):
             raise ValueError(
                 f'surface {body[i].index}: coordinate break adjacent to '
                 'a glass run (tilted cemented interfaces) not supported')
+        if any(f.glass and f.glass.upper() in ('MIRROR', 'MIRR')
+               for f in faces):
+            raise ValueError(
+                f'surface {faces[0].index}: mirror inside a glass run '
+                '(Mangin mirror) is not supported')
         n_faces = len(faces)
-        curvs = [f.curv for f in faces]
-        ts = [f.disz for f in faces[:-1]]
+        # after an odd number of mirrors Zemax negates thicknesses and
+        # keeps curvature signs in the ORIGINAL axis convention; our
+        # beam-aligned element (pose flip) sees both negated
+        curvs = [parity * f.curv for f in faces]
+        ts_raw = [f.disz for f in faces[:-1]]
+        ts = [parity * t for t in ts_raw]
         if any(t <= 0 for t in ts):
             raise ValueError(
                 f'surface {faces[0].index}: non-positive glass thickness')
@@ -386,8 +430,9 @@ def load_zmx(path_or_text, n_media=1.0):
         if semi <= 0:
             semi = (meta['enpd'] or 10.0) / 2.0 * 1.1
         d = 2.0 * semi
-        pose = pose_kw(sum(ts) / 2.0)      # element center (vertices are
-        n_lens += 1                        # centered on sum(ts)/2)
+        pose = pose_kw(sum(ts_raw) / 2.0,  # element center (vertices are
+                       beam_frame=True)    # centered on sum(ts)/2)
+        n_lens += 1
         name = f'lens{n_lens}_s{faces[0].index}'
         aspheric = any(f.conic or f.parm for f in faces)
         if n_faces == 2:
@@ -395,6 +440,8 @@ def load_zmx(path_or_text, n_media=1.0):
             if aspheric:
                 k1, a1 = _asphere_terms(faces[0])
                 k2, a2 = _asphere_terms(faces[1])
+                a1 = tuple(parity * x for x in a1)
+                a2 = tuple(parity * x for x in a2)
                 elements.append(AsphericLens(
                     c1=curvs[0], c2=curvs[1], d=d, t=ts[0],
                     k1=k1, k2=k2, a1=a1, a2=a2, ior_media=n_media,
@@ -430,13 +477,13 @@ def load_zmx(path_or_text, n_media=1.0):
             raise ValueError(
                 f'surface {faces[0].index}: cemented run of {n_faces} '
                 'faces (max supported: 4 — a cemented triplet)')
-        o = o + M @ np.array([0.0, 0.0, sum(ts) + faces[-1].disz])
+        o = o + M @ np.array([0.0, 0.0, sum(ts_raw) + faces[-1].disz])
         i = j + 1
 
     sensor_r = image.semi_diam if image.semi_diam > 0 else \
         ((meta['enpd'] or 10.0))
     elements.append(SensorElement(radius=sensor_r, name='image',
-                                  **pose_kw()))
+                                  **pose_kw(beam_frame=True)))
     scene = SequentialScene(elements)
     return ZmxImport(scene=scene, elements=elements,
                      wavelengths_um=meta['wavelengths_um'],

@@ -277,8 +277,9 @@ def test_export_rejects_tilted():
 
 
 def test_unsupported_constructs_raise():
-    with pytest.raises(ValueError, match='MIRROR|mirror'):
-        load_zmx(SINGLET_ZMX.replace('GLAS N-BK7 0 0 1.516800 64.167336',
+    with pytest.raises(ValueError, match='Mangin'):
+        # a mirror surface INSIDE a glass run
+        load_zmx(DOUBLET_ZMX.replace('GLAS MYSTERYFLINT 0 0 1.6012 38.47',
                                      'GLAS MIRROR'))
     with pytest.raises(ValueError, match='TYPE COORDBRK'):
         load_zmx(SINGLET_ZMX.replace('TYPE STANDARD\n  CURV 0.02',
@@ -400,3 +401,124 @@ def test_coordbrk_decenter_shifts_focus(key):
     out, sensors, _ = imp.scene.simulate(p, rays, key)
     cy = float(sensors.centroid(0)[0][1])
     assert cy == pytest.approx(dy, abs=0.05)
+
+
+# -- fold mirrors -----------------------------------------------------------
+
+FOLD_ZMX = """\
+MODE SEQ
+UNIT MM X W X CM MR CPMM
+ENPD 6.0
+WAVM 1 0.58756180 1
+SURF 0
+  TYPE STANDARD
+  DISZ INFINITY
+SURF 1
+  TYPE STANDARD
+  DISZ 10.0
+SURF 2
+  TYPE COORDBRK
+  PARM 3 45.0
+  DISZ 0.0
+SURF 3
+  TYPE STANDARD
+  CURV 0.0
+  DISZ 0.0
+  GLAS MIRROR
+  DIAM 8.0
+SURF 4
+  TYPE COORDBRK
+  PARM 3 45.0
+  DISZ -10.0
+SURF 5
+  TYPE STANDARD
+  CURV -0.02
+  DISZ -3.0
+  GLAS N-BK7 0 0 1.5168 64.17
+  DIAM 6.0
+SURF 6
+  TYPE STANDARD
+  CURV 0.02
+  DISZ -47.875187
+  DIAM 6.0
+SURF 7
+  TYPE STANDARD
+  DISZ 0.0
+  DIAM 4.0
+"""
+
+
+def test_fold_mirror_import_matches_unfolded(key):
+    """A 45-degree flat fold + singlet (Zemax negative thicknesses,
+    negated curvatures) must image exactly like the unfolded system:
+    same spot RMS at the same optical distances, centroid on axis."""
+    from raytracetorch_tpu import SphericalMirror
+    imp = load_zmx(FOLD_ZMX)
+    kinds = [type(e).__name__ for e in imp.scene.elements]
+    assert kinds == ['SphericalMirror', 'SingletLens', 'SensorElement']
+    mirror, lens, image = imp.scene.elements
+    np.testing.assert_allclose(mirror._trans_init, [0, 0, 10.0], atol=1e-9)
+    # after the fold the beam travels +y: lens center at y = 10 + 1.5
+    np.testing.assert_allclose(lens._trans_init, [0, 11.5, 10.0],
+                               atol=1e-9)
+    np.testing.assert_allclose(image._trans_init,
+                               [0, 13 + 47.875187, 10.0], atol=1e-6)
+
+    p = imp.scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, -5.0]).sample(key, 3000)
+    out, sensors, _ = imp.scene.simulate(p, rays, key)
+    rms_fold = float(sensors.spot_rms(0)[0])
+    cx, cy = (float(v) for v in np.asarray(sensors.centroid(0)[0])[:2])
+    assert abs(cx) < 1e-4 and abs(cy) < 1e-4     # on the folded axis
+    assert float(jnp.sum(out.intensity)) > 2000  # fold did not clip
+
+    flat = load_zmx(SINGLET_ZMX)                 # same lens, unfolded
+    pf = flat.scene.init_params()
+    rays_f = CollimatedDisk.make(radius=jnp.float32(2.0),
+                                 translation=[0, 0, -5.0]).sample(key, 3000)
+    _, sens_f, _ = flat.scene.simulate(pf, rays_f, key)
+    rms_flat = float(sens_f.spot_rms(0)[0])
+    np.testing.assert_allclose(rms_fold, rms_flat, rtol=1e-3)
+
+
+NORMAL_MIRROR_ZMX = """\
+MODE SEQ
+UNIT MM X W X CM MR CPMM
+ENPD 1.0
+WAVM 1 0.58756180 1
+SURF 0
+  TYPE STANDARD
+  DISZ INFINITY
+SURF 1
+  TYPE STANDARD
+  DISZ 10.0
+SURF 2
+  TYPE STANDARD
+  CURV -0.01
+  DISZ -50.0
+  GLAS MIRROR
+  DIAM 4.0
+SURF 3
+  TYPE STANDARD
+  DISZ 0.0
+  DIAM 2.0
+"""
+
+
+def test_concave_normal_incidence_mirror_focuses(key):
+    """A concave mirror hit at normal incidence (R = -100 in Zemax
+    convention, beam reversing straight back) focuses at f = 50 before
+    the mirror — exercises the 180-degree frame flip and negative
+    thickness after the fold."""
+    imp = load_zmx(NORMAL_MIRROR_ZMX)
+    mirror, image = imp.scene.elements
+    assert np.allclose(mirror._trans_init, [0, 0, 10.0])
+    np.testing.assert_allclose(np.asarray(image._trans_init),
+                               [0, 0, -40.0], atol=1e-9)
+    p = imp.scene.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(0.5),
+                               translation=[0, 0, -5.0]).sample(key, 1500)
+    out, sensors, _ = imp.scene.simulate(p, rays, key)
+    assert float(jnp.sum(out.intensity)) > 1000
+    assert float(sensors.spot_rms(0)[0]) < 2e-3   # on-axis sphere: tiny SA
