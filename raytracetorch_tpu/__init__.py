@@ -23,6 +23,9 @@ from .elements.lens import (AsphericLens, CylSingletLens, DoubletLens, FreeformL
 from .elements.mirror import (CylindricalMirror, ParabolicMirror,
                               ParabolicMirrorOffAxis, ParabolicMirrorXZ,
                               SphericalMirror)
+from .elements.polarization import (HalfWaveplate, LinearPolarizer,
+                                    QuarterWaveplate, Waveplate)
+from .elements.scatter import Diffuser, LambertianScatterer, RoughMirror
 from .elements.sensor import SensorElement
 from .elements.solids import (Box4SideElement, BoxElement,
                               CvxPolyhedronElement)

@@ -109,3 +109,23 @@ class PhysKind(enum.IntEnum):
                      # REFLECTION: always reflect, intensity *= R — the
                      # ghost-surface functor (utils/ghosts.py synthesizes
                      # two-reflection stray-light paths from these)
+    SCATTER = 10     # (beyond reference) stochastic surface scattering:
+                     # new direction drawn from a lobe (model static on
+                     # StaticRowMeta.scatter: 'lambert' cosine about the
+                     # normal, 'gauss_r' Gaussian about specular,
+                     # 'gauss_t' Gaussian about straight-through),
+                     # intensity *= albedo (ph[2]); lobe width sigma rad
+                     # = ph[3] (differentiable via reparameterization).
+                     # Needs TWO per-ray uniforms (u, u2).
+    JONES = 11       # (beyond reference) polarization optics element
+                     # (linear polarizer / waveplate): direction and
+                     # intensity unchanged; the tracked E-field is
+                     # multiplied by a Jones matrix with eigen-axes at
+                     # angle ph[0] (rad, about the element-local x axis
+                     # in the transverse plane), amplitude eigenvalues
+                     # ph[1]/ph[2] and retardance ph[3] (rad; fast axis
+                     # = axis 1).  ph[4] = design wavelength um when
+                     # StaticRowMeta.jones_chrom (retardance scales as
+                     # lam0/lam).  Requires track_field=True (raises
+                     # otherwise — there is no intensity-only model of
+                     # a polarizer acting on an unpolarized ensemble).

@@ -38,6 +38,66 @@ def reflect_dir(d, n):
     return v3.fma(d, -2.0 * v3.dot(d, n), n)
 
 
+def _tangent_frame(a):
+    """Orthonormal (t1, t2) spanning the plane transverse to unit vector
+    ``a`` (component tuples, branchless — pole handled by a where)."""
+    # t1 = normalize(a x z_hat) unless a ~ +-z, then a x x_hat
+    t1x, t1y, t1z = a[1], -a[0], jnp.zeros_like(a[0])
+    pole = t1x * t1x + t1y * t1y < 1e-12
+    t1x = jnp.where(pole, jnp.zeros_like(t1x), t1x)
+    t1y = jnp.where(pole, a[2], t1y)
+    t1z = jnp.where(pole, -a[1], t1z)
+    inv = 1.0 / jnp.sqrt(t1x * t1x + t1y * t1y + t1z * t1z + 1e-24)
+    t1 = (t1x * inv, t1y * inv, t1z * inv)
+    t2 = (a[1] * t1[2] - a[2] * t1[1],
+          a[2] * t1[0] - a[0] * t1[2],
+          a[0] * t1[1] - a[1] * t1[0])
+    return t1, t2
+
+
+def scatter_dir(model, d, n, sigma, u1, u2):
+    """Stochastic scattered direction (beyond the reference — its physics
+    functors are all specular, phys/std.py).
+
+    ``model`` is STATIC ('lambert' | 'gauss_r' | 'gauss_t'); ``sigma``
+    (radians) is traced — the Gaussian lobes are built by reparameterized
+    sampling (dir = f(u1, u2, sigma)), so d(dir)/d(sigma) flows and lobe
+    widths are designable by jax.grad.  ``u1``/``u2`` are independent
+    per-ray uniforms; the draw itself is non-differentiable by
+    construction, like the Fresnel MC branch.
+
+    - 'lambert': cosine-weighted hemisphere about the incoming-facing
+      normal (ideal matte baffle / wall).
+    - 'gauss_r': specular reflection + transverse Gaussian perturbation
+      of width ``sigma`` (rough mirror, Phong-like lobe).
+    - 'gauss_t': straight-through + transverse Gaussian perturbation
+      (thin ground-glass diffuser; medium unchanged).
+    """
+    if model == 'lambert':
+        # normal oriented against the incoming ray
+        sgn = -jnp.sign(v3.dot(d, n) + 1e-30)
+        nf = v3.scale(n, sgn)
+        t1, t2 = _tangent_frame(nf)
+        z = jnp.sqrt(u1 + 1e-12)
+        r = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+        phi = (2.0 * jnp.pi) * u2
+        cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+        return tuple(r * cphi * a + r * sphi * b + z * c
+                     for a, b, c in zip(t1, t2, nf))
+    # Gaussian lobes: Box-Muller pair in the transverse plane of the
+    # base direction, reparameterized by sigma
+    base = reflect_dir(d, n) if model == 'gauss_r' else d
+    rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(1.0 - u1, 1e-12)))
+    ang = (2.0 * jnp.pi) * u2
+    g1 = rad * jnp.cos(ang)
+    g2 = rad * jnp.sin(ang)
+    t1, t2 = _tangent_frame(base)
+    vx, vy, vz = (c + sigma * (g1 * a + g2 * b)
+                  for a, b, c in zip(t1, t2, base))
+    inv = 1.0 / jnp.sqrt(vx * vx + vy * vy + vz * vz + 1e-24)
+    return (vx * inv, vy * inv, vz * inv)
+
+
 def refract_components(d, n, ior_in, ior_out):
     """Shared Snell/Fresnel geometry.
 

@@ -90,12 +90,12 @@ class StaticRowMeta:
 
     __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp',
                  'plane', 'slot', 'n_coat', 'dispm', 'metal', 'metal_nk',
-                 'coat_k', 'ff')
+                 'coat_k', 'ff', 'scatter', 'jones_chrom')
 
     def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False,
                  disp=False, plane=False, slot=0, n_coat=0,
                  dispm=(1, 1), metal=False, metal_nk=None, coat_k=None,
-                 ff=None):
+                 ff=None, scatter=None, jones_chrom=False):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
@@ -121,6 +121,11 @@ class StaticRowMeta:
         if ck is not None and not any(k != 0.0 for k in ck):
             ck = None
         self.coat_k = ck
+        # STATIC scatter lobe model for PhysKind.SCATTER rows
+        self.scatter = str(scatter) if scatter is not None else None
+        # STATIC: JONES retardance scales as lam0/lam (true zero-order
+        # waveplate dispersion; lam0 rides ph[4])
+        self.jones_chrom = bool(jones_chrom)
 
 
 def dispersive_iors(row, wavelength_um, meta=None):
@@ -335,7 +340,7 @@ def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None,
 
 
 def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
-                      wavelength=None, field=None):
+                      wavelength=None, field=None, u2=None):
     """Single-kind physics (cf. core/physics.py::apply_physics).  ``d``,
     ``n``, ``hit_local`` are component tuples.
 
@@ -374,6 +379,32 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
         return reflect_dir(d, n), ones
     if kind == PhysKind.SNELL:
         return snell_dir(d, n, n_in, n_out), ones
+    if kind == PhysKind.SCATTER:
+        if meta.scatter is None:
+            raise NotImplementedError(
+                'SCATTER row without a static lobe model (scatter '
+                'surfaces are not supported on this path — e.g. ghost '
+                'synthesis)')
+        if u2 is None:
+            raise NotImplementedError(
+                'SCATTER needs a second per-ray uniform (u2) — this '
+                'driver path does not supply one')
+        if field is not None:
+            raise NotImplementedError(
+                'track_field through a SCATTER surface is not modeled '
+                '(scattering depolarizes); trace without track_field')
+        from .physics import scatter_dir
+        albedo, sigma = row.ph[..., 2], row.ph[..., 3]
+        return scatter_dir(meta.scatter, d, n, sigma, u, u2), albedo * ones
+    if kind == PhysKind.JONES:
+        if field is None:
+            raise NotImplementedError(
+                'polarizer/waveplate (JONES) surfaces act on the tracked '
+                'E-field: trace with track_field=True (an unpolarized '
+                'ensemble has no per-ray Jones action)')
+        # geometric pass-through; the field update is transport_field's
+        # JONES case (core/field.py) — power change lives in |E|^2
+        return d, ones
     if kind == PhysKind.FRESNEL:
         T_ov = None
         if field is not None:

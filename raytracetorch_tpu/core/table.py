@@ -122,6 +122,12 @@ class SurfaceRec:
     is_sensor: bool = False
     sensor_slot: int = 0
     is_plane: bool = False       # static: row is a z=0 plane (fast path)
+    scatter_model: Any = None    # STATIC 'lambert'|'gauss_r'|'gauss_t'
+                                 # for PhysKind.SCATTER rows (albedo and
+                                 # sigma ride ph[2]/ph[3]); carried on
+                                 # StaticRowMeta, not a table column
+    jones_chrom: bool = False    # STATIC: JONES retardance scales as
+                                 # lam0/lam (ph[4] = design wavelength)
 
 
 def _pad_vec(values, width, dtype=jnp.float32):

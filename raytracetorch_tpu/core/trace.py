@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..constants import BIG
+from ..constants import BIG, PhysKind
 from ..geom import vec3 as v3
 from ..rays.ray import Rays
 from .intersect import intersect, normal_world
@@ -53,15 +53,20 @@ def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
     active = res['valid'] & (rays.intensity > 0)
 
     n_w = normal_world(row, res['hit_s'], static_meta)
-    needs_u = static_meta is None or static_meta.ph == 4   # FRESNEL
-    u = (jax.random.uniform(key, rays.intensity.shape) if needs_u
-         else jnp.zeros_like(rays.intensity))
+    u2 = None
+    if static_meta is not None and static_meta.ph == PhysKind.SCATTER:
+        uu = jax.random.uniform(key, (2,) + rays.intensity.shape)
+        u, u2 = uu[0], uu[1]           # lobe draw needs two uniforms
+    else:
+        needs_u = static_meta is None or static_meta.ph == 4   # FRESNEL
+        u = (jax.random.uniform(key, rays.intensity.shape) if needs_u
+             else jnp.zeros_like(rays.intensity))
     if static_meta is not None:
         from .static_dispatch import apply_physics_one
         new_dir, imod = apply_physics_one(static_meta, row, res['hit_s'],
                                           rays.dir_c, n_w, u,
                                           wavelength=rays.wavelength,
-                                          field=field)
+                                          field=field, u2=u2)
     else:
         new_dir, imod = apply_physics(
             row.ph_kind, row.ph, row.Rw, row.sb_kind, row.sb,
@@ -91,7 +96,6 @@ def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
     # misses its ghost-reflection surface leaves the path entirely —
     # otherwise the unreflected beam would sail on to the sensor and
     # contaminate the ghost's statistics with primary-beam flux.
-    from ..constants import PhysKind
     if static_meta is not None:
         if static_meta.ph == PhysKind.REFLECT_W:
             rays = rays.replace(
@@ -279,12 +283,17 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
         n_w = normal_world(row, res['hit_s'], meta)
         u = jax.random.uniform(jax.random.fold_in(key, k),
                                rays.intensity.shape)
+        u2 = None
+        if meta is not None and meta.ph == PhysKind.SCATTER:
+            u2 = jax.random.uniform(
+                jax.random.fold_in(jax.random.fold_in(key, k), 7919),
+                rays.intensity.shape)
         if meta is not None:
             from .static_dispatch import apply_physics_one
             dir_k, imod_k = apply_physics_one(meta, row, res['hit_s'], d,
                                               n_w, u,
                                               wavelength=rays.wavelength,
-                                              field=field)
+                                              field=field, u2=u2)
         else:
             dir_k, imod_k = apply_physics(
                 row.ph_kind, row.ph, row.Rw, row.sb_kind, row.sb,

@@ -162,7 +162,8 @@ def trace_sequential_pallas(table, rays: Rays, key,
     assert not cfg.grid_shape, "irradiance grid: use the XLA path"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
     for m in static_meta:
-        assert m.ph != 4, "Fresnel (stochastic) surfaces: use the XLA path"
+        assert m.ph not in (4, 10), \
+            "stochastic (Fresnel/scatter) surfaces: use the XLA path"
 
     n = rays.px.shape[0]
     grid = max(1, -(-n // TILE))
@@ -240,6 +241,12 @@ _ROW_FIELDS = (            # (name, shape) — row-major into the flat vector
     ('coat', (16,)), ('ff', (32,)),
 )
 ROW_WIDTH = 160            # padded flat width (sum of sizes = 152)
+
+
+def _row_draws(m):
+    """Per-ray uniform draws a surface row consumes per interaction:
+    FRESNEL branch draw = 1, SCATTER lobe draw = 2, else 0."""
+    return 1 if m.ph == 4 else (2 if m.ph == 10 else 0)
 
 
 def flatten_table_rows(table):
@@ -368,12 +375,12 @@ def _grid_partial(cfg, x, y, w, exact_f32=False):
 def _kernel_v2(static_meta, cfg, n_valid, track_opl, track_field,
                fuzzy_fns, record_paths, record_hits,
                tab, *refs):
-    n_f = sum(1 for m in static_meta if m.ph == 4)     # FRESNEL rows
+    n_f = sum(_row_draws(m) for m in static_meta)   # stochastic draws
     capture = bool(cfg.grid_shape)  # sensor-hit capture for the grid pass
     n_surf = len(static_meta)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     base = 9
-    u_refs = refs[base:base + n_f]  # pre-drawn uniforms, one per Fresnel row
+    u_refs = refs[base:base + n_f]  # pre-drawn uniforms (_row_draws/row)
     base += n_f
     field_refs = refs[base:base + (6 if track_field else 0)]
     base += len(field_refs)
@@ -517,12 +524,17 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
 
     # Fresnel branch uniforms: same split/fold as trace_sequential
     # (core/trace.py keys[k]) for bitwise parity with the XLA driver
-    if any(m.ph == 4 for m in static_meta):
+    if any(_row_draws(m) for m in static_meta):
         keys = jax.random.split(key, max(len(static_meta), 1))
         for k, m in enumerate(static_meta):
             if m.ph == 4:
                 ins.append(pad2(jax.random.uniform(
                     keys[k], rays.intensity.shape)))
+            elif m.ph == 10:   # same (2, N) block as trace_sequential
+                uu = jax.random.uniform(keys[k],
+                                        (2,) + rays.intensity.shape)
+                ins.append(pad2(uu[0]))
+                ins.append(pad2(uu[1]))
     if track_field:
         from ..core.field import FieldState
         f0 = FieldState.init(rays, E0)
@@ -706,13 +718,17 @@ def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
         better = cand & (res['t'] < best_t)
         best_t = jnp.where(better, res['t'], best_t)
         n_w = normal_world(row, res['hit_s'], static_meta=meta)
+        u2 = None
         if meta.ph == 4:      # FRESNEL: in-kernel uniform branch draw
             u = draw_u(shape)
+        elif meta.ph == 10:   # SCATTER: in-kernel lobe draw pair
+            u = draw_u(shape)
+            u2 = draw_u(shape)
         else:
             u = jnp.zeros_like(intensity)
         dir_k, imod_k = apply_physics_one(meta, row, res['hit_s'], d,
                                           n_w, u, wavelength=wavelength,
-                                          field=field)
+                                          field=field, u2=u2)
         if fuzzy_fns and k in fuzzy_fns:
             imod_k = imod_k * fuzzy_fns[k](res['hit_s'][0],
                                            res['hit_s'][1],
@@ -795,7 +811,7 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
         base += 5
     grid_slots = sorted({m.slot for m in static_meta
                          if m.sensor}) if has_grid else []
-    has_fresnel = any(m.ph == 4 for m in static_meta)
+    has_fresnel = any(_row_draws(m) for m in static_meta)
     if has_fresnel:
         # Mosaic takes at most 2 seed words: golden-ratio-mix the tile id
         # into the second so tiles draw decorrelated streams
@@ -994,9 +1010,9 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
             "not tile onto TPU lanes — or use simulate() for legacy fns")
     if interpret:
         for m in static_meta:
-            assert m.ph != 4, \
-                "Fresnel needs the TPU in-kernel PRNG: use the XLA path " \
-                "on CPU/interpret"
+            assert m.ph not in (4, 10), \
+                "Fresnel/scatter need the TPU in-kernel PRNG: use the " \
+                "XLA path on CPU/interpret"
 
     n = rays.px.shape[0]
     rows_total = max(1, -(-n // LANE))
@@ -1269,15 +1285,19 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
         res = intersect(row, pos, d, static_meta=meta)
         active = res['valid'] & (intensity > 0)
         n_w = normal_world(row, res['hit_s'], static_meta=meta)
+        u2 = None
         if meta.ph == 4:
             u = u_vals[f_idx]
             f_idx += 1
+        elif meta.ph == 10:             # SCATTER: lobe draw pair
+            u, u2 = u_vals[f_idx], u_vals[f_idx + 1]
+            f_idx += 2
         else:
             u = jnp.zeros_like(intensity)
         field = _FieldShim(Er, Ei) if track_field else None
         new_dir, imod = apply_physics_one(meta, row, res['hit_s'], d, n_w,
                                           u, wavelength=wavelength,
-                                          field=field)
+                                          field=field, u2=u2)
         if fuzzy_fns and k in fuzzy_fns:
             imod = imod * fuzzy_fns[k](res['hit_s'][0], res['hit_s'][1],
                                        res['hit_s'][2])
@@ -1339,7 +1359,7 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
 
 def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
                    track_field, has_grid, fuzzy_fns, tab, ctm, *refs):
-    n_f = sum(1 for m in static_meta if m.ph == 4)
+    n_f = sum(_row_draws(m) for m in static_meta)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     base = 9
     u_refs = refs[base:base + n_f]
@@ -1500,12 +1520,17 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
            pad2(rays.dx), pad2(rays.dy), pad2(rays.dz),
            pad2(rays.intensity), pad2(rays.wavelength),
            pad2(rays.ray_id)]
-    if any(m.ph == 4 for m in static_meta):
+    if any(_row_draws(m) for m in static_meta):
         keys = jax.random.split(key, max(len(static_meta), 1))
         for k, m in enumerate(static_meta):
             if m.ph == 4:
                 ins.append(pad2(jax.random.uniform(
                     keys[k], rays.intensity.shape)))
+            elif m.ph == 10:   # same (2, N) block as trace_sequential
+                uu = jax.random.uniform(keys[k],
+                                        (2,) + rays.intensity.shape)
+                ins.append(pad2(uu[0]))
+                ins.append(pad2(uu[1]))
     g = jnp.asarray
     track_field = f0 is not None
     if track_field:
@@ -2301,7 +2326,7 @@ def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
     g_rays, g_sens, g_aux = g
     (interpret, block_rows, n_bounces, track_field, track_opl,
      fuzzy, record_paths, record_hits) = _nonseq_opts(opts)
-    if any(m.ph == 4 for m in static_meta):
+    if any(m.ph in (4, 10) for m in static_meta):
         raise NotImplementedError(
             "gradients through the fused non-sequential trace are "
             "unavailable for stochastic Fresnel scenes: the kernel's "

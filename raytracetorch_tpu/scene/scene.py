@@ -154,7 +154,9 @@ class Scene:
                                               metal=r.is_metal,
                                               metal_nk=r.metal_nk,
                                               coat_k=r.coat_k,
-                                              ff=r.ff_powers or None))
+                                              ff=r.ff_powers or None,
+                                              scatter=r.scatter_model,
+                                              jones_chrom=r.jones_chrom))
                 if el.is_sensor:    # mirrors build_table's slot assignment
                     slot += 1
             self._static_meta = meta

@@ -55,7 +55,8 @@ def _meta_with_ph(m, ph):
                          asph=m.asph, disp=m.disp, plane=m.plane,
                          slot=m.slot, n_coat=m.n_coat, dispm=m.dispm,
                          metal=m.metal, metal_nk=m.metal_nk,
-                         coat_k=m.coat_k, ff=m.ff)
+                         coat_k=m.coat_k, ff=m.ff, scatter=m.scatter,
+                         jones_chrom=m.jones_chrom)
 
 
 def ghost_pairs(scene):
@@ -205,6 +206,13 @@ def ghost_report(scene, params, aperture, z_det=None, n_probe=16,
     dtype = jnp.result_type(float)
     base = scene.build_table(params)
     metas = scene.static_meta()
+    from ..constants import PhysKind as _PK
+    if any(m.ph == _PK.SCATTER for m in metas):
+        raise NotImplementedError(
+            'ghost_report enumerates SPECULAR two-reflection paths; '
+            'scatter surfaces have no specular ghost — analyze diffuse '
+            'stray light by Monte Carlo (Scene.simulate with '
+            'LambertianScatterer walls) instead')
     n_rows = len(metas)
     pairs = ghost_pairs(scene)
     if not pairs:

@@ -1,0 +1,158 @@
+"""Scattering surfaces: lobe statistics, energy, gradients, drivers.
+
+Beyond the reference (its physics functors are all specular,
+reference phys/std.py).  Correctness anchors: the Lambertian lobe must
+be cosine-weighted (mean cos = 2/3, uniform azimuth), the Gaussian
+lobes must have the configured transverse width, energy must scale by
+albedo exactly, and the sigma-gradient must match the analytic
+defocus-growth rate (reparameterized sampling).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracetorch_tpu import (CollimatedDisk, Diffuser,
+                               LambertianScatterer, RoughMirror, Scene,
+                               SensorElement, SequentialScene)
+
+
+def _beam(n=20000, r=1.0, key=0):
+    return CollimatedDisk.make(radius=jnp.float32(r),
+                               translation=[0, 0, -5.0]).sample(
+                                   jax.random.PRNGKey(key), n)
+
+
+def test_lambertian_cosine_lobe(key):
+    sc = SequentialScene([LambertianScatterer(radius=10.0, albedo=0.5,
+                                              name='w')])
+    out, _, _ = sc.simulate(sc.init_params(), _beam(), key)
+    dz = np.asarray(out.dz)
+    dx, dy = np.asarray(out.dx), np.asarray(out.dy)
+    assert (dz < 0).all()                       # reflective: all backward
+    # cosine-weighted: E[cos] = 2/3, E[cos^2] = 1/2
+    assert abs(np.abs(dz).mean() - 2 / 3) < 0.01
+    assert abs((dz ** 2).mean() - 0.5) < 0.01
+    # azimuthal uniformity
+    phi = np.arctan2(dy, dx)
+    assert abs(np.cos(phi).mean()) < 0.02 and abs(np.sin(phi).mean()) < 0.02
+    # energy: intensity *= albedo exactly
+    np.testing.assert_allclose(np.asarray(out.intensity)[
+        np.asarray(out.intensity) > 0], 0.5, atol=1e-6)
+
+
+def test_gaussian_lobes(key):
+    sigma = 0.03
+    sc = SequentialScene([Diffuser(radius=10.0, roughness=sigma,
+                                   name='dif')])
+    out, _, _ = sc.simulate(sc.init_params(), _beam(), key)
+    dx, dy, dz = (np.asarray(a) for a in (out.dx, out.dy, out.dz))
+    assert (dz > 0.9).all()                     # transmissive, forward
+    assert abs(dx.std() - sigma) < 0.002
+    assert abs(dy.std() - sigma) < 0.002
+
+    sc2 = SequentialScene([RoughMirror(radius=10.0, roughness=sigma,
+                                       name='m')])
+    out2, _, _ = sc2.simulate(sc2.init_params(), _beam(), key)
+    assert (np.asarray(out2.dz) < -0.9).all()   # about specular (-z)
+    assert abs(np.asarray(out2.dx).std() - sigma) < 0.002
+    # roughness -> 0 recovers the ideal mirror
+    sc3 = SequentialScene([RoughMirror(radius=10.0, roughness=0.0,
+                                       name='m')])
+    out3, _, _ = sc3.simulate(sc3.init_params(), _beam(), key)
+    np.testing.assert_allclose(np.asarray(out3.dz), -1.0, atol=1e-6)
+
+
+def test_sigma_gradient_matches_analytic(key):
+    """Reparameterized lobe: for a diffuser at distance L from the
+    sensor, spot variance = 2 sigma^2 L^2 (+ const), so
+    d(rms^2)/d(sigma) = 4 sigma L^2."""
+    sigma, L = 0.05, 100.0
+    sc = SequentialScene([
+        Diffuser(radius=10.0, roughness=sigma, roughness_grad=True,
+                 name='dif'),
+        SensorElement(radius=1e3, translation=[0, 0, L], name='s')])
+    rays = _beam(40000, r=0.3)
+
+    def loss(p):
+        _, sens, _ = sc.simulate(p, rays, key)
+        return sens.spot_rms(0)[0] ** 2
+
+    g = float(jax.grad(loss)(sc.init_params())['dif']['roughness'])
+    assert g == pytest.approx(4 * sigma * L * L, rel=0.05)
+
+
+def test_scatter_in_nonsequential_bounce(key):
+    """Stray-light MC: a collimated beam hits a Lambertian wall; the
+    scattered hemisphere illuminates a detector off to the side that the
+    specular path never reaches."""
+    sc = Scene([
+        LambertianScatterer(radius=5.0, albedo=0.8,
+                            translation=[0, 0, 20.0], name='wall'),
+        SensorElement(radius=8.0, translation=[0, 12.0, 10.0],
+                      rotation=[np.pi / 2, 0.0, 0.0], name='det'),
+    ], n_bounces=2)
+    p = sc.init_params()
+    out, sens, _ = sc.simulate(p, _beam(30000), key)
+    flux = float(np.asarray(sens.moments)[0, ..., 0].sum())
+    assert flux > 50.0           # diffuse light reaches the side detector
+    # and the specular-only equivalent puts NOTHING there
+    sc2 = Scene([
+        SensorElement(radius=8.0, translation=[0, 12.0, 10.0],
+                      rotation=[np.pi / 2, 0.0, 0.0], name='det'),
+    ], n_bounces=2)
+    _, sens2, _ = sc2.simulate(sc2.init_params(), _beam(30000), key)
+    assert float(np.asarray(sens2.moments)[0, ..., 0].sum()) == 0.0
+
+
+def test_scatter_guards(key):
+    from raytracetorch_tpu import ghost_report
+    sc = SequentialScene([
+        Diffuser(radius=10.0, roughness=0.05, name='dif'),
+        SensorElement(radius=30.0, translation=[0, 0, 50.0], name='s')])
+    p = sc.init_params()
+    with pytest.raises(NotImplementedError, match='track_field'):
+        sc.simulate(p, _beam(100), key, track_field=True)
+    with pytest.raises(NotImplementedError, match='specular'):
+        ghost_report(sc, p, aperture=2.0)
+    with pytest.raises(ValueError):
+        LambertianScatterer(radius=5.0, albedo=1.5)   # albedo > 1
+    with pytest.raises(ValueError):
+        Diffuser(radius=5.0, roughness=-0.1)
+
+
+def test_scatter_fused_interpret_asserts(key):
+    """The fused NONSEQ kernel needs the in-kernel PRNG (absent under
+    interpret); the fused SEQ kernel pre-draws uniforms host-side and
+    must run scatter everywhere with the XLA driver's exact stream."""
+    sc = Scene([
+        LambertianScatterer(radius=5.0, albedo=0.8,
+                            translation=[0, 0, 20.0], name='wall'),
+        SensorElement(radius=8.0, translation=[0, 12.0, 10.0],
+                      rotation=[np.pi / 2, 0.0, 0.0], name='det'),
+    ], n_bounces=2)
+    with pytest.raises(AssertionError, match='PRNG'):
+        sc.simulate_fused(sc.init_params(), _beam(256), key, block_rows=4)
+
+
+def test_scatter_fused_sequential_same_stream(key):
+    """simulate_fused (seq v2 kernel) consumes the SAME pre-drawn
+    uniform schedule as trace_sequential, so every ray scatters into the
+    SAME lobe sample — identical to the last ulp (XLA fuses the
+    trig/normalization differently between the two programs, so exact
+    bit equality is not guaranteed; a different draw would differ at
+    the 1e-2 lobe scale, not 1e-8)."""
+    sc = SequentialScene([
+        Diffuser(radius=10.0, roughness=0.05, name='dif'),
+        SensorElement(radius=1e3, translation=[0, 0, 100.0], name='s')])
+    p = sc.init_params()
+    rays = _beam(512)
+    o1, s1, _ = sc.simulate(p, rays, key)
+    o2, s2, _ = sc.simulate_fused(p, rays, key, block_rows=4)
+    np.testing.assert_allclose(np.asarray(o1.dx), np.asarray(o2.dx),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(o1.px), np.asarray(o2.px),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(s1.spot_rms(0)[0]),
+                               float(s2.spot_rms(0)[0]), rtol=1e-5)
