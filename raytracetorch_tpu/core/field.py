@@ -291,6 +291,51 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
             scale = jnp.where(ok, scale, 0.0)
             Er_new = v3.scale(Er_new, scale)
             Ei_new = v3.scale(Ei_new, scale)
+    elif meta.ph == PhysKind.JONES:
+        # Polarization optics element (beyond the reference): multiply the
+        # transverse field by J = R(theta) diag(a1 e^{-i d/2},
+        # a2 e^{+i d/2}) R(-theta), axes anchored to the ELEMENT-LOCAL
+        # x axis (world column Rw[:, 0]) projected transverse to the ray —
+        # so tilting the element tilts the polarizer axis, and skew rays
+        # see the projected axis (the standard thin-polarizer model).
+        # Direction and intensity are untouched (apply_physics_one); the
+        # power change lives in |E|^2, which sensors already weight by.
+        theta = row.ph[..., 0]
+        a1, a2 = row.ph[..., 1], row.ph[..., 2]
+        delta = row.ph[..., 3]
+        if getattr(meta, 'jones_chrom', False):
+            # true zero-order plate: retardance scales as lam0/lam
+            lam0 = row.ph[..., 4]
+            lam = (jnp.where(wavelength > 0, wavelength, lam0)
+                   if wavelength is not None else lam0)
+            delta = delta * lam0 / lam
+        xw = (row.Rw[..., 0, 0], row.Rw[..., 1, 0], row.Rw[..., 2, 0])
+        yw = (row.Rw[..., 0, 1], row.Rw[..., 1, 1], row.Rw[..., 2, 1])
+        d = new_dir                      # == d_in for a JONES surface
+        e1 = tuple(x - v3.dot(xw, d) * dd for x, dd in zip(xw, d))
+        n2_ = v3.norm2(e1)
+        degen = n2_ < 1e-12              # ray along the element x axis
+        e1b = tuple(y - v3.dot(yw, d) * dd for y, dd in zip(yw, d))
+        e1 = v3.where(degen, e1b, e1)
+        inv = 1.0 / jnp.sqrt(v3.norm2(e1) + 1e-24)
+        e1 = v3.scale(e1, inv)
+        e2 = (d[1] * e1[2] - d[2] * e1[1],
+              d[2] * e1[0] - d[0] * e1[2],
+              d[0] * e1[1] - d[1] * e1[0])
+        ca, sa = jnp.cos(theta), jnp.sin(theta)
+        ax = tuple(ca * u_ + sa * v_ for u_, v_ in zip(e1, e2))
+        bx = tuple(-sa * u_ + ca * v_ for u_, v_ in zip(e1, e2))
+        ch, sh = jnp.cos(0.5 * delta), jnp.sin(0.5 * delta)
+        j1 = (a1 * ch, -a1 * sh)         # fast axis: phase -delta/2
+        j2 = (a2 * ch, a2 * sh)
+        Ea_r, Ea_i = v3.dot(Er, ax), v3.dot(Ei, ax)
+        Eb_r, Eb_i = v3.dot(Er, bx), v3.dot(Ei, bx)
+        oa_r = j1[0] * Ea_r - j1[1] * Ea_i
+        oa_i = j1[0] * Ea_i + j1[1] * Ea_r
+        ob_r = j2[0] * Eb_r - j2[1] * Eb_i
+        ob_i = j2[0] * Eb_i + j2[1] * Eb_r
+        Er_new = v3.add(v3.scale(ax, oa_r), v3.scale(bx, ob_r))
+        Ei_new = v3.add(v3.scale(ax, oa_i), v3.scale(bx, ob_i))
     elif meta.ph == PhysKind.REFLECT and getattr(meta, 'metal', False):
         # metal (possibly coated) mirror: apply the complex s/p reflection
         # amplitudes for the POLARIZATION STATE (metal mirrors rotate

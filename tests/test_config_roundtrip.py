@@ -49,6 +49,15 @@ EXEMPLARS = {
                                               (11, 5e-5)],
                         z1_grad=True, norm_radius=10.0),
     'WedgePrism': dict(wedge_angle=0.1, d=10.0, t=3.0, ior_glass=1.5),
+    'LambertianScatterer': dict(radius=12.0, albedo=0.35),
+    'LinearPolarizer': dict(radius=9.0, angle=0.3, extinction=1e-3,
+                            angle_grad=True),
+    'Waveplate': dict(radius=9.0, retardance=0.25, angle=0.2,
+                      chromatic=True, design_wavelength=0.55),
+    'QuarterWaveplate': dict(radius=9.0, angle=0.1),
+    'HalfWaveplate': dict(radius=9.0, angle=0.4),
+    'RoughMirror': dict(radius=8.0, roughness=2e-3, roughness_grad=True),
+    'Diffuser': dict(radius=6.0, roughness=0.08, albedo=0.9),
     'SphericalMirror': dict(c1=-0.025, d=8.0, rotation=[0.1, 0.0, 0.0]),
     'CylindricalMirror': dict(c1=-0.025, d=8.0),
     'ParabolicMirror': dict(c1=-0.0125, d=8.0),
