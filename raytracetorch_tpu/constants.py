@@ -129,3 +129,12 @@ class PhysKind(enum.IntEnum):
                      # lam0/lam).  Requires track_field=True (raises
                      # otherwise — there is no intensity-only model of
                      # a polarizer acting on an unpolarized ensemble).
+    GRIN = 12        # (beyond reference) gradient-index rod ENTRY plane:
+                     # the interaction couples the ray in (tangential-p
+                     # Snell), RK4-integrates the z-parametrized ray ODE
+                     # through n^2 = ph[1] + ph[2] r^2 + ph[3] r^4 +
+                     # ph[4] z over thickness ph[5] (ambient index
+                     # ph[0]), and lands it at the exit face
+                     # (core/grin.py).  Step count is static
+                     # (StaticRowMeta.grin_steps).  Sequential driver
+                     # only; other drivers assert.

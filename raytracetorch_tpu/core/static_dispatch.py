@@ -90,12 +90,12 @@ class StaticRowMeta:
 
     __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp',
                  'plane', 'slot', 'n_coat', 'dispm', 'metal', 'metal_nk',
-                 'coat_k', 'ff', 'scatter', 'jones_chrom')
+                 'coat_k', 'ff', 'scatter', 'jones_chrom', 'grin_steps')
 
     def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False,
                  disp=False, plane=False, slot=0, n_coat=0,
                  dispm=(1, 1), metal=False, metal_nk=None, coat_k=None,
-                 ff=None, scatter=None, jones_chrom=False):
+                 ff=None, scatter=None, jones_chrom=False, grin_steps=0):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
@@ -126,6 +126,8 @@ class StaticRowMeta:
         # STATIC: JONES retardance scales as lam0/lam (true zero-order
         # waveplate dispersion; lam0 rides ph[4])
         self.jones_chrom = bool(jones_chrom)
+        # STATIC RK4 step count for PhysKind.GRIN rows (core/grin.py)
+        self.grin_steps = int(grin_steps)
 
 
 def dispersive_iors(row, wavelength_um, meta=None):
@@ -405,6 +407,12 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
         # geometric pass-through; the field update is transport_field's
         # JONES case (core/field.py) — power change lives in |E|^2
         return d, ones
+    if kind == PhysKind.GRIN:
+        raise NotImplementedError(
+            'GRIN rods are a volumetric interaction handled by '
+            'trace_sequential directly (core/grin.py::grin_surface_step) '
+            '— this driver path does not support them; use '
+            'SequentialScene.simulate')
     if kind == PhysKind.FRESNEL:
         T_ov = None
         if field is not None:

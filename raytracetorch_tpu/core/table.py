@@ -128,6 +128,7 @@ class SurfaceRec:
                                  # StaticRowMeta, not a table column
     jones_chrom: bool = False    # STATIC: JONES retardance scales as
                                  # lam0/lam (ph[4] = design wavelength)
+    grin_steps: int = 0          # STATIC RK4 step count for GRIN rows
 
 
 def _pad_vec(values, width, dtype=jnp.float32):

@@ -150,6 +150,30 @@ def trace_sequential(table, rays: Rays, key,
         row = table.row(k)
         meta = static_meta[k] if static_meta is not None else None
         prev = pr
+        if meta is not None and meta.ph == PhysKind.GRIN:
+            # volumetric interaction: entry-couple + RK4 through the
+            # profile + exit-couple in one step (core/grin.py)
+            if track_field:
+                raise NotImplementedError(
+                    'track_field through a GRIN rod is not modeled '
+                    '(polarization transport in an inhomogeneous medium '
+                    'needs parallel transport of E along the curved ray)')
+            from .grin import grin_surface_step
+            pr, active, t_entry, seg_opl = grin_surface_step(row, meta,
+                                                             prev)
+            if track_opl:
+                # free flight to the entry plane + the in-medium path;
+                # the exit medium is the ambient index (ph[0])
+                opl = opl + jnp.where(active,
+                                      n_cur * t_entry + seg_opl, 0.0)
+                n_cur = jnp.where(active, row.ph[..., 0], n_cur)
+            if record_paths:
+                paths.append(v3.to_array(pr.pos_c))
+            if record_hits:
+                # not a sensor: record the exit-face position, weight 0
+                hits.append(v3.to_array(pr.pos_c))
+                hit_w.append(jnp.zeros_like(pr.intensity))
+            continue
         pr, sensors, active, res = _surface_step(
             row, prev, keys[k], cfg, sensors,
             fuzzy_fn=fuzzy_fns.get(k), static_meta=meta,
@@ -398,6 +422,10 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
     non-sequential analog of the sequential driver's per-surface hit
     record and of the reference's stateful sensor lists
     (elements/sensor.py:22-39)."""
+    if static_meta is not None:
+        assert all(m.ph != PhysKind.GRIN for m in static_meta), \
+            "GRIN rods are sequential-only (an unordered bounce loop " \
+            "has no single entry->exit traversal); use SequentialScene"
     sensors = SensorState.init(cfg, dtype=rays.px.dtype)
     pr = rays
     field = None

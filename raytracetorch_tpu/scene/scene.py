@@ -156,7 +156,8 @@ class Scene:
                                               coat_k=r.coat_k,
                                               ff=r.ff_powers or None,
                                               scatter=r.scatter_model,
-                                              jones_chrom=r.jones_chrom))
+                                              jones_chrom=r.jones_chrom,
+                                              grin_steps=r.grin_steps))
                 if el.is_sensor:    # mirrors build_table's slot assignment
                     slot += 1
             self._static_meta = meta

@@ -56,7 +56,8 @@ def _meta_with_ph(m, ph):
                          slot=m.slot, n_coat=m.n_coat, dispm=m.dispm,
                          metal=m.metal, metal_nk=m.metal_nk,
                          coat_k=m.coat_k, ff=m.ff, scatter=m.scatter,
-                         jones_chrom=m.jones_chrom)
+                         jones_chrom=m.jones_chrom,
+                         grin_steps=m.grin_steps)
 
 
 def ghost_pairs(scene):
@@ -213,6 +214,12 @@ def ghost_report(scene, params, aperture, z_det=None, n_probe=16,
             'scatter surfaces have no specular ghost — analyze diffuse '
             'stray light by Monte Carlo (Scene.simulate with '
             'LambertianScatterer walls) instead')
+    if any(m.ph == _PK.GRIN for m in metas):
+        raise NotImplementedError(
+            'ghost_report traces reordered rows through the DENSE '
+            'physics path, which cannot run a GRIN rod (volumetric '
+            'interaction, core/grin.py); remove the GrinRod or analyze '
+            'its scene sequentially')
     n_rows = len(metas)
     pairs = ghost_pairs(scene)
     if not pairs:

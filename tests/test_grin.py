@@ -1,0 +1,216 @@
+"""GRIN rod: closed-form parabolic-profile anchors, OPL, gradients,
+paraxial matrix, kill semantics, driver guards.
+
+For n^2 = n0^2 (1 - A r^2) the axial momentum pz is CONSERVED along
+every ray (d/dz of px^2 + py^2 - c2 r^2 vanishes), so the exact
+solution is sinusoidal per transverse axis:
+
+    x(z) = x0 cos(w z) + (px0 / (pz w)) sin(w z),  w = n0 sqrt(A) / pz
+    px(z) = -x0 pz w sin(w z) + px0 cos(w z)
+    OPL(z) = pz z + integral(px^2 + py^2)/pz dz    (closed form below)
+
+Every numeric assertion here is against these forms — no reference
+implementation exists (the torch reference has no GRIN media).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracetorch_tpu import (CollimatedDisk, GrinRod, Scene,
+                               SensorElement, SequentialScene)
+from raytracetorch_tpu.rays.ray import Rays
+
+N0, A, R = 1.6, 0.01, 5.0          # pitch = 2 pi / (n0 sqrt(A) / pz)...
+
+
+def _rod(L, n_steps=64, **kw):
+    return GrinRod(radius=R, thickness=L, n0=N0, grin_A=A,
+                   n_steps=n_steps, translation=[0, 0, L / 2.0],
+                   name='rod', **kw)
+
+
+def _rays(x0s, y0s, dxs=None, dys=None):
+    x0s = jnp.asarray(x0s, jnp.float32)
+    y0s = jnp.asarray(y0s, jnp.float32)
+    z = jnp.full_like(x0s, -3.0)
+    dx = jnp.zeros_like(x0s) if dxs is None else jnp.asarray(dxs,
+                                                             jnp.float32)
+    dy = jnp.zeros_like(x0s) if dys is None else jnp.asarray(dys,
+                                                             jnp.float32)
+    dz = jnp.sqrt(1.0 - dx * dx - dy * dy)
+    return Rays.create(jnp.stack([x0s, y0s, z], -1),
+                       jnp.stack([dx, dy, dz], -1))
+
+
+def _exact(x0, px0, pz, L):
+    """(x(L), px(L)) for one transverse axis of the parabolic rod."""
+    w = N0 * math.sqrt(A) / pz
+    return (x0 * math.cos(w * L) + px0 / (pz * w) * math.sin(w * L),
+            -x0 * pz * w * math.sin(w * L) + px0 * math.cos(w * L))
+
+
+def test_parabolic_rod_exact(key):
+    """RK4 vs the closed-form sinusoid: collimated and tilted entries,
+    meridional and skew, positions AND directions."""
+    L = 40.0
+    sc = SequentialScene([_rod(L)])
+    x0s = [0.0, 1.0, -2.5, 3.0, 0.5]
+    y0s = [0.0, 0.5, 1.0, -2.0, 2.5]
+    dxs = [0.0, 0.02, -0.03, 0.0, 0.05]
+    dys = [0.0, 0.0, 0.01, 0.04, -0.02]
+    out, _, _ = sc.simulate(sc.init_params(), _rays(x0s, y0s, dxs, dys),
+                            key)
+    for i in range(len(x0s)):
+        # 3 units of air flight first: the tilted ray enters displaced
+        dz = math.sqrt(1.0 - dxs[i] ** 2 - dys[i] ** 2)
+        xe = x0s[i] + 3.0 * dxs[i] / dz
+        ye = y0s[i] + 3.0 * dys[i] / dz
+        r0sq = xe ** 2 + ye ** 2
+        px0, py0 = dxs[i], dys[i]           # ambient n = 1
+        pz = math.sqrt(N0 ** 2 * (1 - A * r0sq) - px0 ** 2 - py0 ** 2)
+        xL, pxL = _exact(xe, px0, pz, L)
+        yL, pyL = _exact(ye, py0, pz, L)
+        np.testing.assert_allclose(float(out.px[i]), xL, atol=2e-5)
+        np.testing.assert_allclose(float(out.py[i]), yL, atol=2e-5)
+        np.testing.assert_allclose(float(out.dx[i]), pxL, atol=2e-6)
+        np.testing.assert_allclose(float(out.dy[i]), pyL, atol=2e-6)
+        np.testing.assert_allclose(float(out.pz[i]), L, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.intensity), 1.0, atol=1e-6)
+
+
+def test_quarter_pitch_focus(key):
+    """A quarter-pitch rod focuses a paraxial collimated beam onto its
+    exit face axis (the classic SELFOC endoscope relay)."""
+    Lq = math.pi / (2.0 * math.sqrt(A))
+    sc = SequentialScene([
+        _rod(Lq),
+        SensorElement(radius=2.0, translation=[0, 0, Lq + 1e-3],
+                      name='s')])
+    x0s = np.linspace(-0.4, 0.4, 41)
+    out, sens, _ = sc.simulate(sc.init_params(),
+                               _rays(x0s, np.zeros_like(x0s)), key)
+    rms = float(sens.spot_rms(0)[0])
+    assert rms < 4e-4            # residual = exact-profile aberration
+                                 # (pz(r0) spread) + 1e-3 defocus
+    # half-pitch rod inverts instead
+    Lh = 2 * Lq
+    sc2 = SequentialScene([_rod(Lh)])
+    out2, _, _ = sc2.simulate(sc2.init_params(),
+                              _rays([1.5], [0.0]), key)
+    np.testing.assert_allclose(float(out2.px[0]), -1.5, atol=2e-3)
+
+
+def test_opl_closed_form(key):
+    """track_opl through the rod: axial ray OPL = n0 L; off-axis
+    collimated ray OPL = pz L + x0^2 w^2 pz (L/2 - sin(2wL)/(4w))."""
+    L = 30.0
+    sc = SequentialScene([_rod(L)])
+    x0 = 2.0
+    out, _, aux = sc.simulate(sc.init_params(), _rays([0.0, x0], [0.0, 0.0]),
+                              key, track_opl=True)
+    opl = np.asarray(aux['opl']) - 3.0       # subtract the air flight
+    np.testing.assert_allclose(opl[0], N0 * L, rtol=1e-6)
+    pz = math.sqrt(N0 ** 2 * (1 - A * x0 ** 2))
+    w = N0 * math.sqrt(A) / pz
+    expect = pz * L + x0 ** 2 * w ** 2 * pz * (
+        L / 2.0 - math.sin(2 * w * L) / (4 * w))
+    np.testing.assert_allclose(opl[1], expect, rtol=1e-6)
+
+
+def test_grin_gradients(key):
+    """d(exit x)/d(grin_A) through the RK4 scan matches the analytic
+    derivative of x0 cos(w(A) L) — profile design by jax.grad."""
+    L, x0 = 25.0, 1.5
+    sc = SequentialScene([_rod(L, grin_A_grad=True)])
+    rays = _rays([x0], [0.0])
+
+    def exit_x(p):
+        out, _, _ = sc.simulate(p, rays, key)
+        return out.px[0]
+
+    g = float(jax.grad(exit_x)(sc.init_params())['rod']['grin_A'])
+
+    pz = math.sqrt(N0 ** 2 * (1 - A * x0 ** 2))
+    w = N0 * math.sqrt(A) / pz
+
+    # analytic: both w(A) and pz(A) depend on A
+    def x_of_A(Av):
+        pzv = math.sqrt(N0 ** 2 * (1 - Av * x0 ** 2))
+        wv = N0 * math.sqrt(Av) / pzv
+        return x0 * math.cos(wv * L)
+
+    h = 1e-6
+    fd = (x_of_A(A + h) - x_of_A(A - h)) / (2 * h)
+    assert g == pytest.approx(fd, rel=1e-3)
+
+    # thickness gradient: d(exit x)/dL = -x0 w sin(wL) (+ exit-face z
+    # motion has no transverse effect for this ray)
+    sc2 = SequentialScene([_rod(L, t_grad=True)])
+
+    def exit_x_t(p):
+        out, _, _ = sc2.simulate(p, rays, key)
+        return out.px[0]
+
+    gt = float(jax.grad(exit_x_t)(sc2.init_params())['rod']['t'])
+    assert gt == pytest.approx(-x0 * w * math.sin(w * L), rel=1e-4)
+
+
+def test_barrel_and_turning_kills(key):
+    """A steep entry whose sinusoid amplitude exceeds the radius dies in
+    the barrel; a near-evanescent entry dies at its turning point; both
+    leave finite positions and zero intensity."""
+    L = 60.0
+    sc = SequentialScene([_rod(L)])
+    # entry at x = 4.8 after the 3-unit air flight; in-rod amplitude^2
+    # = 4.8^2 + (0.3 / (pz w))^2 = 4.8^2 + 1.875^2 > R^2
+    # (pz w = n0 sqrt(A) for every ray of the parabolic profile)
+    x_launch = 4.8 - 3.0 * 0.3 / math.sqrt(1 - 0.09)
+    out, _, _ = sc.simulate(sc.init_params(),
+                            _rays([x_launch, 0.0], [0.0, 0.0],
+                                  dxs=[0.3, 0.0], dys=[0.0, 0.0]), key)
+    inten = np.asarray(out.intensity)
+    assert inten[0] == 0.0 and inten[1] == 1.0
+    assert np.isfinite(np.asarray(out.pos)).all()
+
+
+def test_grin_paraxial_matrix(key):
+    """scene.paraxial of a bare rod equals the closed-form GRIN ABCD."""
+    L = 17.0
+    sc = SequentialScene([_rod(L)])
+    m = np.asarray(sc.paraxial(sc.init_params()))
+    g = math.sqrt(A)
+    expect = np.array([[math.cos(g * L), math.sin(g * L) / (N0 * g)],
+                       [-N0 * g * math.sin(g * L), math.cos(g * L)]])
+    np.testing.assert_allclose(m[:2, :2], expect, atol=1e-6)
+    np.testing.assert_allclose(m[2:4, 2:4], expect, atol=1e-6)
+
+
+def test_grin_guards(key):
+    rays = _rays([0.5], [0.0])
+    with pytest.raises(ValueError):
+        GrinRod(radius=5.0, thickness=-1.0)
+    with pytest.raises(ValueError):
+        GrinRod(radius=20.0, thickness=5.0, n0=1.5, grin_A=0.01)  # n^2<0
+    sc = SequentialScene([_rod(10.0)])
+    with pytest.raises(NotImplementedError, match='track_field'):
+        sc.simulate(sc.init_params(), rays, key, track_field=True)
+    with pytest.raises(AssertionError, match='sequential-only'):
+        nsc = Scene([_rod(10.0)], n_bounces=2)
+        nsc.simulate(nsc.init_params(), rays, key)
+    with pytest.raises(AssertionError):
+        sc.simulate_fused(sc.init_params(), rays, key, block_rows=4)
+
+
+def test_grin_backward_rays_pass(key):
+    """A ray travelling -z never couples into the rod (one-directional
+    element): it passes unchanged with full intensity."""
+    sc = SequentialScene([_rod(10.0)])
+    r = Rays.create(jnp.array([[0.0, 0.0, 50.0]]),
+                    jnp.array([[0.0, 0.0, -1.0]]))
+    out, _, _ = sc.simulate(sc.init_params(), r, key)
+    np.testing.assert_allclose(float(out.pz[0]), 50.0)
+    np.testing.assert_allclose(float(out.intensity[0]), 1.0)
