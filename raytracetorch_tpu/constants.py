@@ -138,3 +138,12 @@ class PhysKind(enum.IntEnum):
                      # (core/grin.py).  Step count is static
                      # (StaticRowMeta.grin_steps).  Sequential driver
                      # only; other drivers assert.
+    DOE = 13         # (beyond reference) radial-phase diffractive
+                     # surface (kinoform lens): tangential momentum kick
+                     # n2 d_t = n1 d_t + m lam grad(phi), phi = sum c_k
+                     # r^(2k) cycles with traced c_k in the table ff
+                     # row (term count static: StaticRowMeta.doe).
+                     # ph = (n_in, n_out, order m, lam0_um, 0, 0); power
+                     # scales as lam/lam0 (V = -3.452 — the hybrid-
+                     # achromat lever).  Optional sinc^2 kinoform
+                     # efficiency into intensity (meta.doe[1]).

@@ -336,6 +336,20 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
         ob_i = j2[0] * Eb_i + j2[1] * Eb_r
         Er_new = v3.add(v3.scale(ax, oa_r), v3.scale(bx, ob_r))
         Ei_new = v3.add(v3.scale(ax, oa_i), v3.scale(bx, ob_i))
+    elif meta.ph == PhysKind.DOE:
+        # diffractive bend: geometric s/p rebuild around the new
+        # direction (keeps E perpendicular to d), amplitude sqrt(imod)
+        # (the kinoform efficiency, when enabled, is a scalar power
+        # factor in scalar diffraction theory)
+        s_hat, p_in = sp_basis(d_in, n_w)
+        _, p_out = sp_basis(new_dir, n_w)
+        amp = jnp.sqrt(jnp.maximum(imod, 0.0))
+        Es_r, Es_i = v3.dot(Er, s_hat), v3.dot(Ei, s_hat)
+        Ep_r, Ep_i = v3.dot(Er, p_in), v3.dot(Ei, p_in)
+        Er_new = v3.add(v3.scale(s_hat, amp * Es_r),
+                        v3.scale(p_out, amp * Ep_r))
+        Ei_new = v3.add(v3.scale(s_hat, amp * Es_i),
+                        v3.scale(p_out, amp * Ep_i))
     elif meta.ph == PhysKind.REFLECT and getattr(meta, 'metal', False):
         # metal (possibly coated) mirror: apply the complex s/p reflection
         # amplitudes for the POLARIZATION STATE (metal mirrors rotate

@@ -187,6 +187,62 @@ def grating_dir(d, n, Rw, period_um, order, reflective, wavelength_um):
     return v3.rot_t(out_local, Rw), ok
 
 
+def doe_dir(d, Rw, hit_local, coeffs, order, lam0_um, wavelength_um,
+            n1, n2):
+    """Radial-phase diffractive surface (kinoform / diffractive lens —
+    beyond the reference, whose only direction functors are
+    specular, phys/std.py).
+
+    The phase profile phi(r) = sum_k c_k r^(2k) is in CYCLES with
+    ``coeffs`` c_k in cycles/mm^(2k) (geometry in mm, wavelengths in
+    um; the 1e-3 conversion is internal).  Vector grating equation in
+    optical-momentum form, in the surface-local frame:
+
+        n2 * d_out_t = n1 * d_in_t + m * lam_mm * grad(phi)
+
+    with the normal component restored from |p| = n2 — exact for any
+    incidence, subsuming the thin-lens behavior p_r += 2 m lam c1 r
+    (focal length f = -1 / (2 m lam_mm c1)).  Power scales as lam/lam0:
+    the DOE Abbe number V = lam_d / (lam_F - lam_C) = -3.452, the lever
+    of refractive/diffractive hybrid achromats.  Evanescent orders
+    return ok=False (the trace zeroes those rays).
+
+    Returns (new_dir tuple, ok mask)."""
+    dl = v3.rot(d, Rw)
+    wl = jnp.where(wavelength_um > 0, wavelength_um, lam0_um)
+    lam_mm = wl * 1e-3
+    x, y = hit_local[0], hit_local[1]
+    r2 = x * x + y * y
+    gscale = jnp.zeros_like(r2)
+    rpow = jnp.ones_like(r2)            # r^(2(k-1))
+    for k_i, c in enumerate(coeffs, start=1):
+        gscale = gscale + (2.0 * k_i) * c * rpow
+        rpow = rpow * r2
+    kick = order * lam_mm * gscale
+    tx = n1 * dl[0] + kick * x
+    ty = n1 * dl[1] + kick * y
+    t2 = tx * tx + ty * ty
+    n2sq = n2 * n2
+    ok = t2 < n2sq
+    tz = jnp.sqrt(jnp.where(ok, jnp.maximum(n2sq - t2, 0.0), 1.0))
+    sign = jnp.sign(jnp.where(jnp.abs(dl[2]) < 1e-12, 1.0, dl[2]))
+    inv = 1.0 / n2
+    out_local = (tx * inv, ty * inv,
+                 jnp.where(ok, tz * sign * inv, dl[2]))
+    return v3.rot_t(out_local, Rw), ok
+
+
+def kinoform_efficiency(order, lam0_um, wavelength_um):
+    """Scalar-theory diffraction efficiency of a kinoform blazed for
+    order m at lam0: eta = sinc^2(alpha - m), alpha = lam0/lam (unity at
+    the design wavelength, zero at integer detunings)."""
+    wl = jnp.where(wavelength_um > 0, wavelength_um, lam0_um)
+    a = lam0_um / wl - order
+    safe = jnp.abs(a) > 1e-9
+    x = jnp.where(safe, a, 1.0) * jnp.pi
+    return jnp.where(safe, (jnp.sin(x) / x) ** 2, 1.0)
+
+
 def linear_dir(d, hit_local, Rw, Cx, Cy, Dx, Dy):
     """Ideal ABCD optic (phys/std.py:35-88): rotate the direction into the
     surface frame, normalize to dz=1, apply the per-axis linear map on

@@ -90,12 +90,14 @@ class StaticRowMeta:
 
     __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp',
                  'plane', 'slot', 'n_coat', 'dispm', 'metal', 'metal_nk',
-                 'coat_k', 'ff', 'scatter', 'jones_chrom', 'grin_steps')
+                 'coat_k', 'ff', 'scatter', 'jones_chrom', 'grin_steps',
+                 'doe')
 
     def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False,
                  disp=False, plane=False, slot=0, n_coat=0,
                  dispm=(1, 1), metal=False, metal_nk=None, coat_k=None,
-                 ff=None, scatter=None, jones_chrom=False, grin_steps=0):
+                 ff=None, scatter=None, jones_chrom=False, grin_steps=0,
+                 doe=None):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
@@ -128,6 +130,10 @@ class StaticRowMeta:
         self.jones_chrom = bool(jones_chrom)
         # STATIC RK4 step count for PhysKind.GRIN rows (core/grin.py)
         self.grin_steps = int(grin_steps)
+        # STATIC (n_radial_terms, efficiency_bool) for PhysKind.DOE rows
+        # (traced coefficients ride the table ff row)
+        self.doe = ((int(doe[0]), bool(doe[1]))
+                    if doe is not None else None)
 
 
 def dispersive_iors(row, wavelength_um, meta=None):
@@ -319,7 +325,7 @@ def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None,
     makes the FRESNEL u < R compare use the same polarized R as the
     physics draw."""
     if meta.ph not in (PhysKind.SNELL, PhysKind.FRESNEL,
-                       PhysKind.FRESNEL_W):
+                       PhysKind.FRESNEL_W, PhysKind.DOE):
         return None
     from .physics import fresnel_reflectance, refract_components
     if meta.disp and wavelength is not None:
@@ -328,6 +334,8 @@ def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None,
         n_in, n_out = row.ph[..., 0], row.ph[..., 1]
     dot, cos_i, n1, n2, mu, tir, cos_t, _ = refract_components(
         d, n, n_in, n_out)
+    if meta.ph == PhysKind.DOE:
+        return n2        # always transmits (evanescent orders are dead)
     if meta.ph in (PhysKind.SNELL, PhysKind.FRESNEL_W):
         return jnp.where(tir, n1, n2)
     if field is not None:
@@ -505,4 +513,22 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
         out, ok = grating_dir(d, n, row.Rw, row.ph[..., 2], row.ph[..., 3],
                               row.ph[..., 4], wl)
         return out, ok.astype(d[0].dtype)
+    if kind == PhysKind.DOE:
+        from .physics import doe_dir, kinoform_efficiency
+        n_terms, use_eff = meta.doe
+        coeffs = [row.ff[..., i] for i in range(n_terms)]
+        wl = (wavelength if wavelength is not None
+              else jnp.zeros_like(d[0]))
+        # side-aware media, same convention as refract_components
+        dot = (d[0] * n[0] + d[1] * n[1] + d[2] * n[2])
+        from_in = dot < 0
+        n1 = jnp.where(from_in, n_in, n_out)
+        n2 = jnp.where(from_in, n_out, n_in)
+        out, ok = doe_dir(d, row.Rw, hit_local, coeffs, row.ph[..., 2],
+                          row.ph[..., 3], wl, n1, n2)
+        imod = ok.astype(d[0].dtype)
+        if use_eff:
+            imod = imod * kinoform_efficiency(row.ph[..., 2],
+                                              row.ph[..., 3], wl)
+        return out, imod
     raise ValueError(f"unknown PhysKind {kind}")

@@ -129,6 +129,9 @@ class SurfaceRec:
     jones_chrom: bool = False    # STATIC: JONES retardance scales as
                                  # lam0/lam (ph[4] = design wavelength)
     grin_steps: int = 0          # STATIC RK4 step count for GRIN rows
+    doe: Any = None              # STATIC (n_radial_terms, efficiency)
+                                 # for PhysKind.DOE rows; the traced
+                                 # phase coefficients ride ``ff``
 
 
 def _pad_vec(values, width, dtype=jnp.float32):

@@ -157,7 +157,8 @@ class Scene:
                                               ff=r.ff_powers or None,
                                               scatter=r.scatter_model,
                                               jones_chrom=r.jones_chrom,
-                                              grin_steps=r.grin_steps))
+                                              grin_steps=r.grin_steps,
+                                              doe=r.doe))
                 if el.is_sensor:    # mirrors build_table's slot assignment
                     slot += 1
             self._static_meta = meta

@@ -57,7 +57,7 @@ def _meta_with_ph(m, ph):
                          metal=m.metal, metal_nk=m.metal_nk,
                          coat_k=m.coat_k, ff=m.ff, scatter=m.scatter,
                          jones_chrom=m.jones_chrom,
-                         grin_steps=m.grin_steps)
+                         grin_steps=m.grin_steps, doe=m.doe)
 
 
 def ghost_pairs(scene):
@@ -220,6 +220,12 @@ def ghost_report(scene, params, aperture, z_det=None, n_probe=16,
             'physics path, which cannot run a GRIN rod (volumetric '
             'interaction, core/grin.py); remove the GrinRod or analyze '
             'its scene sequentially')
+    if any(m.ph == _PK.DOE for m in metas):
+        raise NotImplementedError(
+            'ghost_report\'s dense path would silently pass STRAIGHT '
+            'through a diffractive surface (its bend needs the static '
+            'term count); ghost-rank the refractive part without the '
+            'DOE, or re-trace candidate pairs with ghost_trace')
     n_rows = len(metas)
     pairs = ghost_pairs(scene)
     if not pairs:

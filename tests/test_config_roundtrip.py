@@ -49,6 +49,8 @@ EXEMPLARS = {
                                               (11, 5e-5)],
                         z1_grad=True, norm_radius=10.0),
     'WedgePrism': dict(wedge_angle=0.1, d=10.0, t=3.0, ior_glass=1.5),
+    'DiffractiveLens': dict(radius=8.0, coeffs=[-8.5, 0.01], order=1,
+                            efficiency=True, phase_grad=True),
     'GrinRod': dict(radius=5.0, thickness=20.0, n0=1.6, grin_A=0.01,
                     n_steps=32, grin_A_grad=True),
     'LambertianScatterer': dict(radius=12.0, albedo=0.35),
