@@ -25,6 +25,7 @@ from .elements.mirror import (CylindricalMirror, ParabolicMirror,
                               SphericalMirror)
 from .elements.diffractive import DiffractiveLens
 from .elements.grin import GrinRod
+from .elements.mla import MicrolensArray
 from .elements.polarization import (HalfWaveplate, LinearPolarizer,
                                     QuarterWaveplate, Waveplate)
 from .elements.scatter import Diffuser, LambertianScatterer, RoughMirror

@@ -147,3 +147,10 @@ class PhysKind(enum.IntEnum):
                      # scales as lam/lam0 (V = -3.452 — the hybrid-
                      # achromat lever).  Optional sinc^2 kinoform
                      # efficiency into intensity (meta.doe[1]).
+    MLA = 14         # (beyond reference) microlens array: square grid
+                     # of ideal thin lenslets, pitch ph[0], lenslet
+                     # focal length ph[1] (both traced).  The hit's
+                     # cell index is floor(x/pitch + 0.5) (discrete,
+                     # zero-gradient like a winner merge); the slope
+                     # kick is the ideal thin-lens map about the cell
+                     # center.  The Shack-Hartmann building block.

@@ -243,6 +243,34 @@ def kinoform_efficiency(order, lam0_um, wavelength_um):
     return jnp.where(safe, (jnp.sin(x) / x) ** 2, 1.0)
 
 
+def mla_dir(d, hit_local, Rw, pitch, f_lens):
+    """Microlens array (beyond the reference): a square grid of ideal
+    thin lenslets of traced ``pitch`` and focal length ``f_lens`` in
+    the surface-local frame.  The hit's cell center is
+    pitch * floor(x/pitch + 0.5) (a discrete choice, zero-gradient like
+    every winner merge); within the cell, the ideal thin-lens slope map
+    applies about the cell center:
+
+        sx' = sx - (x - x_cell) / f
+
+    (same in y).  Gradients flow through pitch, f and the hit
+    coordinates — a Shack-Hartmann model is differentiable end-to-end."""
+    dl = v3.rot(d, Rw)
+    dz = dl[2]
+    dz_safe = jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
+    x, y = hit_local[0], hit_local[1]
+    inv_p = 1.0 / jnp.maximum(pitch, 1e-9)
+    xc = pitch * jnp.floor(x * inv_p + 0.5)
+    yc = pitch * jnp.floor(y * inv_p + 0.5)
+    inv_f = 1.0 / f_lens
+    nx = dl[0] / dz_safe - (x - xc) * inv_f
+    ny = dl[1] / dz_safe - (y - yc) * inv_f
+    inv = 1.0 / jnp.sqrt(nx * nx + ny * ny + 1.0)
+    sign = jnp.sign(jnp.where(jnp.abs(dz) < 1e-12, 1.0, dz))
+    new_local = (nx * inv * sign, ny * inv * sign, inv * sign)
+    return v3.rot_t(new_local, Rw)
+
+
 def linear_dir(d, hit_local, Rw, Cx, Cy, Dx, Dy):
     """Ideal ABCD optic (phys/std.py:35-88): rotate the direction into the
     surface frame, normalize to dz=1, apply the per-axis linear map on

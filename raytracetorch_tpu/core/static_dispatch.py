@@ -513,6 +513,10 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
         out, ok = grating_dir(d, n, row.Rw, row.ph[..., 2], row.ph[..., 3],
                               row.ph[..., 4], wl)
         return out, ok.astype(d[0].dtype)
+    if kind == PhysKind.MLA:
+        from .physics import mla_dir
+        return mla_dir(d, hit_local, row.Rw, row.ph[..., 0],
+                       row.ph[..., 1]), ones
     if kind == PhysKind.DOE:
         from .physics import doe_dir, kinoform_efficiency
         n_terms, use_eff = meta.doe

@@ -54,6 +54,8 @@ EXEMPLARS = {
     'GrinRod': dict(radius=5.0, thickness=20.0, n0=1.6, grin_A=0.01,
                     n_steps=32, grin_A_grad=True),
     'LambertianScatterer': dict(radius=12.0, albedo=0.35),
+    'MicrolensArray': dict(half_x=4.0, half_y=3.0, pitch=0.8, f=25.0,
+                           f_grad=True),
     'LinearPolarizer': dict(radius=9.0, angle=0.3, extinction=1e-3,
                             angle_grad=True),
     'Waveplate': dict(radius=9.0, retardance=0.25, angle=0.2,
