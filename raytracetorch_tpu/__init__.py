@@ -61,6 +61,8 @@ from .utils.sensitivity import (allocate_tolerances, tolerance_sensitivity,
                                 tolerance_yield)
 from .utils.tolerancing import monte_carlo_tolerance, per_ray_perturbed_trace
 from .utils.imaging import convolve_psf, simulate_image
+from .utils.thermal import (THERMAL, opto_thermal_coefficient,
+                            thermal_perturb)
 from .utils.zemax import load_zmx, parse_zmx, save_zmx
 from .utils.psf import (diffraction_mtf, diffraction_psf,
                         polychromatic_psf, pupil_from_trace, strehl_ratio)
