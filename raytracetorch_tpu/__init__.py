@@ -11,7 +11,7 @@ from .core.table import SurfaceRec, SurfaceTable
 from .core.trace import trace_nonsequential, trace_sequential
 from .elements.aperture import (CircularAperture, ComponentFuzzy,
                                 EllipticAperture, FuzzyAperture,
-                                RectangularAperture)
+                                ObscuredAperture, RectangularAperture)
 from .elements.base import Element, ElementCustom
 from .elements.ideal import (DiffractionGrating, IdealCylThinLens,
                              IdealMirror, IdealThinLens,

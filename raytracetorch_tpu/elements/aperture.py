@@ -170,3 +170,54 @@ class EllipticAperture(_ApertureBase):
 
     def _sb_params(self, p):
         return (p['r_major'], p['r_minor'], p['ap_rot'])
+
+
+class ObscuredAperture(FuzzyAperture):
+    """Telescope pupil mask: outer disk minus a central obscuration and
+    ``n_vanes`` radial spider vanes (beyond the reference — its aperture
+    zoo is disk/rect/ellipse, elements/aperture.py:8-58).
+
+    ``obscuration`` is the LINEAR fraction (0.3 = 30% of the diameter);
+    ``vane_width`` is the full vane width in lens units, the first vane
+    points along +x rotated by ``vane_angle``.  The mask is built as a
+    component-style fuzzy callable from these ctor scalars, so it runs
+    in the fused Pallas kernels AND serializes through project files
+    (the ctor args are captured; the generic FuzzyAperture caveat about
+    arbitrary callables does not apply).
+
+    The classic use is the diffraction PSF: an amp mask with four vanes
+    puts the four-spike star on ``diffraction_psf``'s output
+    (tests/test_obscuration.py).
+    """
+
+    def __init__(self, radius, obscuration=0.3, n_vanes=4,
+                 vane_width=0.0, vane_angle=0.0, name='obscured', **kw):
+        import math as _math
+
+        if not 0.0 <= float(obscuration) < 1.0:
+            raise ValueError(
+                f'obscuration is a linear fraction in [0, 1), got '
+                f'{obscuration}')
+        if float(vane_width) < 0 or int(n_vanes) < 0:
+            raise ValueError('vane_width and n_vanes must be >= 0')
+        r_out = float(radius)
+        r_in = float(obscuration) * r_out
+        nv, w2 = int(n_vanes), 0.5 * float(vane_width)
+        a0 = float(vane_angle)
+        angles = [(_math.cos(a0 + 2 * _math.pi * k / nv),
+                   _math.sin(a0 + 2 * _math.pi * k / nv))
+                  for k in range(nv)] if nv and w2 > 0 else []
+
+        def mask(x, y, z):
+            import jax.numpy as jnp
+            r2 = x * x + y * y
+            ok = (r2 <= r_out * r_out) & (r2 >= r_in * r_in)
+            for c, s in angles:
+                along = x * c + y * s
+                across = -x * s + y * c
+                ok = ok & ~((along > 0.0) & (jnp.abs(across) <= w2))
+            return ok.astype(x.dtype)
+
+        super().__init__(mask, components=True, name=name, **kw)
+        self.radius = r_out
+        self.obscuration = float(obscuration)
