@@ -65,7 +65,8 @@ from .utils.thermal import (THERMAL, opto_thermal_coefficient,
                             thermal_perturb)
 from .utils.zemax import load_zmx, parse_zmx, save_zmx
 from .utils.psf import (diffraction_mtf, diffraction_psf,
-                        polychromatic_psf, pupil_from_trace, strehl_ratio)
-from .utils.wavefront import best_focus, wavefront_rms
+                        polychromatic_psf, pupil_from_trace, strehl_ratio,
+                        vector_psf, vector_pupil_from_trace)
+from .utils.wavefront import best_focus, interferogram, wavefront_rms
 
 __version__ = '0.1.0'

@@ -168,3 +168,82 @@ def polychromatic_psf(opds, amp, wavelengths, weights, f_number, pad=4):
         total = p if total is None else total + p
     dx = lam_ref * f_number * n / (pad * n)
     return total, dx
+
+
+def vector_pupil_from_trace(launch_rays, out_rays, opl, field,
+                            pupil_radius, n=64, point=None, n_medium=1.0):
+    """Bin the transported E-field onto the pupil grid (the vector
+    analog of :func:`pupil_from_trace`; beyond the reference — no
+    polarization tooling exists there).
+
+    ``field`` is the trace's FieldState (``track_field=True`` together
+    with ``track_opl=True``).  Each output ray's field is projected
+    onto the parallel-transported exit transverse basis (x_hat off d,
+    like ``utils.polarization.jones_pupil``), intensity-weight-summed
+    per pupil cell, and normalized so a unit x-polarized neutral system
+    reproduces ``pupil_from_trace``'s amp exactly.
+
+    Returns ``(opd [n, n], comps)`` with comps =
+    ((Ex_re, Ex_im), (Ey_re, Ey_im)) cell maps.
+    """
+    from ..geom import vec3 as v3
+    from .wavefront import best_focus, opl_to_point
+
+    if point is None:
+        point = best_focus(out_rays)
+    total = opl_to_point(out_rays, opl, point, n_medium)
+    w = out_rays.intensity
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    opd_ray = total - jnp.sum(total * w) / wsum
+
+    d = out_rays.dir_c
+    bx = (1.0 - d[0] * d[0], -d[0] * d[1], -d[0] * d[2])
+    nrm = 1.0 / jnp.sqrt(jnp.maximum(v3.dot(bx, bx), 1e-24))
+    bx = tuple(c * nrm for c in bx)
+    by = (d[1] * bx[2] - d[2] * bx[1],
+          d[2] * bx[0] - d[0] * bx[2],
+          d[0] * bx[1] - d[1] * bx[0])
+    Er, Ei = field.r_c, field.i_c
+    comps_ray = (v3.dot(Er, bx), v3.dot(Ei, bx),
+                 v3.dot(Er, by), v3.dot(Ei, by))
+
+    u = launch_rays.px / pupil_radius
+    v = launch_rays.py / pupil_radius
+    ix = jnp.clip(((u + 1.0) * 0.5 * n).astype(jnp.int32), 0, n - 1)
+    iy = jnp.clip(((v + 1.0) * 0.5 * n).astype(jnp.int32), 0, n - 1)
+    den = jnp.zeros((n, n), w.dtype).at[iy, ix].add(w)
+    num = jnp.zeros((n, n), w.dtype).at[iy, ix].add(w * opd_ray)
+    opd = num / jnp.maximum(den, 1e-12)
+
+    maps = [jnp.zeros((n, n), w.dtype).at[iy, ix].add(w * c)
+            for c in comps_ray]
+    # normalize by the RAY-DENSITY peak (pupil_from_trace's amp
+    # convention), NOT the field peak: polarization losses live in |E|
+    # and must survive into the PSF energy (a per-config field-peak
+    # normalization would silently undo every analyzer)
+    peak = jnp.maximum(jnp.max(den), 1e-12)
+    maps = [m / peak for m in maps]
+    return opd, ((maps[0], maps[1]), (maps[2], maps[3]))
+
+
+def vector_psf(opd, comps, wavelength, f_number, pad=4):
+    """Polarization-resolved Fraunhofer PSF: the incoherent sum of the
+    two transverse field components' coherent diffraction integrals,
+
+        PSF = |F{Ex e^{i phi}}|^2 + |F{Ey e^{i phi}}|^2.
+
+    UNNORMALIZED — the total is proportional to the transmitted
+    polarized energy, so pupil-filter configurations compare directly
+    (a 45-degree analyzer halves it, crossed analyzers null it;
+    tests/test_vector_psf.py).  Same (psf, dx) contract as
+    :func:`diffraction_psf` otherwise.
+    """
+    n = opd.shape[0]
+    phase = 2.0 * jnp.pi * opd / wavelength
+    cph, sph = jnp.cos(phase), jnp.sin(phase)
+    total = 0.0
+    for (er, ei) in comps:
+        total = total + dft2_intensity(er * cph - ei * sph,
+                                       er * sph + ei * cph, pad * n)
+    dx = wavelength * f_number * n / (pad * n)
+    return total, dx

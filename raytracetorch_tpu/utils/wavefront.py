@@ -147,3 +147,34 @@ def zernike_fit(pupil_xy, opd, radius, weights=None, n_terms=15):
     sw = jnp.sqrt(jnp.maximum(w, 0.0))[:, None]
     coef, *_ = jnp.linalg.lstsq(Z * sw, (opd * sw[:, 0])[:, None])
     return coef[:, 0]
+
+
+def interferogram(opd, amp, wavelength, tilt_fringes=0.0, axis='x',
+                  reference_amp=1.0):
+    """Two-beam interferogram of a pupil OPD map (Fizeau/Twyman-Green
+    style; beyond the reference — no interferometry tooling exists
+    there).
+
+    ``opd``/``amp`` are [n, n] pupil maps (``utils.psf.pupil_from_trace``
+    output) in the same length units as ``wavelength``;
+    ``tilt_fringes`` adds a linear reference tilt of that many fringes
+    across the pupil along ``axis`` ('x'|'y') — the standard way to
+    turn contour fringes into parallel ones whose BENDING shows the
+    aberration.  Intensity:
+
+        I = A_r^2 + A_t^2 + 2 A_r A_t cos(2 pi (OPD + tilt)/lambda)
+
+    normalized so a perfect null (flat OPD, no tilt, matched
+    amplitudes) peaks at 1.  One dark->dark fringe spacing = one
+    wavelength of OPD — count fringes to read the aberration in waves
+    (regression: a pure-defocus OPD of k waves peak-to-valley shows k
+    circular fringes; tests/test_interferogram.py).
+    """
+    n = opd.shape[0]
+    u = (jnp.arange(n, dtype=opd.dtype) + 0.5) / n      # 0..1 across
+    tilt = tilt_fringes * wavelength * (u[None, :] if axis == 'x'
+                                        else u[:, None])
+    phase = 2.0 * jnp.pi * (opd + tilt) / wavelength
+    a_r = jnp.asarray(reference_amp, opd.dtype)
+    inten = a_r * a_r + amp * amp + 2.0 * a_r * amp * jnp.cos(phase)
+    return inten / ((a_r + 1.0) ** 2)
