@@ -104,6 +104,16 @@ INDEX_HTML = r"""<!DOCTYPE html>
   <img id="irr" width="300" height="300"
        style="background:#101214;border:1px solid #2a2e35;border-radius:4px;display:none">
   <div id="irrinfo" style="font-size:11px;color:#9aa"></div>
+  <h3>Interferogram
+    <input type="number" id="itf-tilt" value="4" step="any"
+      style="width:42px;font-size:11px" title="reference tilt fringes">
+    <input type="number" id="itf-dz" value="0" step="any"
+      style="width:42px;font-size:11px" title="defocus (lens units)">
+    <button onclick="doInterferogram()" style="font-size:11px">refresh</button>
+  </h3>
+  <img id="itf" width="300" height="300"
+       style="background:#101214;border:1px solid #2a2e35;border-radius:4px;display:none">
+  <div id="itfinfo" style="font-size:11px;color:#9aa"></div>
   <h3>Aberrations
     <input type="number" id="sd-ap" placeholder="aperture" step="any"
       style="width:58px;font-size:11px" title="marginal-ray height at the stop">
@@ -448,6 +458,22 @@ async function doIrradiance() {
       ` · peak ${r.peak.toPrecision(3)} / cell`;
     st('irradiance ok');
   } catch (e) { st('irradiance failed: ' + e); }
+}
+async function doInterferogram() {
+  st('tracing interferogram…');
+  try {
+    const r = await post('/api/interferogram', {
+      tilt: +($('itf-tilt').value || 0),
+      defocus: +($('itf-dz').value || 0)});
+    if (r.error) { st('interferogram: ' + r.error); return; }
+    const img = $('itf');
+    img.src = 'data:image/png;base64,' + r.png;
+    img.style.display = 'block';
+    $('itfinfo').textContent =
+      `wavefront rms ${r.rms_waves.toFixed(3)} waves · pupil r ` +
+      r.pupil_radius.toPrecision(3);
+    st('interferogram ok');
+  } catch (e) { st('interferogram failed: ' + e); }
 }
 async function doSeidel() {
   st('seidel…');

@@ -314,6 +314,48 @@ class Workbench:
                 'half_extent': float(half_extent),
                 'total': float(g.sum()), 'peak': peak, 'res': int(res)}
 
+    def interferogram(self, tilt=4.0, res=96, defocus=0.0,
+                      wavelength=0.5876):
+        """Two-beam interferogram of the traced wavefront
+        (utils/wavefront.py::interferogram): pupil OPD referenced to the
+        bundle's best focus (+``defocus``, lens units), ``tilt``
+        reference fringes, grayscale PNG.  Needs a collimated-style
+        bundle (the launch x/y are the pupil coordinates)."""
+        if not self.scene.bundles:
+            raise ValueError("add a bundle (ray source) first")
+        if not self.scene.sequential:
+            raise ValueError("interferogram needs a sequential scene")
+        from ..utils.psf import pupil_from_trace
+        from ..utils.wavefront import best_focus, interferogram
+        k1, k2 = jax.random.split(self.key)
+        rays = self.scene.sample_rays(k1)
+        r_p = float(np.sqrt(np.asarray(rays.px) ** 2
+                            + np.asarray(rays.py) ** 2).max())
+        if r_p < 1e-6:
+            raise ValueError("bundle has no pupil extent — use a "
+                             "collimated (disk) source")
+        out, _, aux = self.scene.simulate(self.params, rays, k2,
+                                          track_opl=True)
+        point = np.asarray(best_focus(out)) + np.array([0, 0,
+                                                        float(defocus)])
+        opd, amp = pupil_from_trace(rays, out, aux['opl'], r_p,
+                                    n=int(res),
+                                    point=jnp.asarray(point, jnp.float32))
+        lam_mm = float(wavelength) * 1e-3
+        img = np.asarray(interferogram(opd, amp, lam_mm,
+                                       tilt_fringes=float(tilt)))
+        a = np.asarray(amp)
+        w = a / max(float(a.sum()), 1e-12)
+        opd_np = np.asarray(opd)
+        mean = float((opd_np * w).sum())
+        rms_waves = float(np.sqrt((((opd_np - mean) ** 2) * w).sum())
+                          / lam_mm)
+        rgb = np.clip(img, 0.0, 1.0)[..., None] * np.ones(3)
+        png = encode_rgb(rgb[::-1])
+        return {'png': base64.b64encode(png).decode(),
+                'rms_waves': rms_waves, 'pupil_radius': r_p,
+                'res': int(res)}
+
     def seidel(self, aperture=None, field=0.02):
         """Third-order aberration report of the current sequential scene
         (utils/seidel.py): per-surface S_I..S_V + C_I/C_II rows, totals,
@@ -766,6 +808,12 @@ def make_handler(wb: Workbench):
                     res=int(body.get('res', 128)),
                     half_extent=body.get('half_extent'),
                     log=bool(body.get('log', True)))
+            if p == '/api/interferogram':
+                return wb.interferogram(
+                    tilt=float(body.get('tilt', 4.0)),
+                    res=int(body.get('res', 96)),
+                    defocus=float(body.get('defocus', 0.0)),
+                    wavelength=float(body.get('wavelength', 0.5876)))
             if p == '/api/seidel':
                 return wb.seidel(aperture=body.get('aperture'),
                                  field=float(body.get('field', 0.02)))

@@ -354,6 +354,23 @@ def test_irradiance_endpoint(server):
     assert r2['half_extent'] == 2.0 and r2['res'] == 32
 
 
+def test_interferogram_endpoint(server):
+    """/api/interferogram: traced-wavefront fringe map — PNG payload,
+    wavefront RMS readout, defocus knob adds rings (RMS grows)."""
+    import base64 as b64
+    base, _ = server
+    r = _post(base, '/api/interferogram', {'tilt': 4.0, 'res': 64})
+    assert r.get('error') is None, r
+    png = b64.b64decode(r['png'])
+    assert png[:8] == b'\x89PNG\r\n\x1a\n'
+    assert r['res'] == 64 and r['pupil_radius'] == pytest.approx(4.0,
+                                                                 rel=0.05)
+    assert r['rms_waves'] >= 0.0
+    r2 = _post(base, '/api/interferogram',
+               {'tilt': 0.0, 'res': 64, 'defocus': 1.0})
+    assert r2['rms_waves'] > r['rms_waves'] + 1.0   # 1 mm defocus >> 1 wave
+
+
 def test_seidel_endpoint(server):
     """/api/seidel: third-order aberration report of the live scene —
     per-surface rows, totals matching a direct utils/seidel.py call,
