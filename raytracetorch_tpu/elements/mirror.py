@@ -40,7 +40,8 @@ class _MirrorBase(Element):
     """
 
     def __init__(self, metal=None, coating=None, coating_grad=False,
-                 metal_dispersion=False, ambient_ior=1.0, **kw):
+                 metal_dispersion=False, ambient_ior=1.0, roughness=None,
+                 roughness_grad=False, albedo=1.0, **kw):
         super().__init__(**kw)
         from ..constants import MAX_COAT_LAYERS
         from ..utils.coatings import METAL_NK, METALS
@@ -49,6 +50,23 @@ class _MirrorBase(Element):
                 "mirror coatings need a metal substrate (metal='Al', ... "
                 "or an (n, k) pair) — a dielectric stack on an ideal "
                 "reflector has no effect")
+        # roughness: Gaussian lobe about specular (PhysKind.SCATTER,
+        # 'gauss_r' — the curved-substrate sibling of
+        # elements/scatter.py::RoughMirror).  Mutually exclusive with
+        # metal/coating physics: SCATTER carries a flat albedo, not the
+        # complex-Fresnel machinery.
+        if roughness is not None and float(roughness) < 0.0:
+            raise ValueError(f'roughness must be >= 0, got {roughness}')
+        if roughness is not None and metal is not None:
+            raise NotImplementedError(
+                'roughness + metal reflectance on one face is not '
+                'modeled — approximate the metal loss with albedo=R')
+        self._rough_init = (float(roughness) if roughness is not None
+                            else None)
+        self._rough_grad = bool(roughness_grad)
+        self._albedo_init = float(albedo)
+        if not 0.0 <= self._albedo_init <= 1.0:
+            raise ValueError(f'albedo must be in [0, 1], got {albedo}')
         self._metal_nk = None
         if metal_dispersion:
             if not isinstance(metal, str):
@@ -77,16 +95,26 @@ class _MirrorBase(Element):
         p = super().init_params(dtype)
         if getattr(self, 'coating_n', None):
             p['coat_d'] = jnp.asarray(self._coat_d_init, dtype)
+        if self._rough_init is not None:
+            p['roughness'] = jnp.asarray(self._rough_init, dtype)
+            p['albedo'] = jnp.asarray(self._albedo_init, dtype)
         return p
 
     def trainable(self):
         t = super().trainable()
         if getattr(self, 'coating_n', None):
             t['coat_d'] = self._coat_grad
+        if self._rough_init is not None:
+            t['roughness'] = self._rough_grad
+            t['albedo'] = False
         return t
 
     def _phys_rec_kwargs(self, p):
         """Physics fields of the reflecting face for SurfaceRec."""
+        if self._rough_init is not None:
+            return dict(ph_kind=PhysKind.SCATTER,
+                        ph=(1.0, 1.0, p['albedo'], p['roughness']),
+                        scatter_model='gauss_r')
         if self._metal is None:
             return dict(ph_kind=PhysKind.REFLECT)
         n_m, k_m = self._metal

@@ -156,3 +156,49 @@ def test_scatter_fused_sequential_same_stream(key):
                                atol=2e-5)
     np.testing.assert_allclose(float(s1.spot_rms(0)[0]),
                                float(s2.spot_rms(0)[0]), rtol=1e-5)
+
+
+def test_curved_rough_mirror(key):
+    """roughness= on a CURVED mirror (elements/mirror.py): sigma -> 0
+    recovers the exact specular mirror; finite sigma grows the focal
+    spot by the lobe-propagation variance 2 sigma^2 L^2."""
+    from raytracetorch_tpu import Scene, SphericalMirror
+
+    def focal_rms2(sigma):
+        f = 25.0
+        # detector at the reflected focus (0, 2.99, 5.19), SMALL enough
+        # to stay clear of the incoming beam (y in [-1.5, 1.5]) — a
+        # detector straddling the launch path records the INCOMING
+        # crossing and the roughness never shows (CLAUDE.md geometry
+        # trap)
+        els = [SphericalMirror(c1=-1.0 / (2 * f), d=12.0,
+                               translation=[0, 0, 30.0],
+                               rotation=[0.06, 0.0, 0.0], name='m',
+                               **({'roughness': sigma}
+                                  if sigma is not None else {})),
+               SensorElement(radius=1.2, translation=[0, 2.99, 5.19],
+                             rotation=[-0.12, 0.0, 0.0], name='det')]
+        sc = Scene(els, n_bounces=2)
+        rays = _beam(50_000, r=1.5)
+        _, sens, _ = sc.simulate(sc.init_params(), rays, key)
+        n_hit = float(np.asarray(sens.moments)[0, ..., 0].sum())
+        assert n_hit > 40_000, n_hit
+        return float(sens.spot_rms(0)[0]) ** 2
+
+    base = focal_rms2(None)
+    zero = focal_rms2(0.0)
+    np.testing.assert_allclose(zero, base, rtol=1e-4)   # sigma=0 == specular
+    sigma, L = 2e-3, 25.0      # mirror -> detector path ~ f
+    grown = focal_rms2(sigma)
+    assert grown - base == pytest.approx(2 * sigma * sigma * L * L,
+                                         rel=0.25)
+
+
+def test_rough_mirror_guards():
+    from raytracetorch_tpu import SphericalMirror
+    with pytest.raises(NotImplementedError, match='roughness'):
+        SphericalMirror(c1=-0.02, d=8.0, roughness=1e-3, metal='Al')
+    with pytest.raises(ValueError):
+        SphericalMirror(c1=-0.02, d=8.0, roughness=-1e-3)
+    with pytest.raises(ValueError):
+        SphericalMirror(c1=-0.02, d=8.0, roughness=1e-3, albedo=2.0)
