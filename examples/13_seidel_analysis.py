@@ -20,7 +20,7 @@ from raytracetorch_tpu import (AsphericLens, CollimatedDisk, SequentialScene,
 
 
 def spot_rms(scene, params, z_img, key, n=20000):
-    rays = scene.sample_rays(key)
+    rays = scene.sample_rays(key, dtype=jnp.float64)
     out, _, _ = scene.simulate(params, rays, key)
     pos = np.asarray(out.pos)
     d = np.asarray(out.dir)
@@ -37,7 +37,7 @@ def main():
             lens = SingletLens(c1=c1, c2=c2, d=14.0, t=2.0,
                                ior_glass=1.5168, abbe_vd=64.17, name='L')
             sc = SequentialScene([lens])
-            sc.add_bundle(CollimatedDisk(r=3.0), n_rays=20000)
+            sc.add_bundle(CollimatedDisk.make(radius=3.0, translation=[0, 0, -10.0]), n_rays=20000)
             return sc
 
         sc = make(0.02, -0.02)
@@ -61,7 +61,7 @@ def main():
         c1 = jnp.asarray(0.02, jnp.float64)
         g = jax.grad(lambda c: S_I_of_bend(c) ** 2)
         for _ in range(60):
-            c1 = c1 - 2e4 * g(c1)
+            c1 = c1 - 20.0 * g(c1)
         c1_best = float(c1)
         print(f"\nbest-form bending: c1 = {c1_best:.6f}, "
               f"c2 = {c1_best - dphi:.6f}, "
@@ -77,7 +77,7 @@ def main():
         asph = AsphericLens(c1=c1_best, c2=c1_best - dphi, d=14.0, t=2.0,
                             ior_glass=1.5168, a1=(a4,), name='L')
         sc_a = SequentialScene([asph])
-        sc_a.add_bundle(CollimatedDisk(r=3.0), n_rays=20000)
+        sc_a.add_bundle(CollimatedDisk.make(radius=3.0, translation=[0, 0, -10.0]), n_rays=20000)
         p_a = sc_a.init_params(jnp.float64)
         rep_a = sc_a.seidel(p_a, aperture=3.0, field=0.05)
         print(f"aspherized: a4 = {a4:.3e}  ->  S_I = "

@@ -313,10 +313,10 @@ class RingSource(Bundle):
         return self.emission.sample_dir(key, n)
 
 
-def sample_bundles(key, bundles_with_counts):
+def sample_bundles(key, bundles_with_counts, dtype=jnp.float32):
     """Sample and concatenate all bundles (reference ``Scene._build_rays``,
     scene/base.py:57-90)."""
     keys = jax.random.split(key, len(bundles_with_counts))
-    batches = [b.sample(k, n) for k, (b, n) in
+    batches = [b.sample(k, n, dtype) for k, (b, n) in
                zip(keys, bundles_with_counts)]
     return batches[0] if len(batches) == 1 else Rays.concatenate(batches)

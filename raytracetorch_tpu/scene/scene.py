@@ -126,11 +126,14 @@ class Scene:
 
     # -- simulation --------------------------------------------------------
 
-    def sample_rays(self, key, bundles=None):
+    def sample_rays(self, key, bundles=None, dtype=None):
         """Sample and merge all registered bundles.  ``bundles`` may override
-        the stored pytrees (e.g. reparameterized under grad)."""
+        the stored pytrees (e.g. reparameterized under grad); ``dtype``
+        sets the ray precision (pass jnp.float64 under jax.enable_x64 to
+        match f64 params — see tests/test_x64.py)."""
         spec = bundles if bundles is not None else self.bundles
-        return sample_bundles(key, spec)
+        return sample_bundles(key, spec,
+                              jnp.float32 if dtype is None else dtype)
 
     def static_meta(self):
         """Per-surface compile-time kinds for the specialized sequential
