@@ -65,6 +65,7 @@ from .utils.thermal import (THERMAL, opto_thermal_coefficient,
                             thermal_perturb)
 from .utils.zemax import load_zmx, parse_zmx, save_zmx
 from .utils.psf import (diffraction_mtf, diffraction_psf,
+                        encircled_energy, fiber_coupling,
                         polychromatic_psf, pupil_from_trace, strehl_ratio,
                         vector_psf, vector_pupil_from_trace)
 from .utils.wavefront import best_focus, interferogram, wavefront_rms

@@ -247,3 +247,76 @@ def vector_psf(opd, comps, wavelength, f_number, pad=4):
                                        er * sph + ei * cph, pad * n)
     dx = wavelength * f_number * n / (pad * n)
     return total, dx
+
+
+def dft2_field(re, im, n_out, alpha=1.0):
+    """Centered 2-D DFT of the complex field (re + i im) as an
+    (re, im) pair — the amplitude-level sibling of
+    :func:`dft2_intensity` (complex-free for the TPU runtime).
+
+    BOTH axes are centered (input x about n_in/2, output u about
+    n_out/2): intensity doesn't care about the shift-theorem phase
+    ramp, but amplitude-level overlaps (fiber coupling) would be
+    destroyed by it."""
+    n_in = re.shape[0]
+    u = jnp.arange(n_out) - n_out // 2
+    x = jnp.arange(n_in) - (n_in - 1) / 2.0
+    ang = (-2.0 * jnp.pi * alpha / n_out) * u[:, None] * x[None, :]
+    C = jnp.cos(ang).astype(re.dtype)
+    S = jnp.sin(ang).astype(re.dtype)
+    r1 = _mm(C, re) + _mm(S, im)
+    i1 = _mm(C, im) - _mm(S, re)
+    fr = _mm(r1, C.T) + _mm(i1, S.T)
+    fi = _mm(i1, C.T) - _mm(r1, S.T)
+    return fr, fi
+
+
+def encircled_energy(psf, dx, radii):
+    """Fraction of total PSF energy inside each radius (the standard
+    image-quality metric; the reference has no physical-optics layer).
+
+    ``psf`` [N, N] centered at N//2 with pixel pitch ``dx`` (both as
+    returned by :func:`diffraction_psf`); ``radii`` is a 1-D array in
+    the same units.  Returns EE(radii).  For an unaberrated circular
+    pupil this reproduces the Airy closed form
+    1 - J0^2(v) - J1^2(v), v = pi r / (lambda F#)
+    (tests/test_psf_metrics.py).
+    """
+    n = psf.shape[0]
+    c = n // 2
+    ax = (jnp.arange(n) - c) * dx
+    r2 = ax[None, :] ** 2 + ax[:, None] ** 2
+    radii = jnp.atleast_1d(jnp.asarray(radii, psf.dtype))
+    inside = r2[None] <= radii[:, None, None] ** 2
+    tot = jnp.maximum(jnp.sum(psf), 1e-24)
+    return jnp.sum(jnp.where(inside, psf[None], 0.0), axis=(1, 2)) / tot
+
+
+def fiber_coupling(opd, amp, wavelength, f_number, mode_radius, pad=8,
+                   offset=(0.0, 0.0)):
+    """Coupling efficiency into a single-mode fiber: the normalized
+    overlap integral |<E_focal | E_mode>|^2 between the focal-plane
+    field (amplitude-level Fraunhofer transform of the pupil) and a
+    Gaussian mode of 1/e^2 INTENSITY radius ``mode_radius`` centered at
+    ``offset`` in the image plane.
+
+    For an unaberrated circular pupil the optimum sits at
+    mode_radius = 0.714 lambda F# with eta = 81.45% — the textbook
+    Airy-to-Gaussian limit (back-propagated mode a/w_p = 1.121 at the
+    pupil) — and aberrations/defocus reduce it
+    (tests/test_psf_metrics.py).  Differentiable in everything, so
+    jax.grad can design FOR coupling.
+    """
+    n = opd.shape[0]
+    n_out = pad * n
+    phase = 2.0 * jnp.pi * opd / wavelength
+    fr, fi = dft2_field(amp * jnp.cos(phase), amp * jnp.sin(phase), n_out)
+    dx = wavelength * f_number * n / n_out
+    c = n_out // 2
+    ax = (jnp.arange(n_out) - c) * dx
+    gx = jnp.exp(-((ax - offset[0]) / mode_radius) ** 2)
+    gy = jnp.exp(-((ax - offset[1]) / mode_radius) ** 2)
+    mode = gy[:, None] * gx[None, :]          # amplitude profile
+    num = (jnp.sum(fr * mode) ** 2 + jnp.sum(fi * mode) ** 2)
+    den = (jnp.sum(fr * fr + fi * fi) * jnp.sum(mode * mode))
+    return num / jnp.maximum(den, 1e-24)
