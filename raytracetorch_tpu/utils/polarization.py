@@ -133,6 +133,30 @@ class JonesPupil:
                         / np.maximum(s1 ** 2 + s2 ** 2, 1e-24), 0.0)
 
     @property
+    def mueller(self):
+        """[n, n, 4, 4] real Mueller matrices: M = A (J kron J*) A^-1
+        with A the Stokes-from-coherency map — the standard
+        Jones-to-Mueller lift (valid per pupil point; depolarization
+        needs an ensemble, which a single coherent trace cannot
+        produce, so these M are all Mueller-Jones matrices).  An ideal
+        linear polarizer at angle t gives the textbook
+        0.5 [[1, C, S, 0], [C, C^2, CS, 0], [S, CS, S^2, 0], [0,0,0,0]]
+        with C = cos 2t, S = sin 2t (tests/test_polarization_optics.py).
+        """
+        import numpy as np
+        J = self.jones                                   # [n, n, 2, 2]
+        A = np.array([[1, 0, 0, 1],
+                      [1, 0, 0, -1],
+                      [0, 1, 1, 0],
+                      [0, 1j, -1j, 0]], complex)
+        A_inv = np.linalg.inv(A)
+        # kron over the trailing 2x2 axes: [n, n, 4, 4]
+        K = np.einsum('...ij,...kl->...ikjl', J, J.conj())
+        K = K.reshape(J.shape[:-2] + (4, 4))
+        M = np.real(A @ K @ A_inv)
+        return np.where(self.mask[..., None, None], M, 0.0)
+
+    @property
     def retardance(self):
         """Phase difference (radians) of the eigenvalues of the unitary
         factor of J = U H (polar decomposition): the pupil's phase

@@ -195,3 +195,33 @@ def test_fused_v2_parity(key):
     np.testing.assert_allclose(np.asarray(sens_f.moments),
                                np.asarray(sens_x.moments), rtol=1e-4,
                                atol=1e-3)
+
+
+def test_mueller_matrix_of_polarizer(key):
+    """JonesPupil.mueller: the traced polarizer's Mueller matrix equals
+    the textbook ideal-polarizer form 0.5[[1,C,S,0],[C,C2,CS,0],...]"""
+    from raytracetorch_tpu.utils.polarization import jones_pupil
+
+    theta = 0.3
+    sc = _scene(LinearPolarizer(radius=10.0, angle=theta, name='pol'))
+    jp = jones_pupil(sc, sc.init_params(), key, pupil_radius=3.0, n=8)
+    M = jp.mueller
+    c2, s2 = math.cos(2 * theta), math.sin(2 * theta)
+    expect = 0.5 * np.array([
+        [1.0, c2, s2, 0.0],
+        [c2, c2 * c2, c2 * s2, 0.0],
+        [s2, c2 * s2, s2 * s2, 0.0],
+        [0.0, 0.0, 0.0, 0.0]])
+    center = M[4, 4]
+    np.testing.assert_allclose(center, expect, atol=1e-5)
+    # Mueller-Jones consistency: M00 = transmittance/... and the QWP
+    # case rotates S3: quarter-wave at 45 deg maps S1 -> -+S3
+    sc2 = _scene(QuarterWaveplate(radius=10.0, angle=math.pi / 4,
+                                  name='q'))
+    M2 = jones_pupil(sc2, sc2.init_params(), key, pupil_radius=3.0,
+                     n=8).mueller[4, 4]
+    s_in = np.array([1.0, 1.0, 0.0, 0.0])     # x-linear
+    s_out = M2 @ s_in
+    np.testing.assert_allclose(s_out[0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(abs(s_out[3]), 1.0, atol=1e-5)
+    np.testing.assert_allclose(s_out[1], 0.0, atol=1e-5)
