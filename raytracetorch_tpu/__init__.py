@@ -61,6 +61,7 @@ from .utils.sensitivity import (allocate_tolerances, tolerance_sensitivity,
                                 tolerance_yield)
 from .utils.tolerancing import monte_carlo_tolerance, per_ray_perturbed_trace
 from .utils.imaging import convolve_psf, simulate_image
+from .utils.footprint import footprint_report, footprints
 from .utils.thermal import (THERMAL, opto_thermal_coefficient,
                             thermal_perturb)
 from .utils.zemax import load_zmx, parse_zmx, save_zmx
