@@ -104,6 +104,14 @@ INDEX_HTML = r"""<!DOCTYPE html>
   <img id="irr" width="300" height="300"
        style="background:#101214;border:1px solid #2a2e35;border-radius:4px;display:none">
   <div id="irrinfo" style="font-size:11px;color:#9aa"></div>
+  <h3>Footprints
+    <select id="fpsel" onchange="doFootprints()" style="font-size:11px">
+    </select>
+    <button onclick="doFootprints()" style="font-size:11px">refresh</button>
+  </h3>
+  <canvas id="fpcv" width="300" height="160"
+          style="display:none;background:#101214;border:1px solid #2a2e35;border-radius:4px"></canvas>
+  <div id="fptab" style="font-size:11px"></div>
   <h3>Interferogram
     <input type="number" id="itf-tilt" value="4" step="any"
       style="width:42px;font-size:11px" title="reference tilt fringes">
@@ -458,6 +466,48 @@ async function doIrradiance() {
       ` · peak ${r.peak.toPrecision(3)} / cell`;
     st('irradiance ok');
   } catch (e) { st('irradiance failed: ' + e); }
+}
+async function doFootprints() {
+  st('footprints…');
+  try {
+    const sel = $('fpsel');
+    const body = sel.value ? {surface: sel.value} : {};
+    const r = await post('/api/footprints', body);
+    if (r.error) { st('footprints: ' + r.error); return; }
+    const cur = sel.value;
+    sel.innerHTML = r.table.map(t =>
+      `<option${t.label === cur ? ' selected' : ''}>${t.label}</option>`
+    ).join('');
+    let h = '<table><tr><th style="text-align:left">surf</th>' +
+      '<th>r_max</th><th>semi</th><th>fill</th></tr>';
+    for (const t of r.table)
+      h += `<tr><td style="text-align:left">${t.label}</td>` +
+        `<td>${t.r_max.toPrecision(3)}</td>` +
+        `<td>${t.semi_dia ? t.semi_dia.toPrecision(3) : '-'}</td>` +
+        `<td>${t.fill ? (100 * t.fill).toFixed(0) + '%' : '-'}</td></tr>`;
+    $('fptab').innerHTML = h + '</table>';
+    if (r.points) {
+      const cv = $('fpcv'), ctx = cv.getContext('2d');
+      cv.style.display = 'block';
+      ctx.fillStyle = '#101214';
+      ctx.fillRect(0, 0, cv.width, cv.height);
+      const pts = r.points;
+      const semi = pts.semi_dia ||
+        Math.max(...pts.x.map(Math.abs), ...pts.y.map(Math.abs), 1e-9);
+      const s = Math.min(cv.width, cv.height) / (2.2 * semi);
+      const cx = cv.width / 2, cy = cv.height / 2;
+      if (pts.semi_dia) {
+        ctx.strokeStyle = '#445';
+        ctx.beginPath();
+        ctx.arc(cx, cy, pts.semi_dia * s, 0, 2 * Math.PI);
+        ctx.stroke();
+      }
+      ctx.fillStyle = '#6cf';
+      for (let i = 0; i < pts.x.length; i++)
+        ctx.fillRect(cx + pts.x[i] * s, cy - pts.y[i] * s, 1.4, 1.4);
+    }
+    st('footprints ok');
+  } catch (e) { st('footprints failed: ' + e); }
 }
 async function doInterferogram() {
   st('tracing interferogram…');

@@ -356,6 +356,35 @@ class Workbench:
                 'rms_waves': rms_waves, 'pupil_radius': r_p,
                 'res': int(res)}
 
+    def footprints(self, surface=None, max_points=1500):
+        """Per-surface clearance table (utils/footprint.py) and,
+        when ``surface`` names a row label, that surface's hit cloud
+        (downsampled) for the canvas."""
+        if not self.scene.bundles:
+            raise ValueError("add a bundle (ray source) first")
+        if not self.scene.sequential:
+            raise ValueError("footprints needs a sequential scene")
+        from ..utils.footprint import footprints as _fp
+        k1, k2 = jax.random.split(self.key)
+        rays = self.scene.sample_rays(k1)
+        reps = _fp(self.scene, self.params, rays, k2)
+        table = [{'label': r['label'], 'r_max': r['r_max'],
+                  'semi_dia': r['semi_dia'], 'fill': r['fill'],
+                  'n': r['n']} for r in reps]
+        out = {'table': table}
+        if surface is not None:
+            for r in reps:
+                if r['label'] == surface:
+                    n = r['x'].shape[0]
+                    step = max(1, n // int(max_points))
+                    out['points'] = {
+                        'label': r['label'],
+                        'x': [float(v) for v in r['x'][::step]],
+                        'y': [float(v) for v in r['y'][::step]],
+                        'semi_dia': r['semi_dia']}
+                    break
+        return out
+
     def seidel(self, aperture=None, field=0.02):
         """Third-order aberration report of the current sequential scene
         (utils/seidel.py): per-surface S_I..S_V + C_I/C_II rows, totals,
@@ -808,6 +837,8 @@ def make_handler(wb: Workbench):
                     res=int(body.get('res', 128)),
                     half_extent=body.get('half_extent'),
                     log=bool(body.get('log', True)))
+            if p == '/api/footprints':
+                return wb.footprints(surface=body.get('surface'))
             if p == '/api/interferogram':
                 return wb.interferogram(
                     tilt=float(body.get('tilt', 4.0)),

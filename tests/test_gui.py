@@ -354,6 +354,21 @@ def test_irradiance_endpoint(server):
     assert r2['half_extent'] == 2.0 and r2['res'] == 32
 
 
+def test_footprints_endpoint(server):
+    """/api/footprints: clearance table + selected-surface hit cloud."""
+    base, _ = server
+    r = _post(base, '/api/footprints', {})
+    assert r.get('error') is None, r
+    labels = [t['label'] for t in r['table']]
+    assert 'lens[0]' in labels and 'stop[0]' in labels
+    lens0 = next(t for t in r['table'] if t['label'] == 'lens[0]')
+    assert lens0['r_max'] == pytest.approx(4.0, rel=0.05)  # beam r=4
+    r2 = _post(base, '/api/footprints', {'surface': 'stop[0]'})
+    pts = r2['points']
+    assert pts['label'] == 'stop[0]' and len(pts['x']) > 100
+    assert max(abs(v) for v in pts['x']) <= (pts['semi_dia'] or 99) + 1e-6
+
+
 def test_interferogram_endpoint(server):
     """/api/interferogram: traced-wavefront fringe map — PNG payload,
     wavefront RMS readout, defocus knob adds rings (RMS grows)."""
