@@ -56,6 +56,8 @@ EXEMPLARS = {
     'LambertianScatterer': dict(radius=12.0, albedo=0.35),
     'MicrolensArray': dict(half_x=4.0, half_y=3.0, pitch=0.8, f=25.0,
                            f_grad=True),
+    'ObscuredAperture': dict(radius=4.0, obscuration=0.3, n_vanes=4,
+                             vane_width=0.12, vane_angle=0.2),
     'LinearPolarizer': dict(radius=9.0, angle=0.3, extinction=1e-3,
                             angle_grad=True),
     'Waveplate': dict(radius=9.0, retardance=0.25, angle=0.2,
