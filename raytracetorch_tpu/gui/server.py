@@ -201,13 +201,34 @@ class Workbench:
 
     # -- trace / metrics ------------------------------------------------------
 
+    def _sim_kwargs(self):
+        """Per-scene simulate kwargs the workbench must supply: JONES
+        elements (polarizer/waveplate) act on the tracked E-field, so
+        any scene containing one is traced with track_field=True
+        (x-polarized default launch)."""
+        from ..constants import PhysKind
+        try:
+            metas = self.scene.static_meta()
+        except Exception:
+            return {}
+        if any(m.ph == PhysKind.JONES for m in metas):
+            if any(m.ph == PhysKind.GRIN for m in metas):
+                raise ValueError(
+                    'a scene cannot hold BOTH a polarizer/waveplate '
+                    '(needs track_field) and a GRIN rod (rejects it — '
+                    'polarization transport along curved rays is not '
+                    'modeled); remove one of them')
+            return {'track_field': True}
+        return {}
+
     def trace(self):
         if not self.scene.bundles:
             raise ValueError("add a bundle (ray source) first")
         k1, k2 = jax.random.split(self.key)
         rays = self.scene.sample_rays(k1)
         out, sensors, aux = self.scene.simulate(
-            self.params, rays, k2, record_paths=True, record_hits=True)
+            self.params, rays, k2, record_paths=True, record_hits=True,
+            **self._sim_kwargs())
 
         # path overlay: stride to <= MAX_OVERLAY_RAYS, project to pixels
         paths = np.asarray(aux['paths'])              # [S(+1), N, 3]
@@ -283,7 +304,8 @@ class Workbench:
         rays = self.scene.sample_rays(k1)
         sensor = int(sensor)
         if half_extent is None:
-            _, sensors, _ = self.scene.simulate(self.params, rays, k2)
+            _, sensors, _ = self.scene.simulate(self.params, rays, k2,
+                                                **self._sim_kwargs())
             c = np.asarray(sensors.centroid(sensor))
             r = np.asarray(sensors.spot_rms(sensor))
             half_extent = float(max(float(np.abs(c).max())
@@ -292,7 +314,8 @@ class Workbench:
         try:
             self.scene.grid_shape = (int(res), int(res))
             self.scene.grid_half_extent = float(half_extent)
-            _, sensors, _ = self.scene.simulate(self.params, rays, k2)
+            _, sensors, _ = self.scene.simulate(self.params, rays, k2,
+                                                **self._sim_kwargs())
         finally:
             self.scene.grid_shape, self.scene.grid_half_extent = old
         g = np.asarray(sensors.grid[min(sensor, sensors.grid.shape[0] - 1)])
@@ -508,8 +531,10 @@ class Workbench:
                 raise ValueError("add a bundle (ray source) first")
             rays = scene.sample_rays(k1)
 
+            kw_sim = self._sim_kwargs()
+
             def loss(p):
-                _, sensors, _ = scene.simulate(p, rays, k2)
+                _, sensors, _ = scene.simulate(p, rays, k2, **kw_sim)
                 return spot_size_loss(sensors)
 
         new_params, losses = fit(loss, self.params,

@@ -354,6 +354,25 @@ def test_irradiance_endpoint(server):
     assert r2['half_extent'] == 2.0 and r2['res'] == 32
 
 
+def test_trace_with_polarizer_autofield(server):
+    """Adding a JONES element makes the workbench trace with
+    track_field automatically (and delete restores the plain path)."""
+    base, wb = server
+    n_before = len(wb.scene.elements)
+    _post(base, '/api/element/add', {'config': {
+        'class': 'LinearPolarizer', 'name': 'wbpol',
+        'params': {'radius': 8.0, 'angle': 0.5,
+                   'translation': [0, 0, 2.0]}}})
+    try:
+        r = _post(base, '/api/trace', {})
+        assert r.get('error') is None, r
+        assert r['n_alive'] > 0
+    finally:
+        _post(base, '/api/element/delete', {'index': n_before})
+    r2 = _post(base, '/api/trace', {})
+    assert r2.get('error') is None, r2
+
+
 def test_footprints_endpoint(server):
     """/api/footprints: clearance table + selected-surface hit cloud."""
     base, _ = server
