@@ -46,7 +46,8 @@ from .optim.goals import focal_length_loss, spot_size_loss, spot_target_loss
 from .optim.merit import default_merit, opd_residuals, spot_residuals
 from .optim.multiconfig import (config_params, config_sweep,
                                 multiconfig_loss, stack_configs)
-from .project import (load_params, load_project, load_scene, save_params,
+from .project import (load_checkpoint, load_params, load_project,
+                      load_scene, save_checkpoint, save_params,
                       save_project)
 from .scene.scene import Scene, SequentialScene
 from .scene.scene import describe

@@ -101,3 +101,44 @@ def load_params(path, dtype=jnp.float32):
         el_name, k = key.split('/', 1)
         params.setdefault(el_name, {})[k] = jnp.asarray(data[key], dtype)
     return params
+
+
+def save_checkpoint(path, params, opt_state=None, step=0, extra=None):
+    """Orbax checkpoint of a design-in-progress (SURVEY §5
+    checkpoint/resume: "orbax for param/opt-state checkpoints" — the
+    reference has no training checkpoints at all, project.py:38-89 is
+    scene structure only).
+
+    Saves the live parameter pytree TOGETHER with the optimizer state
+    (optax pytree — adam moments, lbfgs memory, ...) and a step
+    counter, so a long design run resumes exactly where it stopped —
+    not just with the same params but with the same optimizer
+    trajectory.  ``extra`` may carry any additional pytree (e.g. loss
+    history).  ``path`` is a directory (orbax layout).
+    """
+    import orbax.checkpoint as ocp
+
+    payload = {'params': params, 'step': int(step)}
+    if opt_state is not None:
+        payload['opt_state'] = opt_state
+    if extra is not None:
+        payload['extra'] = extra
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(str(path)), payload, force=True)
+
+
+def load_checkpoint(path, like=None):
+    """Restore a :func:`save_checkpoint` directory.
+
+    ``like``: optional payload TEMPLATE (same structure as what was
+    saved, e.g. ``{'params': p0, 'opt_state': optimizer.init(p0),
+    'step': 0}``) — required to restore custom pytree node types like
+    optax states exactly; without it the raw nested dict/arrays come
+    back (fine for params-only checkpoints).
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    if like is not None:
+        return ckptr.restore(os.path.abspath(str(path)), item=like)
+    return ckptr.restore(os.path.abspath(str(path)))
