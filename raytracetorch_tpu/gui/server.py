@@ -212,12 +212,14 @@ class Workbench:
         except Exception:
             return {}
         if any(m.ph == PhysKind.JONES for m in metas):
-            if any(m.ph == PhysKind.GRIN for m in metas):
+            if any(m.ph in (PhysKind.GRIN, PhysKind.SCATTER)
+                   for m in metas):
                 raise ValueError(
                     'a scene cannot hold BOTH a polarizer/waveplate '
-                    '(needs track_field) and a GRIN rod (rejects it — '
-                    'polarization transport along curved rays is not '
-                    'modeled); remove one of them')
+                    '(needs track_field) and a GRIN rod or scatter '
+                    'surface (they reject it — polarization transport '
+                    'along curved/scattered rays is not modeled); '
+                    'remove one of them')
             return {'track_field': True}
         return {}
 

@@ -1,0 +1,145 @@
+"""Random mixed-element scenes: physical invariants that must hold for
+ANY composition of the element zoo.
+
+Per seeded random scene (transmissive pool + sensor, random gaps,
+small tilts/decenters):
+
+  - every output is finite,
+  - live rays carry unit directions,
+  - intensity stays in [0, 1] (no element amplifies),
+  - polarization-resolved power |E|^2 stays in [0, 1] when tracked,
+  - sensor flux never exceeds the launched flux,
+  - one gradient per scene is finite.
+
+This is the cross-kind interaction net: any new PhysKind that breaks
+masking, renormalization or dead-ray freezing shows up here first.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracetorch_tpu import (CircularAperture, CollimatedDisk,
+                               DiffractiveLens, Diffuser, GrinRod,
+                               LinearPolarizer, MicrolensArray,
+                               ObscuredAperture, QuarterWaveplate,
+                               SensorElement, SequentialScene, SingletLens,
+                               WedgePrism)
+
+N_RAYS = 3000
+
+
+def _pool(rng):
+    """Candidate element builders (z -> element); each draws its own
+    random parameters from ``rng``."""
+    def lens(z):
+        c = float(rng.uniform(0.005, 0.02))
+        return SingletLens(c1=c, c2=-float(rng.uniform(0.005, 0.02)),
+                           d=12.0, t=3.0,
+                           ior_glass=float(rng.uniform(1.45, 1.75)),
+                           c1_grad=True, translation=[0, 0, z])
+
+    return [
+        lens,
+        lambda z: CircularAperture(radius=float(rng.uniform(2.0, 5.0)),
+                                   translation=[0, 0, z]),
+        lambda z: ObscuredAperture(radius=4.5,
+                                   obscuration=float(rng.uniform(0.1, 0.4)),
+                                   n_vanes=int(rng.integers(0, 5)),
+                                   vane_width=0.1, translation=[0, 0, z]),
+        lambda z: LinearPolarizer(radius=8.0,
+                                  angle=float(rng.uniform(0, 3.1)),
+                                  extinction=float(rng.uniform(0, 0.05)),
+                                  translation=[0, 0, z]),
+        lambda z: QuarterWaveplate(radius=8.0,
+                                   angle=float(rng.uniform(0, 3.1)),
+                                   translation=[0, 0, z]),
+        lambda z: Diffuser(radius=8.0,
+                           roughness=float(rng.uniform(0.0, 0.02)),
+                           albedo=float(rng.uniform(0.6, 1.0)),
+                           translation=[0, 0, z]),
+        lambda z: DiffractiveLens(radius=8.0,
+                                  f=float(rng.uniform(80.0, 300.0))
+                                  * (1 if rng.random() < 0.7 else -1),
+                                  efficiency=bool(rng.random() < 0.5),
+                                  translation=[0, 0, z]),
+        lambda z: MicrolensArray(half_x=6.0, half_y=6.0,
+                                 pitch=float(rng.uniform(0.5, 2.0)),
+                                 f=float(rng.uniform(10.0, 40.0)),
+                                 translation=[0, 0, z]),
+        lambda z: WedgePrism(wedge_angle=float(rng.uniform(0.01, 0.08)),
+                             d=12.0, t=3.0, ior_glass=1.5,
+                             translation=[0, 0, z]),
+        lambda z: GrinRod(radius=6.0, thickness=6.0,
+                          n0=float(rng.uniform(1.5, 1.7)),
+                          grin_A=float(rng.uniform(0.001, 0.01)),
+                          n_steps=24,
+                          translation=[0, 0, z + 3.0]),
+    ]
+
+
+@pytest.mark.parametrize('seed', range(12))
+def test_random_scene_invariants(seed, key):
+    rng = np.random.default_rng(seed)
+    pool = _pool(rng)
+    els, z = [], 0.0
+    picks = rng.integers(0, len(pool), size=rng.integers(2, 5))
+    for i, pk in enumerate(picks):
+        els.append(pool[pk](z))
+        els[-1].name = f'el{i}'
+        z += float(rng.uniform(8.0, 15.0))
+    els.append(SensorElement(radius=40.0, translation=[0, 0, z + 10.0],
+                             name='sens'))
+    sc = SequentialScene(els)
+    p = sc.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(3.0),
+                               translation=[0, 0, -8.0],
+                               wavelength=float(rng.uniform(0.45, 0.75))
+                               ).sample(key, N_RAYS)
+
+    from raytracetorch_tpu.constants import PhysKind
+    metas = sc.static_meta()
+    has_jones = any(m.ph == PhysKind.JONES for m in metas)
+    no_field = any(m.ph in (PhysKind.GRIN, PhysKind.SCATTER)
+                   for m in metas)
+    if has_jones and no_field:
+        # the documented incompatibilities (JONES needs track_field;
+        # GRIN and SCATTER reject it): drop the offenders and rebuild
+        els = [el for el in els
+               if not isinstance(el, (GrinRod, Diffuser))]
+        sc = SequentialScene(els)
+        p = sc.init_params()
+        no_field = False
+    track_field = has_jones or (not no_field and seed % 2 == 0)
+
+    out, sens, aux = sc.simulate(p, rays, key, track_field=track_field)
+
+    inten = np.asarray(out.intensity)
+    assert np.isfinite(inten).all()
+    assert inten.min() >= 0.0 and inten.max() <= 1.0 + 1e-5, (
+        inten.min(), inten.max())
+    pos = np.stack([np.asarray(out.px), np.asarray(out.py),
+                    np.asarray(out.pz)], -1)
+    assert np.isfinite(pos).all()
+    d2 = (np.asarray(out.dx) ** 2 + np.asarray(out.dy) ** 2
+          + np.asarray(out.dz) ** 2)
+    alive = inten > 0
+    if alive.any():
+        np.testing.assert_allclose(d2[alive], 1.0, atol=1e-4)
+    if track_field:
+        pw = np.asarray(aux['field_power'])
+        assert np.isfinite(pw).all()
+        assert pw.max() <= 1.0 + 1e-4
+
+    flux = float(np.asarray(sens.moments)[0, ..., 0].sum())
+    assert flux <= N_RAYS * (1 + 1e-5)
+
+    # one finite gradient per scene (w.r.t. the first element's z)
+    def loss(p):
+        _, s, _ = sc.simulate(p, rays, key, track_field=track_field)
+        return s.spot_rms(0)[0]
+
+    g = jax.grad(loss)(p)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
