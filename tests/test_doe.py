@@ -195,3 +195,26 @@ def test_doe_guards(key):
         SensorElement(radius=30.0, translation=[0, 0, 60.0], name='s')])
     with pytest.raises(NotImplementedError, match='ghost'):
         ghost_report(sc, sc.init_params(), aperture=2.0)
+
+
+def test_doe_nonseq_fused_parity(key):
+    """DOE rows in the fused NON-sequential kernel (same
+    apply_physics_one in _nonseq_bounce_core): parity with the XLA
+    bounce loop."""
+    from raytracetorch_tpu import Scene
+    sc = Scene([
+        DiffractiveLens(radius=8.0, f=60.0, translation=[0, 0, 10.0],
+                        name='doe'),
+        SensorElement(radius=10.0, translation=[0, 0, 40.0], name='s'),
+    ], n_bounces=3)
+    p = sc.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(5.0),
+                               translation=[0, 0, -5.0],
+                               wavelength=0.6).sample(key, 700)
+    out_x, sens_x, _ = sc.simulate(p, rays, key)
+    out_f, sens_f, _ = sc.simulate_fused(p, rays, key, block_rows=4)
+    np.testing.assert_allclose(np.asarray(out_f.dir),
+                               np.asarray(out_x.dir), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sens_f.moments),
+                               np.asarray(sens_x.moments), rtol=1e-4,
+                               atol=1e-3)

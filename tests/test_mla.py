@@ -101,3 +101,24 @@ def test_mla_guards():
         MicrolensArray(half_x=5.0, half_y=5.0, pitch=0.0, f=10.0)
     with pytest.raises(ValueError):
         MicrolensArray(half_x=5.0, half_y=5.0, pitch=1.0, f=0.0)
+
+
+def test_mla_nonseq_fused_parity(key):
+    """MLA rows in the fused non-sequential kernel."""
+    from raytracetorch_tpu import Scene
+    sc = Scene([
+        MicrolensArray(half_x=5.0, half_y=5.0, pitch=PITCH, f=F,
+                       translation=[0, 0, 10.0], name='mla'),
+        SensorElement(radius=20.0, translation=[0, 0, 10.0 + F],
+                      name='s'),
+    ], n_bounces=3)
+    p = sc.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0, 0, -5.0]).sample(key, 700)
+    out_x, sens_x, _ = sc.simulate(p, rays, key)
+    out_f, sens_f, _ = sc.simulate_fused(p, rays, key, block_rows=4)
+    np.testing.assert_allclose(np.asarray(out_f.pos),
+                               np.asarray(out_x.pos), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sens_f.moments),
+                               np.asarray(sens_x.moments), rtol=1e-4,
+                               atol=1e-3)

@@ -225,3 +225,27 @@ def test_mueller_matrix_of_polarizer(key):
     np.testing.assert_allclose(s_out[0], 1.0, atol=1e-5)
     np.testing.assert_allclose(abs(s_out[3]), 1.0, atol=1e-5)
     np.testing.assert_allclose(s_out[1], 0.0, atol=1e-5)
+
+
+def test_jones_nonseq_fused_parity(key):
+    """JONES rows + track_field in the fused non-sequential kernel."""
+    from raytracetorch_tpu import Scene
+    sc = Scene([
+        LinearPolarizer(radius=10.0, angle=0.4, translation=[0, 0, 8.0],
+                        name='pol'),
+        QuarterWaveplate(radius=10.0, angle=math.pi / 4,
+                         translation=[0, 0, 14.0], name='q'),
+        SensorElement(radius=40.0, translation=[0, 0, 30.0], name='s'),
+    ], n_bounces=4)
+    p = sc.init_params()
+    rays = _beam(700)
+    out_x, sens_x, aux_x = sc.simulate(p, rays, key, track_field=True)
+    out_f, sens_f, aux_f = sc.simulate_fused(p, rays, key,
+                                             track_field=True,
+                                             block_rows=4)
+    np.testing.assert_allclose(np.asarray(aux_f['field_power']),
+                               np.asarray(aux_x['field_power']),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sens_f.moments),
+                               np.asarray(sens_x.moments), rtol=1e-4,
+                               atol=1e-3)
