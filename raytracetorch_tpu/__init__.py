@@ -23,7 +23,7 @@ from .elements.lens import (AsphericLens, CylSingletLens, DoubletLens, FreeformL
 from .elements.mirror import (CylindricalMirror, ParabolicMirror,
                               ParabolicMirrorOffAxis, ParabolicMirrorXZ,
                               SphericalMirror)
-from .elements.diffractive import DiffractiveLens
+from .elements.diffractive import DiffractiveLens, PhaseGridPlate
 from .elements.grin import GrinRod
 from .elements.mla import MicrolensArray
 from .elements.polarization import (HalfWaveplate, LinearPolarizer,

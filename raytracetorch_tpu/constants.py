@@ -147,6 +147,15 @@ class PhysKind(enum.IntEnum):
                      # scales as lam/lam0 (V = -3.452 — the hybrid-
                      # achromat lever).  Optional sinc^2 kinoform
                      # efficiency into intensity (meta.doe[1]).
+    PHASE_GRID = 15  # (beyond reference) pixelated phase plate: a
+                     # TRACED [H, W] phase map (cycles) bilinearly
+                     # interpolated over the rect aperture; momentum
+                     # kick n2 d_t = n1 d_t + m lam grad(phi) like DOE
+                     # but with a freely-optimizable per-pixel profile
+                     # ("deep optics" / kinoform holography).  The grid
+                     # rides a side channel (Scene.side_grids), not the
+                     # fixed-width table row; sequential XLA driver
+                     # only.  ph = (n_in, n_out, m, lam0, hx, hy).
     MLA = 14         # (beyond reference) microlens array: square grid
                      # of ideal thin lenslets, pitch ph[0], lenslet
                      # focal length ph[1] (both traced).  The hit's

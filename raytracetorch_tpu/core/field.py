@@ -336,7 +336,7 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
         ob_i = j2[0] * Eb_i + j2[1] * Eb_r
         Er_new = v3.add(v3.scale(ax, oa_r), v3.scale(bx, ob_r))
         Ei_new = v3.add(v3.scale(ax, oa_i), v3.scale(bx, ob_i))
-    elif meta.ph == PhysKind.DOE:
+    elif meta.ph in (PhysKind.DOE, PhysKind.PHASE_GRID):
         # diffractive bend: geometric s/p rebuild around the new
         # direction (keeps E perpendicular to d), amplitude sqrt(imod)
         # (the kinoform efficiency, when enabled, is a scalar power

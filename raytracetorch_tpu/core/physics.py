@@ -232,6 +232,58 @@ def doe_dir(d, Rw, hit_local, coeffs, order, lam0_um, wavelength_um,
     return v3.rot_t(out_local, Rw), ok
 
 
+def phase_grid_dir(d, Rw, hit_local, grid, order, lam0_um,
+                   wavelength_um, n1, n2, hx, hy):
+    """Pixelated phase plate (beyond the reference): a traced [H, W]
+    phase map in CYCLES spanning the rect aperture [-hx, hx] x
+    [-hy, hy] in the surface frame, bilinearly interpolated; the ray
+    picks up the same momentum-form kick as :func:`doe_dir`,
+
+        n2 d_out_t = n1 d_in_t + m lam_mm grad(phi),
+
+    with grad(phi) the analytic gradient of the bilinear patch at the
+    hit (piecewise-bilinear; exact at cell centers for any quadratic
+    profile).  Because the GRID VALUES are traced, jax.grad flows into
+    every pixel — the 'deep optics' design surface (the bwd pass of
+    the per-ray gather is a scatter-add of ray cotangents into the
+    map).  Rays kicked evanescent return ok=False.
+
+    Returns (new_dir tuple, ok mask)."""
+    dl = v3.rot(d, Rw)
+    wl = jnp.where(wavelength_um > 0, wavelength_um, lam0_um)
+    lam_mm = wl * 1e-3
+    H, W = grid.shape
+    x, y = hit_local[0], hit_local[1]
+    u = (x + hx) / (2.0 * hx) * (W - 1)
+    v = (y + hy) / (2.0 * hy) * (H - 1)
+    u = jnp.clip(u, 0.0, W - 1 - 1e-6)
+    v = jnp.clip(v, 0.0, H - 1 - 1e-6)
+    iu = u.astype(jnp.int32)
+    iv = v.astype(jnp.int32)
+    fu, fv = u - iu, v - iv
+    g00 = grid[iv, iu]
+    g01 = grid[iv, iu + 1]
+    g10 = grid[iv + 1, iu]
+    g11 = grid[iv + 1, iu + 1]
+    # bilinear gradient, rescaled from cell to length units
+    su = (W - 1) / (2.0 * hx)
+    sv = (H - 1) / (2.0 * hy)
+    gx = ((1 - fv) * (g01 - g00) + fv * (g11 - g10)) * su
+    gy = ((1 - fu) * (g10 - g00) + fu * (g11 - g01)) * sv
+    kick = order * lam_mm
+    tx = n1 * dl[0] + kick * gx
+    ty = n1 * dl[1] + kick * gy
+    t2 = tx * tx + ty * ty
+    n2sq = n2 * n2
+    ok = t2 < n2sq
+    tz = jnp.sqrt(jnp.where(ok, jnp.maximum(n2sq - t2, 0.0), 1.0))
+    sign = jnp.sign(jnp.where(jnp.abs(dl[2]) < 1e-12, 1.0, dl[2]))
+    inv = 1.0 / n2
+    out_local = (tx * inv, ty * inv,
+                 jnp.where(ok, tz * sign * inv, dl[2]))
+    return v3.rot_t(out_local, Rw), ok
+
+
 def kinoform_efficiency(order, lam0_um, wavelength_um):
     """Scalar-theory diffraction efficiency of a kinoform blazed for
     order m at lam0: eta = sinc^2(alpha - m), alpha = lam0/lam (unity at

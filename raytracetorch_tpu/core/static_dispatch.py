@@ -325,7 +325,8 @@ def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None,
     makes the FRESNEL u < R compare use the same polarized R as the
     physics draw."""
     if meta.ph not in (PhysKind.SNELL, PhysKind.FRESNEL,
-                       PhysKind.FRESNEL_W, PhysKind.DOE):
+                       PhysKind.FRESNEL_W, PhysKind.DOE,
+                       PhysKind.PHASE_GRID):
         return None
     from .physics import fresnel_reflectance, refract_components
     if meta.disp and wavelength is not None:
@@ -334,7 +335,7 @@ def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None,
         n_in, n_out = row.ph[..., 0], row.ph[..., 1]
     dot, cos_i, n1, n2, mu, tir, cos_t, _ = refract_components(
         d, n, n_in, n_out)
-    if meta.ph == PhysKind.DOE:
+    if meta.ph in (PhysKind.DOE, PhysKind.PHASE_GRID):
         return n2        # always transmits (evanescent orders are dead)
     if meta.ph in (PhysKind.SNELL, PhysKind.FRESNEL_W):
         return jnp.where(tir, n1, n2)
@@ -350,7 +351,7 @@ def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None,
 
 
 def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
-                      wavelength=None, field=None, u2=None):
+                      wavelength=None, field=None, u2=None, grid=None):
     """Single-kind physics (cf. core/physics.py::apply_physics).  ``d``,
     ``n``, ``hit_local`` are component tuples.
 
@@ -421,6 +422,23 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
             'trace_sequential directly (core/grin.py::grin_surface_step) '
             '— this driver path does not support them; use '
             'SequentialScene.simulate')
+    if kind == PhysKind.PHASE_GRID:
+        if grid is None:
+            raise NotImplementedError(
+                'pixelated phase plates need their traced [H, W] grid '
+                'side channel (Scene.side_grids) — this driver path '
+                'does not supply it; use SequentialScene.simulate')
+        from .physics import phase_grid_dir
+        wl = (wavelength if wavelength is not None
+              else jnp.zeros_like(d[0]))
+        dot = (d[0] * n[0] + d[1] * n[1] + d[2] * n[2])
+        from_in = dot < 0
+        n1 = jnp.where(from_in, n_in, n_out)
+        n2 = jnp.where(from_in, n_out, n_in)
+        out, ok = phase_grid_dir(d, row.Rw, hit_local, grid,
+                                 row.ph[..., 2], row.ph[..., 3], wl,
+                                 n1, n2, row.ph[..., 4], row.ph[..., 5])
+        return out, ok.astype(d[0].dtype)
     if kind == PhysKind.FRESNEL:
         T_ov = None
         if field is not None:

@@ -40,7 +40,7 @@ from .sensor import SensorConfig, SensorState
 
 def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
                   sensors: SensorState, fuzzy_fn=None, static_meta=None,
-                  field=None):
+                  field=None, grid=None):
     """Apply one surface interaction to the full ray batch (masked).
 
     With ``static_meta`` (sequential path) the bound and physics formulas
@@ -66,7 +66,7 @@ def _surface_step(row, rays: Rays, key, cfg: SensorConfig,
         new_dir, imod = apply_physics_one(static_meta, row, res['hit_s'],
                                           rays.dir_c, n_w, u,
                                           wavelength=rays.wavelength,
-                                          field=field, u2=u2)
+                                          field=field, u2=u2, grid=grid)
     else:
         new_dir, imod = apply_physics(
             row.ph_kind, row.ph, row.Rw, row.sb_kind, row.sb,
@@ -116,7 +116,8 @@ def trace_sequential(table, rays: Rays, key,
                      track_field: bool = False,
                      E0=None,
                      fuzzy_fns=None,
-                     static_meta=None):
+                     static_meta=None,
+                     grids=None):
     """Ordered pass over every surface row (reference SequentialScene).
 
     Returns ``(rays, sensors, aux)`` where ``aux`` optionally carries
@@ -177,7 +178,8 @@ def trace_sequential(table, rays: Rays, key,
         pr, sensors, active, res = _surface_step(
             row, prev, keys[k], cfg, sensors,
             fuzzy_fn=fuzzy_fns.get(k), static_meta=meta,
-            field=field if track_field else None)
+            field=field if track_field else None,
+            grid=(grids or {}).get(k))
         if track_opl:
             # accumulate n * t through the train; update the medium on
             # refraction (wavefront-analysis building block)
@@ -426,6 +428,9 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
         assert all(m.ph != PhysKind.GRIN for m in static_meta), \
             "GRIN rods are sequential-only (an unordered bounce loop " \
             "has no single entry->exit traversal); use SequentialScene"
+        assert all(m.ph != PhysKind.PHASE_GRID for m in static_meta), \
+            "pixelated phase plates (traced-grid side channel) are " \
+            "sequential-only; use SequentialScene"
     sensors = SensorState.init(cfg, dtype=rays.px.dtype)
     pr = rays
     field = None

@@ -113,3 +113,76 @@ class DiffractiveLens(Element):
         f0 = -1.0 / (2.0 * self._order * self._lam0 * 1e-3
                      * self._coeffs_init[0])
         return f0 * self._lam0 / lam
+
+
+class PhaseGridPlate(Element):
+    """Pixelated phase plate: a TRACED [H, W] phase map (cycles) over a
+    rectangular aperture, bilinearly interpolated — the 'deep optics'
+    design surface.  Every pixel is an optimizable parameter
+    (``grid_grad=True`` by default): jax.grad of any traced metric
+    scatter-adds ray cotangents back into the map, so beam shapers /
+    kinoform holograms / arbitrary correctors fall out of gradient
+    descent (examples/28 learns an axicon ring former from scratch).
+
+    ``init`` seeds the map (scalar or [H, W] array, cycles);
+    ``shape=(H, W)`` sets the resolution.  Physics:
+    core/physics.py::phase_grid_dir — the same momentum-form grating
+    equation as DiffractiveLens but with a free per-pixel profile.
+    Sequential XLA driver only (the grid rides a side channel, not the
+    fixed-width table row; the fused kernels assert).
+    """
+
+    def __init__(self, half_x, half_y, shape=(32, 32), init=0.0,
+                 order=1, design_wavelength=0.5876, ior_in=1.0,
+                 ior_out=1.0, grid_grad=True, name='phase_plate', **kw):
+        import numpy as np
+
+        super().__init__(name=name, **kw)
+        if float(half_x) <= 0 or float(half_y) <= 0:
+            raise ValueError('half_x/half_y must be positive')
+        H, W = int(shape[0]), int(shape[1])
+        if H < 2 or W < 2:
+            raise ValueError(f'grid needs at least 2x2 pixels, got {shape}')
+        if int(order) == 0:
+            raise ValueError('order 0 is undiffracted — use a window')
+        g0 = np.asarray(init, np.float32)
+        if g0.ndim == 0:
+            g0 = np.full((H, W), float(g0), np.float32)
+        if g0.shape != (H, W):
+            raise ValueError(f'init shape {g0.shape} != {shape}')
+        self._hx, self._hy = float(half_x), float(half_y)
+        self._g0 = g0
+        self._order = int(order)
+        self._lam0 = float(design_wavelength)
+        self._n_in, self._n_out = float(ior_in), float(ior_out)
+        self._grid_grad = bool(grid_grad)
+
+    @property
+    def n_surfaces(self):
+        return 1
+
+    def extra_params(self):
+        return {'half_x': self._hx, 'half_y': self._hy,
+                'grid': self._g0.copy(),
+                'ior_in': self._n_in, 'ior_out': self._n_out}
+
+    def extra_trainable(self):
+        return {'half_x': False, 'half_y': False,
+                'grid': self._grid_grad, 'ior_in': False,
+                'ior_out': False}
+
+    def phase_grid(self, p):
+        """Side-channel hook (Scene.side_grids): the traced phase map."""
+        return p['grid']
+
+    def build(self, p):
+        Re, te = frame_params(p)
+        q, sign = q_plane()
+        Rw, tw, Rs, ts = compose_world(Re, te)
+        return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                           sb_kind=SBKind.RECT,
+                           sb=(p['half_x'], p['half_y']),
+                           is_plane=True, ph_kind=PhysKind.PHASE_GRID,
+                           ph=(p['ior_in'], p['ior_out'],
+                               float(self._order), self._lam0,
+                               p['half_x'], p['half_y']))]

@@ -162,9 +162,9 @@ def trace_sequential_pallas(table, rays: Rays, key,
     assert not cfg.grid_shape, "irradiance grid: use the XLA path"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
     for m in static_meta:
-        assert m.ph not in (4, 10, 12), \
-            "stochastic (Fresnel/scatter) and GRIN surfaces: use the " \
-            "XLA path"
+        assert m.ph not in (4, 10, 12, 15), \
+            "stochastic (Fresnel/scatter), GRIN and phase-grid " \
+            "surfaces: use the XLA path"
 
     n = rays.px.shape[0]
     grid = max(1, -(-n // TILE))
@@ -497,9 +497,9 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
     plane reads."""
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
-    assert all(m.ph != 12 for m in static_meta), \
-        "GRIN rods (scan-based volumetric integration) run on the XLA " \
-        "sequential driver: use simulate()"
+    assert all(m.ph not in (12, 15) for m in static_meta), \
+        "GRIN rods / pixelated phase plates (scan integration, traced-" \
+        "grid side channel) run on the XLA sequential driver: simulate()"
     fuzzy_fns = dict(fuzzy_fns or {})
     for k_f, fn in fuzzy_fns.items():
         assert getattr(fn, 'components', False), (
@@ -1006,9 +1006,9 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
     Returns ``(rays, sensors, aux)``."""
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
-    assert all(m.ph != 12 for m in static_meta), \
-        "GRIN rods are sequential-only (trace_nonsequential asserts " \
-        "too): use SequentialScene.simulate"
+    assert all(m.ph not in (12, 15) for m in static_meta), \
+        "GRIN rods / pixelated phase plates are sequential-only " \
+        "(trace_nonsequential asserts too): use SequentialScene.simulate"
     fuzzy_fns = dict(fuzzy_fns or {})
     for k_f, fn in fuzzy_fns.items():
         assert getattr(fn, 'components', False), (

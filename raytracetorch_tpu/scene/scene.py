@@ -179,6 +179,19 @@ class Scene:
             k += el.n_surfaces
         return out
 
+    def side_grids(self, params):
+        """Traced {flat_surface_index: [H, W] array} side channel for
+        PHASE_GRID rows (pixelated phase plates — the grid does not fit
+        the fixed-width table row).  Built from params INSIDE jit, so
+        jax.grad flows into every pixel."""
+        out, k = {}, 0
+        for el in self.elements:
+            hook = getattr(el, 'phase_grid', None)
+            if hook is not None:
+                out[k] = hook(params[el.name])
+            k += el.n_surfaces
+        return out
+
     def simulate(self, params, rays, key, n_bundles=None, **kw):
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
@@ -292,6 +305,7 @@ class SequentialScene(Scene):
         cfg = self.sensor_config(n_bundles)
         kw.setdefault('fuzzy_fns', self.fuzzy_fns())
         kw.setdefault('static_meta', self.static_meta())
+        kw.setdefault('grids', self.side_grids(params))
         return trace_sequential(table, rays, key, cfg, **kw)
 
     def simulate_fused(self, params, rays, key, n_bundles=None,

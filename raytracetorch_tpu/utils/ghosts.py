@@ -220,6 +220,10 @@ def ghost_report(scene, params, aperture, z_det=None, n_probe=16,
             'physics path, which cannot run a GRIN rod (volumetric '
             'interaction, core/grin.py); remove the GrinRod or analyze '
             'its scene sequentially')
+    if any(m.ph == _PK.PHASE_GRID for m in metas):
+        raise NotImplementedError(
+            'ghost_report cannot trace pixelated phase plates (their '
+            'traced grid rides a sequential-only side channel)')
     if any(m.ph == _PK.DOE for m in metas):
         raise NotImplementedError(
             'ghost_report\'s dense path would silently pass STRAIGHT '

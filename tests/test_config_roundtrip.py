@@ -58,6 +58,8 @@ EXEMPLARS = {
                            f_grad=True),
     'ObscuredAperture': dict(radius=4.0, obscuration=0.3, n_vanes=4,
                              vane_width=0.12, vane_angle=0.2),
+    'PhaseGridPlate': dict(half_x=4.0, half_y=3.0, shape=(6, 8),
+                           init=0.5, order=1, grid_grad=True),
     'LinearPolarizer': dict(radius=9.0, angle=0.3, extinction=1e-3,
                             angle_grad=True),
     'Waveplate': dict(radius=9.0, retardance=0.25, angle=0.2,

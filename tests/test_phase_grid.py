@@ -1,0 +1,126 @@
+"""Pixelated phase plates (PhysKind.PHASE_GRID): exact ramp/grating
+equivalence, quadratic-profile agreement with DiffractiveLens,
+per-pixel gradient design, guards.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracetorch_tpu import (CollimatedDisk, PhaseGridPlate, Scene,
+                               SensorElement, SequentialScene, fit)
+from raytracetorch_tpu.rays.ray import Rays
+
+HX = 4.0
+LAM0 = 0.5876
+
+
+def _rays(xs, ys, wavelength=LAM0):
+    xs = jnp.asarray(xs, jnp.float32)
+    ys = jnp.asarray(ys, jnp.float32)
+    pos = jnp.stack([xs, ys, jnp.full_like(xs, -3.0)], -1)
+    d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (xs.shape[0], 3))
+    return Rays.create(pos, d, wavelength=jnp.full_like(xs, wavelength))
+
+
+def test_ramp_grid_is_a_grating(key):
+    """phi = c*x cycles: every ray exits with dx = m lam_mm c exactly
+    (bilinear interpolation is exact on linear data)."""
+    c = 30.0                              # cycles/mm
+    n = 17
+    xs = np.linspace(-HX, HX, n)
+    grid = np.broadcast_to(c * xs[None, :], (n, n)).astype(np.float32)
+    sc = SequentialScene([PhaseGridPlate(half_x=HX, half_y=HX,
+                                         shape=(n, n), init=grid,
+                                         name='pp')])
+    out, _, _ = sc.simulate(sc.init_params(),
+                            _rays([0.3, -2.1, 1.7], [0.5, -1.0, 3.0]),
+                            key)
+    expect = LAM0 * 1e-3 * c
+    np.testing.assert_allclose(np.asarray(out.dx), expect, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.dy), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.intensity), 1.0, atol=1e-6)
+
+
+def test_quadratic_grid_matches_doe_lens(key):
+    """phi = c1 r^2 sampled on a fine grid behaves as the radial DOE
+    to bilinear-quantization accuracy."""
+    from raytracetorch_tpu import DiffractiveLens
+    c1, n = -8.5, 65
+    xs = np.linspace(-HX, HX, n)
+    X, Y = np.meshgrid(xs, xs, indexing='xy')
+    grid = (c1 * (X * X + Y * Y)).astype(np.float32)
+    sc_g = SequentialScene([PhaseGridPlate(half_x=HX, half_y=HX,
+                                           shape=(n, n), init=grid,
+                                           name='pp')])
+    sc_d = SequentialScene([DiffractiveLens(radius=1.5 * HX,
+                                            coeffs=[c1], name='doe')])
+    probe = _rays([0.4, 1.3, -2.2, 3.1], [0.2, -0.8, 1.1, -1.9])
+    out_g, _, _ = sc_g.simulate(sc_g.init_params(), probe, key)
+    out_d, _, _ = sc_d.simulate(sc_d.init_params(), probe, key)
+    # bilinear gradient of a sampled quadratic: error <= c1 * cell
+    np.testing.assert_allclose(np.asarray(out_g.dx),
+                               np.asarray(out_d.dx), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_g.dy),
+                               np.asarray(out_d.dy), atol=2e-3)
+
+
+def test_grid_gradient_designs_a_steerer(key):
+    """Optimize the pixel map to steer a beam onto an off-axis target:
+    adam on the per-pixel gradients converges to a ramp."""
+    L, xt = 50.0, 1.5
+    sc = SequentialScene([
+        PhaseGridPlate(half_x=HX, half_y=HX, shape=(16, 16), name='pp'),
+        SensorElement(radius=20.0, translation=[0, 0, L], name='s')])
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, -3.0],
+                               wavelength=LAM0).sample(key, 2000)
+
+    def loss(p):
+        # full second moment about the TARGET (centroid alone is
+        # underdetermined: a survivor-balancing phase surface can put
+        # the mean anywhere): every ray must land at (xt, 0)
+        _, sens, _ = sc.simulate(p, rays, key)
+        c = sens.centroid(0)[0]
+        rms = sens.spot_rms(0)[0]
+        return (c[0] - xt) ** 2 + c[1] ** 2 + rms ** 2
+
+    p0 = sc.init_params()
+    g0 = jax.grad(loss)(p0)['pp']['grid']
+    assert np.isfinite(np.asarray(g0)).all() and float(jnp.abs(g0).max()) > 0
+    # the optimal ramp spans ~400 cycles across the plate and adam
+    # moves ~lr per pixel per step: size lr accordingly
+    p, hist = fit(loss, p0, trainable=sc.trainable(), steps=600, lr=2.0)
+    # converged to the plate's intra-cell quantization floor (bilinear
+    # cells cannot represent the focusing x^2 term exactly)
+    assert float(hist[-1]) < 0.05
+    assert float(hist[-1]) < 0.02 * float(hist[0])
+    # the learned map's mean x-slope over the ILLUMINATED pixels is the
+    # steering ramp c = xt / (L * m * lam_mm) (plus the focusing
+    # curvature, whose mean slope over the symmetric beam is ~0)
+    grid = np.asarray(p['pp']['grid'])
+    cell = 2 * HX / 15
+    lit = slice(4, 12)                    # beam radius 2 on half_x 4
+    slope = np.mean(np.diff(grid[lit, lit], axis=1)) / cell
+    c_analytic = xt / (L * LAM0 * 1e-3)
+    assert slope == pytest.approx(c_analytic, rel=0.25)
+
+
+def test_phase_grid_guards(key):
+    with pytest.raises(ValueError):
+        PhaseGridPlate(half_x=0.0, half_y=4.0)
+    with pytest.raises(ValueError):
+        PhaseGridPlate(half_x=4.0, half_y=4.0, shape=(1, 8))
+    with pytest.raises(ValueError):
+        PhaseGridPlate(half_x=4.0, half_y=4.0, shape=(4, 4),
+                       init=np.zeros((8, 8)))
+    pp = PhaseGridPlate(half_x=4.0, half_y=4.0, name='pp')
+    nsc = Scene([pp], n_bounces=2)
+    with pytest.raises(AssertionError, match='sequential-only'):
+        nsc.simulate(nsc.init_params(), _rays([0.0], [0.0]), key)
+    ssc = SequentialScene([PhaseGridPlate(half_x=4.0, half_y=4.0,
+                                          name='pp')])
+    with pytest.raises(AssertionError):
+        ssc.simulate_fused(ssc.init_params(), _rays([0.0], [0.0]), key,
+                           block_rows=4)
