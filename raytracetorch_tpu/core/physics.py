@@ -233,7 +233,7 @@ def doe_dir(d, Rw, hit_local, coeffs, order, lam0_um, wavelength_um,
 
 
 def phase_grid_dir(d, Rw, hit_local, grid, order, lam0_um,
-                   wavelength_um, n1, n2, hx, hy):
+                   wavelength_um, n1, n2, hx, hy, corners_fn=None):
     """Pixelated phase plate (beyond the reference): a traced [H, W]
     phase map in CYCLES spanning the rect aperture [-hx, hx] x
     [-hy, hy] in the surface frame, bilinearly interpolated; the ray
@@ -261,10 +261,17 @@ def phase_grid_dir(d, Rw, hit_local, grid, order, lam0_um,
     iu = u.astype(jnp.int32)
     iv = v.astype(jnp.int32)
     fu, fv = u - iu, v - iv
-    g00 = grid[iv, iu]
-    g01 = grid[iv, iu + 1]
-    g10 = grid[iv + 1, iu]
-    g11 = grid[iv + 1, iu + 1]
+    if corners_fn is None:
+        # per-ray 4-corner gather — fine under XLA (native TPU gather);
+        # Mosaic has no per-lane gather lowering, so the fused Pallas
+        # kernel passes corners_fn=_grid_corners_mxu (one-hot matmul
+        # reads, ops/pallas_trace.py) instead
+        g00 = grid[iv, iu]
+        g01 = grid[iv, iu + 1]
+        g10 = grid[iv + 1, iu]
+        g11 = grid[iv + 1, iu + 1]
+    else:
+        g00, g01, g10, g11 = corners_fn(grid, iv, iu)
     # bilinear gradient, rescaled from cell to length units
     su = (W - 1) / (2.0 * hx)
     sv = (H - 1) / (2.0 * hy)

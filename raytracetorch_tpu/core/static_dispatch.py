@@ -351,7 +351,8 @@ def medium_after(meta: StaticRowMeta, row, d, n, u, wavelength=None,
 
 
 def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
-                      wavelength=None, field=None, u2=None, grid=None):
+                      wavelength=None, field=None, u2=None, grid=None,
+                      grid_corners=None):
     """Single-kind physics (cf. core/physics.py::apply_physics).  ``d``,
     ``n``, ``hit_local`` are component tuples.
 
@@ -437,7 +438,8 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
         n2 = jnp.where(from_in, n_out, n_in)
         out, ok = phase_grid_dir(d, row.Rw, hit_local, grid,
                                  row.ph[..., 2], row.ph[..., 3], wl,
-                                 n1, n2, row.ph[..., 4], row.ph[..., 5])
+                                 n1, n2, row.ph[..., 4], row.ph[..., 5],
+                                 corners_fn=grid_corners)
         return out, ok.astype(d[0].dtype)
     if kind == PhysKind.FRESNEL:
         T_ov = None

@@ -373,8 +373,53 @@ def _grid_partial(cfg, x, y, w, exact_f32=False):
     return acc
 
 
+def _grid_corners_mxu(grid, iv, iu):
+    """Kernel-safe 4-corner reads from a VMEM-resident [H, W] phase map
+    (the PHASE_GRID bilinear stencil — core/physics.py::phase_grid_dir).
+    Mosaic has no per-lane gather, so the row-select is one one-hot MXU
+    matmul per grid row index — P = G^T one-hot(iv) -> [W, L] holds grid
+    row iv per lane — and the column-select is an elementwise one-hot
+    mask + sublane reduction.  Corner pairs (g00, g01) / (g10, g11)
+    share a matmul, so a PHASE_GRID surface costs 2 f32 [W, H] x [H, L]
+    matmuls per tile row.  All one-hots are exact and the matmuls run
+    f32 (no bf16 rounding of the traced phase values), and jax.vjp of
+    the dot_general is the transposed scatter that routes per-pixel
+    cotangents back into the map in the fused backward kernel.  Unlike
+    the XLA gather there is no out-of-bounds hazard: garbage tail-lane
+    indices just produce all-zero one-hots (zero corners, masked off by
+    the caller's active predicate)."""
+    H, W = grid.shape
+    rows, lanes = iv.shape
+    contract = (((0,), (0,)), ((), ()))    # G [H,W] x A [H,L] -> [W,L]
+    # per-row results are merged with masked broadcast-adds, NOT
+    # jnp.concatenate of [1, L] pieces: Mosaic rejects sublane-offset
+    # concatenation targets past the first 8-row tile ("Input offsets
+    # outside of the first tile")
+    rsel = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    outs = [jnp.zeros((rows, lanes), jnp.float32) for _ in range(4)]
+    for r in range(rows):
+        iv_r = iv[r:r + 1, :]
+        iu_r = iu[r:r + 1, :]
+        hio = jax.lax.broadcasted_iota(jnp.int32, (H, lanes), 0)
+        wio = jax.lax.broadcasted_iota(jnp.int32, (W, lanes), 0)
+        P0 = jax.lax.dot_general(
+            grid, jnp.where(hio == iv_r, 1.0, 0.0), contract,
+            preferred_element_type=jnp.float32)
+        P1 = jax.lax.dot_general(
+            grid, jnp.where(hio == iv_r + 1, 1.0, 0.0), contract,
+            preferred_element_type=jnp.float32)
+        m0 = jnp.where(wio == iu_r, 1.0, 0.0)
+        m1 = jnp.where(wio == iu_r + 1, 1.0, 0.0)
+        pick = jnp.where(rsel == r, 1.0, 0.0)
+        for o, (P, m) in enumerate(((P0, m0), (P0, m1),
+                                    (P1, m0), (P1, m1))):
+            outs[o] = outs[o] + pick * jnp.sum(P * m, axis=0,
+                                               keepdims=True)
+    return tuple(outs)
+
+
 def _kernel_v2(static_meta, cfg, n_valid, track_opl, track_field,
-               fuzzy_fns, record_paths, record_hits,
+               fuzzy_fns, record_paths, record_hits, pg_rows,
                tab, *refs):
     n_f = sum(_row_draws(m) for m in static_meta)   # stochastic draws
     capture = bool(cfg.grid_shape)  # sensor-hit capture for the grid pass
@@ -385,6 +430,10 @@ def _kernel_v2(static_meta, cfg, n_valid, track_opl, track_field,
     base += n_f
     field_refs = refs[base:base + (6 if track_field else 0)]
     base += len(field_refs)
+    # PHASE_GRID side channel: one VMEM-resident [H, W] block per plate
+    # (constant index map — fetched once, shared by every grid step)
+    grids = {k: refs[base + j][...] for j, k in enumerate(pg_rows)}
+    base += len(pg_rows)
     outs = refs[base:]
     (opx, opy, opz, odx, ody, odz, oii, mom) = outs[:8]
     o_i = 8
@@ -436,7 +485,7 @@ def _kernel_v2(static_meta, cfg, n_valid, track_opl, track_field,
         static_meta, cfg, ray_id, u_vals, rows_k, pos, d, intensity,
         wavelength, capture=capture, opl=opl, n_cur=n_cur, Er=Er, Ei=Ei,
         fuzzy_fns=fuzzy_fns, record_paths=record_paths,
-        record_hits=record_hits)
+        record_hits=record_hits, grids=grids)
 
     if capture:
         slots = [m.slot for m in static_meta if m.sensor]
@@ -479,7 +528,7 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
                                block_rows=16, track_opl=False,
                                track_field=False, E0=None,
                                fuzzy_fns=None, record_paths=False,
-                               record_hits=False):
+                               record_hits=False, grids=None):
     """Fused forward sequential trace, v2 (see module notes above).  Same
     contract/limitations as v1 except: dispersion, gratings, stochastic
     Fresnel, multi-sensor scenes (per-slot moments), irradiance grids
@@ -497,9 +546,14 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
     plane reads."""
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
-    assert all(m.ph not in (12, 15) for m in static_meta), \
-        "GRIN rods / pixelated phase plates (scan integration, traced-" \
-        "grid side channel) run on the XLA sequential driver: simulate()"
+    assert all(m.ph != 12 for m in static_meta), \
+        "GRIN rods (scan-based volumetric integration) run on the XLA " \
+        "sequential driver: simulate()"
+    grids = dict(grids or {})
+    pg_rows = tuple(k for k, m in enumerate(static_meta) if m.ph == 15)
+    assert all(k in grids for k in pg_rows), \
+        "pixelated phase plates need their traced [H, W] side grids " \
+        "(SequentialScene.simulate_fused passes Scene.side_grids(params))"
     fuzzy_fns = dict(fuzzy_fns or {})
     for k_f, fn in fuzzy_fns.items():
         assert getattr(fn, 'components', False), (
@@ -544,6 +598,9 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
         f0 = FieldState.init(rays, E0)
         ins += [pad2(f0.erx), pad2(f0.ery), pad2(f0.erz),
                 pad2(f0.eix), pad2(f0.eiy), pad2(f0.eiz)]
+    n_ray_ins = len(ins)
+    pg_ins = [jnp.asarray(grids[k], jnp.float32) for k in pg_rows]
+    ins += pg_ins
 
     assert cfg.n_bundles * N_MOMENTS <= 128, "too many bundles for kernel"
     n_slots = max(cfg.n_sensors, 1)
@@ -567,7 +624,7 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
 
     kern = functools.partial(_kernel_v2, static_meta, cfg, n,
                              track_opl, track_field, fuzzy_fns,
-                             record_paths, record_hits)
+                             record_paths, record_hits, pg_rows)
     flat_tab = flatten_table_rows(table)
 
     n_extra = ((2 if track_opl else 0) + (6 if track_field else 0)
@@ -576,6 +633,11 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
     if _HAS_PLTPU and not interpret:
         # index maps receive the scalar-prefetch operand as a trailing arg
         block = pl.BlockSpec((block_rows, LANE), lambda i, tab: (i, 0))
+        # phase-grid maps ride whole with a constant index map (VMEM-
+        # resident across grid steps, like the irradiance-grid output)
+        in_specs = ([block] * n_ray_ins
+                    + [pl.BlockSpec(g.shape, lambda i, tab: (0, 0))
+                       for g in pg_ins])
         out_specs = ([block] * 7
                      + [pl.BlockSpec((1, 8, 128), lambda i, tab: (i, 0, 0))])
         if has_grid:
@@ -586,7 +648,7 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
         out_specs += [block] * n_extra
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(grid,),
-            in_specs=[block] * len(ins), out_specs=out_specs)
+            in_specs=in_specs, out_specs=out_specs)
         outs = pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shapes,
             compiler_params=pltpu.CompilerParams(
@@ -602,8 +664,10 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
         out_specs += [block] * n_extra
         outs = pl.pallas_call(
             kern, grid=(grid,),
-            in_specs=[pl.BlockSpec(flat_tab.shape,
-                                   lambda i: (0, 0))] + [block] * len(ins),
+            in_specs=([pl.BlockSpec(flat_tab.shape, lambda i: (0, 0))]
+                      + [block] * n_ray_ins
+                      + [pl.BlockSpec(g.shape, lambda i: (0, 0))
+                         for g in pg_ins]),
             out_specs=out_specs, out_shape=out_shapes,
             interpret=True,
         )(flat_tab, *ins)
@@ -1254,7 +1318,7 @@ class _FieldShim:
 def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
                 intensity, wavelength, capture=False, opl=None,
                 n_cur=None, Er=None, Ei=None, fuzzy_fns=None,
-                record_paths=False, record_hits=False):
+                record_paths=False, record_hits=False, grids=None):
     """The fused surface chain — the SINGLE implementation behind both
     the forward kernel (_kernel_v2, rows = _SmemRow list) and the
     backward transpose (rows = _ValueRow list under jax.vjp).  Returns
@@ -1302,9 +1366,13 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
         else:
             u = jnp.zeros_like(intensity)
         field = _FieldShim(Er, Ei) if track_field else None
+        # PHASE_GRID rows read their VMEM-resident [H, W] phase map via
+        # the one-hot MXU corner reader (per-lane gathers don't lower)
         new_dir, imod = apply_physics_one(meta, row, res['hit_s'], d, n_w,
                                           u, wavelength=wavelength,
-                                          field=field, u2=u2)
+                                          field=field, u2=u2,
+                                          grid=(grids or {}).get(k),
+                                          grid_corners=_grid_corners_mxu)
         if fuzzy_fns and k in fuzzy_fns:
             imod = imod * fuzzy_fns[k](res['hit_s'][0], res['hit_s'][1],
                                        res['hit_s'][2])
@@ -1365,7 +1433,8 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
 
 
 def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
-                   track_field, has_grid, fuzzy_fns, tab, ctm, *refs):
+                   track_field, has_grid, fuzzy_fns, pg_rows,
+                   tab, ctm, *refs):
     n_f = sum(_row_draws(m) for m in static_meta)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     base = 9
@@ -1383,11 +1452,16 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
     if has_grid:
         g_grid_ref = refs[base]
         base += 1
+    # PHASE_GRID primal maps (constant index map, VMEM-resident)
+    pg_vals = tuple(refs[base + j][...] for j in range(len(pg_rows)))
+    base += len(pg_rows)
     (cpx, cpy, cpz, cdx, cdy, cdz, cii, cwl) = refs[base:base + 8]
     base += 8
     cf_refs = refs[base:base + (6 if track_field else 0)]
     base += len(cf_refs)
     ctab = refs[base]
+    base += 1
+    ct_pg_refs = refs[base:base + len(pg_rows)]
 
     shape = px[:].shape
     rows, lanes = shape
@@ -1413,14 +1487,15 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
     rows_flat = tuple(tuple(tab[k, j] for j in range(_ROW_SIZE))
                       for k in range(K))
 
-    def chain(rows_flat, pos, d, intensity, wavelength, Er, Ei):
+    def chain(rows_flat, pos, d, intensity, wavelength, Er, Ei, pg):
         rows_v = [_ValueRow(v) for v in rows_flat]
         opl0 = jnp.zeros_like(intensity) if track_opl else None
         ncur0 = jnp.ones_like(intensity) if track_opl else None
+        grids_ = {k: pg[j] for j, k in enumerate(pg_rows)}
         state, mom_vec, caps, extras, _ = _chain_pure(
             static_meta, cfg, ray_id, u_vals, rows_v, pos, d, intensity,
             wavelength, capture=has_grid, opl=opl0, n_cur=ncur0,
-            Er=Er, Ei=Ei, fuzzy_fns=fuzzy_fns)
+            Er=Er, Ei=Ei, fuzzy_fns=fuzzy_fns, grids=grids_)
         outs = [state, mom_vec]
         if track_opl:
             outs += [extras[0], extras[1]]
@@ -1448,12 +1523,12 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
         Ei0 = tuple(jnp.where(mask, f0_refs[3 + j][:], 0.0)
                     for j in range(3))
         _, vjp = jax.vjp(chain, rows_flat, pos, d, intensity, wavelength,
-                         Er0, Ei0)
+                         Er0, Ei0, pg_vals)
     else:
         _, vjp = jax.vjp(
-            lambda rf, p_, d_, i_, w_: chain(rf, p_, d_, i_, w_,
-                                             None, None),
-            rows_flat, pos, d, intensity, wavelength)
+            lambda rf, p_, d_, i_, w_, pg_: chain(rf, p_, d_, i_, w_,
+                                                  None, None, pg_),
+            rows_flat, pos, d, intensity, wavelength, pg_vals)
 
     gp = (jnp.where(mask, gpx[:], 0.0), jnp.where(mask, gpy[:], 0.0),
           jnp.where(mask, gpz[:], 0.0))
@@ -1477,6 +1552,15 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
     cts = vjp(tuple(ct_in))
     ct_rows, ct_pos, ct_d, ct_ii, ct_wl = cts[:5]
     ct_Er, ct_Ei = (cts[5], cts[6]) if track_field else (None, None)
+    ct_pg = cts[-1]
+    # phase-map cotangents: [H, W] blocks with a constant index map --
+    # zero-init at step 0, accumulate each tile's transposed one-hot
+    # corner reads across the sequential grid steps
+    for j, ref in enumerate(ct_pg_refs):
+        @pl.when(pl.program_id(0) == 0)
+        def _init(ref=ref):
+            ref[...] = jnp.zeros_like(ref)
+        ref[...] = ref[...] + ct_pg[j]
 
     cpx[:], cpy[:], cpz[:] = (jnp.where(mask, c, 0.0) for c in ct_pos)
     cdx[:], cdy[:], cdz[:] = (jnp.where(mask, c, 0.0) for c in ct_d)
@@ -1503,7 +1587,7 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
                                    interpret=False, block_rows=16,
                                    g_opl=None, g_nfinal=None,
                                    f0=None, g_field=None, g_grid=None,
-                                   fuzzy_fns=None):
+                                   fuzzy_fns=None, grids=None):
     """Fused backward of trace_sequential_pallas_v2 (same wrapper shape):
     returns ``(ct_table, ct_comps)`` where ct_comps is a dict of per-ray
     input cotangents (px..wavelength; the wavelength entry EXCLUDES the
@@ -1557,18 +1641,24 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
         gh, gw = cfg.grid_shape
         ins.append(jnp.asarray(g_grid, jnp.float32).reshape(n_slots,
                                                             gh, gw))
+    grids = dict(grids or {})
+    pg_rows = tuple(k for k, m in enumerate(static_meta) if m.ph == 15)
+    pg_ins = [jnp.asarray(grids[k], jnp.float32) for k in pg_rows]
+    ins += pg_ins
 
     ray_block = jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
     n_cf = 6 if track_field else 0
     out_shapes = ([ray_block] * (8 + n_cf)
-                  + [jax.ShapeDtypeStruct((grid, k_pad, ROW_WIDTH), jnp.float32)])
+                  + [jax.ShapeDtypeStruct((grid, k_pad, ROW_WIDTH), jnp.float32)]
+                  + [jax.ShapeDtypeStruct(g.shape, jnp.float32)
+                     for g in pg_ins])
 
     kern = functools.partial(_kernel_v2_bwd, static_meta, cfg, n, k_pad,
                              track_opl, track_field, has_grid,
-                             dict(fuzzy_fns or {}))
+                             dict(fuzzy_fns or {}), pg_rows)
     flat_tab = flatten_table_rows(table)
     ct_mom_flat = jnp.asarray(g_moments, jnp.float32).reshape(-1)
-    n_ray_ins = len(ins) - (1 if has_grid else 0)
+    n_ray_ins = (len(ins) - (1 if has_grid else 0) - len(pg_ins))
 
     if _HAS_PLTPU and not interpret:
         block = pl.BlockSpec((block_rows, LANE), lambda i, tab, ctm: (i, 0))
@@ -1578,9 +1668,13 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
             # stays VMEM-resident across grid steps
             in_specs.append(pl.BlockSpec((n_slots, gh, gw),
                                          lambda i, tab, ctm: (0, 0, 0)))
+        in_specs += [pl.BlockSpec(g.shape, lambda i, tab, ctm: (0, 0))
+                     for g in pg_ins]
         out_specs = ([block] * (8 + n_cf)
                      + [pl.BlockSpec((1, k_pad, ROW_WIDTH),
-                                     lambda i, tab, ctm: (i, 0, 0))])
+                                     lambda i, tab, ctm: (i, 0, 0))]
+                     + [pl.BlockSpec(g.shape, lambda i, tab, ctm: (0, 0))
+                        for g in pg_ins])
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(grid,),
             in_specs=in_specs, out_specs=out_specs)
@@ -1597,8 +1691,12 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
         if has_grid:
             in_specs.append(pl.BlockSpec((n_slots, gh, gw),
                                          lambda i: (0, 0, 0)))
+        in_specs += [pl.BlockSpec(g.shape, lambda i: (0, 0))
+                     for g in pg_ins]
         out_specs = ([block] * (8 + n_cf)
-                     + [pl.BlockSpec((1, k_pad, ROW_WIDTH), lambda i: (i, 0, 0))])
+                     + [pl.BlockSpec((1, k_pad, ROW_WIDTH), lambda i: (i, 0, 0))]
+                     + [pl.BlockSpec(g.shape, lambda i: (0, 0))
+                        for g in pg_ins])
         outs = pl.pallas_call(
             kern, grid=(grid,),
             in_specs=in_specs,
@@ -1618,6 +1716,9 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
               intensity=cii, wavelength=cwl)
     if track_field:
         ct['f0'] = [unpad(outs[8 + j]) for j in range(6)]
+    if pg_rows:
+        base = 9 + n_cf
+        ct['grids'] = {k: outs[base + j] for j, k in enumerate(pg_rows)}
     return ct_table, ct
 
 
@@ -2135,15 +2236,19 @@ def _seq_opts(opts):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def fused_trace_grad(cfg, static_meta, opts, table, rays, key, E0=None):
+def fused_trace_grad(cfg, static_meta, opts, table, rays, key, E0=None,
+                     grids=None):
     """`trace_sequential_pallas_v2` with gradient support.
 
     ``static_meta`` must be a tuple (hashability); ``opts`` is the static
     tuple ``_seq_opts`` parses.  Differentiable w.r.t. ``table``,
-    ``rays`` and ``E0``; the backward pass is the fused Pallas reverse
-    kernel for every config (opl/field streams and the irradiance-grid
-    cotangent all ride the one kernel); interpret-mode field/grid runs
-    and record_paths/record_hits runs fall back to the VJP of the XLA
+    ``rays``, ``E0`` and ``grids`` (the {row: [H, W]} PHASE_GRID side
+    channel — its cotangent is the transposed one-hot MXU corner read,
+    so per-pixel 'deep optics' design losses keep the fused backward);
+    the backward pass is the fused Pallas reverse kernel for every
+    config (opl/field streams and the irradiance-grid cotangent all ride
+    the one kernel); interpret-mode field/grid runs and
+    record_paths/record_hits runs fall back to the VJP of the XLA
     driver (identical gradients — the record streams' cotangents then
     flow exactly, matching simulate)."""
     (interpret, block_rows, track_opl, track_field, fuzzy,
@@ -2156,19 +2261,22 @@ def fused_trace_grad(cfg, static_meta, opts, table, rays, key, E0=None):
                                       track_field=track_field, E0=E0,
                                       fuzzy_fns=fuzzy,
                                       record_paths=record_paths,
-                                      record_hits=record_hits)
+                                      record_hits=record_hits,
+                                      grids=grids)
 
 
-def _fused_fwd(cfg, static_meta, opts, table, rays, key, E0=None):
-    out = fused_trace_grad(cfg, static_meta, opts, table, rays, key, E0)
+def _fused_fwd(cfg, static_meta, opts, table, rays, key, E0=None,
+               grids=None):
+    out = fused_trace_grad(cfg, static_meta, opts, table, rays, key, E0,
+                           grids)
     # the output FieldState is a residual: the field_power cotangent needs
     # d power / d field = 2 E_out in the backward
     f_out = out[2].get('field') if opts[3] else None
-    return out, (table, rays, key, E0, f_out)
+    return out, (table, rays, key, E0, f_out, grids)
 
 
 def _fused_bwd(cfg, static_meta, opts, res, g):
-    table, rays, key, E0, f_out = res
+    table, rays, key, E0, f_out, grids = res
     g_rays, g_sens, g_aux = g
     (interpret, block_rows, track_opl, track_field, fuzzy,
      record_paths, record_hits) = _seq_opts(opts)
@@ -2186,23 +2294,33 @@ def _fused_bwd(cfg, static_meta, opts, res, g):
         # propagates them exactly, matching simulate's gradients).
         from ..core.trace import trace_sequential
 
-        def xla_run(table, rays, E0_):
+        def xla_run(table, rays, E0_, grids_):
             return trace_sequential(table, rays, key, cfg,
                                     static_meta=list(static_meta),
                                     track_opl=track_opl,
                                     track_field=track_field, E0=E0_,
                                     fuzzy_fns=fuzzy,
                                     record_paths=record_paths,
-                                    record_hits=record_hits)
+                                    record_hits=record_hits,
+                                    grids=grids_)
 
-        if E0 is None:
-            _, vjp = jax.vjp(lambda t, r: xla_run(t, r, None), table, rays)
-            g_table, g_rays_in = vjp(g)
-            g_E0 = None
-        else:
-            _, vjp = jax.vjp(xla_run, table, rays, E0)
-            g_table, g_rays_in, g_E0 = vjp(g)
-        return g_table, g_rays_in, _zero_key_cotangent(key), g_E0
+        # None-valued diff args can't enter jax.vjp — close over them
+        diff_args, slots = [table, rays], []
+        for name, val in (('E0', E0), ('grids', grids)):
+            if val is not None:
+                slots.append(name)
+                diff_args.append(val)
+
+        def run(t, r, *rest):
+            m = dict(zip(slots, rest))
+            return xla_run(t, r, m.get('E0'), m.get('grids'))
+
+        _, vjp = jax.vjp(run, *diff_args)
+        cts = vjp(g)
+        g_table, g_rays_in = cts[0], cts[1]
+        m = dict(zip(slots, cts[2:]))
+        return (g_table, g_rays_in, _zero_key_cotangent(key),
+                m.get('E0'), m.get('grids'))
 
     # Fused reverse kernel: one HBM round trip for the whole backward.
     # opl/field ride as extra [tile] streams; the grid cotangent enters
@@ -2233,7 +2351,9 @@ def _fused_bwd(cfg, static_meta, opts, res, g):
         g_opl=g_aux['opl'] if track_opl else None,
         g_nfinal=g_aux['n_final'] if track_opl else None,
         f0=f0, g_field=g_field, fuzzy_fns=fuzzy,
-        g_grid=jnp.asarray(g_sens.grid, jnp.float32) if has_grid else None)
+        g_grid=jnp.asarray(g_sens.grid, jnp.float32) if has_grid else None,
+        grids=grids)
+    g_grids = ct.pop('grids', None)
 
     if track_field:
         from ..core.field import FieldState
@@ -2256,7 +2376,7 @@ def _fused_bwd(cfg, static_meta, opts, res, g):
             intensity=ct['intensity'] + g_rays_init.intensity,
             wavelength=(ct['wavelength'] + jnp.asarray(g_rays.wavelength)
                         + g_rays_init.wavelength))
-        return g_table, g_rays_in, _zero_key_cotangent(key), g_E0
+        return g_table, g_rays_in, _zero_key_cotangent(key), g_E0, g_grids
 
     g_rays_in = g_rays.replace(
         px=ct['px'], py=ct['py'], pz=ct['pz'],
@@ -2265,7 +2385,7 @@ def _fused_bwd(cfg, static_meta, opts, res, g):
         # identity pass-through of the wavelength leaf plus its physics
         # (dispersion/grating) dependency from the kernel
         wavelength=ct['wavelength'] + jnp.asarray(g_rays.wavelength))
-    return g_table, g_rays_in, _zero_key_cotangent(key), None
+    return g_table, g_rays_in, _zero_key_cotangent(key), None, g_grids
 
 
 fused_trace_grad.defvjp(_fused_fwd, _fused_bwd)

@@ -340,10 +340,12 @@ class SequentialScene(Scene):
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
         fuzzy = tuple(sorted(self.fuzzy_fns().items()))
+        grids = self.side_grids(params)
         return fused_trace_grad(cfg, tuple(self.static_meta()),
                                 (interpret, block_rows, track_opl,
                                  track_field, fuzzy, record_paths,
-                                 record_hits), table, rays, key, E0)
+                                 record_hits), table, rays, key, E0,
+                                grids or None)
 
     def simulate_fused_sharded(self, params, rays, key, mesh,
                                n_bundles=None, interpret=None,

@@ -119,8 +119,63 @@ def test_phase_grid_guards(key):
     nsc = Scene([pp], n_bounces=2)
     with pytest.raises(AssertionError, match='sequential-only'):
         nsc.simulate(nsc.init_params(), _rays([0.0], [0.0]), key)
-    ssc = SequentialScene([PhaseGridPlate(half_x=4.0, half_y=4.0,
-                                          name='pp')])
-    with pytest.raises(AssertionError):
-        ssc.simulate_fused(ssc.init_params(), _rays([0.0], [0.0]), key,
-                           block_rows=4)
+
+
+def _steerer_scene(n=16):
+    sc = SequentialScene([
+        PhaseGridPlate(half_x=HX, half_y=HX, shape=(n, n), name='pp'),
+        SensorElement(radius=20.0, translation=[0, 0, 50.0], name='s')])
+    xs = np.linspace(-HX, HX, n)
+    X, Y = np.meshgrid(xs, xs, indexing='xy')
+    p = sc.init_params()
+    p['pp']['grid'] = jnp.asarray(3.0 * X + 0.15 * Y * Y, jnp.float32)
+    return sc, p
+
+
+def test_fused_kernel_phase_grid_parity(key):
+    """The fused sequential kernel reads the [H, W] phase map through
+    one-hot MXU corner matmuls (ops/pallas_trace.py::_grid_corners_mxu)
+    — directions/positions/moments/opl match the XLA driver's per-ray
+    gather path."""
+    sc, p = _steerer_scene()
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, -3.0],
+                               wavelength=LAM0).sample(key, 2048)
+    o1, s1, a1 = sc.simulate(p, rays, key, track_opl=True)
+    o2, s2, a2 = sc.simulate_fused(p, rays, key, track_opl=True)
+    np.testing.assert_allclose(np.asarray(o1.dx), np.asarray(o2.dx),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(o1.px), np.asarray(o2.px),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1['opl']), np.asarray(a2['opl']),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.moments),
+                               np.asarray(s2.moments), rtol=1e-5,
+                               atol=1e-3)
+
+
+def test_fused_kernel_phase_grid_gradients(key):
+    """jax.grad through the fused kernel routes per-pixel cotangents back
+    into the map via the transposed one-hot corner matmuls — matching
+    the XLA scatter-add gradients (the 'deep optics' design loop keeps
+    the fused backward)."""
+    sc, p = _steerer_scene()
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, -3.0],
+                               wavelength=LAM0).sample(key, 2048)
+
+    def mk(sim):
+        def loss(p):
+            _, sens, _ = sim(p)
+            m = sens.moments[0, 0]
+            return m[1] / jnp.maximum(m[0], 1e-9) + 1e-3 * m[3]
+        return loss
+
+    g_x = jax.grad(mk(lambda p: sc.simulate(p, rays, key)))(p)
+    g_f = jax.grad(mk(lambda p: sc.simulate_fused(p, rays, key)))(p)
+    gx, gf = g_x['pp']['grid'], g_f['pp']['grid']
+    assert float(jnp.linalg.norm(gx)) > 0
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gf), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_x['pp']['trans'][2]),
+                               np.asarray(g_f['pp']['trans'][2]),
+                               rtol=1e-4)
