@@ -393,6 +393,19 @@ def transport_field(meta, row, d_in, new_dir, n_w, imod, Er, Ei,
         scale = jnp.where(ok, scale, 0.0)
         Er_new = v3.scale(Er_new, scale)
         Ei_new = v3.scale(Ei_new, scale)
+    elif meta.ph == PhysKind.SCATTER:
+        # depolarization proxy (element depolarize=True; the guard in
+        # apply_physics_one raises otherwise): the scattered field is
+        # RESET to a unit vector transverse to the new direction —
+        # polarization memory is erased, |E|^2 stays 1 so the power
+        # bookkeeping stays in the intensity (imod = albedo), exactly
+        # like the geometric trace.  A pure state standing in for an
+        # unpolarized mixture: downstream polarizers see 50%-accurate
+        # mean flux only on average over s/p — documented limitation of
+        # the single-E-vector representation.
+        s_hat, _ = sp_basis(new_dir, n_w)
+        Er_new = s_hat
+        Ei_new = (jnp.zeros_like(s_hat[0]),) * 3
     elif meta.ph == PhysKind.REFLECT:
         # perfect mirror: reflect the field like the direction
         Er_new = v3.fma(Er, -2.0 * v3.dot(Er, n_w), n_w)

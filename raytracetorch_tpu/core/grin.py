@@ -74,21 +74,44 @@ def _derivs(c0, c2, c4, cz, x, y, px, py, z):
             n2 * inv_pz, ok)
 
 
-def integrate_grin(c0, c2, c4, cz, L, r2_max, x, y, px, py, n_steps):
+def _p_dir(c0, c2, c4, cz, x, y, px, py, z):
+    """Unit ray direction from the transverse momentum state at height z
+    (pz re-solved from |p| = n; clamped for frozen/dead lanes)."""
+    n2 = _n2_at(c0, c2, c4, cz, x, y, z)
+    pz = jnp.sqrt(jnp.maximum(n2 - px * px - py * py, 1e-12))
+    inv_n = 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-12))
+    return px * inv_n, py * inv_n, pz * inv_n
+
+
+def integrate_grin(c0, c2, c4, cz, L, r2_max, x, y, px, py, n_steps,
+                   er=None, ei=None):
     """RK4 over z in [0, L] in ``n_steps`` fixed steps (lax.scan).
 
     All profile coefficients and ``L`` may be traced scalars;
     ``n_steps`` is static.  State lanes that die (leave the radius or
     hit a turning point) freeze in place with ``alive`` False.
 
-    Returns (x, y, px, py, opl, alive).
+    With ``er``/``ei`` (component tuples of the complex E-field in the
+    ROD frame, transverse to the entry direction), the field is
+    parallel-transported along the bending ray: each step applies the
+    minimal rotation taking the step's entry direction to its exit
+    direction (geom/vec3.py::rotate_between — 'Rytov rotation'; exact
+    for the planar meridional paths, the per-step geometric limit for
+    skew/helical ones).  Norm and transversality are preserved by
+    construction.
+
+    Returns (x, y, px, py, opl, alive[, er, ei]).
     """
     h = L / n_steps
     opl0 = jnp.zeros_like(x)
     alive0 = (x * x + y * y) <= r2_max
+    track_e = er is not None
 
     def step(carry, i):
-        x, y, px, py, opl, alive = carry
+        if track_e:
+            x, y, px, py, opl, alive, er, ei = carry
+        else:
+            x, y, px, py, opl, alive = carry
         z = i * h
 
         k1 = _derivs(c0, c2, c4, cz, x, y, px, py, z)
@@ -121,47 +144,74 @@ def integrate_grin(c0, c2, c4, cz, L, r2_max, x, y, px, py, n_steps):
         pxn = jnp.where(live, pxn, px)
         pyn = jnp.where(live, pyn, py)
         opln = jnp.where(live, opln, opl)
+        if track_e:
+            a = _p_dir(c0, c2, c4, cz, x, y, px, py, z)
+            b = _p_dir(c0, c2, c4, cz, xn, yn, pxn, pyn, z + h)
+            ern = v3.rotate_between(a, b, er)
+            ein = v3.rotate_between(a, b, ei)
+            er = v3.where(live, ern, er)
+            ei = v3.where(live, ein, ei)
+            return (xn, yn, pxn, pyn, opln, live, er, ei), None
         return (xn, yn, pxn, pyn, opln, live), None
 
-    carry, _ = lax.scan(step, (x, y, px, py, opl0, alive0),
-                        jnp.arange(n_steps, dtype=x.dtype))
+    init = (x, y, px, py, opl0, alive0)
+    if track_e:
+        init = init + (er, ei)
+    carry, _ = lax.scan(step, init, jnp.arange(n_steps, dtype=x.dtype))
     return carry
 
 
-def grin_surface_step(row, meta, rays):
-    """One GRIN-rod interaction for the sequential driver: intersect the
-    entry plane, couple in (tangential p conserved), RK4 through the
-    profile, couple out, land the ray at the exit face in world
-    coordinates.
+def grin_interaction(row, meta, dir_c, hit_s, Er=None, Ei=None):
+    """Pure per-row GRIN-rod interaction: entry-couple (tangential p
+    conserved), RK4 through the profile, exit-couple, land at the exit
+    face in world coordinates.  Shared by the sequential driver
+    (:func:`grin_surface_step`) and the non-sequential winner merge
+    (core/trace.py::bounce_step) — the rod traversal is LOCAL, so when
+    the entry face wins a bounce the whole entry->RK4->exit step is that
+    bounce's interaction.
 
-    Returns ``(rays, active, t_entry, seg_opl)`` — ``seg_opl`` is the
-    in-medium optical path (for track_opl accumulation; the caller adds
-    the free-flight n*t to the entry plane).
-    """
-    res = intersect(row, rays.pos_c, rays.dir_c, static_meta=meta)
-    active = res['valid'] & (rays.intensity > 0)
+    With ``Er``/``Ei`` (world-frame E-field component tuples,
+    ``track_field``), the polarization is parallel-transported: minimal
+    rotation across the entry coupling, per-RK4-step Rytov rotation
+    along the curved ray (integrate_grin), minimal rotation across the
+    exit coupling — all power-preserving (the rod is lossless; dead
+    rays lose their power through imod = 0 in the intensity, exactly
+    like the geometric trace).  Returns ``(..., Er', Ei')`` appended.
 
+    Returns ``(new_pos, new_dir, alive, fwd, seg_opl)`` — ``fwd`` is the
+    forward-coupling mask (a backward ray, -z in the entry-plane frame,
+    never couples in: the rod is one-directional and such a hit is a
+    MISS); ``alive`` flags rays that traverse to the exit face (barrel
+    exits / turning points / exit-face TIR die with a finite frozen
+    state); ``seg_opl`` is the in-medium optical path (zero for dead
+    rays)."""
     n_amb = row.ph[..., 0]
     c0, c2 = row.ph[..., 1], row.ph[..., 2]
     c4, cz = row.ph[..., 3], row.ph[..., 4]
     L = row.ph[..., 5]
     r2_max = row.sb[..., 0]          # DISK bound = radius^2
+    track_e = Er is not None
 
-    # direction in the entry-plane (surface) frame; a backward ray
-    # (-z in the surface frame) never couples in: it is treated as a
-    # miss and passes untouched (the rod is one-directional)
-    d_s = v3.rot(rays.dir_c, row.Rw)
-    active = active & (d_s[2] > 1e-6)
-    x0, y0 = res['hit_s'][0], res['hit_s'][1]
+    d_s = v3.rot(dir_c, row.Rw)
+    fwd = d_s[2] > 1e-6
+    x0, y0 = hit_s[0], hit_s[1]
     px, py = n_amb * d_s[0], n_amb * d_s[1]
 
     # entry face: pz from |p| = n(r, z=0); evanescent -> dead
     n2_in = _n2_at(c0, c2, c4, cz, x0, y0, jnp.zeros_like(x0))
-    ok_in = (n2_in - px * px - py * py) > 1e-10
-    alive = active & ok_in
+    alive = (n2_in - px * px - py * py) > 1e-10
 
-    x1, y1, px1, py1, seg_opl, live = integrate_grin(
-        c0, c2, c4, cz, L, r2_max, x0, y0, px, py, meta.grin_steps)
+    er = ei = None
+    if track_e:
+        # into the rod frame; transport across the entry coupling
+        er, ei = v3.rot(Er, row.Rw), v3.rot(Ei, row.Rw)
+        d0 = _p_dir(c0, c2, c4, cz, x0, y0, px, py, jnp.zeros_like(x0))
+        er = v3.rotate_between(d_s, d0, er)
+        ei = v3.rotate_between(d_s, d0, ei)
+
+    out = integrate_grin(c0, c2, c4, cz, L, r2_max, x0, y0, px, py,
+                         meta.grin_steps, er=er, ei=ei)
+    x1, y1, px1, py1, seg_opl, live = out[:6]
     alive = alive & live
 
     # exit face: tangential p conserved, pz back in the ambient medium
@@ -176,7 +226,35 @@ def grin_surface_step(row, meta, rays):
                                            x1.shape))
     new_pos = v3.add(v3.rot_t(exit_local, row.Rw), v3.from_array(row.tw))
     new_dir = v3.rot_t(d_out, row.Rw)
+    base = (new_pos, new_dir, alive, fwd, jnp.where(alive, seg_opl, 0.0))
+    if track_e:
+        er, ei = out[6], out[7]
+        Lz = jnp.broadcast_to(jnp.asarray(L, x1.dtype), x1.shape)
+        d1 = _p_dir(c0, c2, c4, cz, x1, y1, px1, py1, Lz)
+        er = v3.rotate_between(d1, d_out, er)
+        ei = v3.rotate_between(d1, d_out, ei)
+        return base + (v3.rot_t(er, row.Rw), v3.rot_t(ei, row.Rw))
+    return base
 
-    imod = jnp.where(alive, 1.0, 0.0)
+
+def grin_surface_step(row, meta, rays, field=None):
+    """One GRIN-rod interaction for the sequential driver: intersect the
+    entry plane, run :func:`grin_interaction`, and apply the masked ray
+    update (and the masked field update when ``field`` is a FieldState).
+
+    Returns ``(rays, active, t_entry, seg_opl, field)`` — ``seg_opl`` is
+    the in-medium optical path (for track_opl accumulation; the caller
+    adds the free-flight n*t to the entry plane).
+    """
+    res = intersect(row, rays.pos_c, rays.dir_c, static_meta=meta)
+    out = grin_interaction(
+        row, meta, rays.dir_c, res['hit_s'],
+        Er=field.r_c if field is not None else None,
+        Ei=field.i_c if field is not None else None)
+    new_pos, new_dir, alive, fwd, seg_opl = out[:5]
+    active = res['valid'] & (rays.intensity > 0) & fwd
+    imod = jnp.where(active & alive, 1.0, 0.0)
     rays = rays.masked_update(active, new_pos, new_dir, imod)
-    return rays, active, res['t'], jnp.where(alive, seg_opl, 0.0)
+    if field is not None:
+        field = field.masked(active, out[5], out[6])
+    return rays, active, res['t'], jnp.where(active, seg_opl, 0.0), field

@@ -91,13 +91,13 @@ class StaticRowMeta:
     __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp',
                  'plane', 'slot', 'n_coat', 'dispm', 'metal', 'metal_nk',
                  'coat_k', 'ff', 'scatter', 'jones_chrom', 'grin_steps',
-                 'doe')
+                 'doe', 'depol')
 
     def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False,
                  disp=False, plane=False, slot=0, n_coat=0,
                  dispm=(1, 1), metal=False, metal_nk=None, coat_k=None,
                  ff=None, scatter=None, jones_chrom=False, grin_steps=0,
-                 doe=None):
+                 doe=None, depol=False):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
@@ -134,6 +134,9 @@ class StaticRowMeta:
         # (traced coefficients ride the table ff row)
         self.doe = ((int(doe[0]), bool(doe[1]))
                     if doe is not None else None)
+        # STATIC: SCATTER surfaces reset the tracked E-state (depolarize
+        # proxy) instead of raising under track_field
+        self.depol = bool(depol)
 
 
 def dispersive_iors(row, wavelength_um, meta=None):
@@ -401,10 +404,14 @@ def apply_physics_one(meta: StaticRowMeta, row, hit_local, d, n, u,
             raise NotImplementedError(
                 'SCATTER needs a second per-ray uniform (u2) — this '
                 'driver path does not supply one')
-        if field is not None:
+        if field is not None and not meta.depol:
             raise NotImplementedError(
-                'track_field through a SCATTER surface is not modeled '
-                '(scattering depolarizes); trace without track_field')
+                'track_field through a SCATTER surface: scattering '
+                'depolarizes, which a single E-vector cannot represent '
+                'exactly.  Pass depolarize=True on the scatter element '
+                'to reset the field to a unit transverse vector at each '
+                'scatter (pragmatic proxy; core/field.py), or trace '
+                'without track_field.')
         from .physics import scatter_dir
         albedo, sigma = row.ph[..., 2], row.ph[..., 3]
         return scatter_dir(meta.scatter, d, n, sigma, u, u2), albedo * ones

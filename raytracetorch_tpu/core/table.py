@@ -126,6 +126,10 @@ class SurfaceRec:
                                  # for PhysKind.SCATTER rows (albedo and
                                  # sigma ride ph[2]/ph[3]); carried on
                                  # StaticRowMeta, not a table column
+    scatter_depol: bool = False  # STATIC: under track_field, reset the
+                                 # E-state at this scatter surface
+                                 # instead of raising (depolarization
+                                 # proxy — core/field.py SCATTER case)
     jones_chrom: bool = False    # STATIC: JONES retardance scales as
                                  # lam0/lam (ph[4] = design wavelength)
     grin_steps: int = 0          # STATIC RK4 step count for GRIN rows

@@ -131,7 +131,11 @@ def trace_sequential(table, rays: Rays, key,
     """
     k_surf = table.n_surfaces
     keys = jax.random.split(key, max(k_surf, 1))
-    sensors = SensorState.init(cfg, dtype=rays.px.dtype)
+    # sensor accumulators live at the PROMOTED trace dtype: an f64 table
+    # (x64 wavefront work) with f32 rays produces f64 hit terms, and
+    # scatter-adding those into f32 moments is a future JAX error
+    sensors = SensorState.init(cfg, dtype=jnp.result_type(rays.px.dtype,
+                                                          table.tw.dtype))
     pr = rays
 
     paths = [v3.to_array(pr.pos_c)] if record_paths else None
@@ -153,15 +157,12 @@ def trace_sequential(table, rays: Rays, key,
         prev = pr
         if meta is not None and meta.ph == PhysKind.GRIN:
             # volumetric interaction: entry-couple + RK4 through the
-            # profile + exit-couple in one step (core/grin.py)
-            if track_field:
-                raise NotImplementedError(
-                    'track_field through a GRIN rod is not modeled '
-                    '(polarization transport in an inhomogeneous medium '
-                    'needs parallel transport of E along the curved ray)')
+            # profile + exit-couple in one step (core/grin.py); with
+            # track_field the E-vector is parallel-transported along the
+            # curved ray (per-step Rytov rotation, grin_interaction)
             from .grin import grin_surface_step
-            pr, active, t_entry, seg_opl = grin_surface_step(row, meta,
-                                                             prev)
+            pr, active, t_entry, seg_opl, field = grin_surface_step(
+                row, meta, prev, field=field if track_field else None)
             if track_opl:
                 # free flight to the entry plane + the in-medium path;
                 # the exit medium is the ambient index (ph[0])
@@ -246,7 +247,8 @@ def nearest_hit(table, pos, direction, static_meta=None):
 
 def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
                 sensors: SensorState, fuzzy_fns=None, static_meta=None,
-                field=None, record_hits=False, opl=None, n_cur=None):
+                field=None, record_hits=False, opl=None, n_cur=None,
+                grids=None):
     """One non-sequential physics bounce (reference ``Scene.step``,
     scene/base.py:180-235).
 
@@ -299,13 +301,51 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
     sens_hit = (zero, zero, zero)        # winning sensor-local hit
     sens_w = zero                        # its weight (0 = not a sensor)
     sens_slot = jnp.zeros_like(rays.intensity, jnp.int32)
+    has_grin = static_meta is not None and any(
+        m.ph == PhysKind.GRIN for m in static_meta)
+    if has_grin and track_opl:
+        grin_opl = zero                  # winning rod's in-medium path
 
     for k in range(table.n_surfaces):
         row = table.row(k)
         meta = static_meta[k] if static_meta is not None else None
         res = intersect(row, pos, d, static_meta=meta)
+        if meta is not None and meta.ph == PhysKind.GRIN:
+            # volumetric interaction: when the rod's entry face wins this
+            # bounce, the whole entry-couple + RK4 + exit-couple step IS
+            # the bounce's interaction (core/grin.py::grin_interaction —
+            # the traversal is local, so the unordered loop composes it
+            # like any surface physics).  Backward rays never couple in
+            # (fwd mask): the hit is a miss and the row cannot win.
+            from .grin import grin_interaction
+            g_out = grin_interaction(
+                row, meta, d, res['hit_s'],
+                Er=field.r_c if field is not None else None,
+                Ei=field.i_c if field is not None else None)
+            pos_k, dir_k, alive_k, fwd_k, seg_k = g_out[:5]
+            mask = ((res['t'] < best_t) & res['valid'] & fwd_k
+                    & (rays.intensity > 0))
+            best_t = jnp.where(mask, res['t'], best_t)
+            new_pos = v3.where(mask, pos_k, new_pos)
+            new_dir = v3.where(mask, dir_k, new_dir)
+            imod_all = jnp.where(mask,
+                                 jnp.where(alive_k, 1.0, 0.0), imod_all)
+            active_any = active_any | mask
+            if field is not None:
+                Er_acc = v3.where(mask, g_out[5], Er_acc)
+                Ei_acc = v3.where(mask, g_out[6], Ei_acc)
+            if track_opl:
+                grin_opl = jnp.where(mask, seg_k, grin_opl)
+                # exits into the ambient medium (row.ph[0])
+                n_next_acc = jnp.where(mask, row.ph[..., 0], n_next_acc)
+            # a nearer rod win zeroes an earlier sensor crossing
+            sens_w = jnp.where(mask, 0.0, sens_w)
+            continue
         mask = (res['t'] < best_t) & res['valid'] & (rays.intensity > 0)
         best_t = jnp.where(mask, res['t'], best_t)
+        if has_grin and track_opl:
+            # a nearer non-GRIN winner clears a stale rod in-medium path
+            grin_opl = jnp.where(mask, 0.0, grin_opl)
         n_w = normal_world(row, res['hit_s'], meta)
         u = jax.random.uniform(jax.random.fold_in(key, k),
                                rays.intensity.shape)
@@ -319,7 +359,8 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
             dir_k, imod_k = apply_physics_one(meta, row, res['hit_s'], d,
                                               n_w, u,
                                               wavelength=rays.wavelength,
-                                              field=field, u2=u2)
+                                              field=field, u2=u2,
+                                              grid=(grids or {}).get(k))
         else:
             dir_k, imod_k = apply_physics(
                 row.ph_kind, row.ph, row.Rw, row.sb_kind, row.sb,
@@ -345,12 +386,16 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
         if track_opl:
             # the winner's interaction decides the medium the ray travels
             # in NEXT bounce (refraction switches it; medium_after is None
-            # for non-refracting kinds — medium unchanged, skip)
+            # for non-refracting kinds — the medium stays n_cur, which
+            # must still be WRITTEN where this row wins: a nearer mirror
+            # overtaking an earlier refractive candidate would otherwise
+            # leave that candidate's stale medium in the accumulator)
             from .static_dispatch import medium_after
             n_next_k = medium_after(meta, row, d, n_w, u,
                                     wavelength=rays.wavelength, field=field)
-            if n_next_k is not None:
-                n_next_acc = jnp.where(mask, n_next_k, n_next_acc)
+            n_next_acc = jnp.where(
+                mask, n_next_k if n_next_k is not None else n_cur,
+                n_next_acc)
 
         if meta is None or meta.sensor:
             is_sensor = meta.sensor if meta is not None else row.is_sensor
@@ -384,8 +429,12 @@ def bounce_step(table, rays: Rays, key, cfg: SensorConfig,
         field = field.masked(active_any, Er_acc, Ei_acc)
     if track_opl:
         # this bounce's path runs in the PRE-update medium; the winner's
-        # interaction then switches it
+        # interaction then switches it.  A winning GRIN rod additionally
+        # contributes its in-medium integral(n ds) on top of the free
+        # flight to the entry plane.
         opl = opl + jnp.where(active_any, n_cur * best_t, 0.0)
+        if has_grin:
+            opl = opl + grin_opl
         n_cur = jnp.where(active_any, n_next_acc, n_cur)
     return rays, sensors, active_any, field, hits_rec, opl, n_cur
 
@@ -400,7 +449,8 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
                         early_exit: bool = True,
                         track_field: bool = False,
                         E0=None,
-                        track_opl: bool = False):
+                        track_opl: bool = False,
+                        grids=None):
     """Bounce loop until the static bounce budget (reference
     ``Scene.simulate``, scene/base.py:129-142).
 
@@ -423,15 +473,16 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
     [B, N]`` (weight 0 = no sensor crossing that bounce) — the
     non-sequential analog of the sequential driver's per-surface hit
     record and of the reference's stateful sensor lists
-    (elements/sensor.py:22-39)."""
-    if static_meta is not None:
-        assert all(m.ph != PhysKind.GRIN for m in static_meta), \
-            "GRIN rods are sequential-only (an unordered bounce loop " \
-            "has no single entry->exit traversal); use SequentialScene"
-        assert all(m.ph != PhysKind.PHASE_GRID for m in static_meta), \
-            "pixelated phase plates (traced-grid side channel) are " \
-            "sequential-only; use SequentialScene"
-    sensors = SensorState.init(cfg, dtype=rays.px.dtype)
+    (elements/sensor.py:22-39).
+
+    GRIN rods run as local entry->RK4->exit interactions when their
+    entry face wins a bounce (bounce_step; one-directional: a backward
+    hit is a miss), and pixelated phase plates read their traced [H, W]
+    side maps through ``grids`` ({flat_row: array}, Scene.side_grids) —
+    the reference's bounce loop is element-agnostic
+    (scene/base.py:180-235) and so is this one."""
+    sensors = SensorState.init(cfg, dtype=jnp.result_type(rays.px.dtype,
+                                                      table.tw.dtype))
     pr = rays
     field = None
     if track_field:
@@ -468,7 +519,8 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
                 pr, sensors, act, field, hits_rec, opl, n_cur = bounce_step(
                     table, pr, k_key, cfg, sensors, fuzzy_fns=fuzzy_fns,
                     static_meta=static_meta, field=field,
-                    record_hits=record_hits, opl=opl, n_cur=n_cur)
+                    record_hits=record_hits, opl=opl, n_cur=n_cur,
+                    grids=grids)
                 return (pr, sensors, field, opl, n_cur, jnp.any(act),
                         hits_rec)
 
@@ -494,7 +546,8 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
             pr, sensors, _, field, hits_rec, opl, n_cur = bounce_step(
                 table, pr, k_key, cfg, sensors, fuzzy_fns=fuzzy_fns,
                 static_meta=static_meta, field=field,
-                record_hits=record_hits, opl=opl, n_cur=n_cur)
+                record_hits=record_hits, opl=opl, n_cur=n_cur,
+                grids=grids)
             return (pr, sensors, field, opl, n_cur), make_ys(pr, hits_rec)
 
         if remat:

@@ -30,7 +30,7 @@ class _ScatterBase(Element):
 
     def __init__(self, radius, albedo=1.0, roughness=0.0,
                  albedo_grad=False, roughness_grad=False,
-                 name='scatter', **kw):
+                 depolarize=False, name='scatter', **kw):
         super().__init__(name=name, **kw)
         if not 0.0 <= float(albedo) <= 1.0:
             raise ValueError(f'albedo must be in [0, 1], got {albedo}')
@@ -41,6 +41,11 @@ class _ScatterBase(Element):
         self._rough_init = float(roughness)
         self._albedo_grad = bool(albedo_grad)
         self._rough_grad = bool(roughness_grad)
+        # track_field compatibility: reset the E-state to a unit
+        # transverse vector at each scatter (a pragmatic depolarization
+        # proxy — core/field.py SCATTER case) instead of raising, so
+        # polarimetric systems WITH baffles still trace end to end
+        self._depol = bool(depolarize)
 
     @property
     def n_surfaces(self):
@@ -62,7 +67,8 @@ class _ScatterBase(Element):
                            sb_kind=SBKind.DISK, sb=(p['radius'] ** 2,),
                            is_plane=True, ph_kind=PhysKind.SCATTER,
                            ph=(1.0, 1.0, p['albedo'], p['roughness']),
-                           scatter_model=self.model)]
+                           scatter_model=self.model,
+                           scatter_depol=self._depol)]
 
 
 class LambertianScatterer(_ScatterBase):

@@ -57,6 +57,32 @@ def norm2(v):
     return v[0] * v[0] + v[1] * v[1] + v[2] * v[2]
 
 
+def cross(u, v):
+    return (u[1] * v[2] - u[2] * v[1],
+            u[2] * v[0] - u[0] * v[2],
+            u[0] * v[1] - u[1] * v[0])
+
+
+def rotate_between(a, b, v):
+    """Apply the minimal rotation taking unit vector ``a`` to unit
+    vector ``b`` to ``v`` (Rodrigues, normalize-free form):
+
+        R(v) = c v + w x v + w (w . v) / (1 + c),   c = a.b, w = a x b
+
+    This is the parallel-transport rotation of polarization frames along
+    a bending ray (core/field.py GRIN transport): it preserves norms and
+    maps a-transverse vectors to b-transverse vectors exactly.  Guarded
+    at c -> -1 (a 180-degree flip has no minimal axis; such lanes are
+    dead in every caller — a ray cannot reverse within one transport
+    step)."""
+    c = dot(a, b)
+    w = cross(a, b)
+    s = dot(w, v) / jnp.maximum(1.0 + c, 1e-6)
+    return (c * v[0] + (w[1] * v[2] - w[2] * v[1]) + w[0] * s,
+            c * v[1] + (w[2] * v[0] - w[0] * v[2]) + w[1] * s,
+            c * v[2] + (w[0] * v[1] - w[1] * v[0]) + w[2] * s)
+
+
 def rot(v, R):
     """v @ R — nine scalar FMAs, fully lane-packed and fusion-friendly."""
     x, y, z = v

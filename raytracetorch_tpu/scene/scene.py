@@ -161,7 +161,8 @@ class Scene:
                                               scatter=r.scatter_model,
                                               jones_chrom=r.jones_chrom,
                                               grin_steps=r.grin_steps,
-                                              doe=r.doe))
+                                              doe=r.doe,
+                                              depol=r.scatter_depol))
                 if el.is_sensor:    # mirrors build_table's slot assignment
                     slot += 1
             self._static_meta = meta
@@ -197,6 +198,7 @@ class Scene:
         cfg = self.sensor_config(n_bundles)
         kw.setdefault('fuzzy_fns', self.fuzzy_fns())
         kw.setdefault('static_meta', self.static_meta())
+        kw.setdefault('grids', self.side_grids(params))
         return trace_nonsequential(table, rays, key, self.n_bounces, cfg, **kw)
 
     def simulate_fused(self, params, rays, key, n_bundles=None,
@@ -322,10 +324,14 @@ class SequentialScene(Scene):
         (accumulated in VMEM via one-hot MXU matmuls), ``track_opl``,
         ``track_field``/``E0``, component-style fuzzy apodization
         (``FuzzyAperture(fn, components=True)``; legacy [N,3]-style
-        callables assert with a pointer back to ``simulate``) and
+        callables assert with a pointer back to ``simulate``),
         per-surface recording (``record_paths``/``record_hits``, same
-        aux format as ``simulate``) are supported with
-        bitwise/parity-exact results vs ``simulate``.
+        aux format as ``simulate``) and pixelated phase plates
+        (PhaseGridPlate — the traced [H, W] side grids from
+        ``side_grids(params)`` ride VMEM-resident with differentiable
+        per-pixel maps up to 256x256; larger maps assert with a pointer
+        back to ``simulate``) are supported with bitwise/parity-exact
+        results vs ``simulate``.
         ``jax.grad`` works and also wins at large N: the backward pass is
         a fused Pallas reverse kernel (16M-ray grad step 20.6 vs 47.1 ms
         XLA on v5e; ops/pallas_trace.py::fused_trace_grad), including the
@@ -362,7 +368,9 @@ class SequentialScene(Scene):
         N like the rays.  The PRNG key is folded with the shard index so
         stochastic Fresnel draws decorrelate across shards (results
         therefore match an unsharded trace statistically, not bitwise,
-        for Fresnel scenes).
+        for Fresnel scenes).  Pixelated phase plates ride like
+        ``simulate_fused``: the traced side grids replicate over the
+        mesh and shard_map's transpose psums their per-shard cotangents.
         """
         import jax as _jax
 
@@ -378,23 +386,26 @@ class SequentialScene(Scene):
         fuzzy = tuple(sorted(self.fuzzy_fns().items()))
         opts = (interpret, block_rows, track_opl, track_field, fuzzy)
         axes = mesh_ray_axes(mesh)
+        grids = self.side_grids(params) or None
+        has_e0, has_grids = E0 is not None, grids is not None
 
-        def local(table, rays_shard, key, *e0):
+        def local(table, rays_shard, key, *extra):
+            e0_ = extra[0] if has_e0 else None
+            grids_ = extra[-1] if has_grids else None
             k_local = jax.random.fold_in(key, shard_index(mesh, axes))
             out, sens, aux = fused_trace_grad(
-                cfg, meta_t, opts, table, rays_shard, k_local,
-                e0[0] if e0 else None)
+                cfg, meta_t, opts, table, rays_shard, k_local, e0_,
+                grids_)
             sens = sens.replace(
                 moments=_jax.lax.psum(sens.moments, axes),
                 grid=(_jax.lax.psum(sens.grid, axes)
                       if cfg.grid_shape else sens.grid))
             return out, sens, aux
 
-        f, _ = shard_map_trace(local, mesh,
-                               n_extra=0 if E0 is None else 1, aux=True)
-        args = (table, rays, key) + (() if E0 is None
-                                     else (jnp.asarray(E0),))
-        return f(*args)
+        extras = (() if E0 is None else (jnp.asarray(E0),)) \
+            + ((grids,) if has_grids else ())
+        f, _ = shard_map_trace(local, mesh, n_extra=len(extras), aux=True)
+        return f(table, rays, key, *extras)
 
     def paraxial(self, params):
         """Full-system 5x5 paraxial matrix: chain every element's surface

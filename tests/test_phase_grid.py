@@ -115,10 +115,44 @@ def test_phase_grid_guards(key):
     with pytest.raises(ValueError):
         PhaseGridPlate(half_x=4.0, half_y=4.0, shape=(4, 4),
                        init=np.zeros((8, 8)))
-    pp = PhaseGridPlate(half_x=4.0, half_y=4.0, name='pp')
-    nsc = Scene([pp], n_bounces=2)
-    with pytest.raises(AssertionError, match='sequential-only'):
-        nsc.simulate(nsc.init_params(), _rays([0.0], [0.0]), key)
+
+
+def test_phase_grid_nonseq_parity(key):
+    """The non-sequential bounce loop reads the traced [H, W] side maps
+    through the same per-row grid channel as the sequential driver
+    (Scene.side_grids -> bounce_step): ordered scene => exact parity,
+    values AND per-pixel gradients (round-3 VERDICT missing #1)."""
+    n = 16
+    xs = np.linspace(-HX, HX, n)
+    X, Y = np.meshgrid(xs, xs, indexing='xy')
+    els = [PhaseGridPlate(half_x=HX, half_y=HX, shape=(n, n), name='pp'),
+           SensorElement(radius=20.0, translation=[0, 0, 50.0], name='s')]
+    seq = SequentialScene(els)
+    nsc = Scene(els, n_bounces=3)
+    p = seq.init_params()
+    p['pp']['grid'] = jnp.asarray(3.0 * X + 0.15 * Y * Y, jnp.float32)
+    probe = _rays([0.4, 1.3, -2.2, 3.1], [0.2, -0.8, 1.1, -1.9])
+    o1, s1, _ = seq.simulate(p, probe, key)
+    o2, s2, _ = nsc.simulate(p, probe, key)
+    np.testing.assert_allclose(np.asarray(o2.dir), np.asarray(o1.dir),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(o2.pos), np.asarray(o1.pos),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2.moments),
+                               np.asarray(s1.moments), rtol=1e-6,
+                               atol=1e-6)
+
+    def mk(scene):
+        def loss(p):
+            _, sens, _ = scene.simulate(p, probe, key)
+            m = sens.moments[0, 0]
+            return m[1] / jnp.maximum(m[0], 1e-9) + 1e-3 * m[3]
+        return loss
+
+    g1 = jax.grad(mk(seq))(p)['pp']['grid']
+    g2 = jax.grad(mk(nsc))(p)['pp']['grid']
+    assert float(jnp.abs(g1).max()) > 0
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-7)
 
 
 def _steerer_scene(n=16):
