@@ -356,10 +356,14 @@ def _grid_partial(cfg, x, y, w, exact_f32=False):
             jnp.int32, (W, lanes), 0) == ix_r
         B1 = jnp.where(eq_x, 1.0, 0.0)
         if exact_f32:
+            # precision MUST be pinned: Mosaic's f32 dot defaults to one
+            # bf16 MXU pass (measured 3e-2 abs rounding on O(10) values);
+            # HIGHEST is the exact multi-pass (probe: err == 0.0)
             A32 = jnp.where(eq_y, 1.0, 0.0)
             acc = acc + jax.lax.dot_general(
                 A32, B1 * w_r, contract,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             continue
         A = jnp.where(eq_y, 1.0, 0.0).astype(jnp.bfloat16)
         w_hi = w_r.astype(jnp.bfloat16)
@@ -381,8 +385,11 @@ def _grid_corners_mxu(grid, iv, iu):
     row iv per lane — and the column-select is an elementwise one-hot
     mask + sublane reduction.  Corner pairs (g00, g01) / (g10, g11)
     share a matmul, so a PHASE_GRID surface costs 2 f32 [W, H] x [H, L]
-    matmuls per tile row.  All one-hots are exact and the matmuls run
-    f32 (no bf16 rounding of the traced phase values), and jax.vjp of
+    matmuls per tile row.  All one-hots are exact and the matmuls PIN
+    precision=HIGHEST — Mosaic's f32 dot default is ONE bf16 MXU pass,
+    which rounded the traced phase values to ~1.5% deflection error on
+    real TPU (caught by the round-4 verify drive; the CPU interpreter
+    is exact either way so the suite never saw it) — and jax.vjp of
     the dot_general is the transposed scatter that routes per-pixel
     cotangents back into the map in the fused backward kernel.  Unlike
     the XLA gather there is no out-of-bounds hazard: garbage tail-lane
@@ -404,10 +411,12 @@ def _grid_corners_mxu(grid, iv, iu):
         wio = jax.lax.broadcasted_iota(jnp.int32, (W, lanes), 0)
         P0 = jax.lax.dot_general(
             grid, jnp.where(hio == iv_r, 1.0, 0.0), contract,
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         P1 = jax.lax.dot_general(
             grid, jnp.where(hio == iv_r + 1, 1.0, 0.0), contract,
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         m0 = jnp.where(wio == iu_r, 1.0, 0.0)
         m1 = jnp.where(wio == iu_r + 1, 1.0, 0.0)
         pick = jnp.where(rsel == r, 1.0, 0.0)
@@ -551,9 +560,20 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
         "sequential driver: simulate()"
     grids = dict(grids or {})
     pg_rows = tuple(k for k, m in enumerate(static_meta) if m.ph == 15)
-    assert all(k in grids for k in pg_rows), \
-        "pixelated phase plates need their traced [H, W] side grids " \
-        "(SequentialScene.simulate_fused passes Scene.side_grids(params))"
+    assert set(grids) == set(pg_rows), \
+        "grids keys must be exactly the PHASE_GRID row indices " \
+        f"(got {sorted(grids)} vs phase-grid rows {sorted(pg_rows)}): " \
+        "the custom_vjp backward builds one cotangent per phase-grid row, " \
+        "so extra keys would break the pytree structure.  " \
+        "SequentialScene.simulate_fused passes Scene.side_grids(params)."
+    for k_g in pg_rows:
+        h_g, w_g = jnp.shape(grids[k_g])
+        assert h_g * w_g <= 256 * 256, (
+            f"phase-grid map at row {k_g} is {h_g}x{w_g}: the fused kernel "
+            "holds each [H, W] map (and its backward cotangent block) "
+            "VMEM-resident and pays 2*block_rows [W,H]x[H,128] matmuls "
+            "per plate per grid step — maps above 256x256 blow the VMEM/"
+            "compile budget.  Use simulate() (XLA gather) for large maps.")
     fuzzy_fns = dict(fuzzy_fns or {})
     for k_f, fn in fuzzy_fns.items():
         assert getattr(fn, 'components', False), (
@@ -1071,8 +1091,10 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
     assert all(m.ph not in (12, 15) for m in static_meta), \
-        "GRIN rods / pixelated phase plates are sequential-only " \
-        "(trace_nonsequential asserts too): use SequentialScene.simulate"
+        "GRIN rods / pixelated phase plates do not run in the fused " \
+        "non-sequential kernel (a per-tile RK4 scan / per-row VMEM " \
+        "phase maps inside the bounce while_loop): use Scene.simulate " \
+        "— the XLA bounce loop traces both"
     fuzzy_fns = dict(fuzzy_fns or {})
     for k_f, fn in fuzzy_fns.items():
         assert getattr(fn, 'components', False), (

@@ -85,15 +85,15 @@ def shard_map_trace(local, mesh, n_extra=0, aux=False):
     sharded per-ray aux dict when ``aux``]).  Returns
     ``(wrapped_fn, axes)``."""
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:                          # newer jax
-        from jax import shard_map
     axes = mesh_ray_axes(mesh)
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), P(axes), P()) + (P(),) * n_extra,
-                   out_specs=(P(axes), P()) + ((P(axes),) if aux else ()),
-                   check_rep=False)
+    kw = dict(mesh=mesh,
+              in_specs=(P(), P(axes), P()) + (P(),) * n_extra,
+              out_specs=(P(axes), P()) + ((P(axes),) if aux else ()))
+    if hasattr(jax, 'shard_map'):                # jax >= 0.6
+        fn = jax.shard_map(local, check_vma=False, **kw)
+    else:                                        # deprecated pre-0.6 home
+        from jax.experimental.shard_map import shard_map
+        fn = shard_map(local, check_rep=False, **kw)
     return fn, axes
 
 

@@ -135,6 +135,52 @@ def test_sharded_nonseq_fused_matches(key):
                                np.asarray(s_ref.moments)[0, 0, 0], atol=8.0)
 
 
+def test_sharded_fused_phase_grid(key):
+    """simulate_fused_sharded passes the traced phase-grid side channel
+    through shard_map (replicated) — values AND per-pixel gradients match
+    the unsharded XLA path (the grid cotangent psums across shards via
+    shard_map's transpose of the replicated in_spec)."""
+    from raytracetorch_tpu import PhaseGridPlate
+
+    n, hx = 16, 4.0
+    scene = SequentialScene([
+        PhaseGridPlate(half_x=hx, half_y=hx, shape=(n, n), name='pp'),
+        SensorElement(radius=20.0, translation=[0, 0, 50.0], name='s')])
+    xs = np.linspace(-hx, hx, n)
+    X, Y = np.meshgrid(xs, xs, indexing='xy')
+    params = scene.init_params()
+    params['pp']['grid'] = jnp.asarray(3.0 * X + 0.15 * Y * Y, jnp.float32)
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, -3.0],
+                               wavelength=0.5876).sample(key, 2048)
+    mesh = make_mesh(8)
+
+    out_ref, s_ref, _ = scene.simulate(params, rays, key)
+    out_sh, s_sh, _ = jax.jit(lambda p, r, k: scene.simulate_fused_sharded(
+        p, r, k, mesh, block_rows=1))(params, shard_rays(rays, mesh), key)
+    np.testing.assert_allclose(np.asarray(out_sh.dx),
+                               np.asarray(out_ref.dx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_sh.moments),
+                               np.asarray(s_ref.moments), rtol=1e-5,
+                               atol=1e-3)
+
+    def mk(sim):
+        def loss(p, r):
+            _, sens, _ = sim(p, r)
+            m = sens.moments[0, 0]
+            return m[1] / jnp.maximum(m[0], 1e-9) + 1e-3 * m[3]
+        return loss
+
+    g_ref = jax.jit(jax.grad(mk(
+        lambda p, r: scene.simulate(p, r, key))))(params, rays)
+    g_sh = jax.jit(jax.grad(mk(
+        lambda p, r: scene.simulate_fused_sharded(p, r, key, mesh,
+                                                  block_rows=1))))(
+        params, shard_rays(rays, mesh))
+    np.testing.assert_allclose(np.asarray(g_sh['pp']['grid']),
+                               np.asarray(g_ref['pp']['grid']), atol=1e-6)
+
+
 def test_sharded_fused_aux_streams(key):
     """track_opl / track_field through the SHARDED fused drivers: per-ray
     aux streams come back sharded along N and match the unsharded XLA
