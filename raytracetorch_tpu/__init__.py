@@ -20,9 +20,10 @@ from .elements.ideal import (DiffractionGrating, IdealCylThinLens,
                              paraxial_refract_mat)
 from .elements.lens import (AsphericLens, CylSingletLens, DoubletLens, FreeformLens,
                             SingletLens, TripletLens, WedgePrism, ZernikeLens)
-from .elements.mirror import (CylindricalMirror, ParabolicMirror,
-                              ParabolicMirrorOffAxis, ParabolicMirrorXZ,
-                              SphericalMirror)
+from .elements.mirror import (AsphericMirror, ConicMirror,
+                              CylindricalMirror, ManginMirror,
+                              ParabolicMirror, ParabolicMirrorOffAxis,
+                              ParabolicMirrorXZ, SphericalMirror)
 from .elements.diffractive import DiffractiveLens, PhaseGridPlate
 from .elements.grin import GrinRod
 from .elements.mla import MicrolensArray

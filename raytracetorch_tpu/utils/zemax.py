@@ -23,18 +23,24 @@ Supported subset (the sequential-design core of the format):
   (degrees) with the order flag, tracked as a running rigid frame —
   perturbed/wedged prescriptions import with correct element poses
   (restore pairs compose back to identity exactly).
-* Fold mirrors (``GLAS MIRROR``): flat or spherical, at any COORDBRK
-  tilt incl. normal incidence.  Zemax encodes reversed propagation as
+* Fold mirrors (``GLAS MIRROR``): flat, spherical, CONIC (CONI — a
+  Cassegrain/RC hyperbolic secondary imports as ``ConicMirror``) or
+  even-aspheric (EVENASPH -> ``AsphericMirror``), at any COORDBRK tilt
+  incl. normal incidence.  Zemax encodes reversed propagation as
   NEGATIVE thicknesses/curvatures after an odd number of mirrors; the
   importer tracks that parity and gives each subsequent element a
   beam-aligned frame (180-degree flip) with re-signed curvatures, so a
   folded system traces identically to its unfolded equivalent.
+* Mangin mirrors: the explicit three-surface double pass Zemax writes
+  (glass face / MIRROR / glass face with negated return thickness)
+  folds onto ``ManginMirror`` (d-line index; the pattern must be the
+  simple unwedged one).
 * ``ENPD`` / ``WAVM`` become the suggested entrance-pupil radius and
   wavelength list on the returned metadata.
 
-Out of scope (raise ValueError, never import silently wrong): Mangin
-and aspheric mirrors, diffractive surfaces, tilted cemented
-interfaces, and glass runs longer than four faces.
+Out of scope (raise ValueError, never import silently wrong):
+diffractive surfaces, curved stops, tilted cemented interfaces,
+aspheric/wedged Mangin faces, and glass runs longer than four faces.
 """
 
 from __future__ import annotations
@@ -310,7 +316,8 @@ def load_zmx(path_or_text, n_media=1.0):
     from ..elements.aperture import CircularAperture
     from ..elements.lens import (AsphericLens, DoubletLens, SingletLens,
                                  TripletLens)
-    from ..elements.mirror import SphericalMirror
+    from ..elements.mirror import (AsphericMirror, ConicMirror,
+                                   ManginMirror, SphericalMirror)
     from ..elements.sensor import SensorElement
     from ..scene.scene import SequentialScene
 
@@ -331,10 +338,6 @@ def load_zmx(path_or_text, n_media=1.0):
             raise ValueError(
                 f'surface {s.index}: TYPE {s.type} not supported '
                 f'(supported: {sorted(_SUPPORTED_TYPES)} + COORDBRK)')
-        if s.glass and s.glass.upper() in ('MIRROR', 'MIRR') and (
-                s.conic or s.parm):
-            raise ValueError(
-                f'surface {s.index}: aspheric mirrors are not supported')
 
     # object surface = index 0 (infinite or finite gap to surface 1)
     body = [s for s in surfaces if s.index > 0]
@@ -376,10 +379,25 @@ def load_zmx(path_or_text, n_media=1.0):
             n_mirror += 1
             semi = s.semi_diam if s.semi_diam > 0 else \
                 (meta['enpd'] or 10.0) / 2.0 * 1.4
-            elements.append(SphericalMirror(
-                c1=parity * s.curv, d=2.0 * semi,
-                name=f'mirror{n_mirror}_s{s.index}',
-                **pose_kw(beam_frame=True)))
+            name = f'mirror{n_mirror}_s{s.index}'
+            pose = pose_kw(beam_frame=True)
+            if s.parm:
+                # even-asphere mirror (EVENASPH + MIRROR): the conic and
+                # polynomial terms ride AsphericMirror; sag terms negate
+                # with mirror parity like lens aspheres do
+                k, a = _asphere_terms(s)
+                elements.append(AsphericMirror(
+                    c1=parity * s.curv, d=2.0 * semi, k=k,
+                    a=tuple(parity * x for x in a), name=name, **pose))
+            elif s.conic:
+                # conic mirror (Cassegrain / RC secondaries): the conic
+                # constant is shape, invariant under the parity flip
+                elements.append(ConicMirror(
+                    c1=parity * s.curv, k=s.conic, d=2.0 * semi,
+                    name=name, **pose))
+            else:
+                elements.append(SphericalMirror(
+                    c1=parity * s.curv, d=2.0 * semi, name=name, **pose))
             parity = -parity
             o = o + M @ np.array([0.0, 0.0, s.disz])
             i += 1
@@ -411,11 +429,57 @@ def load_zmx(path_or_text, n_media=1.0):
             raise ValueError(
                 f'surface {body[i].index}: coordinate break adjacent to '
                 'a glass run (tilted cemented interfaces) not supported')
-        if any(f.glass and f.glass.upper() in ('MIRROR', 'MIRR')
-               for f in faces):
-            raise ValueError(
-                f'surface {faces[0].index}: mirror inside a glass run '
-                '(Mangin mirror) is not supported')
+        mirror_in_run = [fi for fi, f in enumerate(faces)
+                         if f.glass and f.glass.upper() in ('MIRROR',
+                                                            'MIRR')]
+        if mirror_in_run:
+            # Mangin mirror: Zemax writes the double pass out explicitly
+            # — front glass face (DISZ +t), silvered back face (DISZ -t,
+            # the sign flip IS the reflection), the front face again
+            # (back in air).  Fold the three surfaces onto ManginMirror
+            # (elements/mirror.py), which builds the double-pass rows.
+            if len(faces) != 3 or mirror_in_run != [1]:
+                raise ValueError(
+                    f'surface {faces[0].index}: only the simple Mangin '
+                    'pattern (glass face, MIRROR back face, glass face '
+                    'again) is supported inside a glass run')
+            front, back, front2 = faces
+            t_g = parity * front.disz
+            if t_g <= 0:
+                raise ValueError(
+                    f'surface {front.index}: non-positive Mangin glass '
+                    'thickness')
+            if abs(back.disz + front.disz) > 1e-9 * max(abs(front.disz),
+                                                        1.0):
+                raise ValueError(
+                    f'surface {back.index}: Mangin return thickness '
+                    f'{back.disz} does not mirror the entry thickness '
+                    f'{front.disz}')
+            if abs(front2.curv - front.curv) > 1e-12 + 1e-9 * abs(
+                    front.curv):
+                raise ValueError(
+                    f'surface {front2.index}: Mangin exit face curvature '
+                    'differs from the entry face (wedged Mangin not '
+                    'supported)')
+            if any(f.conic or f.parm for f in faces):
+                raise ValueError(
+                    f'surface {front.index}: aspheric Mangin faces are '
+                    'not supported')
+            gkw = _glass_kwargs(front)
+            semi = max(f.semi_diam for f in faces)
+            if semi <= 0:
+                semi = (meta['enpd'] or 10.0) / 2.0 * 1.1
+            n_mirror += 1
+            elements.append(ManginMirror(
+                c1=parity * front.curv, c2=parity * back.curv,
+                d=2.0 * semi, t=t_g, ior_glass=gkw['ior_glass'],
+                name=f'mangin{n_mirror}_s{front.index}',
+                **pose_kw(parity * t_g / 2.0, beam_frame=True)))
+            parity = -parity
+            o = o + M @ np.array([0.0, 0.0, front.disz + back.disz
+                                  + front2.disz])
+            i = j + 1
+            continue
         n_faces = len(faces)
         # after an odd number of mirrors Zemax negates thicknesses and
         # keeps curvature signs in the ORIGINAL axis convention; our

@@ -73,6 +73,11 @@ EXEMPLARS = {
     'ParabolicMirror': dict(c1=-0.0125, d=8.0),
     'ParabolicMirrorXZ': dict(c1=-0.0125, d=8.0),
     'ParabolicMirrorOffAxis': dict(c1=0.005, d=25.4, off_axis=50.0),
+    'ConicMirror': dict(c1=-0.04, k=-2.25, d=16.0, k_grad=True),
+    'ManginMirror': dict(c1=-0.02, c2=-0.025, d=20.0, t=4.0,
+                         ior_glass=1.5168, c2_grad=True),
+    'AsphericMirror': dict(c1=-0.01, d=40.0, k=-0.5, a=[1e-6, -2e-9],
+                           a_grad=True),
     'CircularAperture': dict(radius=5.0, invert=True),
     'RectangularAperture': dict(half_x=2.0, half_y=3.0),
     'EllipticAperture': dict(r_major=3.0, r_minor=2.0, rot=0.3),

@@ -522,3 +522,134 @@ def test_concave_normal_incidence_mirror_focuses(key):
     out, sensors, _ = imp.scene.simulate(p, rays, key)
     assert float(jnp.sum(out.intensity)) > 1000
     assert float(sensors.spot_rms(0)[0]) < 2e-3   # on-axis sphere: tiny SA
+
+
+RC_ZMX = """\
+MODE SEQ
+NAME cassegrain rc
+UNIT MM X W X CM MR CPMM
+ENPD 50.0
+WAVM 1 0.58756180 1
+SURF 0
+  TYPE STANDARD
+  CURV 0.0
+  DISZ INFINITY
+SURF 1
+  TYPE STANDARD
+  CURV -0.01
+  CONI -1.0
+  DISZ -40.0
+  GLAS MIRROR
+  DIAM 30.0 1 0 0 1 ""
+SURF 2
+  TYPE STANDARD
+  CURV -0.04
+  CONI -2.25
+  DISZ 50.0
+  GLAS MIRROR
+  DIAM 8.0 1 0 0 1 ""
+SURF 3
+  TYPE STANDARD
+  CURV 0.0
+  DISZ 0.0
+  DIAM 2.0 1 0 0 1 ""
+"""
+
+MANGIN_ZMX = """\
+MODE SEQ
+NAME mangin searchlight
+UNIT MM X W X CM MR CPMM
+ENPD 10.0
+WAVM 1 0.58756180 1
+SURF 0
+  TYPE STANDARD
+  CURV 0.0
+  DISZ INFINITY
+SURF 1
+  TYPE STANDARD
+  CURV -0.012
+  DISZ 2.0
+  GLAS N-BK7 0 0 1.516800 64.167336
+  DIAM 15.0 1 0 0 1 ""
+SURF 2
+  TYPE STANDARD
+  CURV -0.01
+  DISZ -2.0
+  GLAS MIRROR
+  DIAM 15.0 1 0 0 1 ""
+SURF 3
+  TYPE STANDARD
+  CURV -0.012
+  DISZ -53.246
+  DIAM 15.0 1 0 0 1 ""
+SURF 4
+  TYPE STANDARD
+  CURV 0.0
+  DISZ 0.0
+  DIAM 3.0 1 0 0 1 ""
+"""
+
+
+def test_rc_telescope_import_and_focus(key):
+    """A two-conic-mirror Cassegrain .zmx (parabolic primary CONI -1,
+    hyperbolic secondary CONI -2.25 with the stigmatic m=5 prescription)
+    imports as ConicMirror elements and focuses an annular beam at its
+    image plane EXACTLY (hyperboloid foci property; same analytic system
+    as tests/test_conic_mirror.py, here arriving through the importer
+    incl. the mirror-parity bookkeeping)."""
+    from raytracetorch_tpu import ConicMirror, Rays
+    from raytracetorch_tpu.utils.zemax import load_zmx
+
+    imp = load_zmx(RC_ZMX)
+    kinds = [type(el).__name__ for el in imp.elements]
+    assert kinds == ['ConicMirror', 'ConicMirror', 'SensorElement']
+    sc = imp.scene
+    p = sc.init_params()
+    # secondary at z = -40, image at z = +10
+    np.testing.assert_allclose(
+        np.asarray(p[imp.elements[1].name]['trans'])[2], -40.0)
+    np.testing.assert_allclose(
+        np.asarray(p[imp.elements[2].name]['trans'])[2], 10.0)
+    xs, ys = [], []
+    for r in (15.0, 20.0, 25.0):
+        for a in np.linspace(0, 2 * np.pi, 8, endpoint=False):
+            xs.append(r * np.cos(a))
+            ys.append(r * np.sin(a))
+    pos = np.stack([xs, ys, np.full(len(xs), -30.0)], -1)
+    d = np.tile([[0.0, 0.0, 1.0]], (len(xs), 1))
+    out, sens, _ = sc.simulate(p, Rays.create(pos, d), key)
+    assert float(jnp.sum(out.intensity)) == len(xs)
+    assert float(sens.spot_rms(0)[0]) < 1e-3
+
+
+def test_mangin_import_and_focus(key):
+    """The three-surface Mangin double pass folds onto ManginMirror and
+    focuses a paraxial pencil on the imported image plane (placed at the
+    element's exact paraxial crossing)."""
+    from raytracetorch_tpu import ManginMirror, Rays
+    from raytracetorch_tpu.utils.zemax import load_zmx
+
+    imp = load_zmx(MANGIN_ZMX)
+    kinds = [type(el).__name__ for el in imp.elements]
+    assert kinds == ['ManginMirror', 'SensorElement']
+    sc = imp.scene
+    p = sc.init_params()
+    el = imp.elements[0]
+    np.testing.assert_allclose(np.asarray(p[el.name]['trans'])[2], 1.0)
+    np.testing.assert_allclose(float(p[el.name]['t']), 2.0)
+    np.testing.assert_allclose(
+        np.asarray(p[imp.elements[1].name]['trans'])[2], -53.246)
+    heights = np.array([0.1, 0.2, 0.3, 0.4])
+    pos = np.stack([heights, np.zeros(4), np.full(4, -5.0)], -1)
+    out, sens, _ = sc.simulate(p, Rays.create(
+        pos, np.tile([[0.0, 0.0, 1.0]], (4, 1))), key)
+    assert float(jnp.sum(out.intensity)) == 4.0
+    assert float(sens.spot_rms(0)[0]) < 2e-4
+
+
+def test_zmx_wedged_mangin_raises():
+    bad = MANGIN_ZMX.replace('SURF 3\n  TYPE STANDARD\n  CURV -0.012',
+                             'SURF 3\n  TYPE STANDARD\n  CURV -0.015')
+    from raytracetorch_tpu.utils.zemax import load_zmx
+    with pytest.raises(ValueError, match='exit face curvature'):
+        load_zmx(bad)
