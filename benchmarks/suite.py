@@ -21,6 +21,7 @@ dispatch costs ~26 ms RPC).
                             (in-kernel hit capture) vs XLA scatter-add
 """
 
+import functools
 import json
 import os
 import statistics
@@ -174,7 +175,9 @@ def main():
         translation=[0, 0, -10.0]).sample(key, n_big)
     chain_big = 5
     for name, sim in (('xla', scene.simulate),
-                      ('pallas_fused', scene.simulate_fused)):
+                      ('pallas_fused',
+                       functools.partial(scene.simulate_fused,
+                                         auto_dispatch=False))):
         def run(rr, pp, sim=sim):
             def body(r2, _):
                 out, _, _ = sim(pp, reset(r2), key)
@@ -204,7 +207,9 @@ def main():
     gscene.grid_half_extent = 1.0
     pg = gscene.init_params()
     for name, sim in (('xla', gscene.simulate),
-                      ('pallas_fused', gscene.simulate_fused)):
+                      ('pallas_fused',
+                       functools.partial(gscene.simulate_fused,
+                                         auto_dispatch=False))):
         def gstep(rr, pp, sim=sim):
             out, s, _ = sim(pp, reset(rr), key)
             return out.replace(px=out.px + s.grid[0, 0, 0] * 1e-30)

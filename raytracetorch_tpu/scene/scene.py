@@ -310,16 +310,26 @@ class SequentialScene(Scene):
         kw.setdefault('grids', self.side_grids(params))
         return trace_sequential(table, rays, key, cfg, **kw)
 
+    # Measured v5e crossover of the fused sequential kernel vs the XLA
+    # driver (BASELINE.md): below ~2M rays XLA keeps the ray state in
+    # VMEM anyway and wins (0.34 vs 0.49 ms @1M), above it the kernel's
+    # single HBM round trip wins 2.4-2.9x.  simulate_fused auto-routes
+    # below this so one entry point is never slower than simulate()
+    # (results are bitwise-identical either way — same key schedule).
+    FUSED_CROSSOVER_N = 2_000_000
+
     def simulate_fused(self, params, rays, key, n_bundles=None,
                        interpret=None, block_rows=16, track_opl=False,
                        track_field=False, E0=None, record_paths=False,
-                       record_hits=False):
+                       record_hits=False, auto_dispatch=True):
         """Fused Pallas trace: the whole surface chain runs in VMEM tiles —
         ONE HBM round trip for the ray state, vs one per surface for the
         XLA path.  Measured on v5e at the tuned block_rows=16: 2.4x
         faster at 64M rays (31.7 vs 77.4 ms), 2.7-2.9x at 4-16M; below
-        ~2M rays XLA keeps the state in VMEM anyway and wins — use plain
-        ``simulate`` there.
+        ~2M rays XLA keeps the state in VMEM anyway and wins — so below
+        ``FUSED_CROSSOVER_N`` this call routes to the (bitwise-identical)
+        ``simulate`` automatically; ``auto_dispatch=False`` forces the
+        kernel (benchmarking).
         Stochastic Fresnel, multi-sensor scenes, irradiance grids
         (accumulated in VMEM via one-hot MXU matmuls), ``track_opl``,
         ``track_field``/``E0``, component-style fuzzy apodization
@@ -343,6 +353,13 @@ class SequentialScene(Scene):
         from ..ops.pallas_trace import fused_trace_grad
         if interpret is None:
             interpret = _jax.devices()[0].platform != 'tpu'
+        if auto_dispatch and not interpret \
+                and rays.px.shape[0] < self.FUSED_CROSSOVER_N:
+            return self.simulate(params, rays, key, n_bundles=n_bundles,
+                                 track_opl=track_opl,
+                                 track_field=track_field, E0=E0,
+                                 record_paths=record_paths,
+                                 record_hits=record_hits)
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
         fuzzy = tuple(sorted(self.fuzzy_fns().items()))
