@@ -10,6 +10,8 @@ the plate outside the opening are absorbed.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from ..constants import PhysKind, SBKind
 from ..core.table import SurfaceRec
 from ..geom.surfaces import q_plane
@@ -107,23 +109,60 @@ class FuzzyAperture(Element):
 
 class CircularAperture(_ApertureBase):
     """Disk-bounded plane + aperture filter (reference
-    elements/aperture.py:8-21)."""
+    elements/aperture.py:8-21).
+
+    ``curvature`` (beyond the reference) puts the opening on a spherical
+    cap instead of a plane — the 'curved stop' of real prescriptions
+    (a stop tooled onto a lens face): the disk bound applies in the
+    surface-local (x, y) and the filter physics is unchanged (direction
+    passes through; out-of-bounds rays are absorbed under ``invert``).
+    Zemax files with a curved STOP surface import onto this
+    (utils/zemax.py)."""
 
     sb_kind = SBKind.DISK
 
-    def __init__(self, radius, invert=False, name='circ_aperture', **kw):
+    def __init__(self, radius, invert=False, curvature=0.0,
+                 name='circ_aperture', **kw):
         super().__init__(name=name, **kw)
         self._r_init = float(radius)
+        self._c_init = float(curvature)
+        if self._c_init and abs(1.0 / self._c_init) < self._r_init:
+            raise ValueError('|1/curvature| must exceed the radius')
         self.invert = invert
 
     def extra_params(self):
-        return {'radius': self._r_init}
+        p = {'radius': self._r_init}
+        if self._c_init:
+            p['c'] = self._c_init
+        return p
 
     def extra_trainable(self):
-        return {'radius': False}
+        t = {'radius': False}
+        if self._c_init:
+            t['c'] = False
+        return t
 
     def _sb_params(self, p):
         return (p['radius'] ** 2,)
+
+    def build(self, p):
+        if not self._c_init:
+            return super().build(p)
+        from ..constants import VBKind
+        from ..geom.surfaces import q_quadric
+        Re, te = frame_params(p)
+        q, sign = q_quadric(p['c'], 0.0)
+        Rw, tw, Rs, ts = compose_world(Re, te)
+        # The invertible opening test is the DISK alone; the far side of
+        # the full sphere is clipped by a separate VOLUME bound (never
+        # inverted — under invert=True an sb-level hemisphere clip would
+        # resurrect the far cap and absorb in-bounds rays there)
+        r_cap = 1.0 / jnp.abs(p['c'])
+        return [SurfaceRec(q=q, n_sign=sign, Rw=Rw, tw=tw, Rs=Rs, ts=ts,
+                           sb_kind=SBKind.DISK, sb=(p['radius'] ** 2,),
+                           sb_invert=self.invert,
+                           vb_kind=VBKind.Z_BETWEEN, vb=(-r_cap, r_cap),
+                           ph_kind=PhysKind.APERTURE)]
 
 
 class RectangularAperture(_ApertureBase):

@@ -38,8 +38,12 @@ Supported subset (the sequential-design core of the format):
 * ``ENPD`` / ``WAVM`` become the suggested entrance-pupil radius and
   wavelength list on the returned metadata.
 
+* Curved stops (a STOP surface with CURV) import as a
+  ``CircularAperture(curvature=...)`` — the opening sits on the
+  spherical cap, as tooled onto a lens face.
+
 Out of scope (raise ValueError, never import silently wrong):
-diffractive surfaces, curved stops, tilted cemented interfaces,
+diffractive surfaces, conic stops, tilted cemented interfaces,
 aspheric/wedged Mangin faces, and glass runs longer than four faces.
 """
 
@@ -406,11 +410,12 @@ def load_zmx(path_or_text, n_media=1.0):
             # bare surface: the STOP becomes a physical aperture; plain
             # dummy planes are pure spacing
             if s.is_stop and s.semi_diam > 0:
-                if s.curv != 0.0 or s.conic != 0.0:
+                if s.conic != 0.0:
                     raise ValueError(
-                        f'surface {s.index}: curved stop not supported')
+                        f'surface {s.index}: conic stop not supported')
                 elements.append(CircularAperture(
                     radius=s.semi_diam,
+                    curvature=parity * s.curv,
                     name=f'stop_s{s.index}',
                     **pose_kw(beam_frame=True)))
             o = o + M @ np.array([0.0, 0.0, s.disz])

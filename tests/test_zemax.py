@@ -653,3 +653,36 @@ def test_zmx_wedged_mangin_raises():
     from raytracetorch_tpu.utils.zemax import load_zmx
     with pytest.raises(ValueError, match='exit face curvature'):
         load_zmx(bad)
+
+
+def test_curved_stop_imports(key):
+    """A STOP surface with CURV imports as a curved CircularAperture:
+    the opening sits on the spherical cap (hit z = sag of hit r), and
+    rays outside the opening are absorbed."""
+    from raytracetorch_tpu import CircularAperture, Rays
+    from raytracetorch_tpu.utils.zemax import load_zmx
+
+    curved = SINGLET_ZMX.replace(
+        'SURF 1\n  STOP\n  TYPE STANDARD\n  CURV 0.0',
+        'SURF 1\n  STOP\n  TYPE STANDARD\n  CURV 0.05')
+    imp = load_zmx(curved)
+    stop = imp.elements[0]
+    assert isinstance(stop, CircularAperture)
+    p0 = stop.init_params()
+    assert float(p0['c']) == pytest.approx(0.05)
+
+    # geometry: a lone curved stop traced directly — the recorded hit
+    # position lies on the cap z(r) = c r^2 / (1 + sqrt(1 - c^2 r^2))
+    sc = type(imp.scene)([CircularAperture(radius=4.0, curvature=0.05,
+                                           invert=True, name='iris')])
+    p = sc.init_params()
+    r_in, r_out = 2.0, 4.5
+    rays = Rays.create([[r_in, 0.0, -5.0], [r_out, 0.0, -5.0]],
+                       [[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    out, _, aux = sc.simulate(p, rays, key, record_paths=True)
+    inten = np.asarray(out.intensity)
+    assert inten[0] == 1.0 and inten[1] == 0.0   # iris blocks outside
+    hit_z = float(np.asarray(aux['paths'])[1, 0, 2])
+    c = 0.05
+    sag = c * r_in ** 2 / (1 + np.sqrt(1 - c * c * r_in ** 2))
+    np.testing.assert_allclose(hit_z, sag, atol=1e-6)
