@@ -133,9 +133,12 @@ def trace_sequential(table, rays: Rays, key,
     keys = jax.random.split(key, max(k_surf, 1))
     # sensor accumulators live at the PROMOTED trace dtype: an f64 table
     # (x64 wavefront work) with f32 rays produces f64 hit terms, and
-    # scatter-adding those into f32 moments is a future JAX error
+    # scatter-adding those into f32 moments is a future JAX error.
+    # (Wrapper tables — tolerancing's per-ray frame views — may not
+    # expose .tw; those are f32-only, fall back to the ray dtype.)
+    tab_dt = getattr(getattr(table, 'tw', None), 'dtype', rays.px.dtype)
     sensors = SensorState.init(cfg, dtype=jnp.result_type(rays.px.dtype,
-                                                          table.tw.dtype))
+                                                          tab_dt))
     pr = rays
 
     paths = [v3.to_array(pr.pos_c)] if record_paths else None
@@ -481,8 +484,9 @@ def trace_nonsequential(table, rays: Rays, key, n_bounces: int,
     side maps through ``grids`` ({flat_row: array}, Scene.side_grids) —
     the reference's bounce loop is element-agnostic
     (scene/base.py:180-235) and so is this one."""
+    tab_dt = getattr(getattr(table, 'tw', None), 'dtype', rays.px.dtype)
     sensors = SensorState.init(cfg, dtype=jnp.result_type(rays.px.dtype,
-                                                      table.tw.dtype))
+                                                          tab_dt))
     pr = rays
     field = None
     if track_field:

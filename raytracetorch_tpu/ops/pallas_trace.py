@@ -333,12 +333,14 @@ def _grid_partial(cfg, x, y, w, exact_f32=False):
     MXU binning described in _grid_accumulate; pure — also reused inside
     the non-sequential kernel's bounce loop).
 
-    ``exact_f32`` swaps the bf16 hi+lo split for a single f32 matmul —
-    used in the BACKWARD chain so jax.vjp's transposed binning (the
-    cotangent route d loss/d grid[iy, ix] -> d loss/d w) stays exact
-    f32: the transpose of a bf16 dot yields bf16-rounded cotangents
-    (~0.4% relative), while the f32 MXU multi-pass is still far cheaper
-    than the XLA scatter fallback it replaces."""
+    ``exact_f32`` swaps the bf16 hi+lo split for a true-f32
+    (precision=HIGHEST) matmul.  NOTE: the backward chains no longer
+    use this — differentiating the HIGHEST dot costs ~6 MXU passes each
+    way (measured 533.9 ms for the 16M nonseq grid gradient); they call
+    :func:`_grid_partial_g`, whose custom_vjp keeps the cheap hi+lo
+    forward and hand-writes the exact-gather cotangent with a hi+lo
+    split of the grid cotangent (~2^-16 relative).  Kept for reference
+    and ad-hoc exactness checks."""
     H, W = cfg.grid_shape
     e = cfg.grid_half_extent
     rows, lanes = x.shape
@@ -375,6 +377,63 @@ def _grid_partial(cfg, x, y, w, exact_f32=False):
         acc = acc + jax.lax.dot_general(
             A, Bl, contract, preferred_element_type=jnp.float32)
     return acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _grid_partial_g(cfg, x, y, w):
+    """_grid_partial with a HAND-WRITTEN exact-gather backward, for the
+    fused backward chains (jax.vjp at kernel-trace time respects
+    custom_vjp rules).
+
+    The naive route — differentiating an f32 one-hot matmul — needs
+    precision=HIGHEST on the primal (Mosaic's f32 dot default is ONE
+    bf16 pass, which rounds the w-cotangents to ~0.4%), and the
+    transpose inherits the 6-pass cost: measured 533.9 ms for the
+    16M x 6-bounce x 256-square nonseq gradient (vs 116.7 no-grid).
+    But the true cotangent is just a GATHER — d loss/d w[r, l] =
+    ct[iy, ix], zero derivative in x/y (integer bin floors) — so the
+    backward here reads ct through exact one-hot row-selects with the
+    COTANGENT split bf16 hi+lo (~2^-16 relative, the same fidelity the
+    forward binning carries per ray), two bf16-rate matmuls per tile
+    row instead of twelve multi-pass ones.  The primal reuses the
+    cheap hi+lo forward (its VALUE inside the backward chain only
+    feeds the per-bounce grid sums)."""
+    return _grid_partial(cfg, x, y, w)
+
+
+def _grid_partial_g_fwd(cfg, x, y, w):
+    return _grid_partial(cfg, x, y, w), (x, y)
+
+
+def _grid_partial_g_bwd(cfg, res, ct):
+    x, y = res
+    H, W = cfg.grid_shape
+    e = cfg.grid_half_extent
+    rows, lanes = x.shape
+    ix = jnp.clip(((x + e) / (2 * e) * W).astype(jnp.int32), 0, W - 1)
+    iy = jnp.clip(((y + e) / (2 * e) * H).astype(jnp.int32), 0, H - 1)
+    ct_hi = ct.astype(jnp.bfloat16)
+    ct_lo = (ct - ct_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    contract = (((0,), (0,)), ((), ()))    # ct [H,W] x A [H,L] -> [W,L]
+    rsel = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    out = jnp.zeros((rows, lanes), jnp.float32)
+    for r in range(rows):
+        iy_r = iy[r:r + 1, :]
+        ix_r = ix[r:r + 1, :]
+        hio = jax.lax.broadcasted_iota(jnp.int32, (H, lanes), 0)
+        wio = jax.lax.broadcasted_iota(jnp.int32, (W, lanes), 0)
+        A = jnp.where(hio == iy_r, 1.0, 0.0).astype(jnp.bfloat16)
+        P = (jax.lax.dot_general(ct_hi, A, contract,
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(ct_lo, A, contract,
+                                   preferred_element_type=jnp.float32))
+        m = jnp.where(wio == ix_r, 1.0, 0.0)
+        val = jnp.sum(P * m, axis=0, keepdims=True)
+        out = out + jnp.where(rsel == r, val, 0.0)
+    return jnp.zeros_like(x), jnp.zeros_like(y), out
+
+
+_grid_partial_g.defvjp(_grid_partial_g_fwd, _grid_partial_g_bwd)
 
 
 def _grid_corners_mxu(grid, iv, iu):
@@ -1577,8 +1636,7 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
             gs = [jnp.zeros(cfg.grid_shape, jnp.float32)
                   for _ in range(n_slots_)]
             for (x, y, w), slot in zip(caps, slots):
-                gs[slot] = gs[slot] + _grid_partial(cfg, x, y, w,
-                                                    exact_f32=True)
+                gs[slot] = gs[slot] + _grid_partial_g(cfg, x, y, w)
             outs.append(jnp.stack(gs))
         return tuple(outs)
 
@@ -1819,9 +1877,8 @@ def _nonseq_chain_pure(static_meta, cfg, n_bounces, ray_id, rows, mask,
         if capture:
             g_w = intensity * power_in if track_field else intensity
             for s in range(n_slots):
-                gs[s] = gs[s] + _grid_partial(
-                    cfg, hitx, hity, jnp.where(slot_sel == s, g_w, 0.0),
-                    exact_f32=True)
+                gs[s] = gs[s] + _grid_partial_g(
+                    cfg, hitx, hity, jnp.where(slot_sel == s, g_w, 0.0))
         pos, d, intensity = new_pos, new_d, new_ii
         Er, Ei, opl, n_cur = Er2, Ei2, opl2, ncur2
     mom_vec = jnp.stack([partials[s][b][m] for s in range(n_slots)
@@ -2083,9 +2140,9 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
         if not has_grid:
             return new_state, mom_vec
         g_w = ii_ * power_in if track_field else ii_
-        gs = [_grid_partial(cfg, hitx, hity,
-                            jnp.where(slot_sel == s, g_w, 0.0),
-                            exact_f32=True) for s in range(n_slots)]
+        gs = [_grid_partial_g(cfg, hitx, hity,
+                              jnp.where(slot_sel == s, g_w, 0.0))
+              for s in range(n_slots)]
         return new_state, mom_vec, jnp.stack(gs)
 
     # ---- forward: checkpoint each bounce's input state ----
