@@ -671,8 +671,11 @@ def test_curved_stop_imports(key):
     p0 = stop.init_params()
     assert float(p0['c']) == pytest.approx(0.05)
 
-    # geometry: a lone curved stop traced directly — the recorded hit
-    # position lies on the cap z(r) = c r^2 / (1 + sqrt(1 - c^2 r^2))
+    # geometry: a lone curved stop traced directly.  Under ``invert``
+    # the iris plate exists only OUTSIDE the opening (reference
+    # phys/filter.py:24-33 semantics): the in-opening ray flies by with
+    # no recorded hit, the blocked ray's recorded hit position lies on
+    # the cap z(r) = c r^2 / (1 + sqrt(1 - c^2 r^2)).
     sc = type(imp.scene)([CircularAperture(radius=4.0, curvature=0.05,
                                            invert=True, name='iris')])
     p = sc.init_params()
@@ -682,7 +685,9 @@ def test_curved_stop_imports(key):
     out, _, aux = sc.simulate(p, rays, key, record_paths=True)
     inten = np.asarray(out.intensity)
     assert inten[0] == 1.0 and inten[1] == 0.0   # iris blocks outside
-    hit_z = float(np.asarray(aux['paths'])[1, 0, 2])
+    paths = np.asarray(aux['paths'])             # [step, ray, 3]
+    assert paths[1, 0, 2] == -5.0                # passer: no interaction
+    hit_z = float(paths[1, 1, 2])
     c = 0.05
-    sag = c * r_in ** 2 / (1 + np.sqrt(1 - c * c * r_in ** 2))
+    sag = c * r_out ** 2 / (1 + np.sqrt(1 - c * c * r_out ** 2))
     np.testing.assert_allclose(hit_z, sag, atol=1e-6)
