@@ -2089,12 +2089,14 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
     n_state = len(state0)
     assert len(scratch) == n_state
 
-    def bounce_fn(rows_flat, wl_, state, us, with_aux):
+    def bounce_fn(rows_flat, wl_, state, us, with_aux, ret_alive=False):
         """ONE bounce, state -> (state', [mom_contrib, grid_contrib]) —
         exactly one iteration of _nonseq_chain_pure's loop body (same
         core, same moment/grid formulas), so the chained vjp transposes
         the same function the unrolled kernel does.  ``us`` = this
-        bounce's pre-drawn uniforms (constants w.r.t. the vjp)."""
+        bounce's pre-drawn uniforms (constants w.r.t. the vjp).
+        ``ret_alive`` (checkpoint loop only, never under vjp) also
+        returns the forward kernel's early-exit flag."""
         u_iter = iter(us)
         rows_v = [_ValueRow(v) for v in rows_flat]
         pos = state[0:3]
@@ -2122,6 +2124,9 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
         if track_field:
             new_state += tuple(Er2) + tuple(Ei2)
         if not with_aux:
+            if ret_alive:
+                alive = jnp.any(_any & (new_ii > 0)).astype(jnp.int32)
+                return new_state, alive
             return new_state
         cols = []
         for s in range(n_slots):
@@ -2145,15 +2150,30 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
               for s in range(n_slots)]
         return new_state, mom_vec, jnp.stack(gs)
 
-    # ---- forward: checkpoint each bounce's input state ----
-    def fwd_body(b, state):
+    # ---- forward: checkpoint each bounce's input state, with the
+    # forward kernel's per-tile early exit (same alive condition, same
+    # trajectory, same draws -> same exit bounce).  Settled bounces have
+    # an exactly-identity state-vjp and ZERO rows/wavelength/mom/grid
+    # cotangents (no candidate passes ``intensity > 0``; every winner
+    # where-merge keeps the old state), so the reverse loop below can
+    # skip them outright — at a 100-bounce budget on a scene that
+    # settles in ~8, this is the difference between 8 and 100 vjp steps.
+    def fwd_cond(carry):
+        b, alive, _ = carry
+        return (b < n_bounces) & (alive > 0)
+
+    def fwd_body(carry):
+        b, _, state = carry
         sl = (pl.ds(b, 1), slice(None), slice(None))
         for j in range(n_state):
             scratch[j][sl] = state[j][None]
-        return bounce_fn(rows_flat, wavelength, state, bounce_us(b),
-                         with_aux=False)
+        state, alive = bounce_fn(rows_flat, wavelength, state,
+                                 bounce_us(b), with_aux=False,
+                                 ret_alive=True)
+        return b + 1, alive, state
 
-    jax.lax.fori_loop(0, n_bounces, fwd_body, state0)
+    b_fin, _, _ = jax.lax.while_loop(
+        fwd_cond, fwd_body, (jnp.int32(0), jnp.int32(1), state0))
 
     # ---- reverse: one bounce-vjp per step, constant mom/grid cotangent
     n_mom = n_slots * cfg.n_bundles * N_MOMENTS
@@ -2176,7 +2196,7 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
 
     def bwd_body(i, carry):
         ct_state, ct_rows_acc, ct_wl = carry
-        b = n_bounces - 1 - i
+        b = b_fin - 1 - i
         sl = (pl.ds(b, 1), slice(None), slice(None))
         state_b = tuple(scratch[j][sl][0] for j in range(n_state))
         us_b = bounce_us(b)        # replayed OUTSIDE the vjp (constants)
@@ -2190,7 +2210,7 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
         return ct_state, ct_rows_acc + mat, ct_wl + ct_wl_b
 
     ct_state, ct_rows_acc, ct_wl = jax.lax.fori_loop(
-        0, n_bounces, bwd_body, (ct_state, ct_rows0, ct_wl0))
+        0, b_fin, bwd_body, (ct_state, ct_rows0, ct_wl0))
 
     cpx[:], cpy[:], cpz[:] = (jnp.where(mask, c, 0.0)
                               for c in ct_state[0:3])
@@ -2221,8 +2241,14 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
     ``mode='unrolled'`` re-runs the loop UNROLLED and transposes the
     whole chain with jax.vjp at kernel-trace time (the round-3 original;
     Mosaic compile time scales with n_bounces * n_rows — kept for
-    comparison).  The early exit of the forward kernel is a forward-only
-    optimization — both backward forms compute the same function.  Same
+    comparison).  The scan mode's checkpoint loop carries the forward
+    kernel's exact per-tile early exit (same alive condition, same
+    draws -> same exit bounce b_fin) and the reverse loop runs only to
+    b_fin — settled bounces have identity state-vjp and zero
+    row/moment/grid cotangents, so skipping them is exact; backward
+    cost scales with the settled bounce count, not the budget (2.4x
+    at a 24-bounce budget on the 16M validation scene, BASELINE.md).
+    The unrolled mode still visits every budgeted bounce.  Same
     contract shape as trace_sequential_pallas_v2_bwd."""
     n = rays.px.shape[0]
     rows_total = max(1, -(-n // LANE))
@@ -2548,8 +2574,10 @@ fused_trace_grad.defvjp(_fused_fwd, _fused_bwd)
 # loop and transposes it with jax.vjp at kernel-trace time
 # (trace_nonseq_pallas_bwd; default mode='scan': per-bounce VMEM
 # checkpoints + a reverse loop over ONE bounce's vjp, O(1) compile time
-# in the budget — the early exit is a forward-only optimization, the
-# re-run chain computes the same function).  Interpret mode (where the
+# in the budget; the checkpoint loop replays the forward's per-tile
+# early exit and the reverse loop skips the settled tail — the re-run
+# chain computes the same function and costs the settled bounce count,
+# not the budget).  Interpret mode (where the
 # transposed chain is pathologically slow under the interpreter) and
 # recording runs re-run the XLA bounce loop (trace_nonsequential) under
 # jax.vjp instead: both paths compute the same function, so the
