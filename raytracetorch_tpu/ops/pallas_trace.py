@@ -828,7 +828,8 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
 def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
                         pos, d, intensity, Er, Ei, opl, n_cur,
                         track_field, track_opl, draw_u=None,
-                        fuzzy_fns=None, record=False):
+                        fuzzy_fns=None, record=False, grids=None,
+                        guard_pg=False):
     """One bounce of the incremental nearest-hit winner merge — the
     SINGLE implementation behind the forward kernel's while_loop body
     (``rows`` = _SmemRow list, ``draw_u`` = in-kernel PRNG draw) and the
@@ -840,7 +841,16 @@ def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
     plus the winner info the callers accumulate sensors/grids from:
     ``(pos, d, intensity, Er, Ei, opl, n_cur, slot_sel, hitx, hity,
     power_in, anyhit, hitz)`` — hitz is None unless ``record`` (the
-    per-bounce hit recorder needs the full sensor-local vector)."""
+    per-bounce hit recorder needs the full sensor-local vector).
+
+    ``grids`` = the PHASE_GRID side channel ({row: VMEM-resident [H, W]
+    phase map}, read via the one-hot MXU corner stencil exactly like
+    the sequential kernel).  ``guard_pg`` wraps each plate's physics in
+    a lax.cond on "any candidate hits this plate this bounce" — the
+    corner reads cost 2*block_rows matmuls per plate, and in a bounce
+    LOOP most bounces don't touch the plate; only set it OUTSIDE
+    jax.vjp (the forward kernel and the backward's checkpoint loop) —
+    the vjp'd bwd chain keeps the unconditional form."""
     from ..constants import BIG
 
     shape = pos[0].shape
@@ -873,9 +883,22 @@ def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
             u2 = draw_u(shape)
         else:
             u = jnp.zeros_like(intensity)
-        dir_k, imod_k = apply_physics_one(meta, row, res['hit_s'], d,
-                                          n_w, u, wavelength=wavelength,
-                                          field=field, u2=u2)
+        g_k = (grids or {}).get(k)
+
+        def _phys(_):
+            return apply_physics_one(meta, row, res['hit_s'], d,
+                                     n_w, u, wavelength=wavelength,
+                                     field=field, u2=u2, grid=g_k,
+                                     grid_corners=_grid_corners_mxu)
+
+        if g_k is not None and guard_pg:
+            # lanes where better=False never consume dir_k/imod_k, so a
+            # TRANSMIT fallthrough is exact when no candidate hits
+            dir_k, imod_k = jax.lax.cond(
+                jnp.any(cand), _phys,
+                lambda _: (d, jnp.ones_like(intensity)), 0)
+        else:
+            dir_k, imod_k = _phys(0)
         if fuzzy_fns and k in fuzzy_fns:
             imod_k = imod_k * fuzzy_fns[k](res['hit_s'][0],
                                            res['hit_s'][1],
@@ -938,12 +961,16 @@ def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
 
 def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
                    track_opl, fuzzy_fns, record_paths, record_hits,
-                   tab, seed, *refs):
+                   pg_rows, tab, seed, *refs):
     has_grid = bool(cfg.grid_shape)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     base = 9
     f0_refs = refs[base:base + (6 if track_field else 0)]
     base += len(f0_refs)
+    # PHASE_GRID side channel: one VMEM-resident [H, W] block per plate
+    # (constant index map — fetched once, shared by every grid step)
+    pg_grids = {k: refs[base + j][...] for j, k in enumerate(pg_rows)}
+    base += len(pg_rows)
     (opx, opy, opz, odx, ody, odz, oii, mom) = refs[base:base + 8]
     base += 8
     grid_ref = None
@@ -1023,7 +1050,7 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
             static_meta, cfg, rows_k, mask, ray_id, wavelength,
             pos, d, intensity, Er, Ei, opl, n_cur,
             track_field, track_opl, draw_u=draw_u, fuzzy_fns=fuzzy_fns,
-            record=record_hits)
+            record=record_hits, grids=pg_grids, guard_pg=True)
 
         # per-bounce record streams: dynamic store at bounce index b
         # (leading/untiled dim — Mosaic lowers pl.ds on it)
@@ -1149,7 +1176,7 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
                         static_meta=None, interpret=False, block_rows=16,
                         track_field=False, E0=None, track_opl=False,
                         fuzzy_fns=None, record_paths=False,
-                        record_hits=False):
+                        record_hits=False, grids=None):
     """Fused forward non-sequential trace (see section notes above).
     Contract of ``core.trace.trace_nonsequential``: HALFSPACES volumes,
     in-kernel irradiance grids (one-hot MXU binning per bounce), — on
@@ -1158,14 +1185,32 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
     [B, rows, LANE] output blocks written at the traced bounce index;
     early-exited bounces are back-filled with the settled state exactly
     like the XLA driver's dead branch) and per-tile early exit.
-    Returns ``(rays, sensors, aux)``."""
+    Pixelated phase plates run via ``grids`` ({row: [H, W]} side
+    channel, Scene.side_grids): each map rides VMEM-resident with a
+    constant index map and is read through the one-hot MXU corner
+    stencil, cond-guarded per bounce (bounces where no ray can hit the
+    plate skip the 2*block_rows matmuls).  Returns ``(rays, sensors,
+    aux)``."""
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
-    assert all(m.ph not in (12, 15) for m in static_meta), \
-        "GRIN rods / pixelated phase plates do not run in the fused " \
-        "non-sequential kernel (a per-tile RK4 scan / per-row VMEM " \
-        "phase maps inside the bounce while_loop): use Scene.simulate " \
-        "— the XLA bounce loop traces both"
+    assert all(m.ph != 12 for m in static_meta), \
+        "GRIN rods (a per-tile RK4 scan inside the bounce while_loop) " \
+        "do not run in the fused non-sequential kernel: use " \
+        "Scene.simulate — the XLA bounce loop traces them"
+    grids = dict(grids or {})
+    pg_rows = tuple(k for k, m in enumerate(static_meta) if m.ph == 15)
+    assert set(grids) == set(pg_rows), \
+        "grids keys must be exactly the PHASE_GRID row indices " \
+        f"(got {sorted(grids)} vs phase-grid rows {sorted(pg_rows)}): " \
+        "Scene.simulate_fused passes Scene.side_grids(params)."
+    for k_g in pg_rows:
+        h_g, w_g = jnp.shape(grids[k_g])
+        assert h_g * w_g <= 256 * 256, (
+            f"phase-grid map at row {k_g} is {h_g}x{w_g}: the fused "
+            "kernel holds each [H, W] map VMEM-resident and pays "
+            "2*block_rows one-hot matmuls per plate per grid step — "
+            "maps above 256x256 blow the VMEM/compile budget.  Use "
+            "simulate() (XLA gather) for large maps.")
     fuzzy_fns = dict(fuzzy_fns or {})
     for k_f, fn in fuzzy_fns.items():
         assert getattr(fn, 'components', False), (
@@ -1197,6 +1242,9 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
         f0 = FieldState.init(rays, E0)
         ins += [pad2(f0.erx), pad2(f0.ery), pad2(f0.erz),
                 pad2(f0.eix), pad2(f0.eiy), pad2(f0.eiz)]
+    n_ray_ins = len(ins)
+    pg_ins = [jnp.asarray(grids[k], jnp.float32) for k in pg_rows]
+    ins += pg_ins
 
     ray_block = jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
     out_shapes = ([ray_block] * 7
@@ -1222,7 +1270,7 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
 
     kern = functools.partial(_kernel_nonseq, static_meta, cfg, n, n_bounces,
                              track_field, track_opl, fuzzy_fns,
-                             record_paths, record_hits)
+                             record_paths, record_hits, pg_rows)
     flat_tab = flatten_table_rows(table)
     # PRNG seed for in-kernel Fresnel draws (tile id decorrelates tiles)
     seed = jax.random.key_data(key).reshape(-1)[:2].astype(jnp.int32)
@@ -1230,6 +1278,9 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
     if _HAS_PLTPU and not interpret:
         block = pl.BlockSpec((block_rows, LANE),
                              lambda i, tab, seed: (i, 0))
+        in_specs = ([block] * n_ray_ins
+                    + [pl.BlockSpec(g.shape, lambda i, tab, seed: (0, 0))
+                       for g in pg_ins])
         out_specs = ([block] * 7
                      + [pl.BlockSpec((1, 8, 128),
                                      lambda i, tab, seed: (i, 0, 0))])
@@ -1248,7 +1299,7 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
             out_specs += [bblock] * 5
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(grid,),
-            in_specs=[block] * len(ins), out_specs=out_specs)
+            in_specs=in_specs, out_specs=out_specs)
         outs = pl.pallas_call(
             kern, grid_spec=grid_spec, out_shape=out_shapes,
             compiler_params=pltpu.CompilerParams(
@@ -1275,7 +1326,8 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
             kern, grid=(grid,),
             in_specs=[pl.BlockSpec(flat_tab.shape, lambda i: (0, 0)),
                       pl.BlockSpec(seed.shape, lambda i: (0,))]
-            + [block] * len(ins),
+            + [block] * n_ray_ins
+            + [pl.BlockSpec(g.shape, lambda i: (0, 0)) for g in pg_ins],
             out_specs=out_specs, out_shape=out_shapes,
             interpret=True,
         )(flat_tab, seed, *ins)
@@ -1889,7 +1941,9 @@ def _nonseq_chain_pure(static_meta, cfg, n_bounces, ray_id, rows, mask,
 
 def _kernel_nonseq_bwd(static_meta, cfg, n_valid, k_pad, n_bounces,
                        track_opl, track_field, has_grid, fuzzy_fns,
-                       tab, ctm, seed, *refs):
+                       pg_rows, tab, ctm, seed, *refs):
+    assert not pg_rows, \
+        "PHASE_GRID backward needs mode='scan' (per-bounce pg vjp)"
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     base = 9
     f0_refs = refs[base:base + (6 if track_field else 0)]
@@ -1996,7 +2050,7 @@ def _kernel_nonseq_bwd(static_meta, cfg, n_valid, k_pad, n_bounces,
 
 def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
                             track_opl, track_field, has_grid, fuzzy_fns,
-                            tab, ctm, seed, *refs):
+                            pg_rows, tab, ctm, seed, *refs):
     """Checkpointed (scan-style) non-sequential backward: the forward
     bounce loop runs as a fori_loop checkpointing each bounce's INPUT
     state into VMEM scratch, then a reverse fori_loop applies the vjp of
@@ -2030,12 +2084,18 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
     if has_grid:
         g_grid_ref = refs[base]
         base += 1
+    # PHASE_GRID primal maps (constant index map, VMEM-resident)
+    pg_vals = tuple(refs[base + j][...] for j in range(len(pg_rows)))
+    base += len(pg_rows)
     (cpx, cpy, cpz, cdx, cdy, cdz, cii, cwl) = refs[base:base + 8]
     base += 8
     cf_refs = refs[base:base + (6 if track_field else 0)]
     base += len(cf_refs)
     ctab = refs[base]
-    scratch = refs[base + 1:]          # n_state VMEM checkpoint buffers
+    base += 1
+    ct_pg_refs = refs[base:base + len(pg_rows)]
+    base += len(pg_rows)
+    scratch = refs[base:]              # n_state VMEM checkpoint buffers
 
     shape = px[:].shape
     rows, lanes = shape
@@ -2089,14 +2149,19 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
     n_state = len(state0)
     assert len(scratch) == n_state
 
-    def bounce_fn(rows_flat, wl_, state, us, with_aux, ret_alive=False):
+    def bounce_fn(rows_flat, wl_, state, us, with_aux, ret_alive=False,
+                  pg=()):
         """ONE bounce, state -> (state', [mom_contrib, grid_contrib]) —
         exactly one iteration of _nonseq_chain_pure's loop body (same
         core, same moment/grid formulas), so the chained vjp transposes
         the same function the unrolled kernel does.  ``us`` = this
         bounce's pre-drawn uniforms (constants w.r.t. the vjp).
         ``ret_alive`` (checkpoint loop only, never under vjp) also
-        returns the forward kernel's early-exit flag."""
+        returns the forward kernel's early-exit flag and enables the
+        per-plate cond guard on the PHASE_GRID corner reads (exact —
+        the guard only skips work no lane consumes).  ``pg`` = the
+        phase maps (a vjp diff-arg: its cotangent is the transposed
+        one-hot corner read, per-pixel 'deep optics' grads)."""
         u_iter = iter(us)
         rows_v = [_ValueRow(v) for v in rows_flat]
         pos = state[0:3]
@@ -2117,7 +2182,9 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
             pos, d, ii_, Er, Ei, opl, n_cur,
             track_field, track_opl,
             draw_u=((lambda s_: next(u_iter)) if has_fresnel else None),
-            fuzzy_fns=fuzzy_fns)
+            fuzzy_fns=fuzzy_fns,
+            grids={k: pg[j] for j, k in enumerate(pg_rows)},
+            guard_pg=ret_alive)
         new_state = tuple(new_pos) + tuple(new_d) + (new_ii,)
         if track_opl:
             new_state += (opl2, ncur2)
@@ -2169,7 +2236,7 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
             scratch[j][sl] = state[j][None]
         state, alive = bounce_fn(rows_flat, wavelength, state,
                                  bounce_us(b), with_aux=False,
-                                 ret_alive=True)
+                                 ret_alive=True, pg=pg_vals)
         return b + 1, alive, state
 
     b_fin, _, _ = jax.lax.while_loop(
@@ -2193,24 +2260,35 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
 
     ct_rows0 = jnp.zeros((K, 2, 128), jnp.float32)
     ct_wl0 = jnp.zeros(shape, jnp.float32)
+    ct_pg0 = tuple(jnp.zeros_like(p) for p in pg_vals)
 
     def bwd_body(i, carry):
-        ct_state, ct_rows_acc, ct_wl = carry
+        ct_state, ct_rows_acc, ct_wl, ct_pg_acc = carry
         b = b_fin - 1 - i
         sl = (pl.ds(b, 1), slice(None), slice(None))
         state_b = tuple(scratch[j][sl][0] for j in range(n_state))
         us_b = bounce_us(b)        # replayed OUTSIDE the vjp (constants)
         _, vjp = jax.vjp(
-            lambda rf, w_, s_: bounce_fn(rf, w_, s_, us_b, with_aux=True),
-            rows_flat, wavelength, state_b)
+            lambda rf, w_, s_, pg_: bounce_fn(rf, w_, s_, us_b,
+                                              with_aux=True, pg=pg_),
+            rows_flat, wavelength, state_b, pg_vals)
         ct_in = (ct_state, ct_mom) + ((ct_grid,) if has_grid else ())
-        ct_rows_b, ct_wl_b, ct_state = vjp(
+        ct_rows_b, ct_wl_b, ct_state, ct_pg_b = vjp(
             ct_in if has_grid else ct_in[:2])
         mat = _pack_ct_rows(ct_rows_b, K)
-        return ct_state, ct_rows_acc + mat, ct_wl + ct_wl_b
+        return (ct_state, ct_rows_acc + mat, ct_wl + ct_wl_b,
+                tuple(a + c for a, c in zip(ct_pg_acc, ct_pg_b)))
 
-    ct_state, ct_rows_acc, ct_wl = jax.lax.fori_loop(
-        0, b_fin, bwd_body, (ct_state, ct_rows0, ct_wl0))
+    ct_state, ct_rows_acc, ct_wl, ct_pg = jax.lax.fori_loop(
+        0, b_fin, bwd_body, (ct_state, ct_rows0, ct_wl0, ct_pg0))
+
+    # phase-map cotangents: constant-index-map output blocks — zero-init
+    # at step 0, accumulate each tile's contribution (seq bwd pattern)
+    for j, ref in enumerate(ct_pg_refs):
+        @pl.when(pl.program_id(0) == 0)
+        def _init_pg(ref=ref):
+            ref[...] = jnp.zeros_like(ref)
+        ref[...] = ref[...] + ct_pg[j]
 
     cpx[:], cpy[:], cpz[:] = (jnp.where(mask, c, 0.0)
                               for c in ct_state[0:3])
@@ -2233,7 +2311,7 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
                             n_bounces, g_rays, g_moments, interpret=False,
                             block_rows=16, g_opl=None, g_nfinal=None,
                             f0=None, g_field=None, g_grid=None,
-                            fuzzy_fns=None, mode='scan'):
+                            fuzzy_fns=None, mode='scan', grids=None):
     """Fused backward of trace_nonseq_pallas for DETERMINISTIC scenes.
     ``mode='scan'`` (default) checkpoints each bounce's input state in
     VMEM scratch and reverse-scans the vjp of ONE bounce — compile time
@@ -2285,11 +2363,17 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
         gh, gw = cfg.grid_shape
         ins.append(jnp.asarray(g_grid, jnp.float32).reshape(n_slots,
                                                             gh, gw))
+    grids = dict(grids or {})
+    pg_rows = tuple(k for k, m in enumerate(static_meta) if m.ph == 15)
+    pg_ins = [jnp.asarray(grids[k], jnp.float32) for k in pg_rows]
+    ins += pg_ins
 
     ray_block = jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
     n_cf = 6 if track_field else 0
     out_shapes = ([ray_block] * (8 + n_cf)
-                  + [jax.ShapeDtypeStruct((grid, k_pad, 2, 128), jnp.float32)])
+                  + [jax.ShapeDtypeStruct((grid, k_pad, 2, 128), jnp.float32)]
+                  + [jax.ShapeDtypeStruct(g_.shape, jnp.float32)
+                     for g_ in pg_ins])
 
     kern_fn = (_kernel_nonseq_bwd_scan if mode == 'scan'
                else _kernel_nonseq_bwd)
@@ -2298,15 +2382,17 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
             "stochastic (Fresnel/scatter) backward needs mode='scan' " \
             "(per-bounce PRNG replay); the unrolled chain has no " \
             "bounce-indexed reseed points"
+        assert not pg_rows, \
+            "PHASE_GRID backward needs mode='scan' (per-bounce pg vjp)"
     kern = functools.partial(kern_fn, static_meta, cfg, n,
                              k_pad, n_bounces, track_opl, track_field,
-                             has_grid, dict(fuzzy_fns or {}))
+                             has_grid, dict(fuzzy_fns or {}), pg_rows)
     flat_tab = flatten_table_rows(table)
     ct_mom_flat = jnp.asarray(g_moments, jnp.float32).reshape(-1)
     # same key -> seed derivation as trace_nonseq_pallas: the scan
     # backward replays the forward's per-(tile, bounce) PRNG streams
     seed = jax.random.key_data(key).reshape(-1)[:2].astype(jnp.int32)
-    n_ray_ins = len(ins) - (1 if has_grid else 0)
+    n_ray_ins = len(ins) - (1 if has_grid else 0) - len(pg_ins)
     scratch_shapes = []
     if mode == 'scan':
         n_state = 7 + (2 if track_opl else 0) + (6 if track_field else 0)
@@ -2320,9 +2406,14 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
         if has_grid:
             in_specs.append(pl.BlockSpec((n_slots, gh, gw),
                                          lambda i, tab, ctm, sd: (0, 0, 0)))
+        in_specs += [pl.BlockSpec(g_.shape, lambda i, tab, ctm, sd: (0, 0))
+                     for g_ in pg_ins]
         out_specs = ([block] * (8 + n_cf)
                      + [pl.BlockSpec((1, k_pad, 2, 128),
-                                     lambda i, tab, ctm, sd: (i, 0, 0, 0))])
+                                     lambda i, tab, ctm, sd: (i, 0, 0, 0))]
+                     + [pl.BlockSpec(g_.shape,
+                                     lambda i, tab, ctm, sd: (0, 0))
+                        for g_ in pg_ins])
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3, grid=(grid,),
             in_specs=in_specs, out_specs=out_specs,
@@ -2341,8 +2432,12 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
         if has_grid:
             in_specs.append(pl.BlockSpec((n_slots, gh, gw),
                                          lambda i: (0, 0, 0)))
+        in_specs += [pl.BlockSpec(g_.shape, lambda i: (0, 0))
+                     for g_ in pg_ins]
         out_specs = ([block] * (8 + n_cf)
-                     + [pl.BlockSpec((1, k_pad, 2, 128), lambda i: (i, 0, 0, 0))])
+                     + [pl.BlockSpec((1, k_pad, 2, 128), lambda i: (i, 0, 0, 0))]
+                     + [pl.BlockSpec(g_.shape, lambda i: (0, 0))
+                        for g_ in pg_ins])
         outs = pl.pallas_call(
             kern, grid=(grid,),
             in_specs=in_specs,
@@ -2363,6 +2458,9 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
               intensity=cii, wavelength=cwl)
     if track_field:
         ct['f0'] = [unpad(outs[8 + j]) for j in range(6)]
+    if pg_rows:
+        base = 9 + n_cf
+        ct['grids'] = {k: outs[base + j] for j, k in enumerate(pg_rows)}
     return ct_table, ct
 
 
@@ -2603,12 +2701,16 @@ def _nonseq_opts(opts):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def fused_nonseq_grad(cfg, static_meta, opts, table, rays, key, E0=None):
+def fused_nonseq_grad(cfg, static_meta, opts, table, rays, key, E0=None,
+                      grids=None):
     """`trace_nonseq_pallas` with gradient support: the fused
     checkpointed-scan backward kernel for ANY deterministic budget;
     interpret-mode and recording runs take the XLA-recompute path (the
     per-bounce record streams' cotangents then propagate exactly).
-    ``opts`` is the static tuple ``_nonseq_opts`` parses."""
+    Differentiable w.r.t. ``grids`` (the {row: [H, W]} PHASE_GRID side
+    channel) too — its cotangent is the transposed one-hot corner read
+    accumulated per bounce in the scan backward.  ``opts`` is the
+    static tuple ``_nonseq_opts`` parses."""
     (interpret, block_rows, n_bounces, track_field, track_opl,
      fuzzy, record_paths, record_hits) = _nonseq_opts(opts)
     return trace_nonseq_pallas(table, rays, key, n_bounces, cfg,
@@ -2617,17 +2719,19 @@ def fused_nonseq_grad(cfg, static_meta, opts, table, rays, key, E0=None):
                                track_field=track_field, E0=E0,
                                track_opl=track_opl, fuzzy_fns=fuzzy,
                                record_paths=record_paths,
-                               record_hits=record_hits)
+                               record_hits=record_hits, grids=grids)
 
 
-def _fused_nonseq_fwd(cfg, static_meta, opts, table, rays, key, E0=None):
-    out = fused_nonseq_grad(cfg, static_meta, opts, table, rays, key, E0)
+def _fused_nonseq_fwd(cfg, static_meta, opts, table, rays, key, E0=None,
+                      grids=None):
+    out = fused_nonseq_grad(cfg, static_meta, opts, table, rays, key, E0,
+                            grids)
     f_out = out[2].get('field') if opts[3] else None
-    return out, (table, rays, key, E0, f_out)
+    return out, (table, rays, key, E0, f_out, grids)
 
 
 def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
-    table, rays, key, E0, f_out = res
+    table, rays, key, E0, f_out, grids = res
     g_rays, g_sens, g_aux = g
     (interpret, block_rows, n_bounces, track_field, track_opl,
      fuzzy, record_paths, record_hits) = _nonseq_opts(opts)
@@ -2645,22 +2749,31 @@ def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
     if interpret or record_paths or record_hits:
         from ..core.trace import trace_nonsequential
 
-        def xla_run(table, rays, E0_):
+        def xla_run(table, rays, E0_, grids_):
             return trace_nonsequential(
                 table, rays, key, n_bounces, cfg,
                 static_meta=list(static_meta),
                 track_field=track_field, E0=E0_, track_opl=track_opl,
                 fuzzy_fns=fuzzy, record_paths=record_paths,
-                record_hits=record_hits)
+                record_hits=record_hits, grids=grids_)
 
-        if E0 is None:
-            _, vjp = jax.vjp(lambda t, r: xla_run(t, r, None), table, rays)
-            g_table, g_rays_in = vjp(g)
-            g_E0 = None
-        else:
-            _, vjp = jax.vjp(xla_run, table, rays, E0)
-            g_table, g_rays_in, g_E0 = vjp(g)
-        return g_table, g_rays_in, _zero_key_cotangent(key), g_E0
+        # None-valued diff args can't enter jax.vjp — close over them
+        diff_args, slots = [table, rays], []
+        for name, val in (('E0', E0), ('grids', grids)):
+            if val is not None:
+                slots.append(name)
+                diff_args.append(val)
+
+        def run(t, r, *rest):
+            m = dict(zip(slots, rest))
+            return xla_run(t, r, m.get('E0'), m.get('grids'))
+
+        _, vjp = jax.vjp(run, *diff_args)
+        cts = vjp(g)
+        g_table, g_rays_in = cts[0], cts[1]
+        m = dict(zip(slots, cts[2:]))
+        return (g_table, g_rays_in, _zero_key_cotangent(key),
+                m.get('E0'), m.get('grids'))
 
     # fused unrolled-bounce reverse kernel (mirrors _fused_bwd's stream
     # assembly: field-power cotangent folds as d|E|^2/dE = 2 E_out, the
@@ -2685,7 +2798,9 @@ def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
         g_opl=g_aux['opl'] if track_opl else None,
         g_nfinal=g_aux['n_final'] if track_opl else None,
         f0=f0, g_field=g_field, fuzzy_fns=fuzzy,
-        g_grid=jnp.asarray(g_sens.grid, jnp.float32) if has_grid else None)
+        g_grid=jnp.asarray(g_sens.grid, jnp.float32) if has_grid else None,
+        grids=grids)
+    g_grids = ct.pop('grids', None)
 
     if track_field:
         from ..core.field import FieldState
@@ -2708,14 +2823,15 @@ def _fused_nonseq_bwd(cfg, static_meta, opts, res, g):
             intensity=ct['intensity'] + g_rays_init.intensity,
             wavelength=(ct['wavelength'] + jnp.asarray(g_rays.wavelength)
                         + g_rays_init.wavelength))
-        return g_table, g_rays_in, _zero_key_cotangent(key), g_E0
+        return (g_table, g_rays_in, _zero_key_cotangent(key), g_E0,
+                g_grids)
 
     g_rays_in = g_rays.replace(
         px=ct['px'], py=ct['py'], pz=ct['pz'],
         dx=ct['dx'], dy=ct['dy'], dz=ct['dz'],
         intensity=ct['intensity'],
         wavelength=ct['wavelength'] + jnp.asarray(g_rays.wavelength))
-    return g_table, g_rays_in, _zero_key_cotangent(key), None
+    return g_table, g_rays_in, _zero_key_cotangent(key), None, g_grids
 
 
 fused_nonseq_grad.defvjp(_fused_nonseq_fwd, _fused_nonseq_bwd)

@@ -218,11 +218,15 @@ class Scene:
         [N,3]-style callables assert with a pointer back to
         ``simulate``) and per-bounce recording
         (``record_paths``/``record_hits``, same aux format as
-        ``simulate``) are supported.  ``jax.grad`` works for
-        deterministic scenes (fused unrolled-bounce backward for small
-        budgets; XLA-recompute otherwise and for recording runs);
-        stochastic-Fresnel gradients raise (the in-kernel PRNG stream
-        differs from the XLA driver's)."""
+        ``simulate``) are supported, as are pixelated phase plates
+        (``PhaseGridPlate`` — the traced [H, W] maps from
+        ``side_grids(params)`` ride VMEM-resident with one-hot MXU
+        corner reads, cond-guarded per bounce, maps <= 256², with
+        differentiable per-pixel gradients).  ``jax.grad`` works via
+        the fused checkpointed-scan backward (XLA-recompute for
+        interpret/recording runs); stochastic Fresnel/scatter
+        gradients work on real TPU via per-(tile, bounce) PRNG
+        replay."""
         import jax as _jax
 
         from ..ops.pallas_trace import fused_nonseq_grad
@@ -231,11 +235,12 @@ class Scene:
         table = self.build_table(params)
         cfg = self.sensor_config(n_bundles)
         fuzzy = tuple(sorted(self.fuzzy_fns().items()))
+        grids = self.side_grids(params) or None
         return fused_nonseq_grad(cfg, tuple(self.static_meta()),
                                  (interpret, block_rows, self.n_bounces,
                                   track_field, track_opl, fuzzy,
                                   record_paths, record_hits),
-                                 table, rays, key, E0)
+                                 table, rays, key, E0, grids)
 
     def simulate_fused_sharded(self, params, rays, key, mesh,
                                n_bundles=None, interpret=None,
@@ -264,23 +269,26 @@ class Scene:
         opts = (interpret, block_rows, self.n_bounces, track_field,
                 track_opl, fuzzy)
         axes = mesh_ray_axes(mesh)
+        grids = self.side_grids(params) or None
+        has_e0, has_grids = E0 is not None, grids is not None
 
-        def local(table, rays_shard, key, *e0):
+        def local(table, rays_shard, key, *extra):
+            e0_ = extra[0] if has_e0 else None
+            grids_ = extra[-1] if has_grids else None
             k_local = jax.random.fold_in(key, shard_index(mesh, axes))
             out, sens, aux = fused_nonseq_grad(
-                cfg, meta_t, opts, table, rays_shard, k_local,
-                e0[0] if e0 else None)
+                cfg, meta_t, opts, table, rays_shard, k_local, e0_,
+                grids_)
             sens = sens.replace(
                 moments=_jax.lax.psum(sens.moments, axes),
                 grid=(_jax.lax.psum(sens.grid, axes)
                       if cfg.grid_shape else sens.grid))
             return out, sens, aux
 
-        f, _ = shard_map_trace(local, mesh,
-                               n_extra=0 if E0 is None else 1, aux=True)
-        args = (table, rays, key) + (() if E0 is None
-                                     else (jnp.asarray(E0),))
-        return f(*args)
+        extras = (() if E0 is None else (jnp.asarray(E0),)) \
+            + ((grids,) if has_grids else ())
+        f, _ = shard_map_trace(local, mesh, n_extra=len(extras), aux=True)
+        return f(table, rays, key, *extras)
 
     # -- conversions (reference scene/base.py:261-289, sequential.py:80-105)
 

@@ -188,6 +188,135 @@ def test_fused_kernel_phase_grid_parity(key):
                                atol=1e-3)
 
 
+def _nonseq_pg_scene(with_grid=False):
+    n = 16
+    xs = np.linspace(-HX, HX, n)
+    X, Y = np.meshgrid(xs, xs, indexing='xy')
+    sc = Scene([
+        PhaseGridPlate(half_x=HX, half_y=HX, shape=(n, n), name='pp'),
+        SensorElement(radius=20.0, translation=[0, 0, 50.0], name='s')],
+        n_bounces=3)
+    if with_grid:
+        sc.grid_shape = (8, 8)
+        sc.grid_half_extent = 8.0
+    p = sc.init_params()
+    p['pp']['grid'] = jnp.asarray(3.0 * X + 0.15 * Y * Y, jnp.float32)
+    return sc, p
+
+
+def test_nonseq_fused_phase_grid_parity(key):
+    """The non-sequential fused kernel traces pixelated phase plates:
+    the [H, W] maps ride VMEM-resident through the bounce loop
+    (cond-guarded one-hot corner reads) — per-ray streams match the XLA
+    bounce loop bitwise, moments/grids to f32 sum-order noise."""
+    sc, p = _nonseq_pg_scene(with_grid=True)
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, -3.0],
+                               wavelength=LAM0).sample(key, 2048)
+    o1, s1, a1 = sc.simulate(p, rays, key, track_opl=True)
+    o2, s2, a2 = sc.simulate_fused(p, rays, key, track_opl=True,
+                                   block_rows=4)
+    np.testing.assert_allclose(np.asarray(o1.dx), np.asarray(o2.dx),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(o1.px), np.asarray(o2.px),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1['opl']), np.asarray(a2['opl']),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.moments),
+                               np.asarray(s2.moments), rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s1.grid), np.asarray(s2.grid),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_nonseq_fused_phase_grid_grad(key):
+    """jax.grad through Scene.simulate_fused with a phase plate matches
+    the XLA driver's per-pixel gradients (interpret mode routes through
+    the XLA-recompute custom_vjp; the fused scan-backward kernel path is
+    covered below and on real TPU)."""
+    sc, p = _nonseq_pg_scene()
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, -3.0],
+                               wavelength=LAM0).sample(key, 2048)
+
+    def mk(sim):
+        def loss(q):
+            _, sens, _ = sim(q)
+            m = sens.moments[0, 0]
+            return m[1] / jnp.maximum(m[0], 1e-9) + 1e-3 * m[3]
+        return loss
+
+    g_x = jax.grad(mk(lambda q: sc.simulate(q, rays, key)))(p)
+    g_f = jax.grad(mk(lambda q: sc.simulate_fused(q, rays, key,
+                                                  block_rows=4)))(p)
+    gx, gf = g_x['pp']['grid'], g_f['pp']['grid']
+    assert float(jnp.abs(gx).max()) > 0
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=1e-7)
+
+
+def test_nonseq_fused_phase_grid_scan_bwd(key):
+    """The checkpointed-scan backward kernel carries the phase maps as
+    vjp diff-args: its per-bounce-accumulated map cotangent (plus table
+    and ray cotangents) matches jax.grad through the XLA bounce loop —
+    a moments + spot + irradiance-grid-weighted loss."""
+    import jax.tree_util as jtu
+
+    from raytracetorch_tpu.core.sensor import SensorState
+    from raytracetorch_tpu.core.trace import trace_nonsequential
+    from raytracetorch_tpu.ops.pallas_trace import trace_nonseq_pallas_bwd
+
+    sc, p = _nonseq_pg_scene(with_grid=True)
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, -3.0],
+                               wavelength=LAM0).sample(key, 1024)
+    cfg = sc.sensor_config()
+    meta = sc.static_meta()
+    table = sc.build_table(p)
+    grids = sc.side_grids(p)
+    comps = ('px', 'py', 'pz', 'dx', 'dy', 'dz', 'intensity')
+    W = np.asarray(jax.random.normal(jax.random.fold_in(key, 3),
+                                     (1, 8, 8)), np.float32)
+
+    def xla_loss(table, grids, *ray_comps):
+        r = rays.replace(**dict(zip(comps, ray_comps)))
+        _, sens, _ = trace_nonsequential(table, r, key, 3, cfg,
+                                         static_meta=meta, grids=grids)
+        return (sens.total_weight(0)[0] + sens.spot_rms(0)[0]
+                + jnp.sum(sens.grid * W) * 1e-2)
+
+    grads = jax.grad(xla_loss, argnums=tuple(range(9)), allow_int=True)(
+        table, grids, *(getattr(rays, c) for c in comps))
+    gt_ref, gg_ref, gr_ref = grads[0], grads[1], grads[2:]
+
+    _, sens_x, _ = trace_nonsequential(table, rays, key, 3, cfg,
+                                       static_meta=meta, grids=grids)
+
+    def head(moments, grid):
+        sens = SensorState(moments=moments, grid=grid)
+        return (sens.total_weight(0)[0] + sens.spot_rms(0)[0]
+                + jnp.sum(grid * W) * 1e-2)
+
+    _, head_vjp = jax.vjp(head, sens_x.moments, sens_x.grid)
+    g_mom, g_grid = head_vjp(jnp.float32(1.0))
+    g_rays = rays.replace(**{c: jnp.zeros_like(getattr(rays, c))
+                             for c in comps})
+
+    gt_f, ct = trace_nonseq_pallas_bwd(
+        table, rays, key, cfg, meta, 3, g_rays, g_mom,
+        interpret=True, block_rows=4, g_grid=g_grid, grids=grids,
+        mode='scan')
+
+    for a, b in zip(jtu.tree_leaves(gt_f), jtu.tree_leaves(gt_ref)):
+        if not np.issubdtype(np.asarray(b).dtype, np.inexact):
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ct['grids'][0]),
+                               np.asarray(gg_ref[0]), atol=1e-7)
+    for c, ref in zip(comps, gr_ref):
+        np.testing.assert_allclose(np.asarray(ct[c]), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_fused_kernel_phase_grid_gradients(key):
     """jax.grad through the fused kernel routes per-pixel cotangents back
     into the map via the transposed one-hot corner matmuls — matching

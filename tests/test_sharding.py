@@ -219,3 +219,35 @@ def test_sharded_fused_aux_streams(key):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(auxn_sh['opl']),
                                np.asarray(auxn_ref['opl']), rtol=1e-6)
+
+
+def test_sharded_nonseq_fused_phase_grid(key):
+    """Scene.simulate_fused_sharded passes the phase-grid side channel
+    through shard_map (replicated extra, like the sequential variant) —
+    the bounce-loop kernel's per-ray streams match the unsharded XLA
+    trace.  (Gradients through the sharded nonseq path are a real-TPU
+    feature: on CPU the custom_vjp routes to XLA-recompute, which
+    cannot run inside shard_map.)"""
+    from raytracetorch_tpu import PhaseGridPlate, Scene
+
+    n, hx = 16, 4.0
+    scene = Scene([
+        PhaseGridPlate(half_x=hx, half_y=hx, shape=(n, n), name='pp'),
+        SensorElement(radius=20.0, translation=[0, 0, 50.0], name='s')],
+        n_bounces=3)
+    xs = np.linspace(-hx, hx, n)
+    X, Y = np.meshgrid(xs, xs, indexing='xy')
+    params = scene.init_params()
+    params['pp']['grid'] = jnp.asarray(3.0 * X + 0.15 * Y * Y, jnp.float32)
+    rays = CollimatedDisk.make(radius=jnp.float32(2.0),
+                               translation=[0, 0, -3.0],
+                               wavelength=0.5876).sample(key, 2048)
+    mesh = make_mesh(8)
+    out_ref, s_ref, _ = scene.simulate(params, rays, key)
+    out_sh, s_sh, _ = jax.jit(lambda p, r, k: scene.simulate_fused_sharded(
+        p, r, k, mesh, block_rows=1))(params, shard_rays(rays, mesh), key)
+    np.testing.assert_allclose(np.asarray(out_sh.dx),
+                               np.asarray(out_ref.dx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_sh.moments),
+                               np.asarray(s_ref.moments), rtol=1e-5,
+                               atol=1e-3)
