@@ -84,7 +84,7 @@ def _p_dir(c0, c2, c4, cz, x, y, px, py, z):
 
 
 def integrate_grin(c0, c2, c4, cz, L, r2_max, x, y, px, py, n_steps,
-                   er=None, ei=None):
+                   er=None, ei=None, unroll=False):
     """RK4 over z in [0, L] in ``n_steps`` fixed steps (lax.scan).
 
     All profile coefficients and ``L`` may be traced scalars;
@@ -104,7 +104,11 @@ def integrate_grin(c0, c2, c4, cz, L, r2_max, x, y, px, py, n_steps,
     """
     h = L / n_steps
     opl0 = jnp.zeros_like(x)
-    alive0 = (x * x + y * y) <= r2_max
+    # the alive mask rides the carry as an exact {0.0, 1.0} float, not a
+    # bool: Mosaic cannot legalize vector<i1> scf.for carries (the fused
+    # kernels run this scan in-kernel); float products of exact 0/1
+    # masks have the identical truth table
+    alive0 = jnp.where((x * x + y * y) <= r2_max, 1.0, 0.0)
     track_e = er is not None
 
     def step(carry, i):
@@ -137,7 +141,8 @@ def integrate_grin(c0, c2, c4, cz, L, r2_max, x, y, px, py, n_steps,
         opln = opl + rk(4)
         ok = k1[5] & k2[5] & k3[5] & k4[5]
         inside = (xn * xn + yn * yn) <= r2_max
-        live = alive & ok & inside
+        live_f = alive * jnp.where(ok & inside, 1.0, 0.0)
+        live = live_f > 0.0
         # dead lanes freeze (state stays finite, grads stay clean)
         xn = jnp.where(live, xn, x)
         yn = jnp.where(live, yn, y)
@@ -151,17 +156,41 @@ def integrate_grin(c0, c2, c4, cz, L, r2_max, x, y, px, py, n_steps,
             ein = v3.rotate_between(a, b, ei)
             er = v3.where(live, ern, er)
             ei = v3.where(live, ein, ei)
-            return (xn, yn, pxn, pyn, opln, live, er, ei), None
-        return (xn, yn, pxn, pyn, opln, live), None
+            return (xn, yn, pxn, pyn, opln, live_f, er, ei), None
+        return (xn, yn, pxn, pyn, opln, live_f), None
 
     init = (x, y, px, py, opl0, alive0)
     if track_e:
         init = init + (er, ei)
-    carry, _ = lax.scan(step, init, jnp.arange(n_steps, dtype=x.dtype))
-    return carry
+
+    # step index rides the carry as an exact int32 counter instead of a
+    # scanned arange: bitwise-identical z values (i * h either way), and
+    # the scan body then has no 1-D xs slice — the form Mosaic lowers
+    # when this runs inside the fused Pallas kernels
+    def step_ctr(carry, _):
+        i = carry[0]
+        inner, _ = step(carry[1:], i.astype(x.dtype))
+        return (i + 1,) + tuple(inner), None
+
+    # ``unroll=True`` emits the n_steps bodies as straight-line code —
+    # required INSIDE the fused Pallas kernels (Mosaic cannot lower the
+    # rolled scan primitive, and the fused backward kernels jax.vjp the
+    # body at kernel-trace time); the XLA drivers keep the rolled scan
+    # (compile time, native reverse-mode).  Bitwise identical either way.
+    if unroll:
+        carry = (jnp.int32(0),) + tuple(init)
+        for _ in range(n_steps):
+            carry, _ = step_ctr(carry, None)
+    else:
+        carry, _ = lax.scan(step_ctr, (jnp.int32(0),) + tuple(init), None,
+                            length=n_steps)
+    out = list(carry[1:])
+    out[5] = out[5] > 0.0              # back to the callers' bool mask
+    return tuple(out)
 
 
-def grin_interaction(row, meta, dir_c, hit_s, Er=None, Ei=None):
+def grin_interaction(row, meta, dir_c, hit_s, Er=None, Ei=None,
+                     unroll=False):
     """Pure per-row GRIN-rod interaction: entry-couple (tangential p
     conserved), RK4 through the profile, exit-couple, land at the exit
     face in world coordinates.  Shared by the sequential driver
@@ -210,7 +239,7 @@ def grin_interaction(row, meta, dir_c, hit_s, Er=None, Ei=None):
         ei = v3.rotate_between(d_s, d0, ei)
 
     out = integrate_grin(c0, c2, c4, cz, L, r2_max, x0, y0, px, py,
-                         meta.grin_steps, er=er, ei=ei)
+                         meta.grin_steps, er=er, ei=ei, unroll=unroll)
     x1, y1, px1, py1, seg_opl, live = out[:6]
     alive = alive & live
 

@@ -488,7 +488,7 @@ def _grid_corners_mxu(grid, iv, iu):
 
 def _kernel_v2(static_meta, cfg, n_valid, track_opl, track_field,
                fuzzy_fns, record_paths, record_hits, pg_rows,
-               tab, *refs):
+               tab, *refs, grin_unroll=True):
     n_f = sum(_row_draws(m) for m in static_meta)   # stochastic draws
     capture = bool(cfg.grid_shape)  # sensor-hit capture for the grid pass
     n_surf = len(static_meta)
@@ -553,7 +553,7 @@ def _kernel_v2(static_meta, cfg, n_valid, track_opl, track_field,
         static_meta, cfg, ray_id, u_vals, rows_k, pos, d, intensity,
         wavelength, capture=capture, opl=opl, n_cur=n_cur, Er=Er, Ei=Ei,
         fuzzy_fns=fuzzy_fns, record_paths=record_paths,
-        record_hits=record_hits, grids=grids)
+        record_hits=record_hits, grids=grids, grin_unroll=grin_unroll)
 
     if capture:
         slots = [m.slot for m in static_meta if m.sensor]
@@ -614,9 +614,6 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
     plane reads."""
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
-    assert all(m.ph != 12 for m in static_meta), \
-        "GRIN rods (scan-based volumetric integration) run on the XLA " \
-        "sequential driver: simulate()"
     grids = dict(grids or {})
     pg_rows = tuple(k for k, m in enumerate(static_meta) if m.ph == 15)
     assert set(grids) == set(pg_rows), \
@@ -703,7 +700,12 @@ def trace_sequential_pallas_v2(table, rays: Rays, key,
 
     kern = functools.partial(_kernel_v2, static_meta, cfg, n,
                              track_opl, track_field, fuzzy_fns,
-                             record_paths, record_hits, pg_rows)
+                             record_paths, record_hits, pg_rows,
+                             # only Mosaic needs the GRIN RK4 unrolled
+                             # (it can't lower the rolled scan); the
+                             # interpreter keeps the scan — unrolling
+                             # there explodes XLA:CPU compile time
+                             grin_unroll=not interpret)
     flat_tab = flatten_table_rows(table)
 
     n_extra = ((2 if track_opl else 0) + (6 if track_field else 0)
@@ -829,7 +831,7 @@ def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
                         pos, d, intensity, Er, Ei, opl, n_cur,
                         track_field, track_opl, draw_u=None,
                         fuzzy_fns=None, record=False, grids=None,
-                        guard_pg=False):
+                        guard_pg=False, grin_unroll=True):
     """One bounce of the incremental nearest-hit winner merge — the
     SINGLE implementation behind the forward kernel's while_loop body
     (``rows`` = _SmemRow list, ``draw_u`` = in-kernel PRNG draw) and the
@@ -845,12 +847,13 @@ def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
 
     ``grids`` = the PHASE_GRID side channel ({row: VMEM-resident [H, W]
     phase map}, read via the one-hot MXU corner stencil exactly like
-    the sequential kernel).  ``guard_pg`` wraps each plate's physics in
-    a lax.cond on "any candidate hits this plate this bounce" — the
-    corner reads cost 2*block_rows matmuls per plate, and in a bounce
-    LOOP most bounces don't touch the plate; only set it OUTSIDE
-    jax.vjp (the forward kernel and the backward's checkpoint loop) —
-    the vjp'd bwd chain keeps the unconditional form."""
+    the sequential kernel).  ``guard_pg`` wraps each EXPENSIVE row's
+    physics — phase-grid corner reads (2*block_rows matmuls/plate) and
+    GRIN RK4 scans — in a lax.cond on "any candidate hits this row
+    this bounce"; in a bounce LOOP most bounces don't touch them.
+    Only set it OUTSIDE jax.vjp (the forward kernel and the backward's
+    checkpoint loop) — the vjp'd bwd chain keeps the unconditional
+    form."""
     from ..constants import BIG
 
     shape = pos[0].shape
@@ -867,13 +870,75 @@ def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
     hity = jnp.zeros(shape, jnp.float32)
     hitz = jnp.zeros(shape, jnp.float32) if record else None
     anyhit = jnp.zeros(shape, bool)
+    has_grin = any(m.ph == 12 for m in static_meta)
+    grin_opl = (jnp.zeros(shape, jnp.float32)
+                if has_grin and track_opl else None)
 
     for k, meta in enumerate(static_meta):
         row = rows[k]
         res = intersect(row, pos, d, static_meta=meta)
+        if meta.ph == 12:
+            # GRIN rod: when its entry face wins this bounce, the whole
+            # entry-couple + RK4 + exit-couple step IS the bounce's
+            # interaction (bounce_step's grin branch, core/trace.py).
+            # The RK4 scan is the most expensive per-row physics by far
+            # — cond-guard it like the phase-grid corner reads.
+            from ..core.grin import grin_interaction
+
+            def _grin(_):
+                out = grin_interaction(
+                    row, meta, d, res['hit_s'],
+                    Er=Er if track_field else None,
+                    Ei=Ei if track_field else None, unroll=grin_unroll)
+                # bool->float at the cond boundary: Mosaic dies on
+                # scf.if results of type vector<i1>
+                return (out[:2] + (jnp.where(out[2], 1.0, 0.0),
+                                   jnp.where(out[3], 1.0, 0.0))
+                        + out[4:])
+
+            if guard_pg:
+                zero_ = jnp.zeros(shape, jnp.float32)
+                fb = (pos, d, zero_, zero_, zero_)
+                if track_field:
+                    fb = fb + (Er, Ei)
+                g_out = jax.lax.cond(
+                    jnp.any(res['valid'] & (intensity > 0)), _grin,
+                    lambda _: fb, 0)
+            else:
+                g_out = _grin(0)
+            pos_k, dir_k, seg_k = g_out[0], g_out[1], g_out[4]
+            alive_k = g_out[2] > 0.0
+            fwd_k = g_out[3] > 0.0
+            better = (res['valid'] & (intensity > 0) & fwd_k
+                      & (res['t'] < best_t))
+            best_t = jnp.where(better, res['t'], best_t)
+            new_px = jnp.where(better, pos_k[0], new_px)
+            new_py = jnp.where(better, pos_k[1], new_py)
+            new_pz = jnp.where(better, pos_k[2], new_pz)
+            new_dx = jnp.where(better, dir_k[0], new_dx)
+            new_dy = jnp.where(better, dir_k[1], new_dy)
+            new_dz = jnp.where(better, dir_k[2], new_dz)
+            imod_b = jnp.where(better,
+                               jnp.where(alive_k, 1.0, 0.0), imod_b)
+            anyhit = anyhit | better
+            if track_field:
+                Er_acc = tuple(jnp.where(better, a, b)
+                               for a, b in zip(g_out[5], Er_acc))
+                Ei_acc = tuple(jnp.where(better, a, b)
+                               for a, b in zip(g_out[6], Ei_acc))
+            if track_opl:
+                grin_opl = jnp.where(better, seg_k, grin_opl)
+                n_next_acc = jnp.where(better, row.ph[..., 0],
+                                       n_next_acc)
+            # a nearer rod win zeroes an earlier sensor crossing
+            slot_sel = jnp.where(better, -1.0, slot_sel)
+            continue
         cand = res['valid'] & (intensity > 0)
         better = cand & (res['t'] < best_t)
         best_t = jnp.where(better, res['t'], best_t)
+        if grin_opl is not None:
+            # a nearer non-GRIN winner clears a stale rod in-medium path
+            grin_opl = jnp.where(better, 0.0, grin_opl)
         n_w = normal_world(row, res['hit_s'], static_meta=meta)
         u2 = None
         if meta.ph == 4:      # FRESNEL: in-kernel uniform branch draw
@@ -954,6 +1019,8 @@ def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
         Ei = tuple(jnp.where(anyhit, a, b) for a, b in zip(Ei_acc, Ei))
     if track_opl:
         opl = opl + jnp.where(anyhit, n_cur * best_t, 0.0)
+        if grin_opl is not None:
+            opl = opl + grin_opl        # winning rod's in-medium path
         n_cur = jnp.where(anyhit, n_next_acc, n_cur)
     return (new_pos, new_d, new_ii, Er, Ei, opl, n_cur,
             slot_sel, hitx, hity, power_in, anyhit, hitz)
@@ -961,7 +1028,7 @@ def _nonseq_bounce_core(static_meta, cfg, rows, mask, ray_id, wavelength,
 
 def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
                    track_opl, fuzzy_fns, record_paths, record_hits,
-                   pg_rows, tab, seed, *refs):
+                   pg_rows, tab, seed, *refs, grin_unroll=True):
     has_grid = bool(cfg.grid_shape)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     base = 9
@@ -1050,7 +1117,8 @@ def _kernel_nonseq(static_meta, cfg, n_valid, n_bounces, track_field,
             static_meta, cfg, rows_k, mask, ray_id, wavelength,
             pos, d, intensity, Er, Ei, opl, n_cur,
             track_field, track_opl, draw_u=draw_u, fuzzy_fns=fuzzy_fns,
-            record=record_hits, grids=pg_grids, guard_pg=True)
+            record=record_hits, grids=pg_grids, guard_pg=True,
+            grin_unroll=grin_unroll)
 
         # per-bounce record streams: dynamic store at bounce index b
         # (leading/untiled dim — Mosaic lowers pl.ds on it)
@@ -1193,10 +1261,6 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
     aux)``."""
     assert static_meta is not None, "pallas path needs scene static_meta"
     assert max(cfg.n_sensors, 1) <= 8, "mom tile carries <= 8 sensor slots"
-    assert all(m.ph != 12 for m in static_meta), \
-        "GRIN rods (a per-tile RK4 scan inside the bounce while_loop) " \
-        "do not run in the fused non-sequential kernel: use " \
-        "Scene.simulate — the XLA bounce loop traces them"
     grids = dict(grids or {})
     pg_rows = tuple(k for k, m in enumerate(static_meta) if m.ph == 15)
     assert set(grids) == set(pg_rows), \
@@ -1270,7 +1334,8 @@ def trace_nonseq_pallas(table, rays: Rays, key, n_bounces,
 
     kern = functools.partial(_kernel_nonseq, static_meta, cfg, n, n_bounces,
                              track_field, track_opl, fuzzy_fns,
-                             record_paths, record_hits, pg_rows)
+                             record_paths, record_hits, pg_rows,
+                             grin_unroll=not interpret)
     flat_tab = flatten_table_rows(table)
     # PRNG seed for in-kernel Fresnel draws (tile id decorrelates tiles)
     seed = jax.random.key_data(key).reshape(-1)[:2].astype(jnp.int32)
@@ -1463,7 +1528,8 @@ class _FieldShim:
 def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
                 intensity, wavelength, capture=False, opl=None,
                 n_cur=None, Er=None, Ei=None, fuzzy_fns=None,
-                record_paths=False, record_hits=False, grids=None):
+                record_paths=False, record_hits=False, grids=None,
+                grin_unroll=True):
     """The fused surface chain — the SINGLE implementation behind both
     the forward kernel (_kernel_v2, rows = _SmemRow list) and the
     backward transpose (rows = _ValueRow list under jax.vjp).  Returns
@@ -1500,6 +1566,42 @@ def _chain_pure(static_meta, cfg, ray_id, u_vals, rows, pos, d,
         row = rows[k]
         res = intersect(row, pos, d, static_meta=meta)
         active = res['valid'] & (intensity > 0)
+        if meta.ph == 12:
+            # GRIN rod: the whole entry-couple + RK4 + exit-couple is
+            # this row's interaction (trace_sequential's grin branch,
+            # core/trace.py; core/grin.py::grin_interaction is pure
+            # component math + a fixed-count counter-carried scan, so
+            # it traces into the kernel like any other physics)
+            from ..core.grin import grin_interaction
+            g_out = grin_interaction(
+                row, meta, d, res['hit_s'],
+                Er=Er if track_field else None,
+                Ei=Ei if track_field else None, unroll=grin_unroll)
+            new_pos_g, new_dir_g, alive_g, fwd_g, seg_opl = g_out[:5]
+            active = active & fwd_g
+            imod_g = jnp.where(alive_g, 1.0, 0.0)
+            if track_opl:
+                opl = opl + jnp.where(active,
+                                      n_cur * res['t'] + seg_opl, 0.0)
+                n_cur = jnp.where(active, row.ph[..., 0], n_cur)
+            if track_field:
+                Er = tuple(jnp.where(active, a, b)
+                           for a, b in zip(g_out[5], Er))
+                Ei = tuple(jnp.where(active, a, b)
+                           for a, b in zip(g_out[6], Ei))
+            pos = tuple(jnp.where(active, a, b)
+                        for a, b in zip(new_pos_g, pos))
+            d = tuple(jnp.where(active, a, b)
+                      for a, b in zip(new_dir_g, d))
+            intensity = jnp.where(active, intensity * imod_g, intensity)
+            if record_paths:
+                paths_rec.append(pos)
+            if record_hits:
+                # trace_sequential records the exit-face WORLD position
+                # with weight 0 for grin rows (not a sensor crossing)
+                hits_rec.append((pos[0], pos[1], pos[2],
+                                 jnp.zeros_like(intensity)))
+            continue
         n_w = normal_world(row, res['hit_s'], static_meta=meta)
         u2 = None
         if meta.ph == 4:
@@ -1609,7 +1711,7 @@ def _pack_ct_rows(ct_rows, k_pad):
 
 def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
                    track_field, has_grid, fuzzy_fns, pg_rows,
-                   tab, ctm, *refs):
+                   tab, ctm, *refs, grin_unroll=True):
     n_f = sum(_row_draws(m) for m in static_meta)
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
     base = 9
@@ -1670,7 +1772,8 @@ def _kernel_v2_bwd(static_meta, cfg, n_valid, k_pad, track_opl,
         state, mom_vec, caps, extras, _ = _chain_pure(
             static_meta, cfg, ray_id, u_vals, rows_v, pos, d, intensity,
             wavelength, capture=has_grid, opl=opl0, n_cur=ncur0,
-            Er=Er, Ei=Ei, fuzzy_fns=fuzzy_fns, grids=grids_)
+            Er=Er, Ei=Ei, fuzzy_fns=fuzzy_fns, grids=grids_,
+            grin_unroll=grin_unroll)
         outs = [state, mom_vec]
         if track_opl:
             outs += [extras[0], extras[1]]
@@ -1821,7 +1924,8 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
 
     kern = functools.partial(_kernel_v2_bwd, static_meta, cfg, n, k_pad,
                              track_opl, track_field, has_grid,
-                             dict(fuzzy_fns or {}), pg_rows)
+                             dict(fuzzy_fns or {}), pg_rows,
+                             grin_unroll=not interpret)
     flat_tab = flatten_table_rows(table)
     ct_mom_flat = jnp.asarray(g_moments, jnp.float32).reshape(-1)
     n_ray_ins = (len(ins) - (1 if has_grid else 0) - len(pg_ins))
@@ -1892,7 +1996,7 @@ def trace_sequential_pallas_v2_bwd(table, rays: Rays, key, cfg,
 def _nonseq_chain_pure(static_meta, cfg, n_bounces, ray_id, rows, mask,
                        pos, d, intensity, wavelength, capture=False,
                        opl=None, n_cur=None, Er=None, Ei=None,
-                       fuzzy_fns=None):
+                       fuzzy_fns=None, grin_unroll=True):
     """The UNROLLED deterministic bounce loop — the pure function the
     fused non-sequential backward transposes with jax.vjp (``rows`` =
     _ValueRow list).  Computes the same function as the forward kernel's
@@ -1913,7 +2017,8 @@ def _nonseq_chain_pure(static_meta, cfg, n_bounces, ray_id, rows, mask,
          hitx, hity, power_in, _anyhit, _hz) = _nonseq_bounce_core(
             static_meta, cfg, rows, mask, ray_id, wavelength,
             pos, d, intensity, Er, Ei, opl, n_cur,
-            track_field, track_opl, fuzzy_fns=fuzzy_fns)
+            track_field, track_opl, fuzzy_fns=fuzzy_fns,
+            grin_unroll=grin_unroll)
         for s in range(n_slots):
             for bb in range(cfg.n_bundles):
                 wmask = (slot_sel == s) & (ray_id == bb)
@@ -1941,7 +2046,7 @@ def _nonseq_chain_pure(static_meta, cfg, n_bounces, ray_id, rows, mask,
 
 def _kernel_nonseq_bwd(static_meta, cfg, n_valid, k_pad, n_bounces,
                        track_opl, track_field, has_grid, fuzzy_fns,
-                       pg_rows, tab, ctm, seed, *refs):
+                       pg_rows, tab, ctm, seed, *refs, grin_unroll=True):
     assert not pg_rows, \
         "PHASE_GRID backward needs mode='scan' (per-bounce pg vjp)"
     (px, py, pz, dx, dy, dz, ii, wl, rid) = refs[:9]
@@ -1991,7 +2096,8 @@ def _kernel_nonseq_bwd(static_meta, cfg, n_valid, k_pad, n_bounces,
         state, mom_vec, gs, extras = _nonseq_chain_pure(
             static_meta, cfg, n_bounces, ray_id, rows_v, mask, pos, d,
             intensity, wavelength, capture=has_grid, opl=opl0,
-            n_cur=ncur0, Er=Er, Ei=Ei, fuzzy_fns=fuzzy_fns)
+            n_cur=ncur0, Er=Er, Ei=Ei, fuzzy_fns=fuzzy_fns,
+            grin_unroll=grin_unroll)
         outs = [state, mom_vec]
         if track_opl:
             outs += [extras[0], extras[1]]
@@ -2050,7 +2156,8 @@ def _kernel_nonseq_bwd(static_meta, cfg, n_valid, k_pad, n_bounces,
 
 def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
                             track_opl, track_field, has_grid, fuzzy_fns,
-                            pg_rows, tab, ctm, seed, *refs):
+                            pg_rows, tab, ctm, seed, *refs,
+                            grin_unroll=True):
     """Checkpointed (scan-style) non-sequential backward: the forward
     bounce loop runs as a fori_loop checkpointing each bounce's INPUT
     state into VMEM scratch, then a reverse fori_loop applies the vjp of
@@ -2184,7 +2291,7 @@ def _kernel_nonseq_bwd_scan(static_meta, cfg, n_valid, k_pad, n_bounces,
             draw_u=((lambda s_: next(u_iter)) if has_fresnel else None),
             fuzzy_fns=fuzzy_fns,
             grids={k: pg[j] for j, k in enumerate(pg_rows)},
-            guard_pg=ret_alive)
+            guard_pg=ret_alive, grin_unroll=grin_unroll)
         new_state = tuple(new_pos) + tuple(new_d) + (new_ii,)
         if track_opl:
             new_state += (opl2, ncur2)
@@ -2386,7 +2493,8 @@ def trace_nonseq_pallas_bwd(table, rays: Rays, key, cfg, static_meta,
             "PHASE_GRID backward needs mode='scan' (per-bounce pg vjp)"
     kern = functools.partial(kern_fn, static_meta, cfg, n,
                              k_pad, n_bounces, track_opl, track_field,
-                             has_grid, dict(fuzzy_fns or {}), pg_rows)
+                             has_grid, dict(fuzzy_fns or {}), pg_rows,
+                             grin_unroll=not interpret)
     flat_tab = flatten_table_rows(table)
     ct_mom_flat = jnp.asarray(g_moments, jnp.float32).reshape(-1)
     # same key -> seed derivation as trace_nonseq_pallas: the scan

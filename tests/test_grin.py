@@ -195,11 +195,9 @@ def test_grin_guards(key):
         GrinRod(radius=5.0, thickness=-1.0)
     with pytest.raises(ValueError):
         GrinRod(radius=20.0, thickness=5.0, n0=1.5, grin_A=0.01)  # n^2<0
-    sc = SequentialScene([_rod(10.0)])
-    # the FUSED kernels still refuse GRIN (per-tile RK4 scan); the XLA
-    # drivers — both of them — trace it (round-4: nonseq support landed)
-    with pytest.raises(AssertionError):
-        sc.simulate_fused(sc.init_params(), rays, key, block_rows=4)
+    # round-4: the fused kernels trace GRIN too (the in-kernel RK4 scan
+    # — see test_grin_fused_seq_parity below), so no driver refuses it
+    # any more; only ctor validation guards remain.
 
 
 def test_grin_nonseq_parity(key):
@@ -325,3 +323,132 @@ def test_grin_backward_rays_pass(key):
     out, _, _ = sc.simulate(sc.init_params(), r, key)
     np.testing.assert_allclose(float(out.pz[0]), 50.0)
     np.testing.assert_allclose(float(out.intensity[0]), 1.0)
+
+
+def test_grin_fused_seq_parity(key):
+    """The fused sequential kernel traces GRIN rods: grin_interaction is
+    pure component math + a counter-carried fixed-count scan, so it
+    traces into the kernel like any other physics — per-ray streams and
+    opl match the XLA driver, per-parameter grads via the fused
+    backward to f32 noise."""
+    sc = SequentialScene([
+        _rod(10.0, n_steps=32),
+        SensorElement(radius=20.0, translation=[0, 0, 30.0], name='s')])
+    p = sc.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(3.0),
+                               translation=[0, 0, -3.0]).sample(key, 2048)
+    o1, s1, a1 = sc.simulate(p, rays, key, track_opl=True)
+    o2, s2, a2 = sc.simulate_fused(p, rays, key, track_opl=True,
+                                   block_rows=4, auto_dispatch=False)
+    np.testing.assert_allclose(np.asarray(o1.dx), np.asarray(o2.dx),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(o1.intensity),
+                               np.asarray(o2.intensity), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a1['opl']), np.asarray(a2['opl']),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.moments),
+                               np.asarray(s2.moments), rtol=1e-5, atol=1e-2)
+
+    def mk(sim):
+        def loss(q):
+            _, sens, _ = sim(q)
+            return sens.spot_rms(0)[0]
+        return loss
+
+    g_x = jax.grad(mk(lambda q: sc.simulate(q, rays, key)))(p)
+    g_f = jax.grad(mk(lambda q: sc.simulate_fused(
+        q, rays, key, block_rows=4, auto_dispatch=False)))(p)
+    for kk in ('n0', 'grin_A', 't', 'trans'):
+        a, b = np.asarray(g_f['rod'][kk]), np.asarray(g_x['rod'][kk])
+        scale = max(np.max(np.abs(a)), np.max(np.abs(b)), 1e-30)
+        assert np.max(np.abs(a - b)) / scale < 1e-4, kk
+
+
+def test_grin_fused_nonseq_parity(key):
+    """The fused non-sequential kernel runs a winning GRIN entry face as
+    the bounce's whole entry->RK4->exit interaction (cond-guarded —
+    bounces that can't hit the rod skip the scan): bitwise forward
+    parity with the XLA bounce loop, scan-backward cotangents exact."""
+    import jax.tree_util as jtu
+
+    from raytracetorch_tpu.core.sensor import SensorState
+    from raytracetorch_tpu.core.trace import trace_nonsequential
+    from raytracetorch_tpu.ops.pallas_trace import trace_nonseq_pallas_bwd
+
+    sc = Scene([
+        _rod(10.0, n_steps=16),
+        SensorElement(radius=20.0, translation=[0, 0, 30.0], name='s')],
+        n_bounces=3)
+    p = sc.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(3.0),
+                               translation=[0, 0, -3.0]).sample(key, 512)
+    o1, s1, a1 = sc.simulate(p, rays, key, track_opl=True)
+    o2, s2, a2 = sc.simulate_fused(p, rays, key, track_opl=True,
+                                   block_rows=2)
+    np.testing.assert_allclose(np.asarray(o1.dx), np.asarray(o2.dx),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a1['opl']), np.asarray(a2['opl']),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.moments),
+                               np.asarray(s2.moments), rtol=1e-5, atol=1e-2)
+
+    # scan-backward kernel cotangents vs jax.grad of the XLA loop
+    cfg = sc.sensor_config()
+    meta = sc.static_meta()
+    table = sc.build_table(p)
+    comps = ('px', 'py', 'pz', 'dx', 'dy', 'dz', 'intensity')
+
+    def xla_loss(table, *rc):
+        r = rays.replace(**dict(zip(comps, rc)))
+        _, sens, _ = trace_nonsequential(table, r, key, 3, cfg,
+                                         static_meta=meta)
+        return sens.total_weight(0)[0] + sens.spot_rms(0)[0]
+
+    grads = jax.grad(xla_loss, argnums=tuple(range(8)), allow_int=True)(
+        table, *(getattr(rays, c) for c in comps))
+    gt_ref, gr_ref = grads[0], grads[1:]
+    _, sens_x, _ = trace_nonsequential(table, rays, key, 3, cfg,
+                                       static_meta=meta)
+
+    def head(m):
+        s = SensorState(moments=m, grid=None)
+        return s.total_weight(0)[0] + s.spot_rms(0)[0]
+
+    _, head_vjp = jax.vjp(head, sens_x.moments)
+    (g_mom,) = head_vjp(jnp.float32(1.0))
+    g_rays = rays.replace(**{c: jnp.zeros_like(getattr(rays, c))
+                             for c in comps})
+    gt_f, ct = trace_nonseq_pallas_bwd(
+        table, rays, key, cfg, meta, 3, g_rays, g_mom,
+        interpret=True, block_rows=2, mode='scan')
+    for a, b in zip(jtu.tree_leaves(gt_f), jtu.tree_leaves(gt_ref)):
+        if not np.issubdtype(np.asarray(b).dtype, np.inexact):
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.max(np.abs(a)), np.max(np.abs(b)), 1e-6)
+        assert np.max(np.abs(a - b)) / scale < 1e-5
+    for c, ref in zip(comps, gr_ref):
+        np.testing.assert_allclose(np.asarray(ct[c]), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_grin_fused_field_transport(key):
+    """track_field through a GRIN rod in the fused sequential kernel:
+    the per-step Rytov rotations ride the in-kernel scan — field state
+    matches the XLA driver."""
+    sc = SequentialScene([_rod(10.0, n_steps=32)])
+    p = sc.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(3.0),
+                               translation=[0, 0, -3.0]).sample(key, 1024)
+    _, _, a1 = sc.simulate(p, rays, key, track_field=True,
+                           E0=[0.8, 0.6, 0.0])
+    _, _, a2 = sc.simulate_fused(p, rays, key, track_field=True,
+                                 E0=[0.8, 0.6, 0.0], block_rows=4,
+                                 auto_dispatch=False)
+    np.testing.assert_allclose(np.asarray(a1['field_power']),
+                               np.asarray(a2['field_power']),
+                               rtol=1e-5, atol=1e-6)
+    for leaf in ('erx', 'ery', 'erz'):
+        np.testing.assert_allclose(np.asarray(getattr(a1['field'], leaf)),
+                                   np.asarray(getattr(a2['field'], leaf)),
+                                   atol=1e-5)
