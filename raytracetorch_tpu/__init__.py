@@ -72,5 +72,7 @@ from .utils.psf import (diffraction_mtf, diffraction_psf,
                         polychromatic_psf, pupil_from_trace, strehl_ratio,
                         vector_psf, vector_pupil_from_trace)
 from .utils.wavefront import best_focus, interferogram, wavefront_rms
+from .utils.propagation import (angular_spectrum, fresnel_transfer,
+                                through_focus_psf)
 
 __version__ = '0.1.0'
