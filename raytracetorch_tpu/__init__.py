@@ -74,5 +74,6 @@ from .utils.psf import (diffraction_mtf, diffraction_psf,
 from .utils.wavefront import best_focus, interferogram, wavefront_rms
 from .utils.propagation import (angular_spectrum, fresnel_transfer,
                                 through_focus_psf)
+from .utils.beamprop import wave_trace
 
 __version__ = '0.1.0'

@@ -1,0 +1,180 @@
+"""Split-step scalar beam propagation ("wave trace") through a scene.
+
+Propagates a sampled complex field through a SequentialScene's element
+chain: each optical face collapses onto its vertex plane as a thin
+phase screen ``OPD(x, y) = (n_before - n_after) * sag(x, y)`` (the
+exact thin-screen limit of refraction — two such screens plus the
+in-glass propagation reproduce the lensmaker equation, and conic /
+even-asphere terms ride the sag exactly), with angular-spectrum
+propagation (utils/propagation.py) between consecutive planes in the
+local medium.  This is the standard split-step BPM of photonics codes,
+here differentiable end-to-end: ``jax.grad`` of any functional of the
+output field flows back to curvatures, thicknesses, conics, asphere
+coefficients, poses and ideal-lens powers, so a design can be
+optimized directly for a WAVE metric (on-axis intensity, fiber
+overlap) instead of ray spots.
+
+The ray tracer and this wave trace are two independent models of the
+same prescription — tests/test_beamprop.py cross-validates them (the
+through-focus peak of the benchmark singlet lands at the ray-optics
+best focus; an ideal thin lens focuses a Gaussian to the ABCD waist).
+
+Validity: thin-screen sag collapse needs |sag| << the distances being
+propagated and the field's angular content inside the paraxial-ish
+band (the propagator itself is exact; the screens are the
+approximation).  Element TILTS enter as their exact small-angle prism
+term ``(n_b - n_a) * (rx * y - ry * x)``; large tilts and folded
+(mirror) geometry do not fit a forward z-marching scalar model and
+raise.
+
+The torch reference has no wave model at all (rays only); this extends
+the physical-optics layer (utils/psf.py, utils/propagation.py) from
+pupil-plane analysis to full-system propagation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..elements.aperture import (CircularAperture, EllipticAperture,
+                                 RectangularAperture)
+from ..elements.ideal import IdealThinLens
+from ..elements.lens import (AsphericLens, CylSingletLens, FreeformLens,
+                             ZernikeLens, _SphericLens)
+from ..elements.sensor import SensorElement
+from ..geom.surfaces import ff_sag_grad, sag_z
+from .propagation import angular_spectrum
+
+__all__ = ['wave_trace']
+
+
+def _grid(shape, dx, dtype):
+    H, W = shape
+    y = (jnp.arange(H, dtype=dtype) - H // 2) * dx
+    x = (jnp.arange(W, dtype=dtype) - W // 2) * dx
+    return x[None, :], y[:, None]
+
+
+def _mul_phase(re, im, opd, wavelength):
+    ph = (2.0 * jnp.pi / wavelength) * opd
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    return re * c - im * s, re * s + im * c
+
+
+def _tilt_term(p):
+    """Small-angle prism height of the element's tilt: the rotated
+    face plane sits at z = vz - ry*x' + rx*y' (Rodrigues to first
+    order), so the screen sag gains ``rx*y' - ry*x'``... with the sign
+    folded in below."""
+    rv = p.get('rot_vec')
+    if rv is None:
+        return None
+    return rv[0], rv[1]
+
+
+def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
+    """Propagate the field ``(re, im)`` (sampled at pitch ``dx``,
+    centered on the optical axis at plane ``z = z0``) through
+    ``scene.elements`` in listed order.
+
+    Supported elements: the rotationally-symmetric spheric/aspheric
+    lens families (Singlet/Doublet/Triplet/Aspheric — conic + even
+    asphere sag screens, clear-aperture disk masks, in-glass
+    propagation between faces), IdealThinLens (quadratic screen),
+    Circular/Rectangular/Elliptic apertures (binary masks, ``invert``
+    honored), and SensorElement (terminates the walk).  Anything else
+    — mirrors (folded geometry), GRIN, cylinder lenses, scatter —
+    raises NotImplementedError with the reason.
+
+    Dispersion models are NOT evaluated: media use their design-
+    wavelength params (``ior_glass`` etc.) as-is; pass the matching
+    ``wavelength``.
+
+    Returns ``(re, im, z)`` — the field at the first sensor plane (or
+    after the last element if the scene has no sensor) and that
+    plane's z.
+    """
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    x, y = _grid(re.shape, dx, re.dtype)
+    z_cur = jnp.asarray(z0, re.dtype)
+    n_cur = jnp.asarray(n_ambient, re.dtype)
+
+    def hop(re, im, z_to, n):
+        return angular_spectrum(re, im, dx, wavelength, z_to - z_cur,
+                                n_medium=n)
+
+    for el in scene.elements:
+        p = params[el.name]
+        if isinstance(el, (CylSingletLens, FreeformLens, ZernikeLens)):
+            raise NotImplementedError(
+                f'wave_trace: {type(el).__name__} screens are not '
+                'implemented (cylinder sag / static freeform powers) — '
+                'trace rays (scene.simulate) or drop the element')
+        if isinstance(el, _SphericLens):
+            tilt = _tilt_term(p)
+            te = p['trans']
+            xp, yp = x - te[0], y - te[1]
+            r2 = xp * xp + yp * yp
+            mask = (r2 <= p['radius'] ** 2).astype(re.dtype)
+            zs = el._vertex_zs(p)
+            cs = [p[n] for n in el._curv_names]
+            iors = el._ior_chain(p)
+            is_asph = isinstance(el, AsphericLens)
+            for i, (c, zv) in enumerate(zip(cs, zs)):
+                z_face = te[2] + zv
+                re, im = hop(re, im, z_face, n_cur)
+                z_cur, n_cur = z_face, iors[i + 1]
+                if is_asph:
+                    kc2 = (1.0 + p[('k1', 'k2')[i]]) * c * c
+                    a = p[('a1', 'a2')[i]]
+                    sag = ff_sag_grad(c, kc2, tuple(a[j] for j in range(4)),
+                                      (), (), xp, yp)[0]
+                else:
+                    sag = sag_z(c, jnp.sqrt(r2 + 1e-24))
+                if tilt is not None:
+                    sag = sag + tilt[0] * yp - tilt[1] * xp
+                opd = (iors[i] - iors[i + 1]) * sag
+                re, im = _mul_phase(re, im, opd, wavelength)
+                re, im = re * mask, im * mask
+            continue
+        if isinstance(el, IdealThinLens):
+            te = p['trans']
+            re, im = hop(re, im, te[2], n_cur)
+            z_cur = te[2]
+            xp, yp = x - te[0], y - te[1]
+            # OPD = -r^2/(2 f) = +r^2 * P / 2  (P = -1/f)
+            opd = 0.5 * p['P'] * (xp * xp + yp * yp)
+            re, im = _mul_phase(re, im, opd, wavelength)
+            continue
+        if isinstance(el, (CircularAperture, RectangularAperture,
+                           EllipticAperture)):
+            te = p['trans']
+            re, im = hop(re, im, te[2], n_cur)
+            z_cur = te[2]
+            xp, yp = x - te[0], y - te[1]
+            if isinstance(el, CircularAperture):
+                inside = xp * xp + yp * yp <= p['radius'] ** 2
+            elif isinstance(el, RectangularAperture):
+                inside = ((jnp.abs(xp) <= p['half_x'])
+                          & (jnp.abs(yp) <= p['half_y']))
+            else:
+                cr, sr = jnp.cos(p['ap_rot']), jnp.sin(p['ap_rot'])
+                xr = cr * xp + sr * yp
+                yr = -sr * xp + cr * yp
+                inside = ((xr / p['r_major']) ** 2
+                          + (yr / p['r_minor']) ** 2 <= 1.0)
+            if getattr(el, 'invert', False):
+                inside = ~inside
+            m = inside.astype(re.dtype)
+            re, im = re * m, im * m
+            continue
+        if isinstance(el, SensorElement):
+            te = p['trans']
+            re, im = hop(re, im, te[2], n_cur)
+            return re, im, te[2]
+        raise NotImplementedError(
+            f'wave_trace: no thin-screen model for '
+            f'{type(el).__name__} (mirrors fold the axis, GRIN/scatter '
+            'are volumetric/stochastic) — trace rays instead')
+    return re, im, z_cur
