@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from ..elements.aperture import (CircularAperture, EllipticAperture,
                                  RectangularAperture)
+from ..elements.diffractive import DiffractiveLens, PhaseGridPlate
 from ..elements.ideal import IdealThinLens
 from ..elements.lens import (AsphericLens, CylSingletLens, FreeformLens,
                              ZernikeLens, _SphericLens)
@@ -81,6 +82,10 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
     lens families (Singlet/Doublet/Triplet/Aspheric — conic + even
     asphere sag screens, clear-aperture disk masks, in-glass
     propagation between faces), IdealThinLens (quadratic screen),
+    DiffractiveLens and PhaseGridPlate (achromatic cycles profiles as
+    2 pi m phi_c screens — the wave model whose stationary-phase limit
+    is exactly doe_dir/phase_grid_dir's momentum kick; kinoform
+    ``efficiency`` scales the amplitude by |sinc(lam0/lam - m)|),
     Circular/Rectangular/Elliptic apertures (binary masks, ``invert``
     honored), and SensorElement (terminates the walk).  Anything else
     — mirrors (folded geometry), GRIN, cylinder lenses, scatter —
@@ -137,6 +142,59 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
                 opd = (iors[i] - iors[i + 1]) * sag
                 re, im = _mul_phase(re, im, opd, wavelength)
                 re, im = re * mask, im * mask
+            continue
+        if isinstance(el, DiffractiveLens):
+            # kinoform: groove pattern phi_c(r) [cycles] is wavelength-
+            # independent; the m-th order's screen phase is 2 pi m phi_c
+            # — its gradient reproduces doe_dir's momentum kick
+            # m lam_mm grad(phi) exactly (core/physics.py::doe_dir).
+            te = p['trans']
+            re, im = hop(re, im, te[2], n_cur)
+            z_cur = te[2]
+            xp, yp = x - te[0], y - te[1]
+            r2 = xp * xp + yp * yp
+            phi_c = jnp.zeros_like(r2)
+            rp = r2
+            for j in range(len(el._coeffs_init)):
+                phi_c = phi_c + p['phase'][j] * rp
+                rp = rp * r2
+            # OPD = m * phi_c * lambda  (the 2 pi / lambda of the screen
+            # multiply cancels it — the phase is achromatic in cycles)
+            re, im = _mul_phase(re, im, el._order * phi_c * wavelength,
+                                wavelength)
+            if el.efficiency:
+                lam_um = wavelength * 1e3
+                eta = jnp.abs(jnp.sinc(el._lam0 / lam_um - el._order))
+                re, im = re * eta, im * eta
+            m = (r2 <= p['radius'] ** 2).astype(re.dtype)
+            re, im = re * m, im * m
+            continue
+        if isinstance(el, PhaseGridPlate):
+            # same corner-anchored bilinear patch as the ray model
+            # (core/physics.py::phase_grid_dir lines 255-263)
+            te = p['trans']
+            re, im = hop(re, im, te[2], n_cur)
+            z_cur = te[2]
+            xp, yp = x - te[0], y - te[1]
+            grid = p['grid']
+            Hg, Wg = grid.shape
+            hx, hy = p['half_x'], p['half_y']
+            u = jnp.clip((xp + hx) / (2.0 * hx) * (Wg - 1),
+                         0.0, Wg - 1 - 1e-6)
+            v = jnp.clip((yp + hy) / (2.0 * hy) * (Hg - 1),
+                         0.0, Hg - 1 - 1e-6)
+            xb = jnp.broadcast_to(u, re.shape)
+            yb = jnp.broadcast_to(v, re.shape)
+            iu, iv = xb.astype(jnp.int32), yb.astype(jnp.int32)
+            fu, fv = xb - iu, yb - iv
+            g00, g01 = grid[iv, iu], grid[iv, iu + 1]
+            g10, g11 = grid[iv + 1, iu], grid[iv + 1, iu + 1]
+            phi_c = ((1 - fv) * ((1 - fu) * g00 + fu * g01)
+                     + fv * ((1 - fu) * g10 + fu * g11))
+            re, im = _mul_phase(re, im, el._order * phi_c * wavelength,
+                                wavelength)
+            m = ((jnp.abs(xp) <= hx) & (jnp.abs(yp) <= hy)).astype(re.dtype)
+            re, im = re * m, im * m
             continue
         if isinstance(el, IdealThinLens):
             te = p['trans']

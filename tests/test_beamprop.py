@@ -169,3 +169,89 @@ def test_wave_trace_unsupported_raises():
     with pytest.raises(NotImplementedError):
         wave_trace(sc, sc.init_params(), re, jnp.zeros_like(re),
                    0.1, WL, z0=-1.0)
+
+
+def test_kinoform_wave_focus():
+    """A DiffractiveLens f=30 focuses a Gaussian to the ABCD waist at
+    the design wavelength — the 2 pi m phi_c screen is the wave model
+    whose ray limit is doe_dir."""
+    from raytracetorch_tpu import DiffractiveLens
+    lam_um = 0.5876
+    wl = lam_um * 1e-3
+    f = 30.0
+    sc = SequentialScene([
+        DiffractiveLens(radius=3.0, f=f, design_wavelength=lam_um,
+                        translation=[0, 0, 2.0], name='doe'),
+        SensorElement(radius=2.0, translation=[0, 0, 2.0 + f], name='s')])
+    p = sc.init_params()
+    n, dx, w0 = 256, 8e-3, 0.3
+    re, im = _gauss(n, dx, w0)
+    r1, i1, _ = wave_trace(sc, p, re, im, dx, wl, z0=0.0)
+    w_meas = _moment_w(np.asarray(r1 * r1 + i1 * i1), dx, crop=16)
+    w_true = wl * f / (np.pi * w0)
+    assert abs(w_meas - w_true) / w_true < 0.05
+
+
+def test_phase_plate_ramp_matches_ray_trace():
+    """A linear-ramp PhaseGridPlate is a grating: the wave centroid at
+    the sensor lands where the RAY model's momentum kick m lam grad(phi)
+    puts it (two independent models, one prescription)."""
+    from raytracetorch_tpu import PhaseGridPlate, Scene
+
+    lam_um = 0.5876
+    wl = lam_um * 1e-3
+    G, L, hx = 20.0, 20.0, 1.0          # cycles/mm ramp, sensor distance
+    W = 8
+    xs = np.linspace(-hx, hx, W, dtype=np.float32)
+    ramp = np.broadcast_to((G * xs)[None, :], (W, W))
+    els = [PhaseGridPlate(half_x=hx, half_y=hx, shape=(W, W), init=ramp,
+                          design_wavelength=lam_um,
+                          translation=[0, 0, 1.0], name='pp'),
+           SensorElement(radius=3.0, translation=[0, 0, 1.0 + L],
+                         name='s')]
+
+    # ray model
+    sc_r = SequentialScene(els)
+    key = jax.random.PRNGKey(1)
+    rays = CollimatedDisk.make(radius=jnp.float32(0.3),
+                               translation=[0, 0, 0.0]).sample(key, 20_000)
+    out, _, _ = sc_r.simulate(sc_r.init_params(), rays, key)
+    x_ray = float(jnp.sum(out.px * out.intensity)
+                  / jnp.sum(out.intensity))
+
+    # wave model
+    n, dx, w0 = 256, 0.01, 0.3
+    re, im = _gauss(n, dx, w0)
+    r1, i1, _ = wave_trace(sc_r, sc_r.init_params(), re, im, dx, wl,
+                           z0=0.0)
+    I = np.asarray(r1 * r1 + i1 * i1)
+    ax = (np.arange(n) - n // 2) * dx
+    x_wave = float((I * ax[None, :]).sum() / I.sum())
+
+    x_theory = L * lam_um * 1e-3 * G    # small-angle m lam G
+    assert abs(x_ray - x_theory) / x_theory < 0.02, (x_ray, x_theory)
+    assert abs(x_wave - x_ray) / abs(x_ray) < 0.03, (x_wave, x_ray)
+
+
+def test_phase_plate_pixel_grads_flow():
+    """jax.grad of an output-field metric reaches every plate pixel."""
+    from raytracetorch_tpu import PhaseGridPlate
+    wl = 0.5876e-3
+    sc = SequentialScene([
+        PhaseGridPlate(half_x=1.0, half_y=1.0, shape=(8, 8),
+                       translation=[0, 0, 1.0], name='pp'),
+        SensorElement(radius=3.0, translation=[0, 0, 11.0], name='s')])
+    p = sc.init_params()
+    n, dx = 128, 0.02
+    re, im = _gauss(n, dx, 0.4)
+
+    def on_axis(grid):
+        q = {**p, 'pp': {**p['pp'], 'grid': grid}}
+        r1, i1, _ = wave_trace(sc, q, re, im, dx, wl, z0=0.0)
+        c = n // 2
+        return r1[c, c] ** 2 + i1[c, c] ** 2
+
+    g = jax.grad(on_axis)(p['pp']['grid'])
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert (np.abs(g) > 0).mean() > 0.5   # most pixels see the beam
