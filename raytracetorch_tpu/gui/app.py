@@ -122,6 +122,14 @@ INDEX_HTML = r"""<!DOCTYPE html>
   <img id="itf" width="300" height="300"
        style="background:#101214;border:1px solid #2a2e35;border-radius:4px;display:none">
   <div id="itfinfo" style="font-size:11px;color:#9aa"></div>
+  <h3>Through-focus
+    <input type="number" id="tf-span" value="0.5" step="any"
+      style="width:48px;font-size:11px" title="defocus half-span (lens units)">
+    <button onclick="doThroughFocus()" style="font-size:11px">refresh</button>
+  </h3>
+  <img id="tfimg" width="300" height="160"
+       style="background:#101214;border:1px solid #2a2e35;border-radius:4px;display:none">
+  <div id="tfinfo" style="font-size:11px;color:#9aa"></div>
   <h3>Aberrations
     <input type="number" id="sd-ap" placeholder="aperture" step="any"
       style="width:58px;font-size:11px" title="marginal-ray height at the stop">
@@ -524,6 +532,20 @@ async function doInterferogram() {
       r.pupil_radius.toPrecision(3);
     st('interferogram ok');
   } catch (e) { st('interferogram failed: ' + e); }
+}
+async function doThroughFocus() {
+  st('propagating through focus…');
+  try {
+    const r = await post('/api/through_focus', {
+      span: +($('tf-span').value || 0.5)});
+    if (r.error) { st('through-focus: ' + r.error); return; }
+    const img = $('tfimg');
+    img.src = 'data:image/png;base64,' + r.png;
+    img.style.display = 'block';
+    $('tfinfo').textContent =
+      `peak at dz ${r.z_peak.toFixed(3)} · working f/${r.f_number.toFixed(2)}`;
+    st('through-focus ok');
+  } catch (e) { st('through-focus failed: ' + e); }
 }
 async function doSeidel() {
   st('seidel…');

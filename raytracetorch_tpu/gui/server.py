@@ -381,6 +381,60 @@ class Workbench:
                 'rms_waves': rms_waves, 'pupil_radius': r_p,
                 'res': int(res)}
 
+    def through_focus(self, span=0.5, n_planes=33, res=48,
+                      wavelength=0.5876, pad=4):
+        """Through-focus axial intensity map: the traced pupil's focal
+        field propagated to ``n_planes`` defocus planes over +-``span``
+        (utils/propagation.py::through_focus_psf — true angular-spectrum
+        propagation, so spherical aberration shows its asymmetric
+        caustic).  Returns the [z, x] center-row slice as a PNG, the
+        peak-intensity defocus, and the working f-number estimated from
+        the traced marginal-ray slope."""
+        if not self.scene.bundles:
+            raise ValueError("add a bundle (ray source) first")
+        if not self.scene.sequential:
+            raise ValueError("through-focus needs a sequential scene")
+        from ..utils.propagation import through_focus_psf
+        from ..utils.psf import pupil_from_trace
+        k1, k2 = jax.random.split(self.key)
+        rays = self.scene.sample_rays(k1)
+        r_p = float(np.sqrt(np.asarray(rays.px) ** 2
+                            + np.asarray(rays.py) ** 2).max())
+        if r_p < 1e-6:
+            raise ValueError("bundle has no pupil extent — use a "
+                             "collimated (disk) source")
+        out, _, aux = self.scene.simulate(self.params, rays, k2,
+                                          track_opl=True)
+        opd, amp = pupil_from_trace(rays, out, aux['opl'], r_p,
+                                    n=int(res))
+        # working f-number from the traced image-side marginal slope
+        w = np.asarray(out.intensity)
+        dz_ = np.abs(np.asarray(out.dz))
+        slope = (np.sqrt(np.asarray(out.dx) ** 2 + np.asarray(out.dy) ** 2)
+                 / np.maximum(dz_, 1e-9))
+        u_marg = float(np.max(np.where(w > 0, slope, 0.0)))
+        if u_marg < 1e-9:
+            raise ValueError("beam leaves collimated — nothing focuses")
+        f_number = 1.0 / (2.0 * u_marg)
+        lam_mm = float(wavelength) * 1e-3
+        zs = np.linspace(-float(span), float(span), int(n_planes))
+        stack, dxi = through_focus_psf(opd, amp, lam_mm, f_number,
+                                       jnp.asarray(zs, jnp.float32),
+                                       pad=int(pad))
+        stack = np.asarray(stack)
+        c = stack.shape[1] // 2
+        carpet = stack[:, c, :].T            # [x, z]
+        peaks = stack.max(axis=(1, 2))
+        g = carpet / max(float(carpet.max()), 1e-24)
+        g = np.sqrt(g)                       # gamma for visibility
+        rgb = g[..., None] * np.ones(3)
+        png = encode_rgb(rgb[::-1])
+        return {'png': base64.b64encode(png).decode(),
+                'z_peak': float(zs[int(np.argmax(peaks))]),
+                'f_number': f_number, 'span': float(span),
+                'peaks': [float(v) for v in peaks],
+                'dx': float(dxi)}
+
     def footprints(self, surface=None, max_points=1500):
         """Per-surface clearance table (utils/footprint.py) and,
         when ``surface`` names a row label, that surface's hit cloud
@@ -871,6 +925,12 @@ def make_handler(wb: Workbench):
                     tilt=float(body.get('tilt', 4.0)),
                     res=int(body.get('res', 96)),
                     defocus=float(body.get('defocus', 0.0)),
+                    wavelength=float(body.get('wavelength', 0.5876)))
+            if p == '/api/through_focus':
+                return wb.through_focus(
+                    span=float(body.get('span', 0.5)),
+                    n_planes=int(body.get('n_planes', 33)),
+                    res=int(body.get('res', 48)),
                     wavelength=float(body.get('wavelength', 0.5876)))
             if p == '/api/seidel':
                 return wb.seidel(aperture=body.get('aperture'),

@@ -405,6 +405,22 @@ def test_interferogram_endpoint(server):
     assert r2['rms_waves'] > r['rms_waves'] + 1.0   # 1 mm defocus >> 1 wave
 
 
+def test_through_focus_endpoint(server):
+    """/api/through_focus: angular-spectrum defocus sweep of the traced
+    pupil — PNG carpet, a peak inside the scanned span, a sane working
+    f-number for the benchmark singlet (f/~2.5 at the r=4 beam)."""
+    import base64 as b64
+    base, _ = server
+    r = _post(base, '/api/through_focus',
+              {'span': 2.0, 'n_planes': 17, 'res': 32})
+    assert r.get('error') is None, r
+    png = b64.b64decode(r['png'])
+    assert png[:8] == b'\x89PNG\r\n\x1a\n'
+    assert abs(r['z_peak']) <= 2.0
+    assert 1.5 < r['f_number'] < 4.0
+    assert len(r['peaks']) == 17 and max(r['peaks']) > 0
+
+
 def test_seidel_endpoint(server):
     """/api/seidel: third-order aberration report of the live scene —
     per-surface rows, totals matching a direct utils/seidel.py call,
