@@ -73,23 +73,53 @@ def _tilt_term(p):
     return rv[0], rv[1]
 
 
+def _extra_ff(el, p, i):
+    """STATIC monomial powers + traced coefficients of face ``i``'s
+    freeform/Zernike sag extension (empty for a plain asphere) — the
+    same expansion the ray table rows carry (elements/lens.py::build)."""
+    if isinstance(el, FreeformLens):
+        key = ('xy1', 'xy2')[i]
+        pw = el._ff_powers[i]
+        return (pw, [p[key][m] for m in range(len(pw))]) if pw else ((), ())
+    if isinstance(el, ZernikeLens):
+        key = ('z1', 'z2')[i]
+        zm = el._zern_maps[i]
+        if not zm:
+            return (), ()
+        powers, M = zm
+        z = p[key]
+        ff = []
+        # unrolled exact-f32 basis change, same as ZernikeLens.build
+        for row in M:
+            acc = None
+            for k, w in enumerate(row):
+                if w != 0.0:
+                    term = w * z[k]
+                    acc = term if acc is None else acc + term
+            ff.append(acc if acc is not None else 0.0 * z[0])
+        return powers, ff
+    return (), ()
+
+
 def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
     """Propagate the field ``(re, im)`` (sampled at pitch ``dx``,
     centered on the optical axis at plane ``z = z0``) through
     ``scene.elements`` in listed order.
 
-    Supported elements: the rotationally-symmetric spheric/aspheric
-    lens families (Singlet/Doublet/Triplet/Aspheric — conic + even
-    asphere sag screens, clear-aperture disk masks, in-glass
-    propagation between faces), IdealThinLens (quadratic screen),
+    Supported elements: the full refractive lens family (Singlet/
+    Doublet/Triplet/Aspheric/Freeform/Zernike — conic + even-asphere +
+    XY-monomial/Zernike sag screens via the same static expansion the
+    ray table rows carry; clear-aperture disk masks; in-glass
+    propagation between faces), CylSingletLens (y-only sag, rect
+    aperture), IdealThinLens (quadratic screen),
     DiffractiveLens and PhaseGridPlate (achromatic cycles profiles as
     2 pi m phi_c screens — the wave model whose stationary-phase limit
     is exactly doe_dir/phase_grid_dir's momentum kick; kinoform
     ``efficiency`` scales the amplitude by |sinc(lam0/lam - m)|),
     Circular/Rectangular/Elliptic apertures (binary masks, ``invert``
     honored), and SensorElement (terminates the walk).  Anything else
-    — mirrors (folded geometry), GRIN, cylinder lenses, scatter —
-    raises NotImplementedError with the reason.
+    — mirrors (folded geometry), GRIN, scatter — raises
+    NotImplementedError with the reason.
 
     Dispersion models are NOT evaluated: media use their design-
     wavelength params (``ior_glass`` etc.) as-is; pass the matching
@@ -111,11 +141,28 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
 
     for el in scene.elements:
         p = params[el.name]
-        if isinstance(el, (CylSingletLens, FreeformLens, ZernikeLens)):
-            raise NotImplementedError(
-                f'wave_trace: {type(el).__name__} screens are not '
-                'implemented (cylinder sag / static freeform powers) — '
-                'trace rays (scene.simulate) or drop the element')
+        if isinstance(el, CylSingletLens):
+            # HalfCyl faces: curvature acts in Y only (q_quadric_zy),
+            # rect clear aperture
+            tilt = _tilt_term(p)
+            te = p['trans']
+            xp, yp = x - te[0], y - te[1]
+            mask = ((jnp.abs(xp) <= p['half_w'])
+                    & (jnp.abs(yp) <= p['half_h'])).astype(re.dtype)
+            iors = el._ior_chain(p)
+            for i, (c, zv) in enumerate(zip((p['c1'], p['c2']),
+                                            (-p['t'] / 2.0, p['t'] / 2.0))):
+                z_face = te[2] + zv
+                re, im = hop(re, im, z_face, n_cur)
+                z_cur, n_cur = z_face, iors[i + 1]
+                sag = sag_z(c, jnp.sqrt(yp * yp + 1e-24))
+                sag = jnp.broadcast_to(sag, re.shape)
+                if tilt is not None:
+                    sag = sag + tilt[0] * yp - tilt[1] * xp
+                opd = (iors[i] - iors[i + 1]) * sag
+                re, im = _mul_phase(re, im, opd, wavelength)
+                re, im = re * mask, im * mask
+            continue
         if isinstance(el, _SphericLens):
             tilt = _tilt_term(p)
             te = p['trans']
@@ -133,8 +180,9 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
                 if is_asph:
                     kc2 = (1.0 + p[('k1', 'k2')[i]]) * c * c
                     a = p[('a1', 'a2')[i]]
+                    powers, coeffs = _extra_ff(el, p, i)
                     sag = ff_sag_grad(c, kc2, tuple(a[j] for j in range(4)),
-                                      (), (), xp, yp)[0]
+                                      powers, coeffs, xp, yp)[0]
                 else:
                     sag = sag_z(c, jnp.sqrt(r2 + 1e-24))
                 if tilt is not None:

@@ -255,3 +255,52 @@ def test_phase_plate_pixel_grads_flow():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert (np.abs(g) > 0).mean() > 0.5   # most pixels see the beam
+
+
+def test_cyl_lens_line_focus():
+    """A cylindrical singlet focuses in y only: at f_y the y-moment
+    collapses to the ABCD waist while x stays the input width."""
+    from raytracetorch_tpu import CylSingletLens
+    c, t, ng = 0.02, 0.2, 1.5
+    fy = 1.0 / ((ng - 1.0) * 2 * c)
+    sc = SequentialScene([
+        CylSingletLens(c1=c, c2=-c, height=4.0, width=4.0, t=t,
+                       ior_glass=ng, name='cyl'),
+        SensorElement(radius=2.0, translation=[0, 0, fy], name='s')])
+    p = sc.init_params()
+    n, dx, w0 = 256, 8e-3, 0.35
+    re, im = _gauss(n, dx, w0)
+    r1, i1, _ = wave_trace(sc, p, re, im, dx, WL, z0=-1.0)
+    I = np.asarray(r1 * r1 + i1 * i1)
+    ax = (np.arange(n) - n // 2) * dx
+    c2_ = n // 2
+    Iy = I[:, c2_ - 32:c2_ + 32].sum(axis=1)
+    wy = 2 * np.sqrt((Iy[c2_ - 16:c2_ + 16]
+                      * ax[c2_ - 16:c2_ + 16] ** 2).sum()
+                     / Iy[c2_ - 16:c2_ + 16].sum())
+    Ix = I.sum(axis=0)
+    wx = 2 * np.sqrt((Ix * ax ** 2).sum() / Ix.sum())
+    w_line = WL * fy / (np.pi * w0)
+    assert abs(wy - w_line) / w_line < 0.1          # focused axis
+    assert abs(wx - w0) / w0 < 0.05                 # unfocused axis
+
+
+def test_zernike_defocus_term_is_a_lens():
+    """A pure Noll-j=4 (defocus) Zernike sag on a flat plate acts as a
+    lens of f = Rn^2 / (4 z4 (n-1)) — the repo's Zernikes are
+    UNNORMALIZED (Z4 = 2 rho^2 - 1, rim value 1; geom/zernike.py), so
+    no sqrt(3).  The wave trace's static monomial expansion matches."""
+    from raytracetorch_tpu import ZernikeLens
+    ng, rn, z4 = 1.5, 2.0, 0.01
+    f = rn ** 2 / (4.0 * z4 * (ng - 1.0))                  # 200 mm
+    sc = SequentialScene([
+        ZernikeLens(c1=0.0, c2=0.0, d=4.0, t=0.2, ior_glass=ng,
+                    z1=[(4, z4)], norm_radius=rn, name='zl'),
+        SensorElement(radius=2.0, translation=[0, 0, f], name='s')])
+    p = sc.init_params()
+    n, dx, w0 = 256, 8e-3, 0.35
+    re, im = _gauss(n, dx, w0)
+    r1, i1, _ = wave_trace(sc, p, re, im, dx, WL, z0=-1.0)
+    w_meas = _moment_w(np.asarray(r1 * r1 + i1 * i1), dx, crop=24)
+    w_true = WL * f / (np.pi * w0)
+    assert abs(w_meas - w_true) / w_true < 0.1
