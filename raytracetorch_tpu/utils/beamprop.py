@@ -23,9 +23,11 @@ Validity: thin-screen sag collapse needs |sag| << the distances being
 propagated and the field's angular content inside the paraxial-ish
 band (the propagator itself is exact; the screens are the
 approximation).  Element TILTS enter as their exact small-angle prism
-term ``(n_b - n_a) * (rx * y - ry * x)``; large tilts and folded
-(mirror) geometry do not fit a forward z-marching scalar model and
-raise.
+term ``(n_b - n_a) * (rx * y - ry * x)``.  Axis-aligned MIRRORS are
+UNFOLDED: the walk tracks zeta(z) = fold_s * z + fold_o, a reflection
+applies the round-trip screen ``2 n fold_s sag`` and flips the map, so
+telescopes (fold chains, Cassegrains) wave-trace on one effective
+axis; off-axis mirrors raise.
 
 The torch reference has no wave model at all (rays only); this extends
 the physical-optics layer (utils/psf.py, utils/propagation.py) from
@@ -42,6 +44,8 @@ from ..elements.diffractive import DiffractiveLens, PhaseGridPlate
 from ..elements.ideal import IdealThinLens
 from ..elements.lens import (AsphericLens, CylSingletLens, FreeformLens,
                              ZernikeLens, _SphericLens)
+from ..elements.mirror import (AsphericMirror, ConicMirror, ParabolicMirror,
+                               SphericalMirror)
 from ..elements.sensor import SensorElement
 from ..geom.surfaces import ff_sag_grad, sag_z
 from .propagation import angular_spectrum
@@ -117,9 +121,11 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
     is exactly doe_dir/phase_grid_dir's momentum kick; kinoform
     ``efficiency`` scales the amplitude by |sinc(lam0/lam - m)|),
     Circular/Rectangular/Elliptic apertures (binary masks, ``invert``
-    honored), and SensorElement (terminates the walk).  Anything else
-    — mirrors (folded geometry), GRIN, scatter — raises
-    NotImplementedError with the reason.
+    honored), axis-aligned Spherical/Parabolic/Conic/Aspheric mirrors
+    (unfolded — see module docstring; metal/coating reflectance is NOT
+    modeled, mirrors reflect with unit amplitude), and SensorElement
+    (terminates the walk).  Anything else — off-axis/cyl/Mangin
+    mirrors, GRIN, scatter — raises NotImplementedError.
 
     Dispersion models are NOT evaluated: media use their design-
     wavelength params (``ior_glass`` etc.) as-is; pass the matching
@@ -132,12 +138,20 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
     re = jnp.asarray(re)
     im = jnp.asarray(im)
     x, y = _grid(re.shape, dx, re.dtype)
-    z_cur = jnp.asarray(z0, re.dtype)
+    # mirror folds are UNFOLDED onto a monotonically-increasing effective
+    # axis: zeta(z) = fold_s * z + fold_o; each reflection flips fold_s
+    # and re-anchors fold_o so zeta stays continuous at the mirror
+    fold_s, fold_o = 1.0, 0.0
+    zeta_cur = jnp.asarray(z0, re.dtype)
     n_cur = jnp.asarray(n_ambient, re.dtype)
 
     def hop(re, im, z_to, n):
-        return angular_spectrum(re, im, dx, wavelength, z_to - z_cur,
-                                n_medium=n)
+        nonlocal zeta_cur
+        zt = fold_s * z_to + fold_o
+        out = angular_spectrum(re, im, dx, wavelength, zt - zeta_cur,
+                               n_medium=n)
+        zeta_cur = zt
+        return out
 
     for el in scene.elements:
         p = params[el.name]
@@ -154,7 +168,7 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
                                             (-p['t'] / 2.0, p['t'] / 2.0))):
                 z_face = te[2] + zv
                 re, im = hop(re, im, z_face, n_cur)
-                z_cur, n_cur = z_face, iors[i + 1]
+                n_cur = iors[i + 1]
                 sag = sag_z(c, jnp.sqrt(yp * yp + 1e-24))
                 sag = jnp.broadcast_to(sag, re.shape)
                 if tilt is not None:
@@ -176,7 +190,7 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
             for i, (c, zv) in enumerate(zip(cs, zs)):
                 z_face = te[2] + zv
                 re, im = hop(re, im, z_face, n_cur)
-                z_cur, n_cur = z_face, iors[i + 1]
+                n_cur = iors[i + 1]
                 if is_asph:
                     kc2 = (1.0 + p[('k1', 'k2')[i]]) * c * c
                     a = p[('a1', 'a2')[i]]
@@ -198,7 +212,6 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
             # m lam_mm grad(phi) exactly (core/physics.py::doe_dir).
             te = p['trans']
             re, im = hop(re, im, te[2], n_cur)
-            z_cur = te[2]
             xp, yp = x - te[0], y - te[1]
             r2 = xp * xp + yp * yp
             phi_c = jnp.zeros_like(r2)
@@ -222,7 +235,6 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
             # (core/physics.py::phase_grid_dir lines 255-263)
             te = p['trans']
             re, im = hop(re, im, te[2], n_cur)
-            z_cur = te[2]
             xp, yp = x - te[0], y - te[1]
             grid = p['grid']
             Hg, Wg = grid.shape
@@ -247,7 +259,6 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
         if isinstance(el, IdealThinLens):
             te = p['trans']
             re, im = hop(re, im, te[2], n_cur)
-            z_cur = te[2]
             xp, yp = x - te[0], y - te[1]
             # OPD = -r^2/(2 f) = +r^2 * P / 2  (P = -1/f)
             opd = 0.5 * p['P'] * (xp * xp + yp * yp)
@@ -257,7 +268,6 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
                            EllipticAperture)):
             te = p['trans']
             re, im = hop(re, im, te[2], n_cur)
-            z_cur = te[2]
             xp, yp = x - te[0], y - te[1]
             if isinstance(el, CircularAperture):
                 inside = xp * xp + yp * yp <= p['radius'] ** 2
@@ -275,12 +285,47 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
             m = inside.astype(re.dtype)
             re, im = re * m, im * m
             continue
+        if isinstance(el, (SphericalMirror, ParabolicMirror, ConicMirror)):
+            # axis-aligned mirror: unfold.  A ray at radius r reflects
+            # with geometric round-trip OPD = 2 n s sag(r) relative to
+            # the vertex plane (s = incoming direction sign: arriving in
+            # -z, a point with sag > 0 is CLOSER, so the sign flips);
+            # the fold map then flips so later elements' world z keep
+            # increasing along the effective axis.
+            tilt = _tilt_term(p)
+            te = p['trans']
+            re, im = hop(re, im, te[2], n_cur)
+            xp, yp = x - te[0], y - te[1]
+            r2 = xp * xp + yp * yp
+            if isinstance(el, SphericalMirror):
+                sag = sag_z(p['c'], jnp.sqrt(r2 + 1e-24))
+                aper2 = (p['diameter'] / 2.0) ** 2
+            else:
+                k = -1.0 if isinstance(el, ParabolicMirror) else p['k']
+                kc2 = (1.0 + k) * p['c'] ** 2
+                a = (p['a'] if isinstance(el, AsphericMirror)
+                     else (0.0, 0.0, 0.0, 0.0))
+                sag = ff_sag_grad(p['c'], kc2,
+                                  tuple(a[j] for j in range(4)),
+                                  (), (), xp, yp)[0]
+                aper2 = ((p['d'] / 2.0) ** 2 if el._d_init > 0 else None)
+            if tilt is not None:
+                sag = sag + tilt[0] * yp - tilt[1] * xp
+            re, im = _mul_phase(re, im, 2.0 * n_cur * fold_s * sag,
+                                wavelength)
+            if aper2 is not None:
+                m = (r2 <= aper2).astype(re.dtype)
+                re, im = re * m, im * m
+            fold_o = zeta_cur + fold_s * te[2]
+            fold_s = -fold_s
+            continue
         if isinstance(el, SensorElement):
             te = p['trans']
             re, im = hop(re, im, te[2], n_cur)
             return re, im, te[2]
         raise NotImplementedError(
             f'wave_trace: no thin-screen model for '
-            f'{type(el).__name__} (mirrors fold the axis, GRIN/scatter '
-            'are volumetric/stochastic) — trace rays instead')
-    return re, im, z_cur
+            f'{type(el).__name__} (off-axis/cyl/Mangin mirrors, '
+            'GRIN and scatter have no axis-aligned thin screen) — '
+            'trace rays instead')
+    return re, im, (zeta_cur - fold_o) / fold_s

@@ -163,8 +163,10 @@ def test_wave_trace_grads_match_fd():
 
 
 def test_wave_trace_unsupported_raises():
-    from raytracetorch_tpu import ParabolicMirror
-    sc = SequentialScene([ParabolicMirror(c1=0.02, d=8.0, name='m')])
+    """Off-axis mirrors have no axis-aligned thin screen — raise."""
+    from raytracetorch_tpu import ParabolicMirrorOffAxis
+    sc = SequentialScene([
+        ParabolicMirrorOffAxis(c1=0.025, d=4.0, off_axis=10.0, name='m')])
     re = jnp.ones((32, 32), jnp.float32)
     with pytest.raises(NotImplementedError):
         wave_trace(sc, sc.init_params(), re, jnp.zeros_like(re),
@@ -304,3 +306,95 @@ def test_zernike_defocus_term_is_a_lens():
     w_meas = _moment_w(np.asarray(r1 * r1 + i1 * i1), dx, crop=24)
     w_true = WL * f / (np.pi * w0)
     assert abs(w_meas - w_true) / w_true < 0.1
+
+
+def test_mirror_fold_flat():
+    """A flat mirror just folds the axis: the unfolded propagation of
+    30 + 20 mm equals a straight 50 mm hop."""
+    from raytracetorch_tpu import SphericalMirror
+    n, dx, w0 = 128, 6e-3, 0.08
+    re, im = _gauss(n, dx, w0)
+    sc = SequentialScene([
+        SphericalMirror(c1=0.0, d=0.0, translation=[0, 0, 30.0],
+                        name='fold'),
+        SensorElement(radius=2.0, translation=[0, 0, 10.0], name='s')])
+    p = sc.init_params()
+    r1, i1, z1 = wave_trace(sc, p, re, im, dx, WL, z0=0.0)
+    assert float(z1) == 10.0
+    r_ref, i_ref = angular_spectrum(re, im, dx, WL, 50.0)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i_ref), atol=2e-5)
+
+
+def test_spherical_mirror_focuses():
+    """A concave mirror facing the beam (c < 0 in this encoding: the
+    dish opens toward -z) focuses at f = R/2 = -1/(2c): ABCD waist at
+    the folded-back sensor."""
+    from raytracetorch_tpu import SphericalMirror
+    c = -0.025                             # R = 40, f = 20
+    f = -1.0 / (2.0 * c)
+    n, dx, w0 = 256, 4e-3, 0.1
+    re, im = _gauss(n, dx, w0)
+    sc = SequentialScene([
+        SphericalMirror(c1=c, d=10.0, translation=[0, 0, 20.0], name='m'),
+        SensorElement(radius=2.0, translation=[0, 0, 20.0 - f], name='s')])
+    p = sc.init_params()
+    r1, i1, _ = wave_trace(sc, p, re, im, dx, WL, z0=0.0)
+    w_meas = _moment_w(np.asarray(r1 * r1 + i1 * i1), dx, crop=16)
+    w_true = WL * f / (np.pi * w0)
+    assert abs(w_meas - w_true) / w_true < 0.05
+
+
+def test_two_mirror_fold_chain():
+    """Flat fold + focusing mirror: two reflections restore +z travel
+    and the second mirror's ABCD waist lands at its focal plane."""
+    from raytracetorch_tpu import SphericalMirror
+    c2 = 0.025                             # opens toward +z, beam from +z
+    f2 = 1.0 / (2.0 * c2)                  # 20 mm
+    n, dx, w0 = 256, 4e-3, 0.1
+    re, im = _gauss(n, dx, w0)
+    sc = SequentialScene([
+        SphericalMirror(c1=0.0, d=0.0, translation=[0, 0, 30.0],
+                        name='fold'),
+        SphericalMirror(c1=c2, d=10.0, translation=[0, 0, -10.0],
+                        name='m2'),
+        SensorElement(radius=2.0, translation=[0, 0, -10.0 + f2],
+                      name='s')])
+    p = sc.init_params()
+    r1, i1, z1 = wave_trace(sc, p, re, im, dx, WL, z0=0.0)
+    assert float(z1) == 10.0
+    w_meas = _moment_w(np.asarray(r1 * r1 + i1 * i1), dx, crop=16)
+    w_true = WL * f2 / (np.pi * w0)
+    assert abs(w_meas - w_true) / w_true < 0.05
+    p0 = float(jnp.sum(re * re + im * im))
+    p1 = float(jnp.sum(r1 * r1 + i1 * i1))
+    assert abs(p1 - p0) / p0 < 1e-3        # d=10 clips only the far tail
+
+
+def test_parabolic_mirror_wave_vs_ray_focus():
+    """The paraboloid is stigmatic for collimated light: the wave
+    through-focus peak sits AT the ray focus f = 1/(2|c|) (no SA to
+    split the two focus definitions, unlike the singlet test)."""
+    from raytracetorch_tpu import ParabolicMirror
+    c = -0.025
+    f = 20.0
+    n, dx = 256, 0.02
+    ax = (jnp.arange(n) - n // 2) * dx
+    r2 = ax[:, None] ** 2 + ax[None, :] ** 2
+    re = (r2 <= 2.25).astype(jnp.float32)       # r = 1.5 disk
+    im = jnp.zeros_like(re)
+    sc = SequentialScene([
+        ParabolicMirror(c1=c, d=8.0, translation=[0, 0, 20.0], name='m'),
+        SensorElement(radius=2.0, translation=[0, 0, 0.0], name='s')])
+    p = sc.init_params()
+    r1, i1, _ = wave_trace(sc, p, re, im, dx, WL, z0=0.0)
+    cpx = n // 2
+    best, best_dz = -1.0, None
+    for dz in np.linspace(-1.0, 1.0, 21):
+        rr, ii = angular_spectrum(r1, i1, dx, WL, float(dz))
+        v = float(rr[cpx, cpx] ** 2 + ii[cpx, cpx] ** 2)
+        if v > best:
+            best, best_dz = v, dz
+    # effective +dz after the (single) fold is WORLD -dz; the stigmatic
+    # focus is exactly at the sensor plane (z = 20 - f = 0)
+    assert abs(best_dz) <= 0.11, best_dz
