@@ -41,8 +41,8 @@ import jax.numpy as jnp
 
 from .psf import _mm, dft2_field
 
-__all__ = ['angular_spectrum', 'fresnel_transfer', 'through_focus_psf',
-           'grating_field']
+__all__ = ['angular_spectrum', 'fresnel_transfer', 'fresnel_single_ft',
+           'through_focus_psf', 'grating_field']
 
 
 def _dft_mats_std(n, dtype=jnp.float32):
@@ -135,6 +135,49 @@ def fresnel_transfer(re, im, dx, wavelength, dz):
     fx = _fftfreq(W, dx, re.dtype)[None, :]
     phase = (-jnp.pi * wavelength * dz) * (fx * fx + fy * fy)
     return _apply_transfer(re, im, jnp.cos(phase), jnp.sin(phase))
+
+
+def fresnel_single_ft(re, im, dx, wavelength, dz, dx_out=None):
+    """Single-FT (scaled) Fresnel propagation: chirp - DFT - chirp.
+
+    The transfer-function propagators keep the sample pitch, which
+    makes a fast telescope unrepresentable (a 60 mm pupil needs the
+    window, its 3 um Airy core needs the pitch — 20k+ samples).  The
+    single-FT Fresnel integral instead LANDS on a new pitch: the
+    natural ``dx_out = lambda |dz| / (N dx)``, or any finer/coarser
+    ``dx_out`` you pass (the DFT frequency axis is rescaled by
+    ``alpha = N dx dx_out / (lambda dz)`` — the same trick
+    polychromatic_psf uses).  Ideal for the pupil -> focal-plane hop of
+    fast systems; the quadratic input chirp must be sampled:
+    ``dx^2 N >~ lambda |dz|`` (caller's responsibility — dz may be
+    traced, so this cannot be asserted here).
+
+    Returns ``(re2, im2, dx_out)``.  The 1/(i lambda dz) carrier is
+    dropped (global phase); the 1/(lambda dz) AMPLITUDE is kept, so
+    power is conserved: sum|U2|^2 dx_out^2 = sum|U1|^2 dx^2 when the
+    chirped field is band-contained.
+    """
+    H, W = re.shape
+    assert H == W, 'fresnel_single_ft needs a square grid'
+    n = H
+    lam_dz = wavelength * dz
+    if dx_out is None:
+        dx_out = wavelength * jnp.abs(dz) / (n * dx)
+    # input chirp exp(+i pi r^2 / (lam dz))
+    xi = (jnp.arange(n, dtype=re.dtype) - (n - 1) / 2.0) * dx
+    r2 = xi[None, :] ** 2 + xi[:, None] ** 2
+    ph1 = (jnp.pi / lam_dz) * r2
+    c1, s1 = jnp.cos(ph1), jnp.sin(ph1)
+    gr = re * c1 - im * s1
+    gi = re * s1 + im * c1
+    alpha = n * dx * dx_out / lam_dz
+    fr, fi = dft2_field(gr, gi, n, alpha=alpha)
+    # output chirp exp(+i pi u^2 / (lam dz)) + amplitude dx^2/(lam |dz|)
+    uo = (jnp.arange(n, dtype=re.dtype) - n // 2) * dx_out
+    ph2 = (jnp.pi / lam_dz) * (uo[None, :] ** 2 + uo[:, None] ** 2)
+    a = dx * dx / (wavelength * jnp.abs(dz))
+    c2, s2 = a * jnp.cos(ph2), a * jnp.sin(ph2)
+    return fr * c2 - fi * s2, fr * s2 + fi * c2, dx_out
 
 
 def through_focus_psf(opd, amp, wavelength, f_number, zs, pad=4):

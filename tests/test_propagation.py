@@ -152,3 +152,31 @@ def test_propagation_grads_match_finite_differences():
     # rtol floor: the FD numerator is a 3e-3 difference of O(0.78) f32
     # evaluations, so its own noise is ~1e-2 relative
     np.testing.assert_allclose(g, fd, rtol=2e-2)
+
+
+def test_fresnel_single_ft_focuses_to_abcd_waist():
+    """Scaled single-FT Fresnel: a lens-phased Gaussian lands on the
+    fine output pitch at its ABCD focal waist, power conserved — the
+    propagator fast systems need (the TF propagators cannot hold a big
+    pupil and a tiny Airy core on one pitch)."""
+    from raytracetorch_tpu.utils.propagation import fresnel_single_ft
+    n, dx, w0, f = 256, 0.04, 2.0, 100.0       # 10 mm window, f/25-ish
+    ax = (jnp.arange(n) - (n - 1) / 2.0) * dx
+    r2 = ax[:, None] ** 2 + ax[None, :] ** 2
+    re = jnp.exp(-r2 / w0 ** 2)
+    ph = -jnp.pi * r2 / (WL * f)                # thin lens at the plane
+    rr, ii = re * jnp.cos(ph), re * jnp.sin(ph)
+    r2o, i2o, dxo = fresnel_single_ft(rr, ii, dx, WL, f)
+    assert float(dxo) == pytest.approx(WL * f / (n * dx), rel=1e-6)
+    I = np.asarray(r2o * r2o + i2o * i2o)
+    w_meas = _second_moment_w(I, float(dxo))
+    w_true = WL * f / (np.pi * w0)              # 7.96 um
+    assert abs(w_meas - w_true) / w_true < 0.03
+    # power conservation across the pitch change
+    p_in = float(jnp.sum(re * re)) * dx * dx
+    p_out = float(I.sum()) * float(dxo) ** 2
+    assert abs(p_out - p_in) / p_in < 1e-3
+    # zoomed output pitch (alpha < 1) keeps the same waist
+    r3, i3, dx3 = fresnel_single_ft(rr, ii, dx, WL, f, dx_out=dxo / 2)
+    w3 = _second_moment_w(np.asarray(r3 * r3 + i3 * i3), float(dxo) / 2)
+    assert abs(w3 - w_true) / w_true < 0.03
