@@ -105,7 +105,34 @@ def _extra_ff(el, p, i):
     return (), ()
 
 
-def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
+def _medium_iors(el, p, wavelength_um):
+    """Per-medium indices of a lens element, with the element's
+    dispersion models (Sellmeier/Cauchy, elements/lens.py::_disp_chain)
+    evaluated at ``wavelength_um`` when given — the same models the ray
+    table rows carry (core/static_dispatch.py::dispersive_iors)."""
+    iors = el._ior_chain(p)
+    if wavelength_um is None:
+        return iors
+    dc = el._disp_chain(p)
+    if dc is None:
+        return iors
+    from ..constants import DispModel
+    from .glass import sellmeier_index
+    d2 = 0.5876 ** 2
+    l2 = float(wavelength_um) ** 2
+    out = []
+    for n0, (model, coeffs) in zip(iors, dc):
+        if model == DispModel.SELLMEIER:
+            out.append(sellmeier_index(coeffs, float(wavelength_um)))
+        elif model == DispModel.CAUCHY:
+            out.append(n0 + coeffs[0] * (1.0 / l2 - 1.0 / d2))
+        else:
+            out.append(n0)
+    return out
+
+
+def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
+               wavelength_um=None):
     """Propagate the field ``(re, im)`` (sampled at pitch ``dx``,
     centered on the optical axis at plane ``z = z0``) through
     ``scene.elements`` in listed order.
@@ -127,9 +154,12 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
     (terminates the walk).  Anything else — off-axis/cyl/Mangin
     mirrors, GRIN, scatter — raises NotImplementedError.
 
-    Dispersion models are NOT evaluated: media use their design-
-    wavelength params (``ior_glass`` etc.) as-is; pass the matching
-    ``wavelength``.
+    By default media use their design-wavelength params (``ior_glass``
+    etc.) as-is; pass ``wavelength_um`` (the same micron value the ray
+    model puts on ``rays.wavelength``) to evaluate each lens's
+    Sellmeier/Cauchy dispersion model at that line instead —
+    ``wavelength`` itself stays in trace LENGTH units and sets the
+    propagation scale.
 
     Returns ``(re, im, z)`` — the field at the first sensor plane (or
     after the last element if the scene has no sensor) and that
@@ -163,7 +193,7 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
             xp, yp = x - te[0], y - te[1]
             mask = ((jnp.abs(xp) <= p['half_w'])
                     & (jnp.abs(yp) <= p['half_h'])).astype(re.dtype)
-            iors = el._ior_chain(p)
+            iors = _medium_iors(el, p, wavelength_um)
             for i, (c, zv) in enumerate(zip((p['c1'], p['c2']),
                                             (-p['t'] / 2.0, p['t'] / 2.0))):
                 z_face = te[2] + zv
@@ -185,7 +215,7 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0):
             mask = (r2 <= p['radius'] ** 2).astype(re.dtype)
             zs = el._vertex_zs(p)
             cs = [p[n] for n in el._curv_names]
-            iors = el._ior_chain(p)
+            iors = _medium_iors(el, p, wavelength_um)
             is_asph = isinstance(el, AsphericLens)
             for i, (c, zv) in enumerate(zip(cs, zs)):
                 z_face = te[2] + zv

@@ -398,3 +398,30 @@ def test_parabolic_mirror_wave_vs_ray_focus():
     # effective +dz after the (single) fold is WORLD -dz; the stigmatic
     # focus is exactly at the sensor plane (z = 20 - f = 0)
     assert abs(best_dz) <= 0.11, best_dz
+
+
+def test_wave_trace_chromatic_sellmeier():
+    """wavelength_um= evaluates the lens's Sellmeier model: the wave
+    focus follows f(lambda) = 1/((n(lambda)-1)(c1-c2)) across the F and
+    C lines (N-BK7 thin singlet; ~0.75 mm of axial color here)."""
+    from raytracetorch_tpu import glass
+    from raytracetorch_tpu.utils.glass import SELLMEIER, sellmeier_index
+
+    c, t = 0.02, 0.2
+    gk = glass('N-BK7', model='sellmeier')
+    coeffs = SELLMEIER['N-BK7']
+    n, dx, w0 = 256, 8e-3, 0.35
+    re, im = _gauss(n, dx, w0)
+    for lam_um in (0.4861, 0.6563):          # F and C lines
+        n_g = float(sellmeier_index(coeffs, lam_um))
+        f = 1.0 / ((n_g - 1.0) * 2 * c)
+        sc = SequentialScene([
+            SingletLens(c1=c, c2=-c, d=4.0, t=t, name='lens', **gk),
+            SensorElement(radius=2.0, translation=[0, 0, f], name='s')])
+        p = sc.init_params()
+        wl_mm = lam_um * 1e-3
+        r1, i1, _ = wave_trace(sc, p, re, im, dx, wl_mm, z0=-1.0,
+                               wavelength_um=lam_um)
+        w_meas = _moment_w(np.asarray(r1 * r1 + i1 * i1), dx, crop=16)
+        w_true = wl_mm * f / (np.pi * w0)
+        assert abs(w_meas - w_true) / w_true < 0.02, lam_um
