@@ -90,14 +90,48 @@ def talbot_demo():
     return zs, carpet, zt
 
 
+def wave_trace_demo():
+    """Full-system wave trace of the singlet: the split-step BPM
+    (per-face sag screens + in-glass hops) lands its focus where the
+    ray tracer puts it."""
+    from raytracetorch_tpu import wave_trace
+    from raytracetorch_tpu.utils.wavefront import best_focus
+
+    scene = SequentialScene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    name='lens'),
+        SensorElement(radius=6.0, translation=[0, 0, 19.322],
+                      name='sensor')])
+    params = scene.init_params()
+    key = jax.random.PRNGKey(0)
+    launch = CollimatedDisk.make(radius=jnp.float32(2.0),
+                                 translation=[0, 0, -5.0]).sample(key,
+                                                                  50_000)
+    out, _, _ = scene.simulate(params, launch, key)
+    z_ray = float(best_focus(out)[2])
+
+    n, dx = 256, 0.025
+    ax = (jnp.arange(n) - n // 2) * dx
+    r2 = ax[:, None] ** 2 + ax[None, :] ** 2
+    re = (r2 <= 4.0).astype(jnp.float32)
+    im = jnp.zeros_like(re)
+    r1, i1, z_s = wave_trace(scene, params, re, im, dx, LAM, z0=-5.0)
+    I = np.asarray(r1 * r1 + i1 * i1)
+    print(f'wave-trace sensor plane z = {float(z_s):.3f}; ray best focus '
+          f'z = {z_ray:.3f} (max-axial-intensity vs min-RMS-spot differ '
+          'by a fraction of the SA focal spread)')
+    return I, dx
+
+
 def main():
     zs_f, focus_carpet, peaks = through_focus_demo()
     zs_t, talbot_carpet, zt = talbot_demo()
+    sensor_I, dx_w = wave_trace_demo()
     try:
         import matplotlib
         matplotlib.use('Agg')
         import matplotlib.pyplot as plt
-        fig, axes = plt.subplots(1, 3, figsize=(13, 4))
+        fig, axes = plt.subplots(1, 4, figsize=(17, 4))
         axes[0].imshow(focus_carpet.T, origin='lower', cmap='magma',
                        aspect='auto',
                        extent=[zs_f[0], zs_f[-1], 0, focus_carpet.shape[1]])
@@ -110,6 +144,15 @@ def main():
                        aspect='auto', extent=[0, 2, 0, talbot_carpet.shape[1]])
         axes[2].set_title(f'Talbot carpet (z_T = {zt:.2f} mm)')
         axes[2].set_xlabel('z / z_T')
+        c = sensor_I.shape[0] // 2
+        hw = 40
+        axes[3].imshow(np.sqrt(sensor_I[c - hw:c + hw, c - hw:c + hw]),
+                       origin='lower', cmap='magma',
+                       extent=[-hw * dx_w, hw * dx_w,
+                               -hw * dx_w, hw * dx_w])
+        axes[3].set_title('full wave TRACE: field at the sensor\n'
+                          '(sag screens + in-glass hops)')
+        axes[3].set_xlabel('x [mm]')
         fig.tight_layout()
         fig.savefig(os.path.join(os.path.dirname(__file__), 'output',
                                  '30_wave_propagation.png'), dpi=110)
