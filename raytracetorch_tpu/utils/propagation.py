@@ -42,7 +42,8 @@ import jax.numpy as jnp
 from .psf import _mm, dft2_field
 
 __all__ = ['angular_spectrum', 'fresnel_transfer', 'fresnel_single_ft',
-           'through_focus_psf', 'grating_field']
+           'through_focus_psf', 'grating_field', 'vector_angular_spectrum',
+           'longitudinal_field']
 
 
 def _dft_mats_std(n, dtype=jnp.float32):
@@ -211,6 +212,48 @@ def through_focus_psf(opd, amp, wavelength, f_number, zs, pad=4):
         return (r * r + i * i) / norm
 
     return jax.vmap(plane)(jnp.asarray(zs)), dx
+
+
+def vector_angular_spectrum(ex, ey, dx, wavelength, dz, n_medium=1.0):
+    """Vector free-space propagation of the transverse field.
+
+    Each Cartesian component of E satisfies the scalar Helmholtz
+    equation, so the transverse pair propagates with the SCALAR
+    angular-spectrum transfer — the vector content is that the pair
+    determines Ez through transversality (:func:`longitudinal_field`).
+    ``ex``/``ey`` are (re, im) tuples; returns the propagated tuples.
+    """
+    return (angular_spectrum(ex[0], ex[1], dx, wavelength, dz, n_medium),
+            angular_spectrum(ey[0], ey[1], dx, wavelength, dz, n_medium))
+
+
+def longitudinal_field(ex, ey, dx, wavelength, n_medium=1.0):
+    """Ez of a forward-propagating field from its transverse pair.
+
+    Maxwell's div E = 0 fixes the longitudinal component per plane
+    wave: ``Ez = -(fx Ex + fy Ey) / fz`` with ``fz = sqrt((n/lam)^2 -
+    fx^2 - fy^2)`` — the physics behind the tight-focus "longitudinal
+    needle" of radially polarized beams (|Ez|/|Et| ~ NA).  Evanescent
+    components are dropped.  ``ex``/``ey`` are (re, im) tuples; returns
+    the (re, im) of Ez on the same grid.
+    """
+    exr, exi = ex
+    eyr, eyi = ey
+    H, W = exr.shape
+    Ch, Sh = _dft_mats_std(H, exr.dtype)
+    Cw, Sw = (Ch, Sh) if W == H else _dft_mats_std(W, exr.dtype)
+    fy = _fftfreq(H, dx, exr.dtype)[:, None]
+    fx = _fftfreq(W, dx, exr.dtype)[None, :]
+    q = (n_medium / wavelength) ** 2 - fx * fx - fy * fy
+    prop = q > 0.0
+    fz = jnp.sqrt(jnp.where(prop, q, 1.0) + 1e-24)
+    gx = jnp.where(prop, -fx / fz, 0.0)
+    gy = jnp.where(prop, -fy / fz, 0.0)
+    fxr, fxi = _dft2(exr, exi, Ch, Sh, Cw, Sw)
+    fyr, fyi = _dft2(eyr, eyi, Ch, Sh, Cw, Sw)
+    zr = gx * fxr + gy * fyr
+    zi = gx * fxi + gy * fyi
+    return _dft2(zr, zi, Ch, Sh, Cw, Sw, inverse=True)
 
 
 def grating_field(n, period_px, duty=0.5, dtype=jnp.float32):

@@ -180,3 +180,49 @@ def test_fresnel_single_ft_focuses_to_abcd_waist():
     r3, i3, dx3 = fresnel_single_ft(rr, ii, dx, WL, f, dx_out=dxo / 2)
     w3 = _second_moment_w(np.asarray(r3 * r3 + i3 * i3), float(dxo) / 2)
     assert abs(w3 - w_true) / w_true < 0.03
+
+
+def test_longitudinal_field_plane_wave_zero():
+    """An x-polarized plane wave is purely transverse: Ez = 0."""
+    from raytracetorch_tpu.utils.propagation import longitudinal_field
+    n = 64
+    ex = (jnp.ones((n, n), jnp.float32), jnp.zeros((n, n), jnp.float32))
+    ey = (jnp.zeros((n, n), jnp.float32), jnp.zeros((n, n), jnp.float32))
+    zr, zi = longitudinal_field(ex, ey, 1e-2, WL)
+    np.testing.assert_allclose(np.asarray(zr), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zi), 0.0, atol=1e-5)
+
+
+def test_radial_polarization_longitudinal_needle():
+    """A focused radially-polarized beam grows an ON-AXIS longitudinal
+    field while its transverse field vanishes on axis — the classic
+    tight-focus needle (|Ez|/|Et| scales with NA)."""
+    from raytracetorch_tpu.utils.propagation import (longitudinal_field,
+                                                     vector_angular_spectrum)
+    n, dx, w0, f = 256, 2e-3, 0.12, 1.2        # NA ~ w0/f = 0.1
+    ax = (jnp.arange(n) - n // 2) * dx
+    xg, yg = ax[None, :], ax[:, None]
+    r = jnp.sqrt(xg * xg + yg * yg + 1e-20)
+    g = (r / w0) * jnp.exp(-(r / w0) ** 2)     # radial donut amplitude
+    ph = -jnp.pi * (r * r) / (WL * f)          # focusing phase
+    cph, sph = jnp.cos(ph), jnp.sin(ph)
+    ex = (g * (xg / r) * cph, g * (xg / r) * sph)
+    ey = (g * (yg / r) * cph, g * (yg / r) * sph)
+    ex2, ey2 = vector_angular_spectrum(ex, ey, dx, WL, f)
+    zr, zi = longitudinal_field(ex2, ey2, dx, WL)
+    c = n // 2
+    Iz0 = float(zr[c, c] ** 2 + zi[c, c] ** 2)
+    It0 = float(ex2[0][c, c] ** 2 + ex2[1][c, c] ** 2
+                + ey2[0][c, c] ** 2 + ey2[1][c, c] ** 2)
+    assert Iz0 > 10.0 * It0                    # on-axis is LONGITUDINAL
+    Iz = np.asarray(zr * zr + zi * zi)
+    assert Iz.argmax() == c * n + c            # needle peaks on axis
+    # and an x-polarized Gaussian of the same geometry has only a
+    # small longitudinal fraction (~(NA/2)^2 of the peak)
+    exg = (jnp.exp(-(r / w0) ** 2) * cph, jnp.exp(-(r / w0) ** 2) * sph)
+    ey0 = (jnp.zeros_like(g), jnp.zeros_like(g))
+    ex3, ey3 = vector_angular_spectrum(exg, ey0, dx, WL, f)
+    zr3, zi3 = longitudinal_field(ex3, ey3, dx, WL)
+    Ixp = float(jnp.max(ex3[0] ** 2 + ex3[1] ** 2))
+    Izp = float(jnp.max(zr3 ** 2 + zi3 ** 2))
+    assert Izp < 0.05 * Ixp
