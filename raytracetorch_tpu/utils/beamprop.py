@@ -66,13 +66,35 @@ def _mul_phase(re, im, opd, wavelength):
     return re * c - im * s, re * s + im * c
 
 
-def _tilt_term(p):
+def _tilt_term(p, what='element'):
     """Small-angle prism height of the element's tilt: the rotated
     face plane sits at z = vz - ry*x' + rx*y' (Rodrigues to first
-    order), so the screen sag gains ``rx*y' - ry*x'``... with the sign
-    folded in below."""
+    order), so the screen sag gains ``rx*y' - ry*x'``.
+
+    The first-order screen is only valid for SMALL tilts — a genuinely
+    rotated element (a 45-degree fold flat, say) would otherwise be
+    silently wave-traced as a tiny prism, so concrete rotations beyond
+    ~0.1 rad raise.  (Traced rotations cannot be checked — the caller
+    under jit owns that contract.)  The axial component rz is dropped:
+    exact for rotationally-symmetric faces, first-order-negligible
+    otherwise."""
+    import jax
+    import numpy as np
+
     rv = p.get('rot_vec')
     if rv is None:
+        return None
+    if isinstance(rv, jax.core.Tracer):
+        return rv[0], rv[1]        # traced pose: caller's contract
+    mags = np.abs(np.asarray(rv))
+    if float(mags.max()) > 0.1:
+        raise NotImplementedError(
+            f'wave_trace: {what} carries a {float(mags.max()):.3f} rad '
+            'rotation — the thin-screen model only supports small '
+            '(paraxial, < ~0.1 rad) tilts as first-order prism terms; '
+            'fold geometry belongs to the MIRROR unfolding or the ray '
+            'tracer')
+    if float(mags[0]) == 0.0 and float(mags[1]) == 0.0:
         return None
     return rv[0], rv[1]
 
@@ -119,11 +141,13 @@ def _medium_iors(el, p, wavelength_um):
     from ..constants import DispModel
     from .glass import sellmeier_index
     d2 = 0.5876 ** 2
-    l2 = float(wavelength_um) ** 2
+    # keep wavelength_um symbolic: sellmeier_index takes jax scalars, so
+    # the chromatic wave trace jits/differentiates in the wavelength
+    l2 = wavelength_um * wavelength_um
     out = []
     for n0, (model, coeffs) in zip(iors, dc):
         if model == DispModel.SELLMEIER:
-            out.append(sellmeier_index(coeffs, float(wavelength_um)))
+            out.append(sellmeier_index(coeffs, wavelength_um))
         elif model == DispModel.CAUCHY:
             out.append(n0 + coeffs[0] * (1.0 / l2 - 1.0 / d2))
         else:
@@ -194,11 +218,17 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
             mask = ((jnp.abs(xp) <= p['half_w'])
                     & (jnp.abs(yp) <= p['half_h'])).astype(re.dtype)
             iors = _medium_iors(el, p, wavelength_um)
-            for i, (c, zv) in enumerate(zip((p['c1'], p['c2']),
-                                            (-p['t'] / 2.0, p['t'] / 2.0))):
+            cs_zs = [(p['c1'], -p['t'] / 2.0), (p['c2'], p['t'] / 2.0)]
+            # after an odd number of folds the beam traverses the lens
+            # BACK to front: visit faces in traversal order and enter
+            # the medium on the traversal side (screen value itself is
+            # direction-independent — both the sag sign and the media
+            # order flip in the unfolded frame)
+            for i in (range(2) if fold_s > 0 else range(1, -1, -1)):
+                c, zv = cs_zs[i]
                 z_face = te[2] + zv
                 re, im = hop(re, im, z_face, n_cur)
-                n_cur = iors[i + 1]
+                n_cur = iors[i + 1] if fold_s > 0 else iors[i]
                 sag = sag_z(c, jnp.sqrt(yp * yp + 1e-24))
                 sag = jnp.broadcast_to(sag, re.shape)
                 if tilt is not None:
@@ -217,10 +247,14 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
             cs = [p[n] for n in el._curv_names]
             iors = _medium_iors(el, p, wavelength_um)
             is_asph = isinstance(el, AsphericLens)
-            for i, (c, zv) in enumerate(zip(cs, zs)):
+            # traversal order follows the fold parity (see the cyl
+            # branch comment): back-to-front after an odd fold count
+            nf = len(cs)
+            for i in (range(nf) if fold_s > 0 else range(nf - 1, -1, -1)):
+                c, zv = cs[i], zs[i]
                 z_face = te[2] + zv
                 re, im = hop(re, im, z_face, n_cur)
-                n_cur = iors[i + 1]
+                n_cur = iors[i + 1] if fold_s > 0 else iors[i]
                 if is_asph:
                     kc2 = (1.0 + p[('k1', 'k2')[i]]) * c * c
                     a = p[('a1', 'a2')[i]]
@@ -254,7 +288,10 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
             re, im = _mul_phase(re, im, el._order * phi_c * wavelength,
                                 wavelength)
             if el.efficiency:
-                lam_um = wavelength * 1e3
+                # prefer the explicit micron value; the *1e3 fallback
+                # assumes mm trace units (the package convention)
+                lam_um = (wavelength_um if wavelength_um is not None
+                          else wavelength * 1e3)
                 eta = jnp.abs(jnp.sinc(el._lam0 / lam_um - el._order))
                 re, im = re * eta, im * eta
             m = (r2 <= p['radius'] ** 2).astype(re.dtype)
@@ -291,8 +328,13 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
             re, im = hop(re, im, te[2], n_cur)
             xp, yp = x - te[0], y - te[1]
             # OPD = -r^2/(2 f) = +r^2 * P / 2  (P = -1/f)
-            opd = 0.5 * p['P'] * (xp * xp + yp * yp)
-            re, im = _mul_phase(re, im, opd, wavelength)
+            r2 = xp * xp + yp * yp
+            re, im = _mul_phase(re, im, 0.5 * p['P'] * r2, wavelength)
+            if el.diameter != float('inf'):
+                # the ray model bounds the element (SBKind.DISK) — and
+                # an unbounded chirp would alias past the grid Nyquist
+                m = (r2 <= (el.diameter / 2.0) ** 2).astype(re.dtype)
+                re, im = re * m, im * m
             continue
         if isinstance(el, (CircularAperture, RectangularAperture,
                            EllipticAperture)):

@@ -144,10 +144,12 @@ def sellmeier_index(coeffs, wavelength_um):
     b1, b2, b3, c1, c2, c3 = coeffs
     l2 = wavelength_um * wavelength_um
     n2 = 1.0 + b1 * l2 / (l2 - c1) + b2 * l2 / (l2 - c2) + b3 * l2 / (l2 - c3)
-    if hasattr(n2, 'shape') and getattr(n2, 'shape', None) != ():
-        import jax.numpy as jnp
-        return jnp.sqrt(n2)
-    return math.sqrt(n2)
+    if isinstance(n2, (float, int)):
+        return math.sqrt(n2)
+    # jax array of ANY shape — including traced 0-d scalars (the
+    # chromatic wave trace differentiates in wavelength_um)
+    import jax.numpy as jnp
+    return jnp.sqrt(n2)
 
 
 def sellmeier_nd_vd(coeffs):

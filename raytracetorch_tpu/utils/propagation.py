@@ -114,9 +114,14 @@ def angular_spectrum(re, im, dx, wavelength, dz, n_medium=1.0):
     prop = q > 0.0
     kz = jnp.sqrt(jnp.where(prop, q, 1.0) + 1e-24)
     kappa = jnp.sqrt(jnp.where(prop, 1.0, -q) + 1e-24)
-    # carrier-removed axial phase: 2 pi dz (kz - n/lambda)
+    # carrier-removed axial phase 2 pi dz (kz - n/lambda), computed in
+    # the cancellation-stable form -(fx^2+fy^2)/(kz + n/lambda): the
+    # direct f32 subtraction loses ~4 digits at low spatial frequency
+    # (kz ~ n/lambda ~ 2000 cyc/mm at visible-in-mm scales, so its f32
+    # rounding of ~1e-4 rivals the whole difference at fx ~ 1 cyc/mm —
+    # ~lambda/100 of spurious low-order wavefront per 100 mm hop)
     phase = (2.0 * jnp.pi * dz) * jnp.where(
-        prop, kz - n_medium / wavelength, 0.0)
+        prop, -(fx * fx + fy * fy) / (kz + n_medium / wavelength), 0.0)
     decay = jnp.where(prop, 1.0,
                       jnp.exp(-2.0 * jnp.pi * jnp.abs(dz) * kappa))
     Hre = jnp.cos(phase) * decay

@@ -425,3 +425,57 @@ def test_wave_trace_chromatic_sellmeier():
         w_meas = _moment_w(np.asarray(r1 * r1 + i1 * i1), dx, crop=16)
         w_true = wl_mm * f / (np.pi * w0)
         assert abs(w_meas - w_true) / w_true < 0.02, lam_um
+
+
+def test_lens_behind_fold_traverses_back_to_front():
+    """An ASYMMETRIC lens behind a fold mirror must be traversed in
+    beam order (c2 face first): the folded scene equals the unfolded
+    equivalent (the mirror-image lens on a straight axis)."""
+    from raytracetorch_tpu import SphericalMirror
+    n, dx, w0 = 128, 6e-3, 0.15
+    re, im = _gauss(n, dx, w0)
+    t = 0.2
+    folded = SequentialScene([
+        SphericalMirror(c1=0.0, d=0.0, translation=[0, 0, 30.0],
+                        name='fold'),
+        SingletLens(c1=0.04, c2=0.0, d=4.0, t=t, ior_glass=1.5,
+                    name='lens', translation=[0, 0, 10.0]),
+        SensorElement(radius=2.0, translation=[0, 0, -10.0], name='s')])
+    straight = SequentialScene([
+        SingletLens(c1=0.0, c2=-0.04, d=4.0, t=t, ior_glass=1.5,
+                    name='lens', translation=[0, 0, 50.0]),
+        SensorElement(radius=2.0, translation=[0, 0, 70.0], name='s')])
+    r1, i1, _ = wave_trace(folded, folded.init_params(), re, im, dx, WL,
+                           z0=0.0)
+    r2, i2, _ = wave_trace(straight, straight.init_params(), re, im, dx,
+                           WL, z0=0.0)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=2e-4)
+
+
+def test_ideal_lens_diameter_masks():
+    """IdealThinLens(diameter=) clips the wave exactly like the ray
+    model's DISK bound."""
+    n, dx = 128, 0.05
+    re = jnp.ones((n, n), jnp.float32)
+    im = jnp.zeros_like(re)
+    sc = SequentialScene([
+        IdealThinLens(focal=1e9, diameter=2.0, translation=[0, 0, 1.0],
+                      name='l')])
+    r1, _, _ = wave_trace(sc, sc.init_params(), re, im, dx, WL, z0=1.0)
+    frac = float(jnp.sum(r1 * r1)) / float(jnp.sum(re * re))
+    expect = np.pi * 1.0 / (n * dx) ** 2
+    assert abs(frac - expect) / expect < 0.05
+
+
+def test_large_tilt_raises():
+    """A 45-degree 'fold flat' must NOT be silently screened as a tiny
+    prism — concrete rotations beyond the small-angle regime raise."""
+    from raytracetorch_tpu import SphericalMirror
+    sc = SequentialScene([
+        SphericalMirror(c1=0.0, d=0.0, rotation=[0.0, np.pi / 4, 0.0],
+                        translation=[0, 0, 10.0], name='m')])
+    re = jnp.ones((32, 32), jnp.float32)
+    with pytest.raises(NotImplementedError):
+        wave_trace(sc, sc.init_params(), re, jnp.zeros_like(re),
+                   0.1, WL, z0=0.0)
