@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from ..elements.aperture import (CircularAperture, EllipticAperture,
                                  RectangularAperture)
 from ..elements.diffractive import DiffractiveLens, PhaseGridPlate
+from ..elements.grin import GrinRod
 from ..elements.ideal import IdealThinLens
 from ..elements.lens import (AsphericLens, CylSingletLens, FreeformLens,
                              ZernikeLens, _SphericLens)
@@ -174,9 +175,12 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
     Circular/Rectangular/Elliptic apertures (binary masks, ``invert``
     honored), axis-aligned Spherical/Parabolic/Conic/Aspheric mirrors
     (unfolded — see module docstring; metal/coating reflectance is NOT
-    modeled, mirrors reflect with unit amplitude), and SensorElement
-    (terminates the walk).  Anything else — off-axis/cyl/Mangin
-    mirrors, GRIN, scatter — raises NotImplementedError.
+    modeled, mirrors reflect with unit amplitude), GrinRod (true
+    split-step BPM inside the rod: ``el.n_steps`` midpoint index
+    screens between angular-spectrum hops in the n0 reference medium —
+    the same squared-index polynomial the RK4 ray model integrates),
+    and SensorElement (terminates the walk).  Anything else —
+    off-axis/cyl/Mangin mirrors, scatter — raises NotImplementedError.
 
     By default media use their design-wavelength params (``ior_glass``
     etc.) as-is; pass ``wavelength_um`` (the same micron value the ray
@@ -391,13 +395,78 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
             fold_o = zeta_cur + fold_s * te[2]
             fold_s = -fold_s
             continue
+        if isinstance(el, GrinRod):
+            # Split-step BPM through the rod: the beam hops in the
+            # uniform n0 reference medium and picks up a midpoint index
+            # screen exp(i k0 (n(x,y,z_mid) - n0) dz) per sub-step —
+            # the standard symmetric split-step (O(dz^2) error/step).
+            # The profile is the SAME squared-index polynomial the RK4
+            # ray model integrates (core/grin.py: n^2 = c0 + c2 r^2 +
+            # a4 r^4 + az z, z in [0, L] from the entry face; c0 =
+            # n0^2, c2 = -n0^2 A).  Parabolic-profile anchors: the
+            # centroid follows the sinusoidal ray x0 cos(sqrt(A) z)
+            # (Ehrenfest) and an off-axis fundamental mode
+            # w_m^2 = lam / (pi n0 sqrt(A)) is a coherent state —
+            # shape-invariant while its center oscillates
+            # (tests/test_beamprop.py::test_grin_coherent_state).
+            # The flat faces impart no transverse screen (tangential-
+            # momentum coupling is exact for a plane); the barrel mask
+            # absorbs at every sub-step like the ray model's r2_max
+            # kill.  Fresnel/coating amplitudes are not modeled, as
+            # everywhere else in this module.
+            tilt = _tilt_term(p, 'GrinRod')
+            if tilt is not None:
+                import jax as _jax
+                if isinstance(tilt[0], _jax.core.Tracer):
+                    # traced pose: the caller owns the zero-tilt
+                    # contract (a rod tilt is not representable as a
+                    # thin screen, so it is IGNORED under jit — unlike
+                    # lens faces, whose traced tilts become exact
+                    # first-order prism screens)
+                    tilt = None
+                else:
+                    raise NotImplementedError(
+                        'wave_trace: tilted GRIN rods have no split-'
+                        'step screen model — trace rays instead')
+            if fold_s < 0:
+                raise NotImplementedError(
+                    'wave_trace: a GRIN rod behind an odd mirror-fold '
+                    'count would be traversed exit-face first, and the '
+                    'rod is one-directional (backward rays are misses '
+                    'in the ray model too — core/grin.py::'
+                    'grin_interaction fwd mask)')
+            te = p['trans']
+            xp, yp = x - te[0], y - te[1]
+            r2 = xp * xp + yp * yp
+            r4 = r2 * r2
+            mask = (r2 <= p['radius'] ** 2).astype(re.dtype)
+            c0 = p['n0'] ** 2
+            c2 = -c0 * p['grin_A']
+            L = p['t']
+            n_bar = p['n0']
+            steps = el.n_steps
+            dz = L / steps
+            z_in = te[2] - 0.5 * L
+            re, im = hop(re, im, z_in, n_cur)
+            re, im = re * mask, im * mask
+            for j in range(steps):
+                z_mid = (j + 0.5) * dz
+                re, im = hop(re, im, z_in + z_mid, n_bar)
+                n2 = c0 + c2 * r2 + p['a4'] * r4 + p['az'] * z_mid
+                n_loc = jnp.sqrt(jnp.maximum(n2, 1e-12))
+                re, im = _mul_phase(re, im, (n_loc - n_bar) * dz,
+                                    wavelength)
+                re, im = re * mask, im * mask
+            re, im = hop(re, im, z_in + L, n_bar)
+            re, im = re * mask, im * mask
+            continue
         if isinstance(el, SensorElement):
             te = p['trans']
             re, im = hop(re, im, te[2], n_cur)
             return re, im, te[2]
         raise NotImplementedError(
             f'wave_trace: no thin-screen model for '
-            f'{type(el).__name__} (off-axis/cyl/Mangin mirrors, '
-            'GRIN and scatter have no axis-aligned thin screen) — '
+            f'{type(el).__name__} (off-axis/cyl/Mangin mirrors and '
+            'scatter have no axis-aligned thin screen) — '
             'trace rays instead')
     return re, im, (zeta_cur - fold_o) / fold_s

@@ -479,3 +479,120 @@ def test_large_tilt_raises():
     with pytest.raises(NotImplementedError):
         wave_trace(sc, sc.init_params(), re, jnp.zeros_like(re),
                    0.1, WL, z0=0.0)
+
+
+# ---------------------------------------------------------------- GRIN
+
+
+def _grin_mode_w(n0, grin_A):
+    """Fundamental-mode 1/e^2 field radius of the parabolic rod:
+    w_m^2 = lam / (pi n0 sqrt(A)) (ground state of the quadratic
+    medium 2 i k n0 u_z = lap(u) - k^2 n0^2 A r^2 u)."""
+    return float(np.sqrt(WL / (np.pi * n0 * np.sqrt(grin_A))))
+
+
+def _centroid_x(inten, dx):
+    inten = np.asarray(inten)
+    n = inten.shape[1]
+    ax = (np.arange(n) - n // 2) * dx
+    return float(np.sum(inten * ax[None, :]) / np.sum(inten))
+
+
+def test_grin_coherent_state():
+    """An off-axis fundamental mode of the parabolic rod is a coherent
+    state: through a HALF-pitch rod its centroid follows the ray
+    x0 cos(sqrt(A) z) to -x0 while its width stays w_m, and the
+    lossless rod conserves power."""
+    from raytracetorch_tpu import GrinRod
+    n0, A = 1.5, 1e-4
+    w_m = _grin_mode_w(n0, A)               # 0.103 mm
+    L = float(np.pi / np.sqrt(A))           # half pitch: 314.16 mm
+    n, dx, x0 = 192, 0.01, 0.3
+    sc = SequentialScene([
+        GrinRod(radius=0.9, thickness=L, n0=n0, grin_A=A, n_steps=64,
+                translation=[0, 0, L / 2], name='rod')])
+    p = sc.init_params()
+    ax = (jnp.arange(n) - n // 2) * dx
+    r2 = (ax[None, :] - x0) ** 2 + ax[:, None] ** 2
+    re = jnp.exp(-r2 / w_m ** 2)
+    im = jnp.zeros_like(re)
+    r1, i1, z1 = wave_trace(sc, p, re, im, dx, WL, z0=0.0)
+    assert abs(float(z1) - L) < 1e-6 * L
+    inten = np.asarray(r1 * r1 + i1 * i1)
+    assert abs(_centroid_x(inten, dx) - (-x0)) < 0.02 * x0
+    # width invariant (coherent state) — crop around the new center
+    c = n // 2 - int(round(x0 / dx))
+    win = inten[n // 2 - 40:n // 2 + 40, c - 40:c + 40]
+    axw = (np.arange(-40, 40)) * dx
+    tot = float(np.sum(win))
+    w_x = 2.0 * np.sqrt(float(np.sum(win * axw[None, :] ** 2)) / tot
+                        - (float(np.sum(win * axw[None, :])) / tot) ** 2)
+    assert abs(w_x - w_m) / w_m < 0.03
+    p_in = float(jnp.sum(re * re + im * im))
+    p_out = float(np.sum(inten))
+    assert abs(p_out - p_in) / p_in < 1e-3
+
+
+def test_grin_width_breathing():
+    """A too-wide on-axis Gaussian breathes in the rod and returns to
+    its launch width after exactly half a pitch (harmonic-oscillator
+    periodicity of the Gaussian second moment)."""
+    from raytracetorch_tpu import GrinRod
+    n0, A = 1.5, 1e-4
+    w_m = _grin_mode_w(n0, A)
+    w0 = 2.0 * w_m
+    L = float(np.pi / np.sqrt(A))
+    n, dx = 192, 0.01
+    sc = SequentialScene([
+        GrinRod(radius=0.9, thickness=L, n0=n0, grin_A=A, n_steps=64,
+                translation=[0, 0, L / 2], name='rod')])
+    re, im = _gauss(n, dx, w0)
+    r1, i1, _ = wave_trace(sc, sc.init_params(), re, im, dx, WL, z0=0.0)
+    w_meas = _moment_w(np.asarray(r1 * r1 + i1 * i1), dx, crop=60)
+    assert abs(w_meas - w0) / w0 < 0.03
+
+
+def test_grin_grad_matches_fd():
+    """jax.grad of the exit on-axis intensity w.r.t. the profile
+    constant A flows through every split step and matches finite
+    differences."""
+    from raytracetorch_tpu import GrinRod
+    n0, A = 1.5, 4e-4
+    L = 0.5 * float(np.pi / np.sqrt(A))     # quarter pitch
+    n, dx = 96, 0.015
+    sc = SequentialScene([
+        GrinRod(radius=0.6, thickness=L, n0=n0, grin_A=A, n_steps=16,
+                grin_A_grad=True, translation=[0, 0, L / 2],
+                name='rod')])
+    p = sc.init_params()
+    re, im = _gauss(n, dx, 0.25)
+
+    def on_axis(a_val):
+        q = jax.tree_util.tree_map(lambda v: v, p)
+        q['rod'] = dict(q['rod'], grin_A=a_val)
+        r1, i1, _ = wave_trace(sc, q, re, im, dx, WL, z0=0.0)
+        return r1[n // 2, n // 2] ** 2 + i1[n // 2, n // 2] ** 2
+
+    g = float(jax.grad(on_axis)(jnp.float32(A)))
+    # eps sweep measured: 5e-6 balances f32 rounding (small eps) vs
+    # truncation of the strongly curved near-focus functional (large)
+    eps = 5e-6
+    fd = (float(on_axis(jnp.float32(A + eps)))
+          - float(on_axis(jnp.float32(A - eps)))) / (2 * eps)
+    assert np.isfinite(g) and abs(fd) > 0
+    assert abs(g - fd) / max(abs(fd), 1e-9) < 5e-2
+
+
+def test_grin_behind_fold_raises():
+    """The rod is one-directional: behind an odd fold count the wave
+    trace refuses rather than silently traversing exit-first."""
+    from raytracetorch_tpu import GrinRod, SphericalMirror
+    sc = SequentialScene([
+        SphericalMirror(c1=0.0, d=0.0, translation=[0, 0, 30.0],
+                        name='fold'),
+        GrinRod(radius=0.9, thickness=10.0, translation=[0, 0, 10.0],
+                name='rod')])
+    re = jnp.ones((32, 32), jnp.float32)
+    with pytest.raises(NotImplementedError):
+        wave_trace(sc, sc.init_params(), re, jnp.zeros_like(re),
+                   0.05, WL, z0=0.0)
