@@ -47,11 +47,12 @@ from ..elements.lens import (AsphericLens, CylSingletLens, FreeformLens,
                              ZernikeLens, _SphericLens)
 from ..elements.mirror import (AsphericMirror, ConicMirror, ParabolicMirror,
                                SphericalMirror)
+from ..elements.polarization import _JonesPlate
 from ..elements.sensor import SensorElement
 from ..geom.surfaces import ff_sag_grad, sag_z
 from .propagation import angular_spectrum
 
-__all__ = ['wave_trace']
+__all__ = ['wave_trace', 'wave_trace_vector']
 
 
 def _grid(shape, dx, dtype):
@@ -156,60 +157,39 @@ def _medium_iors(el, p, wavelength_um):
     return out
 
 
-def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
-               wavelength_um=None):
-    """Propagate the field ``(re, im)`` (sampled at pitch ``dx``,
-    centered on the optical axis at plane ``z = z0``) through
-    ``scene.elements`` in listed order.
-
-    Supported elements: the full refractive lens family (Singlet/
-    Doublet/Triplet/Aspheric/Freeform/Zernike — conic + even-asphere +
-    XY-monomial/Zernike sag screens via the same static expansion the
-    ray table rows carry; clear-aperture disk masks; in-glass
-    propagation between faces), CylSingletLens (y-only sag, rect
-    aperture), IdealThinLens (quadratic screen),
-    DiffractiveLens and PhaseGridPlate (achromatic cycles profiles as
-    2 pi m phi_c screens — the wave model whose stationary-phase limit
-    is exactly doe_dir/phase_grid_dir's momentum kick; kinoform
-    ``efficiency`` scales the amplitude by |sinc(lam0/lam - m)|),
-    Circular/Rectangular/Elliptic apertures (binary masks, ``invert``
-    honored), axis-aligned Spherical/Parabolic/Conic/Aspheric mirrors
-    (unfolded — see module docstring; metal/coating reflectance is NOT
-    modeled, mirrors reflect with unit amplitude), GrinRod (true
-    split-step BPM inside the rod: ``el.n_steps`` midpoint index
-    screens between angular-spectrum hops in the n0 reference medium —
-    the same squared-index polynomial the RK4 ray model integrates),
-    and SensorElement (terminates the walk).  Anything else —
-    off-axis/cyl/Mangin mirrors, scatter — raises NotImplementedError.
-
-    By default media use their design-wavelength params (``ior_glass``
-    etc.) as-is; pass ``wavelength_um`` (the same micron value the ray
-    model puts on ``rays.wavelength``) to evaluate each lens's
-    Sellmeier/Cauchy dispersion model at that line instead —
-    ``wavelength`` itself stays in trace LENGTH units and sets the
-    propagation scale.
-
-    Returns ``(re, im, z)`` — the field at the first sensor plane (or
-    after the last element if the scene has no sensor) and that
-    plane's z.
-    """
-    re = jnp.asarray(re)
-    im = jnp.asarray(im)
-    x, y = _grid(re.shape, dx, re.dtype)
+def _wave_trace_core(scene, params, comps, dx, wavelength, z0,
+                     n_ambient, wavelength_um):
+    """Shared walk behind :func:`wave_trace` (one scalar component) and
+    :func:`wave_trace_vector` (the transverse (Ex, Ey) pair).  ``comps``
+    is a tuple of (re, im) [H, W] float pairs; every thin screen, mask
+    and angular-spectrum hop is polarization-independent and applies to
+    each component alike — only JONES plates mix them.  Returns
+    ``(comps, z)``."""
+    comps = tuple((jnp.asarray(r), jnp.asarray(i)) for r, i in comps)
+    dt = comps[0][0].dtype
+    shape = comps[0][0].shape
+    x, y = _grid(shape, dx, dt)
     # mirror folds are UNFOLDED onto a monotonically-increasing effective
     # axis: zeta(z) = fold_s * z + fold_o; each reflection flips fold_s
     # and re-anchors fold_o so zeta stays continuous at the mirror
     fold_s, fold_o = 1.0, 0.0
-    zeta_cur = jnp.asarray(z0, re.dtype)
-    n_cur = jnp.asarray(n_ambient, re.dtype)
+    zeta_cur = jnp.asarray(z0, dt)
+    n_cur = jnp.asarray(n_ambient, dt)
 
-    def hop(re, im, z_to, n):
+    def hop(comps, z_to, n):
         nonlocal zeta_cur
         zt = fold_s * z_to + fold_o
-        out = angular_spectrum(re, im, dx, wavelength, zt - zeta_cur,
-                               n_medium=n)
+        out = tuple(angular_spectrum(r, i, dx, wavelength,
+                                     zt - zeta_cur, n_medium=n)
+                    for r, i in comps)
         zeta_cur = zt
         return out
+
+    def screen(comps, opd):
+        return tuple(_mul_phase(r, i, opd, wavelength) for r, i in comps)
+
+    def scale(comps, m):
+        return tuple((r * m, i * m) for r, i in comps)
 
     for el in scene.elements:
         p = params[el.name]
@@ -220,7 +200,7 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
             te = p['trans']
             xp, yp = x - te[0], y - te[1]
             mask = ((jnp.abs(xp) <= p['half_w'])
-                    & (jnp.abs(yp) <= p['half_h'])).astype(re.dtype)
+                    & (jnp.abs(yp) <= p['half_h'])).astype(dt)
             iors = _medium_iors(el, p, wavelength_um)
             cs_zs = [(p['c1'], -p['t'] / 2.0), (p['c2'], p['t'] / 2.0)]
             # after an odd number of folds the beam traverses the lens
@@ -231,22 +211,22 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
             for i in (range(2) if fold_s > 0 else range(1, -1, -1)):
                 c, zv = cs_zs[i]
                 z_face = te[2] + zv
-                re, im = hop(re, im, z_face, n_cur)
+                comps = hop(comps, z_face, n_cur)
                 n_cur = iors[i + 1] if fold_s > 0 else iors[i]
                 sag = sag_z(c, jnp.sqrt(yp * yp + 1e-24))
-                sag = jnp.broadcast_to(sag, re.shape)
+                sag = jnp.broadcast_to(sag, shape)
                 if tilt is not None:
                     sag = sag + tilt[0] * yp - tilt[1] * xp
                 opd = (iors[i] - iors[i + 1]) * sag
-                re, im = _mul_phase(re, im, opd, wavelength)
-                re, im = re * mask, im * mask
+                comps = screen(comps, opd)
+                comps = scale(comps, mask)
             continue
         if isinstance(el, _SphericLens):
             tilt = _tilt_term(p)
             te = p['trans']
             xp, yp = x - te[0], y - te[1]
             r2 = xp * xp + yp * yp
-            mask = (r2 <= p['radius'] ** 2).astype(re.dtype)
+            mask = (r2 <= p['radius'] ** 2).astype(dt)
             zs = el._vertex_zs(p)
             cs = [p[n] for n in el._curv_names]
             iors = _medium_iors(el, p, wavelength_um)
@@ -257,7 +237,7 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
             for i in (range(nf) if fold_s > 0 else range(nf - 1, -1, -1)):
                 c, zv = cs[i], zs[i]
                 z_face = te[2] + zv
-                re, im = hop(re, im, z_face, n_cur)
+                comps = hop(comps, z_face, n_cur)
                 n_cur = iors[i + 1] if fold_s > 0 else iors[i]
                 if is_asph:
                     kc2 = (1.0 + p[('k1', 'k2')[i]]) * c * c
@@ -270,8 +250,8 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
                 if tilt is not None:
                     sag = sag + tilt[0] * yp - tilt[1] * xp
                 opd = (iors[i] - iors[i + 1]) * sag
-                re, im = _mul_phase(re, im, opd, wavelength)
-                re, im = re * mask, im * mask
+                comps = screen(comps, opd)
+                comps = scale(comps, mask)
             continue
         if isinstance(el, DiffractiveLens):
             # kinoform: groove pattern phi_c(r) [cycles] is wavelength-
@@ -279,7 +259,7 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
             # — its gradient reproduces doe_dir's momentum kick
             # m lam_mm grad(phi) exactly (core/physics.py::doe_dir).
             te = p['trans']
-            re, im = hop(re, im, te[2], n_cur)
+            comps = hop(comps, te[2], n_cur)
             xp, yp = x - te[0], y - te[1]
             r2 = xp * xp + yp * yp
             phi_c = jnp.zeros_like(r2)
@@ -289,23 +269,22 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
                 rp = rp * r2
             # OPD = m * phi_c * lambda  (the 2 pi / lambda of the screen
             # multiply cancels it — the phase is achromatic in cycles)
-            re, im = _mul_phase(re, im, el._order * phi_c * wavelength,
-                                wavelength)
+            comps = screen(comps, el._order * phi_c * wavelength)
             if el.efficiency:
                 # prefer the explicit micron value; the *1e3 fallback
                 # assumes mm trace units (the package convention)
                 lam_um = (wavelength_um if wavelength_um is not None
                           else wavelength * 1e3)
                 eta = jnp.abs(jnp.sinc(el._lam0 / lam_um - el._order))
-                re, im = re * eta, im * eta
-            m = (r2 <= p['radius'] ** 2).astype(re.dtype)
-            re, im = re * m, im * m
+                comps = scale(comps, eta)
+            m = (r2 <= p['radius'] ** 2).astype(dt)
+            comps = scale(comps, m)
             continue
         if isinstance(el, PhaseGridPlate):
             # same corner-anchored bilinear patch as the ray model
             # (core/physics.py::phase_grid_dir lines 255-263)
             te = p['trans']
-            re, im = hop(re, im, te[2], n_cur)
+            comps = hop(comps, te[2], n_cur)
             xp, yp = x - te[0], y - te[1]
             grid = p['grid']
             Hg, Wg = grid.shape
@@ -314,36 +293,35 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
                          0.0, Wg - 1 - 1e-6)
             v = jnp.clip((yp + hy) / (2.0 * hy) * (Hg - 1),
                          0.0, Hg - 1 - 1e-6)
-            xb = jnp.broadcast_to(u, re.shape)
-            yb = jnp.broadcast_to(v, re.shape)
+            xb = jnp.broadcast_to(u, shape)
+            yb = jnp.broadcast_to(v, shape)
             iu, iv = xb.astype(jnp.int32), yb.astype(jnp.int32)
             fu, fv = xb - iu, yb - iv
             g00, g01 = grid[iv, iu], grid[iv, iu + 1]
             g10, g11 = grid[iv + 1, iu], grid[iv + 1, iu + 1]
             phi_c = ((1 - fv) * ((1 - fu) * g00 + fu * g01)
                      + fv * ((1 - fu) * g10 + fu * g11))
-            re, im = _mul_phase(re, im, el._order * phi_c * wavelength,
-                                wavelength)
-            m = ((jnp.abs(xp) <= hx) & (jnp.abs(yp) <= hy)).astype(re.dtype)
-            re, im = re * m, im * m
+            comps = screen(comps, el._order * phi_c * wavelength)
+            m = ((jnp.abs(xp) <= hx) & (jnp.abs(yp) <= hy)).astype(dt)
+            comps = scale(comps, m)
             continue
         if isinstance(el, IdealThinLens):
             te = p['trans']
-            re, im = hop(re, im, te[2], n_cur)
+            comps = hop(comps, te[2], n_cur)
             xp, yp = x - te[0], y - te[1]
             # OPD = -r^2/(2 f) = +r^2 * P / 2  (P = -1/f)
             r2 = xp * xp + yp * yp
-            re, im = _mul_phase(re, im, 0.5 * p['P'] * r2, wavelength)
+            comps = screen(comps, 0.5 * p['P'] * r2)
             if el.diameter != float('inf'):
                 # the ray model bounds the element (SBKind.DISK) — and
                 # an unbounded chirp would alias past the grid Nyquist
-                m = (r2 <= (el.diameter / 2.0) ** 2).astype(re.dtype)
-                re, im = re * m, im * m
+                m = (r2 <= (el.diameter / 2.0) ** 2).astype(dt)
+                comps = scale(comps, m)
             continue
         if isinstance(el, (CircularAperture, RectangularAperture,
                            EllipticAperture)):
             te = p['trans']
-            re, im = hop(re, im, te[2], n_cur)
+            comps = hop(comps, te[2], n_cur)
             xp, yp = x - te[0], y - te[1]
             if isinstance(el, CircularAperture):
                 inside = xp * xp + yp * yp <= p['radius'] ** 2
@@ -358,8 +336,8 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
                           + (yr / p['r_minor']) ** 2 <= 1.0)
             if getattr(el, 'invert', False):
                 inside = ~inside
-            m = inside.astype(re.dtype)
-            re, im = re * m, im * m
+            m = inside.astype(dt)
+            comps = scale(comps, m)
             continue
         if isinstance(el, (SphericalMirror, ParabolicMirror, ConicMirror)):
             # axis-aligned mirror: unfold.  A ray at radius r reflects
@@ -370,7 +348,7 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
             # increasing along the effective axis.
             tilt = _tilt_term(p)
             te = p['trans']
-            re, im = hop(re, im, te[2], n_cur)
+            comps = hop(comps, te[2], n_cur)
             xp, yp = x - te[0], y - te[1]
             r2 = xp * xp + yp * yp
             if isinstance(el, SphericalMirror):
@@ -387,11 +365,10 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
                 aper2 = ((p['d'] / 2.0) ** 2 if el._d_init > 0 else None)
             if tilt is not None:
                 sag = sag + tilt[0] * yp - tilt[1] * xp
-            re, im = _mul_phase(re, im, 2.0 * n_cur * fold_s * sag,
-                                wavelength)
+            comps = screen(comps, 2.0 * n_cur * fold_s * sag)
             if aper2 is not None:
-                m = (r2 <= aper2).astype(re.dtype)
-                re, im = re * m, im * m
+                m = (r2 <= aper2).astype(dt)
+                comps = scale(comps, m)
             fold_o = zeta_cur + fold_s * te[2]
             fold_s = -fold_s
             continue
@@ -439,7 +416,7 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
             xp, yp = x - te[0], y - te[1]
             r2 = xp * xp + yp * yp
             r4 = r2 * r2
-            mask = (r2 <= p['radius'] ** 2).astype(re.dtype)
+            mask = (r2 <= p['radius'] ** 2).astype(dt)
             c0 = p['n0'] ** 2
             c2 = -c0 * p['grin_A']
             L = p['t']
@@ -447,26 +424,147 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
             steps = el.n_steps
             dz = L / steps
             z_in = te[2] - 0.5 * L
-            re, im = hop(re, im, z_in, n_cur)
-            re, im = re * mask, im * mask
+            comps = hop(comps, z_in, n_cur)
+            comps = scale(comps, mask)
             for j in range(steps):
                 z_mid = (j + 0.5) * dz
-                re, im = hop(re, im, z_in + z_mid, n_bar)
+                comps = hop(comps, z_in + z_mid, n_bar)
                 n2 = c0 + c2 * r2 + p['a4'] * r4 + p['az'] * z_mid
                 n_loc = jnp.sqrt(jnp.maximum(n2, 1e-12))
-                re, im = _mul_phase(re, im, (n_loc - n_bar) * dz,
-                                    wavelength)
-                re, im = re * mask, im * mask
-            re, im = hop(re, im, z_in + L, n_bar)
-            re, im = re * mask, im * mask
+                comps = screen(comps, (n_loc - n_bar) * dz)
+                comps = scale(comps, mask)
+            comps = hop(comps, z_in + L, n_bar)
+            comps = scale(comps, mask)
+            continue
+        if isinstance(el, _JonesPlate):
+            # Polarizer/waveplate: J = R(th) diag(a1 e^{-i d/2},
+            # a2 e^{+i d/2}) R(-th) applied pointwise to the transverse
+            # (Ex, Ey) pair — the PARAXIAL limit of the ray model's
+            # projected-axis Jones transport (core/field.py JONES case:
+            # on-axis, the element-local x axis IS the grid x axis).
+            # A z-rotation of the element rotates the optic axis
+            # exactly (it adds to ``angle``); rx/ry tilts are bounded
+            # by _tilt_term (a zero-sag plane has no prism screen).
+            # Outside the plate radius the field is masked — the ray
+            # model kills DISK misses in the sequential driver too.
+            if len(comps) != 2:
+                raise NotImplementedError(
+                    'wave_trace: polarization elements act on the '
+                    'transverse (Ex, Ey) pair — use wave_trace_vector '
+                    '(the scalar wave has no polarization state; the '
+                    'ray model likewise requires track_field=True for '
+                    'JONES surfaces)')
+            _tilt_term(p, type(el).__name__)
+            te = p['trans']
+            comps = hop(comps, te[2], n_cur)
+            xp, yp = x - te[0], y - te[1]
+            theta = p['angle']
+            rv = p.get('rot_vec')
+            if rv is not None:
+                theta = theta + rv[2]
+            delta = (2.0 * jnp.pi) * p['retardance']
+            if getattr(el, 'chromatic', False):
+                # true zero-order plate: retardance scales as lam0/lam
+                lam_um = (wavelength_um if wavelength_um is not None
+                          else wavelength * 1e3)
+                delta = delta * el._lam0 / lam_um
+            ca, sa = jnp.cos(theta), jnp.sin(theta)
+            ch, sh = jnp.cos(0.5 * delta), jnp.sin(0.5 * delta)
+            a1, a2 = p['amp1'], p['amp2']
+            (xr, xi), (yr, yi) = comps
+            ar, ai = ca * xr + sa * yr, ca * xi + sa * yi
+            br, bi = -sa * xr + ca * yr, -sa * xi + ca * yi
+            # fast axis e^{-i delta/2}, slow axis e^{+i delta/2}
+            ar, ai = a1 * (ar * ch + ai * sh), a1 * (ai * ch - ar * sh)
+            br, bi = a2 * (br * ch - bi * sh), a2 * (bi * ch + br * sh)
+            comps = ((ca * ar - sa * br, ca * ai - sa * bi),
+                     (sa * ar + ca * br, sa * ai + ca * bi))
+            m = (xp * xp + yp * yp <= p['radius'] ** 2).astype(dt)
+            comps = scale(comps, m)
             continue
         if isinstance(el, SensorElement):
             te = p['trans']
-            re, im = hop(re, im, te[2], n_cur)
-            return re, im, te[2]
+            comps = hop(comps, te[2], n_cur)
+            return comps, te[2]
         raise NotImplementedError(
             f'wave_trace: no thin-screen model for '
             f'{type(el).__name__} (off-axis/cyl/Mangin mirrors and '
             'scatter have no axis-aligned thin screen) — '
             'trace rays instead')
-    return re, im, (zeta_cur - fold_o) / fold_s
+    return comps, (zeta_cur - fold_o) / fold_s
+
+
+def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
+               wavelength_um=None):
+    """Propagate the scalar field ``(re, im)`` (sampled at pitch
+    ``dx``, centered on the optical axis at plane ``z = z0``) through
+    ``scene.elements`` in listed order.
+
+    Supported elements: the full refractive lens family (Singlet/
+    Doublet/Triplet/Aspheric/Freeform/Zernike — conic + even-asphere +
+    XY-monomial/Zernike sag screens via the same static expansion the
+    ray table rows carry; clear-aperture disk masks; in-glass
+    propagation between faces), CylSingletLens (y-only sag, rect
+    aperture), IdealThinLens (quadratic screen),
+    DiffractiveLens and PhaseGridPlate (achromatic cycles profiles as
+    2 pi m phi_c screens — the wave model whose stationary-phase limit
+    is exactly doe_dir/phase_grid_dir's momentum kick; kinoform
+    ``efficiency`` scales the amplitude by |sinc(lam0/lam - m)|),
+    Circular/Rectangular/Elliptic apertures (binary masks, ``invert``
+    honored), axis-aligned Spherical/Parabolic/Conic/Aspheric mirrors
+    (unfolded — see module docstring; metal/coating reflectance is NOT
+    modeled, mirrors reflect with unit amplitude), GrinRod (true
+    split-step BPM inside the rod: ``el.n_steps`` midpoint index
+    screens between angular-spectrum hops in the n0 reference medium —
+    the same squared-index polynomial the RK4 ray model integrates),
+    and SensorElement (terminates the walk).  Polarization elements
+    need the vector entry point (:func:`wave_trace_vector`); anything
+    else — off-axis/cyl/Mangin mirrors, scatter — raises
+    NotImplementedError.
+
+    By default media use their design-wavelength params (``ior_glass``
+    etc.) as-is; pass ``wavelength_um`` (the same micron value the ray
+    model puts on ``rays.wavelength``) to evaluate each lens's
+    Sellmeier/Cauchy dispersion model at that line instead —
+    ``wavelength`` itself stays in trace LENGTH units and sets the
+    propagation scale.
+
+    Returns ``(re, im, z)`` — the field at the first sensor plane (or
+    after the last element if the scene has no sensor) and that
+    plane's z.
+    """
+    comps, z = _wave_trace_core(scene, params, ((re, im),), dx,
+                                wavelength, z0, n_ambient, wavelength_um)
+    return comps[0][0], comps[0][1], z
+
+
+def wave_trace_vector(scene, params, ex, ey, dx, wavelength, z0,
+                      n_ambient=1.0, wavelength_um=None):
+    """Vector (polarized) wave trace: propagate the transverse pair
+    ``ex = (re, im)``, ``ey = (re, im)`` through the scene.
+
+    Everything :func:`wave_trace` supports works identically — each
+    Cartesian transverse component satisfies the scalar Helmholtz
+    equation, so thin screens, masks and angular-spectrum hops apply
+    componentwise (utils/propagation.py::vector_angular_spectrum) —
+    plus the polarization elements (LinearPolarizer, Waveplate,
+    Quarter/HalfWaveplate): their Jones matrix J = R(th) diag(a1
+    e^{-i d/2}, a2 e^{+i d/2}) R(-th) acts pointwise on (Ex, Ey), the
+    paraxial limit of the ray model's projected-axis transport
+    (core/field.py JONES case).  Malus's law, crossed-polarizer
+    extinction and waveplate conversion carry over to the wave layer
+    (tests/test_beamprop.py::test_vector_*), and for tight-focus
+    analysis the returned pair feeds
+    utils/propagation.py::longitudinal_field for Ez.
+
+    The unfolded frame keeps WORLD transverse axes through mirror
+    reflections (mirrors here are unit-amplitude scalar folds — no s/p
+    phase or reflectance, matching the scalar trace).
+
+    Returns ``(ex, ey, z)`` with ``ex``/``ey`` the propagated (re, im)
+    pairs at the first sensor plane (or after the last element).
+    """
+    comps, z = _wave_trace_core(scene, params,
+                                (tuple(ex), tuple(ey)), dx,
+                                wavelength, z0, n_ambient, wavelength_um)
+    return comps[0], comps[1], z

@@ -596,3 +596,151 @@ def test_grin_behind_fold_raises():
     with pytest.raises(NotImplementedError):
         wave_trace(sc, sc.init_params(), re, jnp.zeros_like(re),
                    0.05, WL, z0=0.0)
+
+
+# ------------------------------------------------------- vector / Jones
+
+
+def _stokes(ex, ey):
+    """(S0, S1, S2, S3) integrated over the grid from (re, im) pairs."""
+    xr, xi = np.asarray(ex[0]), np.asarray(ex[1])
+    yr, yi = np.asarray(ey[0]), np.asarray(ey[1])
+    s0 = np.sum(xr * xr + xi * xi + yr * yr + yi * yi)
+    s1 = np.sum(xr * xr + xi * xi - yr * yr - yi * yi)
+    s2 = 2.0 * np.sum(xr * yr + xi * yi)
+    s3 = 2.0 * np.sum(xr * yi - xi * yr)     # Im(Ex* Ey)
+    return s0, s1, s2, s3
+
+
+def test_vector_matches_scalar_when_unmixed():
+    """With Ey = 0 and no polarization elements, the vector trace IS
+    two scalar traces: Ex equals wave_trace bitwise, Ey stays zero."""
+    from raytracetorch_tpu.utils.beamprop import wave_trace_vector
+    n, dx, w0 = 128, 6e-3, 0.15
+    sc = SequentialScene([
+        SingletLens(c1=0.04, c2=-0.01, d=4.0, t=0.5, ior_glass=1.5,
+                    name='lens', translation=[0, 0, 10.0]),
+        SensorElement(radius=2.0, translation=[0, 0, 30.0], name='s')])
+    p = sc.init_params()
+    re, im = _gauss(n, dx, w0)
+    zer = jnp.zeros_like(re)
+    r1, i1, z1 = wave_trace(sc, p, re, im, dx, WL, z0=0.0)
+    ex, ey, z2 = wave_trace_vector(sc, p, (re, im), (zer, zer), dx, WL,
+                                   z0=0.0)
+    assert float(z1) == float(z2)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(ex[0]))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(ex[1]))
+    assert float(jnp.max(jnp.abs(ey[0]))) == 0.0
+
+
+def test_vector_malus_law():
+    """x-polarized light through a polarizer at theta transmits
+    cos^2(theta) of its power — and the wave answer matches the ray
+    model's track_field law by construction."""
+    from raytracetorch_tpu import LinearPolarizer
+    from raytracetorch_tpu.utils.beamprop import wave_trace_vector
+    n, dx, w0 = 128, 6e-3, 0.2
+    th = np.deg2rad(30.0)
+    sc = SequentialScene([
+        LinearPolarizer(radius=3.0, angle=th, translation=[0, 0, 5.0],
+                        name='pol')])
+    p = sc.init_params()
+    re, im = _gauss(n, dx, w0)
+    zer = jnp.zeros_like(re)
+    ex, ey, _ = wave_trace_vector(sc, p, (re, im), (zer, zer), dx, WL,
+                                  z0=0.0)
+    s0, s1, s2, s3 = _stokes(ex, ey)
+    p_in = float(jnp.sum(re * re))
+    assert abs(s0 / p_in - np.cos(th) ** 2) < 1e-3
+    # the transmitted state is linear along the transmission axis
+    assert abs(s2 / s0 - np.sin(2 * th)) < 1e-3
+    assert abs(s1 / s0 - np.cos(2 * th)) < 1e-3
+
+
+def test_vector_qwp_makes_circular():
+    """A quarter-wave plate at 45 deg to linear x input produces
+    circular light: |S3/S0| = 1."""
+    from raytracetorch_tpu import QuarterWaveplate
+    from raytracetorch_tpu.utils.beamprop import wave_trace_vector
+    n, dx, w0 = 128, 6e-3, 0.2
+    sc = SequentialScene([
+        QuarterWaveplate(radius=3.0, angle=np.pi / 4,
+                         translation=[0, 0, 5.0], name='qwp')])
+    p = sc.init_params()
+    re, im = _gauss(n, dx, w0)
+    zer = jnp.zeros_like(re)
+    ex, ey, _ = wave_trace_vector(sc, p, (re, im), (zer, zer), dx, WL,
+                                  z0=0.0)
+    s0, s1, s2, s3 = _stokes(ex, ey)
+    assert abs(abs(s3) / s0 - 1.0) < 1e-3
+    assert abs(s1 / s0) < 1e-3 and abs(s2 / s0) < 1e-3
+
+
+def test_vector_hwp_between_crossed_polarizers():
+    """Crossed polarizers extinguish; inserting a half-wave plate at
+    45 deg rotates the polarization 90 deg and restores transmission."""
+    from raytracetorch_tpu import HalfWaveplate, LinearPolarizer
+    from raytracetorch_tpu.utils.beamprop import wave_trace_vector
+    n, dx, w0 = 128, 6e-3, 0.2
+    re, im = _gauss(n, dx, w0)
+    zer = jnp.zeros_like(re)
+    p_in = float(jnp.sum(re * re))
+
+    crossed = SequentialScene([
+        LinearPolarizer(radius=3.0, angle=0.0, translation=[0, 0, 2.0],
+                        name='p1'),
+        LinearPolarizer(radius=3.0, angle=np.pi / 2,
+                        translation=[0, 0, 6.0], name='p2')])
+    ex, ey, _ = wave_trace_vector(crossed, crossed.init_params(),
+                                  (re, im), (zer, zer), dx, WL, z0=0.0)
+    assert _stokes(ex, ey)[0] / p_in < 1e-8
+
+    restored = SequentialScene([
+        LinearPolarizer(radius=3.0, angle=0.0, translation=[0, 0, 2.0],
+                        name='p1'),
+        HalfWaveplate(radius=3.0, angle=np.pi / 4,
+                      translation=[0, 0, 4.0], name='hwp'),
+        LinearPolarizer(radius=3.0, angle=np.pi / 2,
+                        translation=[0, 0, 6.0], name='p2')])
+    ex, ey, _ = wave_trace_vector(restored, restored.init_params(),
+                                  (re, im), (zer, zer), dx, WL, z0=0.0)
+    assert abs(_stokes(ex, ey)[0] / p_in - 1.0) < 1e-3
+
+
+def test_vector_analyzer_angle_grad():
+    """d(power)/d(analyzer angle) through the vector wave trace matches
+    Malus's law -P0 sin(2 theta)."""
+    from raytracetorch_tpu import LinearPolarizer
+    from raytracetorch_tpu.utils.beamprop import wave_trace_vector
+    n, dx, w0 = 96, 8e-3, 0.2
+    th = np.float32(np.deg2rad(35.0))
+    sc = SequentialScene([
+        LinearPolarizer(radius=3.0, angle=float(th), angle_grad=True,
+                        translation=[0, 0, 5.0], name='pol')])
+    p = sc.init_params()
+    re, im = _gauss(n, dx, w0)
+    zer = jnp.zeros_like(re)
+    p_in = float(jnp.sum(re * re))
+
+    def power(a):
+        q = dict(p, pol=dict(p['pol'], angle=a))
+        ex, ey, _ = wave_trace_vector(sc, q, (re, im), (zer, zer), dx,
+                                      WL, z0=0.0)
+        return (jnp.sum(ex[0] ** 2 + ex[1] ** 2)
+                + jnp.sum(ey[0] ** 2 + ey[1] ** 2))
+
+    g = float(jax.grad(power)(jnp.float32(th)))
+    expect = -p_in * np.sin(2 * th)
+    assert abs(g - expect) / abs(expect) < 1e-3
+
+
+def test_scalar_trace_on_polarizer_raises():
+    """The scalar wave has no polarization state — pointing users at
+    wave_trace_vector beats silently ignoring the element."""
+    from raytracetorch_tpu import LinearPolarizer
+    sc = SequentialScene([
+        LinearPolarizer(radius=3.0, translation=[0, 0, 5.0], name='p1')])
+    re = jnp.ones((32, 32), jnp.float32)
+    with pytest.raises(NotImplementedError):
+        wave_trace(sc, sc.init_params(), re, jnp.zeros_like(re), 0.1,
+                   WL, z0=0.0)
