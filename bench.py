@@ -13,6 +13,23 @@ nothing can be elided), force completion by fetching a result-dependent
 scalar, and subtract the measured dispatch+fetch floor.  This reports true
 device throughput.
 
+Fault tolerance (round-4 post-mortem: BENCH_r04.json lost the round's
+number to ONE transient axon RPC fault at the first device op):
+
+* The measurement core runs in a CHILD SUBPROCESS with a hard timeout —
+  a stuck tunnel (jax.devices() hanging on a stale claim, a known axon
+  failure mode per CLAUDE.md) kills the child, not the benchmark.
+* The parent retries the child up to RTT_BENCH_ATTEMPTS (default 3) times.
+* Inside the child every device-touching stage retries transient faults
+  (INTERNAL / UNAVAILABLE / remote_compile / read-body RPC errors) with
+  backoff, and stage failures degrade to a PARTIAL result instead of
+  aborting the run: the JSON line is always emitted with whatever
+  metrics survived plus ``"partial": true`` and per-stage errors.
+* Kill-test hook: RTT_BENCH_FAULT=<path> injects a fake INTERNAL error at
+  the first device op of the first attempt (the path acts as the
+  been-here marker), proving the retry path end-to-end without hardware
+  faults (tests/test_bench_fault.py).
+
 Baseline: the reference's own code on torch-CPU measured by
 benchmarks/reference_cpu_baseline.py on this machine: 1,000,000 rays in
 1896 ms = 527,292 rays/s (see BASELINE.md).
@@ -22,24 +39,49 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import statistics
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
-from raytracetorch_tpu import (CircularAperture, CollimatedDisk,
-                               SensorElement, SequentialScene, SingletLens)
-from raytracetorch_tpu.optim.goals import spot_size_loss
-
 BASELINE_RAYS_PER_S = 527_292.0     # reference torch-CPU, this machine
-N_RAYS = 1_000_000
-CHAIN = 200     # large enough that CHAIN * t_trace >> RPC-floor noise
-GRAD_CHAIN = 50
-REPEATS = 5
+# Size/schedule overrides exist so the fault-injection kill-test
+# (tests/test_bench_fault.py) can run the REAL code path on CPU in seconds.
+N_RAYS = int(os.environ.get('RTT_BENCH_N', 1_000_000))
+CHAIN = int(os.environ.get('RTT_BENCH_CHAIN', 200))   # CHAIN*t_trace >> floor
+GRAD_CHAIN = int(os.environ.get('RTT_BENCH_GRAD_CHAIN', 50))
+REPEATS = int(os.environ.get('RTT_BENCH_REPEATS', 5))
 
+_TRANSIENT_MARKERS = (
+    'INTERNAL', 'UNAVAILABLE', 'DEADLINE_EXCEEDED', 'remote_compile',
+    'read body', 'response body closed', 'Connection reset',
+    'Socket closed', 'RESOURCE_EXHAUSTED',
+)
+
+
+def _is_transient(exc) -> bool:
+    msg = f'{type(exc).__name__}: {exc}'
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
+def _retry(fn, attempts=3, backoff_s=3.0):
+    """Run fn(); re-run on transient tunnel faults with linear backoff."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:                        # noqa: BLE001
+            if i == attempts - 1 or not _is_transient(e):
+                raise
+            time.sleep(backoff_s * (i + 1))
+    raise AssertionError('unreachable')
+
+
+# ---------------------------------------------------------------- child ----
 
 def build_scene():
+    from raytracetorch_tpu import (CircularAperture, SensorElement,
+                                   SequentialScene, SingletLens)
     return SequentialScene([
         SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0,
                     ior_glass=1.5, ior_media=1.0,
@@ -53,27 +95,64 @@ def build_scene():
 def _fetch_times_ms(fn, *args, reps=REPEATS):
     """Wall times (ms) of reps calls to fn(*args), each forced by fetching
     its scalar result; first (compile/warmup) call discarded."""
-    float(fn(*args))     # warmup / compile
+    _retry(lambda: float(fn(*args)))     # warmup / compile
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(fn(*args))
+        _retry(lambda: float(fn(*args)))
         ts.append((time.perf_counter() - t0) * 1e3)
     return ts
 
 
-def _median_fetch_ms(fn, *args, reps=REPEATS):
-    """Median wall time of fn(*args) forced by fetching its scalar result."""
-    return statistics.median(_fetch_times_ms(fn, *args, reps=reps))
+def _maybe_inject_fault():
+    """Kill-test hook: raise a fake transient fault once (see module doc)."""
+    marker = os.environ.get('RTT_BENCH_FAULT')
+    if marker and not os.path.exists(marker):
+        with open(marker, 'w') as f:
+            f.write('fault injected\n')
+        if os.environ.get('RTT_BENCH_FAULT_MODE') == 'hard':
+            # Non-transient: kills the child outright so the PARENT's
+            # subprocess retry is what recovers.
+            raise RuntimeError('injected hard fault [RTT_BENCH_FAULT]')
+        raise RuntimeError(
+            'INTERNAL: http://127.0.0.1:0/remote_compile: read body: '
+            'response body closed before all bytes were read '
+            '[injected by RTT_BENCH_FAULT]')
 
 
-def main():
+def child_main():
+    if os.environ.get('RTT_BENCH_CPU'):
+        # Kill-test mode: pin the CPU platform BEFORE any backend touch
+        # (the env var alone does not stick under axon's sitecustomize —
+        # CLAUDE.md; jax.config.update after import does).
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+    import jax
+    import jax.numpy as jnp
+    from raytracetorch_tpu.optim.goals import spot_size_loss
+    from raytracetorch_tpu.rays.sources import CollimatedDisk
+
+    out = {
+        'metric': 'rays/sec on 1M-ray singlet sequential trace',
+        'unit': 'rays/s',
+        'n_rays': N_RAYS,
+        'chain': CHAIN,
+        'repeats': REPEATS,
+    }
+    errors = {}
+
     scene = build_scene()
     params = scene.init_params()
     key = jax.random.PRNGKey(0)
     bundle = CollimatedDisk.make(radius=jnp.float32(4.0),
                                  translation=[0.0, 0.0, -10.0])
-    rays = bundle.sample(key, N_RAYS)
+
+    def first_device_op():
+        _maybe_inject_fault()
+        return bundle.sample(key, N_RAYS)
+
+    rays = _retry(first_device_op)
+    out['device'] = str(jax.devices()[0])
 
     shift = jnp.array([0.0, 0.0, 30.0])
 
@@ -104,45 +183,116 @@ def main():
     # floor jitters +/-15% run-to-run, so a single sample cannot tell a
     # real regression from noise.  Every quantity is median over REPEATS
     # runs and the JSON carries the per-run spread.
-    floor_fn = jax.jit(lambda r: r.intensity[0] + 1.0)
-    floor_ts = _fetch_times_ms(floor_fn, rays)
-    floor_ms = statistics.median(floor_ts)
+    floor_ms = 0.0
+    try:
+        floor_fn = jax.jit(lambda r: r.intensity[0] + 1.0)
+        floor_ts = _fetch_times_ms(floor_fn, rays)
+        floor_ms = statistics.median(floor_ts)
+        out['dispatch_floor_ms'] = round(floor_ms, 2)
+        out['floor_ms_runs'] = [round(t, 2) for t in floor_ts]
+    except Exception as e:                            # noqa: BLE001
+        errors['floor'] = f'{type(e).__name__}: {e}'[:300]
 
-    trace_ts = _fetch_times_ms(jax.jit(chained_trace), params, rays, key)
-    per_run_trace = [max((t - floor_ms) / CHAIN, 1e-6) for t in trace_ts]
-    trace_ms = statistics.median(per_run_trace)
+    # The core metric: if this stage cannot be captured the child exits
+    # non-zero (after printing the partial JSON) so the parent retries.
+    core_ok = False
+    try:
+        trace_ts = _fetch_times_ms(jax.jit(chained_trace), params, rays, key)
+        per_run = [max((t - floor_ms) / CHAIN, 1e-6) for t in trace_ts]
+        trace_ms = statistics.median(per_run)
+        rays_per_s = N_RAYS / (trace_ms / 1e3)
+        out['value'] = round(rays_per_s)
+        out['vs_baseline'] = round(rays_per_s / BASELINE_RAYS_PER_S, 2)
+        out['trace_ms'] = round(trace_ms, 3)
+        out['trace_ms_runs'] = [round(t, 3) for t in per_run]
+        out['trace_spread_pct'] = round(
+            100.0 * (max(per_run) - min(per_run)) / trace_ms, 1)
+        core_ok = True
+    except Exception as e:                            # noqa: BLE001
+        errors['trace'] = f'{type(e).__name__}: {e}'[:300]
 
-    grad_ts = _fetch_times_ms(jax.jit(chained_grad), params, rays, key)
-    per_run_grad = [max((t - floor_ms) / GRAD_CHAIN, 1e-6) for t in grad_ts]
-    grad_ms = statistics.median(per_run_grad)
+    try:
+        grad_ts = _fetch_times_ms(jax.jit(chained_grad), params, rays, key)
+        per_run_g = [max((t - floor_ms) / GRAD_CHAIN, 1e-6) for t in grad_ts]
+        out['grad_step_ms'] = round(statistics.median(per_run_g), 3)
+        out['grad_ms_runs'] = [round(t, 3) for t in per_run_g]
+    except Exception as e:                            # noqa: BLE001
+        errors['grad'] = f'{type(e).__name__}: {e}'[:300]
 
-    # single trace for the sensor stats
-    _, sensors, _ = jax.jit(
-        lambda p, r, k: scene.simulate(p, r, k))(params, rays, key)
-    rms = float(sensors.spot_rms(0)[0])
+    try:
+        _, sensors, _ = _retry(lambda: jax.jit(
+            lambda p, r, k: scene.simulate(p, r, k))(params, rays, key))
+        out['spot_rms'] = round(float(sensors.spot_rms(0)[0]), 5)
+    except Exception as e:                            # noqa: BLE001
+        errors['spot'] = f'{type(e).__name__}: {e}'[:300]
 
-    rays_per_s = N_RAYS / (trace_ms / 1e3)
+    if errors:
+        out['partial'] = True
+        out['stage_errors'] = errors
+    print(json.dumps(out), flush=True)
+    sys.exit(0 if core_ok else 3)
+
+
+# --------------------------------------------------------------- parent ----
+
+def _last_json_line(text: str):
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith('{') and line.endswith('}'):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main():
+    attempts = int(os.environ.get('RTT_BENCH_ATTEMPTS', '3'))
+    # First attempt pays tunnel claim (~130 s) + compiles (~20-40 s each);
+    # retries usually hit the persistent compile cache.
+    timeouts = [1800] + [1200] * (attempts - 1)
+    best_partial = None
+    fail_tail = ''
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), '--child'],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=timeouts[i])
+        except subprocess.TimeoutExpired:
+            fail_tail = f'attempt {i + 1}: child timed out (stuck tunnel?)'
+            time.sleep(5.0)
+            continue
+        parsed = _last_json_line(proc.stdout)
+        if proc.returncode == 0 and parsed is not None and 'value' in parsed:
+            if i > 0:
+                parsed['capture_attempts'] = i + 1
+                print(json.dumps(parsed), flush=True)
+            else:
+                sys.stdout.write(proc.stdout)
+                sys.stdout.flush()
+            return 0
+        if parsed is not None:
+            best_partial = parsed
+        fail_tail = (proc.stdout + '\n' + proc.stderr)[-2000:]
+        time.sleep(5.0)
+    # Exhausted: still emit ONE parseable JSON line with whatever survived.
+    if best_partial is not None:
+        best_partial['partial'] = True
+        best_partial['capture_attempts'] = attempts
+        print(json.dumps(best_partial), flush=True)
+        return 0
     print(json.dumps({
         'metric': 'rays/sec on 1M-ray singlet sequential trace',
-        'value': round(rays_per_s),
-        'unit': 'rays/s',
-        'vs_baseline': round(rays_per_s / BASELINE_RAYS_PER_S, 2),
-        'trace_ms': round(trace_ms, 3),
-        'trace_ms_runs': [round(t, 3) for t in per_run_trace],
-        'trace_spread_pct': round(100.0 * (max(per_run_trace)
-                                           - min(per_run_trace))
-                                  / trace_ms, 1),
-        'grad_step_ms': round(grad_ms, 3),
-        'grad_ms_runs': [round(t, 3) for t in per_run_grad],
-        'n_rays': N_RAYS,
-        'chain': CHAIN,
-        'repeats': REPEATS,
-        'dispatch_floor_ms': round(floor_ms, 2),
-        'floor_ms_runs': [round(t, 2) for t in floor_ts],
-        'device': str(jax.devices()[0]),
-        'spot_rms': round(rms, 5),
-    }))
+        'value': None, 'unit': 'rays/s', 'vs_baseline': None,
+        'partial': True, 'capture_attempts': attempts,
+        'error': fail_tail[-600:],
+    }), flush=True)
+    return 1
 
 
 if __name__ == '__main__':
-    main()
+    if '--child' in sys.argv:
+        child_main()
+    else:
+        sys.exit(main())
