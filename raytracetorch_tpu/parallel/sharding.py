@@ -89,11 +89,17 @@ def shard_map_trace(local, mesh, n_extra=0, aux=False):
     kw = dict(mesh=mesh,
               in_specs=(P(), P(axes), P()) + (P(),) * n_extra,
               out_specs=(P(axes), P()) + ((P(axes),) if aux else ()))
-    if hasattr(jax, 'shard_map'):                # jax >= 0.6
-        fn = jax.shard_map(local, check_vma=False, **kw)
-    else:                                        # deprecated pre-0.6 home
-        from jax.experimental.shard_map import shard_map
-        fn = shard_map(local, check_rep=False, **kw)
+    # jax.shard_map is the stable home since 0.6 (this package pins
+    # jax >= 0.6; the pre-0.6 jax.experimental.shard_map fallback was
+    # removed once no supported runtime needed it).  check_vma=False is
+    # REQUIRED, not a shim: the body calls pl.pallas_call, whose
+    # jax.ShapeDtypeStruct out_shapes carry no varying-manual-axes
+    # annotation, and the checker hard-errors on vma=None (probed on
+    # jax 0.9.0 — re-enable once pallas out_shapes accept vma).  The
+    # replication property the checker would enforce is asserted
+    # behaviorally by the shard-count invariance suite
+    # (tests/test_sharding.py).
+    fn = jax.shard_map(local, check_vma=False, **kw)
     return fn, axes
 
 

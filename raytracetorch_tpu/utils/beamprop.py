@@ -29,6 +29,15 @@ applies the round-trip screen ``2 n fold_s sag`` and flips the map, so
 telescopes (fold chains, Cassegrains) wave-trace on one effective
 axis; off-axis mirrors raise.
 
+AMPLITUDES are physical where the ray model's are: faces of lenses
+with Fresnel physics apply the flux-normalized complex transmission
+of their (possibly coated) stack at normal incidence
+(utils/coatings.py::coating_amplitudes — |t|^2 = T, so wave-traced
+sensor power tracks the ray tracer's intensity * |E|^2 flux), metal
+mirrors apply the coated stack's complex r (|r|^2 = R plus the
+phase-on-reflection), and plain-SNELL faces / ideal mirrors stay
+unit-amplitude exactly like the ray intensity path.
+
 The torch reference has no wave model at all (rays only); this extends
 the physical-optics layer (utils/psf.py, utils/propagation.py) from
 pupil-plane analysis to full-system propagation.
@@ -55,6 +64,86 @@ from .propagation import angular_spectrum
 __all__ = ['wave_trace', 'wave_trace_vector']
 
 
+def _cscale(comps, amp):
+    """Multiply every component by the COMPLEX scalar ``amp = (re, im)``
+    (amplitude+phase screens: Fresnel/coating transmission, metal
+    reflection)."""
+    ar, ai = amp
+    return tuple((r * ar - i * ai, r * ai + i * ar) for r, i in comps)
+
+
+def _lens_face_amp(el, p, i, n_in, n_out, lam_um):
+    """Flux-normalized complex transmission amplitude (re, im) of lens
+    optical face ``i`` at normal incidence, or None for unit amplitude.
+
+    Gated exactly like the ray model's intensity path: only elements
+    with Fresnel physics (``fresnel=True`` MC / ``'weighted'`` —
+    elements/lens.py::_set_coating docstring) lose power at faces; under
+    the default SNELL kind both models keep unit flux.  Coated faces use
+    the face's thin-film stack (utils/coatings.py::coating_amplitudes
+    characteristic matrices) with the same side-dependent layer-order
+    reversal as the ray model (core/static_dispatch.py::coated_rt_sp —
+    arriving from the substrate the stack is traversed in reverse,
+    selected by a traced n_in < n_out where like the ray path); bare
+    faces reduce to the Fresnel t = 2 sqrt(n1 n2)/(n1 + n2).  The
+    amplitude is FLUX-normalized (|t|^2 = T, the core/field.py
+    convention), so wave-traced sensor power directly tracks the ray
+    tracer's intensity * |E|^2 flux; the complex phase is the stack's
+    transmission phase (zero for bare faces at normal incidence).
+    """
+    if not getattr(el, 'fresnel', False):
+        return None
+    from .coatings import coating_amplitudes
+    coat_ns = getattr(el, 'coating_n', None) or {}
+    cos_i = jnp.asarray(1.0)
+    if i in coat_ns:
+        ns = list(coat_ns[i])
+        ks = el.coating_k[i]
+        dsv = p['coat_d'][str(i)] if el._coat_per_face else p['coat_d']
+        ds = [dsv[j] for j in range(len(ns))]
+        t, _ = coating_amplitudes(ns, ds, n_in, n_out, cos_i, lam_um,
+                                  pol='s', k_stack=ks)
+        if len(ns) > 1:
+            t_rev, _ = coating_amplitudes(
+                ns[::-1], ds[::-1], n_in, n_out, cos_i, lam_um, pol='s',
+                k_stack=ks[::-1] if ks is not None else None)
+            lt = n_in < n_out
+            t = (jnp.where(lt, t[0], t_rev[0]),
+                 jnp.where(lt, t[1], t_rev[1]))
+        return t
+    t, _ = coating_amplitudes([], [], n_in, n_out, cos_i, lam_um, pol='s')
+    return t
+
+
+def _mirror_amp(el, p, n_amb, lam_um):
+    """Complex reflection amplitude (re, im) of a (possibly coated) metal
+    mirror at normal incidence, or None for an ideal (metal=None, R = 1)
+    reflector — the same gate as the ray model's intensity path
+    (elements/mirror.py: metal=None is the reference's unit Reflect).
+    Dispersion follows the element's static METAL_NK knots when
+    ``metal_dispersion=True``, like core/static_dispatch.py::
+    mirror_reflectances_sp; |r|^2 = R and the phase-on-reflection rides
+    the field (s convention — s and p coincide in magnitude at normal
+    incidence)."""
+    if getattr(el, '_metal', None) is None:
+        return None
+    from .coatings import metal_nk_at, metal_reflection_amplitudes
+    if getattr(el, '_metal_nk', None) is not None:
+        n_m, k_m = metal_nk_at(el._metal_nk[0], el._metal_nk[1],
+                               jnp.asarray(lam_um))
+    else:
+        n_m, k_m = el._metal
+    ns = list(getattr(el, 'coating_n', ()) or ())
+    if ns:
+        ds = [p['coat_d'][j] for j in range(len(ns))]
+        ks = el.coating_k
+    else:
+        ds, ks = [], None
+    return metal_reflection_amplitudes(ns, ds, n_amb, n_m, k_m,
+                                       jnp.asarray(1.0), lam_um, pol='s',
+                                       k_stack=ks)
+
+
 def _grid(shape, dx, dtype):
     H, W = shape
     y = (jnp.arange(H, dtype=dtype) - H // 2) * dx
@@ -68,7 +157,7 @@ def _mul_phase(re, im, opd, wavelength):
     return re * c - im * s, re * s + im * c
 
 
-def _tilt_term(p, what='element'):
+def _tilt_term(p, what='element', check_rz=True):
     """Small-angle prism height of the element's tilt: the rotated
     face plane sits at z = vz - ry*x' + rx*y' (Rodrigues to first
     order), so the screen sag gains ``rx*y' - ry*x'``.
@@ -79,7 +168,9 @@ def _tilt_term(p, what='element'):
     ~0.1 rad raise.  (Traced rotations cannot be checked — the caller
     under jit owns that contract.)  The axial component rz is dropped:
     exact for rotationally-symmetric faces, first-order-negligible
-    otherwise."""
+    otherwise.  ``check_rz=False`` exempts rz from the bound — JONES
+    plates represent a z-rotation EXACTLY (it adds to the optic-axis
+    angle), so only their rx/ry tilts are paraxially limited."""
     import jax
     import numpy as np
 
@@ -89,9 +180,10 @@ def _tilt_term(p, what='element'):
     if isinstance(rv, jax.core.Tracer):
         return rv[0], rv[1]        # traced pose: caller's contract
     mags = np.abs(np.asarray(rv))
-    if float(mags.max()) > 0.1:
+    mx = float(mags.max()) if check_rz else float(mags[:2].max())
+    if mx > 0.1:
         raise NotImplementedError(
-            f'wave_trace: {what} carries a {float(mags.max()):.3f} rad '
+            f'wave_trace: {what} carries a {mx:.3f} rad '
             'rotation — the thin-screen model only supports small '
             '(paraxial, < ~0.1 rad) tilts as first-order prism terms; '
             'fold geometry belongs to the MIRROR unfolding or the ray '
@@ -175,6 +267,12 @@ def _wave_trace_core(scene, params, comps, dx, wavelength, z0,
     fold_s, fold_o = 1.0, 0.0
     zeta_cur = jnp.asarray(z0, dt)
     n_cur = jnp.asarray(n_ambient, dt)
+    # coating/Fresnel amplitude screens evaluate in MICRONS (the
+    # thin-film unit); without an explicit wavelength_um assume mm trace
+    # units (the package convention — same fallback as the kinoform
+    # efficiency term below)
+    lam_um = (wavelength_um if wavelength_um is not None
+              else wavelength * 1e3)
 
     def hop(comps, z_to, n):
         nonlocal zeta_cur
@@ -212,13 +310,18 @@ def _wave_trace_core(scene, params, comps, dx, wavelength, z0,
                 c, zv = cs_zs[i]
                 z_face = te[2] + zv
                 comps = hop(comps, z_face, n_cur)
-                n_cur = iors[i + 1] if fold_s > 0 else iors[i]
+                n_a, n_b = ((iors[i], iors[i + 1]) if fold_s > 0
+                            else (iors[i + 1], iors[i]))
+                n_cur = n_b
                 sag = sag_z(c, jnp.sqrt(yp * yp + 1e-24))
                 sag = jnp.broadcast_to(sag, shape)
                 if tilt is not None:
                     sag = sag + tilt[0] * yp - tilt[1] * xp
                 opd = (iors[i] - iors[i + 1]) * sag
                 comps = screen(comps, opd)
+                amp = _lens_face_amp(el, p, i, n_a, n_b, lam_um)
+                if amp is not None:
+                    comps = _cscale(comps, amp)
                 comps = scale(comps, mask)
             continue
         if isinstance(el, _SphericLens):
@@ -238,7 +341,9 @@ def _wave_trace_core(scene, params, comps, dx, wavelength, z0,
                 c, zv = cs[i], zs[i]
                 z_face = te[2] + zv
                 comps = hop(comps, z_face, n_cur)
-                n_cur = iors[i + 1] if fold_s > 0 else iors[i]
+                n_a, n_b = ((iors[i], iors[i + 1]) if fold_s > 0
+                            else (iors[i + 1], iors[i]))
+                n_cur = n_b
                 if is_asph:
                     kc2 = (1.0 + p[('k1', 'k2')[i]]) * c * c
                     a = p[('a1', 'a2')[i]]
@@ -251,6 +356,9 @@ def _wave_trace_core(scene, params, comps, dx, wavelength, z0,
                     sag = sag + tilt[0] * yp - tilt[1] * xp
                 opd = (iors[i] - iors[i + 1]) * sag
                 comps = screen(comps, opd)
+                amp = _lens_face_amp(el, p, i, n_a, n_b, lam_um)
+                if amp is not None:
+                    comps = _cscale(comps, amp)
                 comps = scale(comps, mask)
             continue
         if isinstance(el, DiffractiveLens):
@@ -366,6 +474,9 @@ def _wave_trace_core(scene, params, comps, dx, wavelength, z0,
             if tilt is not None:
                 sag = sag + tilt[0] * yp - tilt[1] * xp
             comps = screen(comps, 2.0 * n_cur * fold_s * sag)
+            amp = _mirror_amp(el, p, n_cur, lam_um)
+            if amp is not None:
+                comps = _cscale(comps, amp)
             if aper2 is not None:
                 m = (r2 <= aper2).astype(dt)
                 comps = scale(comps, m)
@@ -389,22 +500,10 @@ def _wave_trace_core(scene, params, comps, dx, wavelength, z0,
             # The flat faces impart no transverse screen (tangential-
             # momentum coupling is exact for a plane); the barrel mask
             # absorbs at every sub-step like the ray model's r2_max
-            # kill.  Fresnel/coating amplitudes are not modeled, as
-            # everywhere else in this module.
+            # kill.  Fresnel amplitudes at the rod faces are not
+            # modeled (the ray model's GRIN kind has no fresnel gate
+            # either — both models keep unit flux through the rod).
             tilt = _tilt_term(p, 'GrinRod')
-            if tilt is not None:
-                import jax as _jax
-                if isinstance(tilt[0], _jax.core.Tracer):
-                    # traced pose: the caller owns the zero-tilt
-                    # contract (a rod tilt is not representable as a
-                    # thin screen, so it is IGNORED under jit — unlike
-                    # lens faces, whose traced tilts become exact
-                    # first-order prism screens)
-                    tilt = None
-                else:
-                    raise NotImplementedError(
-                        'wave_trace: tilted GRIN rods have no split-'
-                        'step screen model — trace rays instead')
             if fold_s < 0:
                 raise NotImplementedError(
                     'wave_trace: a GRIN rod behind an odd mirror-fold '
@@ -425,6 +524,18 @@ def _wave_trace_core(scene, params, comps, dx, wavelength, z0,
             dz = L / steps
             z_in = te[2] - 0.5 * L
             comps = hop(comps, z_in, n_cur)
+            if tilt is not None:
+                # first-order prism screens at the flat faces: a small
+                # rod tilt (rx, ry) tips both faces, so the entry gains
+                # the lens-branch tilt height h = rx*y' - ry*x' weighted
+                # by the index jump (n_amb - n0), the exit its negative
+                # — a tilted parallel slab: zero net deviation, n-scaled
+                # lateral walk-off.  The GRIN axis itself stays untipped
+                # (O(tilt^2) in the profile).  Traced poses now get the
+                # same screens instead of the former silent ignore
+                # (round-4 advisor finding).
+                tilt_h = tilt[0] * yp - tilt[1] * xp
+                comps = screen(comps, (n_cur - n_bar) * tilt_h)
             comps = scale(comps, mask)
             for j in range(steps):
                 z_mid = (j + 0.5) * dz
@@ -434,6 +545,8 @@ def _wave_trace_core(scene, params, comps, dx, wavelength, z0,
                 comps = screen(comps, (n_loc - n_bar) * dz)
                 comps = scale(comps, mask)
             comps = hop(comps, z_in + L, n_bar)
+            if tilt is not None:
+                comps = screen(comps, (n_bar - n_cur) * tilt_h)
             comps = scale(comps, mask)
             continue
         if isinstance(el, _JonesPlate):
@@ -454,7 +567,7 @@ def _wave_trace_core(scene, params, comps, dx, wavelength, z0,
                     '(the scalar wave has no polarization state; the '
                     'ray model likewise requires track_field=True for '
                     'JONES surfaces)')
-            _tilt_term(p, type(el).__name__)
+            _tilt_term(p, type(el).__name__, check_rz=False)
             te = p['trans']
             comps = hop(comps, te[2], n_cur)
             xp, yp = x - te[0], y - te[1]
@@ -462,6 +575,14 @@ def _wave_trace_core(scene, params, comps, dx, wavelength, z0,
             rv = p.get('rot_vec')
             if rv is not None:
                 theta = theta + rv[2]
+            if fold_s < 0:
+                # behind an odd mirror-fold count the ray model's
+                # transverse basis e2 = d x e1 flips the angle sign for
+                # backward-traveling rays (core/field.py JONES case) —
+                # mirror theta so both models act on the same PHYSICAL
+                # axis line (round-4 advisor finding; covered by
+                # tests/test_beamprop.py fold+polarizer cross-check).
+                theta = -theta
             delta = (2.0 * jnp.pi) * p['retardance']
             if getattr(el, 'chromatic', False):
                 # true zero-order plate: retardance scales as lam0/lam
@@ -512,8 +633,10 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
     ``efficiency`` scales the amplitude by |sinc(lam0/lam - m)|),
     Circular/Rectangular/Elliptic apertures (binary masks, ``invert``
     honored), axis-aligned Spherical/Parabolic/Conic/Aspheric mirrors
-    (unfolded — see module docstring; metal/coating reflectance is NOT
-    modeled, mirrors reflect with unit amplitude), GrinRod (true
+    (unfolded — see module docstring; METAL mirrors reflect with the
+    coated stack's complex amplitude r so |E|^2 loses the true 1 - R
+    and picks up the phase-on-reflection, ideal ``metal=None`` mirrors
+    stay unit — the ray model's gate), GrinRod (true
     split-step BPM inside the rod: ``el.n_steps`` midpoint index
     screens between angular-spectrum hops in the n0 reference medium —
     the same squared-index polynomial the RK4 ray model integrates),
@@ -558,8 +681,12 @@ def wave_trace_vector(scene, params, ex, ey, dx, wavelength, z0,
     utils/propagation.py::longitudinal_field for Ez.
 
     The unfolded frame keeps WORLD transverse axes through mirror
-    reflections (mirrors here are unit-amplitude scalar folds — no s/p
-    phase or reflectance, matching the scalar trace).
+    reflections; behind an odd fold count JONES optic-axis angles are
+    mirrored (theta -> -theta) to match the ray model's d-dependent
+    e2 = d x e1 basis (core/field.py).  Metal mirrors apply the same
+    scalar complex r to both components (s = p in magnitude at normal
+    incidence — the paraxial screen model's regime), ideal mirrors
+    stay unit-amplitude, matching the scalar trace.
 
     Returns ``(ex, ey, z)`` with ``ex``/``ey`` the propagated (re, im)
     pairs at the first sensor plane (or after the last element).
