@@ -47,6 +47,8 @@ from .optim.goals import focal_length_loss, spot_size_loss, spot_target_loss
 from .optim.merit import default_merit, opd_residuals, spot_residuals
 from .optim.multiconfig import (config_params, config_sweep,
                                 multiconfig_loss, stack_configs)
+from .optim.wave_goals import (wave_encircled_energy, wave_encircled_loss,
+                               wave_peak_loss)
 from .project import (load_checkpoint, load_params, load_project,
                       load_scene, save_checkpoint, save_params,
                       save_project)

@@ -90,14 +90,14 @@ class StaticRowMeta:
 
     __slots__ = ('ph', 'sb', 'vb', 'sensor', 'invert', 'asph', 'disp',
                  'plane', 'slot', 'n_coat', 'dispm', 'metal', 'metal_nk',
-                 'coat_k', 'ff', 'scatter', 'jones_chrom', 'grin_steps',
-                 'doe', 'depol')
+                 'coat_k', 'ff', 'scatter', 'jones_chrom', 'jones_bire',
+                 'grin_steps', 'doe', 'depol')
 
     def __init__(self, ph, sb, vb, sensor=False, invert=False, asph=False,
                  disp=False, plane=False, slot=0, n_coat=0,
                  dispm=(1, 1), metal=False, metal_nk=None, coat_k=None,
-                 ff=None, scatter=None, jones_chrom=False, grin_steps=0,
-                 doe=None, depol=False):
+                 ff=None, scatter=None, jones_chrom=False,
+                 jones_bire=None, grin_steps=0, doe=None, depol=False):
         self.ph, self.sb, self.vb = int(ph), int(sb), int(vb)
         self.sensor = bool(sensor)
         self.invert = bool(invert)
@@ -128,6 +128,10 @@ class StaticRowMeta:
         # STATIC: JONES retardance scales as lam0/lam (true zero-order
         # waveplate dispersion; lam0 rides ph[4])
         self.jones_chrom = bool(jones_chrom)
+        # STATIC crystal name: retardance ALSO scales by the material's
+        # dn(lam)/dn(lam0) (utils/birefringence.py; core/field.py JONES)
+        self.jones_bire = (str(jones_bire).upper()
+                           if jones_bire is not None else None)
         # STATIC RK4 step count for PhysKind.GRIN rows (core/grin.py)
         self.grin_steps = int(grin_steps)
         # STATIC (n_radial_terms, efficiency_bool) for PhysKind.DOE rows

@@ -132,6 +132,10 @@ class SurfaceRec:
                                  # proxy — core/field.py SCATTER case)
     jones_chrom: bool = False    # STATIC: JONES retardance scales as
                                  # lam0/lam (ph[4] = design wavelength)
+    jones_bire: Any = None       # STATIC waveplate crystal name
+                                 # ('QUARTZ'|'MGF2'|'CALCITE'): retardance
+                                 # additionally scales as dn(lam)/dn(lam0)
+                                 # (utils/birefringence.py Sellmeiers)
     grin_steps: int = 0          # STATIC RK4 step count for GRIN rows
     doe: Any = None              # STATIC (n_radial_terms, efficiency)
                                  # for PhysKind.DOE rows; the traced

@@ -160,6 +160,7 @@ class Scene:
                                               ff=r.ff_powers or None,
                                               scatter=r.scatter_model,
                                               jones_chrom=r.jones_chrom,
+                                              jones_bire=r.jones_bire,
                                               grin_steps=r.grin_steps,
                                               doe=r.doe,
                                               depol=r.scatter_depol))

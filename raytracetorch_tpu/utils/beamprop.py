@@ -586,9 +586,17 @@ def _wave_trace_core(scene, params, comps, dx, wavelength, z0,
             delta = (2.0 * jnp.pi) * p['retardance']
             if getattr(el, 'chromatic', False):
                 # true zero-order plate: retardance scales as lam0/lam
-                lam_um = (wavelength_um if wavelength_um is not None
-                          else wavelength * 1e3)
-                delta = delta * el._lam0 / lam_um
+                lam_w = (wavelength_um if wavelength_um is not None
+                         else wavelength * 1e3)
+                delta = delta * el._lam0 / lam_w
+                if getattr(el, 'material', None) is not None:
+                    # real crystal: times dn(lam)/dn(lam0) — the same
+                    # physical delta = 2 pi dn t / lam the ray model
+                    # applies (core/field.py jones_bire)
+                    from .birefringence import birefringence
+                    delta = delta * (birefringence(el.material, lam_w)
+                                     / birefringence(el.material,
+                                                     el._lam0))
             ca, sa = jnp.cos(theta), jnp.sin(theta)
             ch, sh = jnp.cos(0.5 * delta), jnp.sin(0.5 * delta)
             a1, a2 = p['amp1'], p['amp2']

@@ -57,6 +57,7 @@ def _meta_with_ph(m, ph):
                          metal=m.metal, metal_nk=m.metal_nk,
                          coat_k=m.coat_k, ff=m.ff, scatter=m.scatter,
                          jones_chrom=m.jones_chrom,
+                         jones_bire=m.jones_bire,
                          grin_steps=m.grin_steps, doe=m.doe,
                          depol=m.depol)
 

@@ -92,6 +92,19 @@ class FieldPSFGrid:
         self.opds, self.amps = opds, amps
         self.wavelengths = wavelengths
 
+    def cropped(self, k):
+        """Center-crop the PSF stack to [F, k, k] and renormalize each
+        to unit energy.  The full pad*n_grid PSF frame is mostly empty
+        for well-corrected fields; convolution cost scales with k^2, so
+        crop to a few Airy diameters before feeding
+        :func:`convolve_psf_varying` on large images (the peak sits at
+        pixel [N//2, N//2] — the DFT centering convention)."""
+        N = self.psfs.shape[-1]
+        lo = N // 2 - k // 2
+        p = self.psfs[:, lo:lo + k, lo:lo + k]
+        return p / jnp.maximum(jnp.sum(p, axis=(1, 2), keepdims=True),
+                               1e-24)
+
 
 def field_psf_grid(scene, params, fields, aperture_radius, wavelengths,
                    weights=None, n_grid=48, n_rays=20000, pad=4,
