@@ -69,10 +69,15 @@ def test_v_coat_design_converges():
     d = jnp.asarray([0.1, 0.06], jnp.float32)
     opt = optax.adam(2e-3)
     state = opt.init(d)
-    for _ in range(500):
-        g = jax.grad(lambda dd: R_of(dd))(d)
+
+    @jax.jit
+    def step(d, state):
+        g = jax.grad(R_of)(d)
         up, state = opt.update(g, state)
-        d = jnp.clip(d + up, 1e-3, 0.5)
+        return jnp.clip(d + up, 1e-3, 0.5), state
+
+    for _ in range(500):
+        d, state = step(d, state)
     final = float(R_of(d))
     qw_floor = ((NS - NC * NC) / (NS + NC * NC)) ** 2     # 1.28%
     assert final < 1e-4 < qw_floor

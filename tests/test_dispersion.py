@@ -71,7 +71,7 @@ def test_achromat_design_by_grad(key):
                               wavelength=F_LINE, translation=[0, 0, -10.0])
     b_c = CollimatedDisk.make(radius=jnp.float32(3.0), ray_id=1,
                               wavelength=C_LINE, translation=[0, 0, -10.0])
-    rays = scene.sample_rays(key, [(b_f, 2000), (b_c, 2000)])
+    rays = scene.sample_rays(key, [(b_f, 800), (b_c, 800)])
 
     target_z = 100.0
 
@@ -93,7 +93,7 @@ def test_achromat_design_by_grad(key):
     gap0 = focus_gap(params)
     from raytracetorch_tpu.optim.fit import fit_lbfgs
     p2, losses = fit_lbfgs(loss, params, trainable=scene.trainable(),
-                           steps=40)
+                           steps=20)
     gap1 = focus_gap(p2)
     assert gap1 < gap0 * 0.25, f"achromatization failed: {gap0} -> {gap1}"
     assert float(losses[-1]) < float(losses[0])

@@ -42,11 +42,11 @@ def test_lbfgs_converges_to_best_form(key):
     scene = _design_scene()
     params = scene.init_params()
     rays = CollimatedDisk.make(radius=jnp.float32(5.0),
-                               translation=[0, 0, -10.0]).sample(key, 8000)
+                               translation=[0, 0, -10.0]).sample(key, 3000)
     loss = _spot_loss(scene, rays, key)
     l0 = float(loss(params))
     p2, losses = fit_lbfgs(loss, params, trainable=scene.trainable(),
-                           steps=40)
+                           steps=25)
     lf = float(losses[-1])
     assert lf < l0 * 0.02, f"LBFGS failed to converge: {l0} -> {lf}"
 

@@ -559,7 +559,7 @@ def test_fused_grid_bwd_kernel_parity(key):
     meta = scene.static_meta()
     table = scene.build_table(p)
     rays = CollimatedDisk.make(radius=jnp.float32(4.0),
-                               translation=[0, 0, -10.0]).sample(key, 1024)
+                               translation=[0, 0, -10.0]).sample(key, 512)
     W = jax.random.normal(jax.random.fold_in(key, 7), (1, 16, 16),
                           jnp.float32)
 
@@ -751,7 +751,7 @@ def test_fused_fuzzy_component_parity(key):
     scene = make(True)
     p = scene.init_params()
     rays = CollimatedDisk.make(radius=jnp.float32(4.0),
-                               translation=[0, 0, -10.0]).sample(key, 2999)
+                               translation=[0, 0, -10.0]).sample(key, 1499)
     out_ref, sens_ref, _ = make(False).simulate(p, rays, key)
     out_f, sens_f, _ = scene.simulate_fused(p, rays, key, block_rows=4)
     np.testing.assert_allclose(np.asarray(out_f.intensity),

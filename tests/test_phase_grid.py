@@ -236,7 +236,7 @@ def test_nonseq_fused_phase_grid_grad(key):
     sc, p = _nonseq_pg_scene()
     rays = CollimatedDisk.make(radius=jnp.float32(2.0),
                                translation=[0, 0, -3.0],
-                               wavelength=LAM0).sample(key, 2048)
+                               wavelength=LAM0).sample(key, 1024)
 
     def mk(sim):
         def loss(q):
@@ -325,7 +325,7 @@ def test_fused_kernel_phase_grid_gradients(key):
     sc, p = _steerer_scene()
     rays = CollimatedDisk.make(radius=jnp.float32(2.0),
                                translation=[0, 0, -3.0],
-                               wavelength=LAM0).sample(key, 2048)
+                               wavelength=LAM0).sample(key, 1024)
 
     def mk(sim):
         def loss(p):
