@@ -130,6 +130,19 @@ INDEX_HTML = r"""<!DOCTYPE html>
   <img id="tfimg" width="300" height="160"
        style="background:#101214;border:1px solid #2a2e35;border-radius:4px;display:none">
   <div id="tfinfo" style="font-size:11px;color:#9aa"></div>
+  <h3>Image simulation
+    <input type="text" id="is-fields" value="0, 0.05, 0.1"
+      style="width:92px;font-size:11px"
+      title="field slopes (comma separated)">
+    <button onclick="doImageSim()" style="font-size:11px">refresh</button>
+  </h3>
+  <div style="display:flex;gap:4px">
+    <img id="isobj" width="148" height="148" title="object"
+         style="background:#101214;border:1px solid #2a2e35;border-radius:4px;display:none">
+    <img id="isimg" width="148" height="148" title="simulated image"
+         style="background:#101214;border:1px solid #2a2e35;border-radius:4px;display:none">
+  </div>
+  <div id="isinfo" style="font-size:11px;color:#9aa"></div>
   <h3>Aberrations
     <input type="number" id="sd-ap" placeholder="aperture" step="any"
       style="width:58px;font-size:11px" title="marginal-ray height at the stop">
@@ -546,6 +559,24 @@ async function doThroughFocus() {
       `peak at dz ${r.z_peak.toFixed(3)} · working f/${r.f_number.toFixed(2)}`;
     st('through-focus ok');
   } catch (e) { st('through-focus failed: ' + e); }
+}
+async function doImageSim() {
+  st('simulating image (field-varying PSF)…');
+  try {
+    const fields = ($('is-fields').value || '0')
+      .split(',').map(s => +s.trim()).filter(v => !isNaN(v));
+    const r = await post('/api/image_sim', {fields});
+    if (r.error) { st('image sim: ' + r.error); return; }
+    const o = $('isobj'), m = $('isimg');
+    o.src = 'data:image/png;base64,' + r.object_png;
+    m.src = 'data:image/png;base64,' + r.image_png;
+    o.style.display = m.style.display = 'block';
+    $('isinfo').textContent =
+      `f/${r.f_number.toFixed(2)} · image heights ` +
+      r.centers_y.map(v => v.toFixed(2)).join('/') + ' · MTF50 ' +
+      r.mtf50.map(v => v.toFixed(0)).join('/') + ' cyc/mm';
+    st('image sim ok');
+  } catch (e) { st('image sim failed: ' + e); }
 }
 async function doSeidel() {
   st('seidel…');

@@ -435,6 +435,82 @@ class Workbench:
                 'peaks': [float(v) for v in peaks],
                 'dx': float(dxi)}
 
+    def image_sim(self, fields=(0.0, 0.05, 0.1), res=40, n_img=224,
+                  wavelength=0.5876, crop=64, edge_deg=5.0):
+        """Extended-scene image simulation: a slanted-edge + three-bar
+        target blurred with the FIELD-VARYING PSF interpolation
+        (utils/imaging.py::field_psf_grid + convolve_psf_varying — one
+        batched trace builds per-field pupil maps aimed through the
+        stop).  Returns object|image PNGs side by side, the traced
+        f-number and image heights, and per-field MTF50 measured off
+        the blurred edge (utils/mtf.py::slanted_edge_mtf)."""
+        if not self.scene.sequential:
+            raise ValueError("image simulation needs a sequential scene")
+        from ..utils.imaging import (convolve_psf, convolve_psf_varying,
+                                     field_psf_grid)
+        from ..utils.mtf import mtf50, slanted_edge_mtf
+        if self.scene.bundles:
+            k1, _ = jax.random.split(self.key)
+            rays = self.scene.sample_rays(k1)
+            r_p = float(np.sqrt(np.asarray(rays.px) ** 2
+                                + np.asarray(rays.py) ** 2).max())
+        else:
+            r_p = 0.0
+        if r_p < 1e-6:
+            raise ValueError("add a collimated (disk) bundle first — "
+                             "its footprint sizes the pupil")
+        fields = [float(f) for f in fields]
+        grid = field_psf_grid(self.scene, self.params, fields,
+                              aperture_radius=r_p,
+                              wavelengths=[float(wavelength)],
+                              n_grid=int(res), n_rays=12000,
+                              key=self.key)
+        dx = float(grid.dx)
+        n = int(n_img)
+        crop = min(int(crop), grid.psfs.shape[-1])
+        psfs = grid.cropped(crop)
+
+        ax = np.arange(n) - (n - 1) / 2.0
+        a = np.deg2rad(float(edge_deg))
+        s = ax[None, :] * np.cos(a) - ax[:, None] * np.sin(a)
+        obj = (s > 0).astype(np.float32)
+        for gi, pitch_px in enumerate((8, 5, 3)):
+            y0 = int(n * (0.2 + 0.22 * gi))
+            for k in range(3):
+                lo = y0 + 2 * k * pitch_px
+                obj[lo:lo + pitch_px, int(n * 0.1):int(n * 0.3)] = 1.0
+        obj_j = jnp.asarray(obj)
+
+        cy = np.abs(np.asarray(grid.centers)[:, 1])
+        axm = (jnp.arange(n) - (n - 1) / 2.0) * dx
+        mid = cy[len(cy) // 2]
+        coord = jnp.sqrt((axm[None, :] + mid) ** 2 + axm[:, None] ** 2)
+        img = np.asarray(convolve_psf_varying(obj_j, psfs,
+                                              jnp.asarray(cy), coord))
+
+        m50 = []
+        ne = 160
+        se = np.arange(ne) - (ne - 1) / 2.0
+        edge = jnp.asarray((se[None, :] * np.cos(a)
+                            - se[:, None] * np.sin(a)) > 0,
+                           jnp.float32)
+        for fi in range(len(fields)):
+            em = convolve_psf(edge, psfs[fi])
+            fm, mm = slanted_edge_mtf(em, dx, float(edge_deg))
+            m50.append(float(mtf50(fm, mm)))
+
+        def png_of(m):
+            g = np.clip(m, 0.0, 1.0)
+            return base64.b64encode(
+                encode_rgb(g[::-1, :, None] * np.ones(3))).decode()
+
+        return {'object_png': png_of(obj), 'image_png': png_of(img),
+                'f_number': float(grid.f_number),
+                'centers_y': [float(v) for v in
+                              np.asarray(grid.centers)[:, 1]],
+                'mtf50': m50, 'dx': dx, 'fields': fields,
+                'res': n}
+
     def footprints(self, surface=None, max_points=1500):
         """Per-surface clearance table (utils/footprint.py) and,
         when ``surface`` names a row label, that surface's hit cloud
@@ -931,6 +1007,12 @@ def make_handler(wb: Workbench):
                     span=float(body.get('span', 0.5)),
                     n_planes=int(body.get('n_planes', 33)),
                     res=int(body.get('res', 48)),
+                    wavelength=float(body.get('wavelength', 0.5876)))
+            if p == '/api/image_sim':
+                return wb.image_sim(
+                    fields=body.get('fields', (0.0, 0.05, 0.1)),
+                    res=int(body.get('res', 40)),
+                    n_img=int(body.get('n_img', 224)),
                     wavelength=float(body.get('wavelength', 0.5876)))
             if p == '/api/seidel':
                 return wb.seidel(aperture=body.get('aperture'),

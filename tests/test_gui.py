@@ -421,6 +421,23 @@ def test_through_focus_endpoint(server):
     assert len(r['peaks']) == 17 and max(r['peaks']) > 0
 
 
+def test_image_sim_endpoint(server):
+    """/api/image_sim: extended-scene field-varying image simulation —
+    object + blurred-image PNGs, a sane f-number, one MTF50 per field,
+    image heights tracking the field slopes."""
+    import base64 as b64
+    base, _ = server
+    r = _post(base, '/api/image_sim',
+              {'fields': [0.0, 0.05], 'res': 24, 'n_img': 96})
+    assert r.get('error') is None, r
+    for k in ('object_png', 'image_png'):
+        assert b64.b64decode(r[k])[:8] == b'\x89PNG\r\n\x1a\n'
+    assert 1.5 < r['f_number'] < 4.0
+    assert len(r['mtf50']) == 2 and all(v > 0 for v in r['mtf50'])
+    assert abs(r['centers_y'][0]) < 0.2
+    assert r['centers_y'][1] > 0.2          # off-axis field lands high
+
+
 def test_seidel_endpoint(server):
     """/api/seidel: third-order aberration report of the live scene —
     per-surface rows, totals matching a direct utils/seidel.py call,
