@@ -54,8 +54,9 @@ from ..elements.grin import GrinRod
 from ..elements.ideal import IdealThinLens
 from ..elements.lens import (AsphericLens, CylSingletLens, FreeformLens,
                              ZernikeLens, _SphericLens)
-from ..elements.mirror import (AsphericMirror, ConicMirror, ParabolicMirror,
-                               SphericalMirror)
+from ..elements.mirror import (AsphericMirror, ConicMirror,
+                               CylindricalMirror, ManginMirror,
+                               ParabolicMirror, SphericalMirror)
 from ..elements.polarization import _JonesPlate
 from ..elements.sensor import SensorElement
 from ..geom.surfaces import ff_sag_grad, sag_z
@@ -483,6 +484,75 @@ def _wave_trace_core(scene, params, comps, dx, wavelength, z0,
             fold_o = zeta_cur + fold_s * te[2]
             fold_s = -fold_s
             continue
+        if isinstance(el, CylindricalMirror):
+            # axis-aligned cylinder mirror: the unfold machinery is
+            # identical to the rotationally-symmetric mirrors, the
+            # screen sag just depends on y only (curves in Y, invariant
+            # in X — elements/mirror.py:192, line focus at R/2 in y)
+            tilt = _tilt_term(p)
+            te = p['trans']
+            comps = hop(comps, te[2], n_cur)
+            xp, yp = x - te[0], y - te[1]
+            sag = sag_z(p['c'], jnp.sqrt(yp * yp + 1e-24))
+            sag = jnp.broadcast_to(sag, shape)
+            if tilt is not None:
+                sag = sag + tilt[0] * yp - tilt[1] * xp
+            comps = screen(comps, 2.0 * n_cur * fold_s * sag)
+            amp = _mirror_amp(el, p, n_cur, lam_um)
+            if amp is not None:
+                comps = _cscale(comps, amp)
+            if el._d_init > 0:
+                m = (xp * xp + yp * yp
+                     <= (p['d'] / 2.0) ** 2).astype(dt)
+                comps = scale(comps, m)
+            fold_o = zeta_cur + fold_s * te[2]
+            fold_s = -fold_s
+            continue
+        if isinstance(el, ManginMirror):
+            # silvered-back meniscus, one unfolded pass: refract in
+            # through the front face (thin screen (n_amb - n_g) sag1 —
+            # direction-independent, see the lens-branch comment), hop
+            # t IN GLASS to the back face, reflect there (2 n_g sag2
+            # round trip; a metal/coated back sees the GLASS as its
+            # ambient — elements/mirror.py:395), fold, hop back through
+            # the glass and refract out through the front face again.
+            # The glass path between the faces is real propagation, so
+            # the classic Mangin spherical-aberration correction shows
+            # up in the wave focus.  ior_glass is used as-is (the
+            # element has no dispersion model).
+            if fold_s < 0:
+                raise NotImplementedError(
+                    'wave_trace: a Mangin mirror behind an odd '
+                    'mirror-fold count would be traversed back-face '
+                    'first — trace rays instead')
+            tilt = _tilt_term(p)
+            te = p['trans']
+            xp, yp = x - te[0], y - te[1]
+            r2m = xp * xp + yp * yp
+            n_g = p['ior_glass']
+            z1, z2 = te[2] - p['t'] / 2.0, te[2] + p['t'] / 2.0
+            rr = jnp.sqrt(r2m + 1e-24)
+            sag1 = jnp.broadcast_to(sag_z(p['c1'], rr), shape)
+            sag2 = jnp.broadcast_to(sag_z(p['c2'], rr), shape)
+            if tilt is not None:
+                th = tilt[0] * yp - tilt[1] * xp
+                sag1, sag2 = sag1 + th, sag2 + th
+            mask = (r2m <= (p['d'] / 2.0) ** 2).astype(dt)
+            comps = hop(comps, z1, n_cur)
+            comps = screen(comps, (n_cur - n_g) * sag1)
+            comps = scale(comps, mask)
+            comps = hop(comps, z2, n_g)
+            comps = screen(comps, 2.0 * n_g * fold_s * sag2)
+            amp = _mirror_amp(el, p, n_g, lam_um)
+            if amp is not None:
+                comps = _cscale(comps, amp)
+            comps = scale(comps, mask)
+            fold_o = zeta_cur + fold_s * z2
+            fold_s = -fold_s
+            comps = hop(comps, z1, n_g)
+            comps = screen(comps, (n_cur - n_g) * sag1)
+            comps = scale(comps, mask)
+            continue
         if isinstance(el, GrinRod):
             # Split-step BPM through the rod: the beam hops in the
             # uniform n0 reference medium and picks up a midpoint index
@@ -617,9 +687,9 @@ def _wave_trace_core(scene, params, comps, dx, wavelength, z0,
             return comps, te[2]
         raise NotImplementedError(
             f'wave_trace: no thin-screen model for '
-            f'{type(el).__name__} (off-axis/cyl/Mangin mirrors and '
-            'scatter have no axis-aligned thin screen) — '
-            'trace rays instead')
+            f'{type(el).__name__} (off-axis mirrors fold the axis '
+            'sideways and scatter is stochastic — neither has an '
+            'axis-aligned thin screen) — trace rays instead')
     return comps, (zeta_cur - fold_o) / fold_s
 
 
@@ -640,18 +710,20 @@ def wave_trace(scene, params, re, im, dx, wavelength, z0, n_ambient=1.0,
     is exactly doe_dir/phase_grid_dir's momentum kick; kinoform
     ``efficiency`` scales the amplitude by |sinc(lam0/lam - m)|),
     Circular/Rectangular/Elliptic apertures (binary masks, ``invert``
-    honored), axis-aligned Spherical/Parabolic/Conic/Aspheric mirrors
-    (unfolded — see module docstring; METAL mirrors reflect with the
-    coated stack's complex amplitude r so |E|^2 loses the true 1 - R
-    and picks up the phase-on-reflection, ideal ``metal=None`` mirrors
-    stay unit — the ray model's gate), GrinRod (true
-    split-step BPM inside the rod: ``el.n_steps`` midpoint index
-    screens between angular-spectrum hops in the n0 reference medium —
-    the same squared-index polynomial the RK4 ray model integrates),
-    and SensorElement (terminates the walk).  Polarization elements
-    need the vector entry point (:func:`wave_trace_vector`); anything
-    else — off-axis/cyl/Mangin mirrors, scatter — raises
-    NotImplementedError.
+    honored), axis-aligned Spherical/Parabolic/Conic/Aspheric/
+    Cylindrical mirrors (unfolded — see module docstring; METAL mirrors
+    reflect with the coated stack's complex amplitude r so |E|^2 loses
+    the true 1 - R and picks up the phase-on-reflection, ideal
+    ``metal=None`` mirrors stay unit — the ray model's gate),
+    ManginMirror (refract/in-glass hop/reflect/hop/refract in one
+    unfolded pass; its silvered back sees the glass as ambient),
+    GrinRod (true split-step BPM inside the rod: ``el.n_steps``
+    midpoint index screens between angular-spectrum hops in the n0
+    reference medium — the same squared-index polynomial the RK4 ray
+    model integrates), and SensorElement (terminates the walk).
+    Polarization elements need the vector entry point
+    (:func:`wave_trace_vector`); anything else — off-axis mirrors,
+    scatter — raises NotImplementedError.
 
     By default media use their design-wavelength params (``ior_glass``
     etc.) as-is; pass ``wavelength_um`` (the same micron value the ray

@@ -744,3 +744,81 @@ def test_scalar_trace_on_polarizer_raises():
     with pytest.raises(NotImplementedError):
         wave_trace(sc, sc.init_params(), re, jnp.zeros_like(re), 0.1,
                    WL, z0=0.0)
+
+
+def test_cyl_mirror_wave_line_focus(key):
+    """Axis-aligned CylindricalMirror (round-5: the mirror family's
+    last axis-aligned member in the wave trace): f = R/2 = 600 folds a
+    Gaussian into a LINE focus — y collapses to the diffraction width
+    ~lam f / (pi w0) while x keeps the launch intensity width w0/2, and
+    an ideal (metal=None) cylinder keeps unit flux."""
+    from raytracetorch_tpu import Scene
+    from raytracetorch_tpu.elements.mirror import CylindricalMirror
+    sc = Scene([
+        CylindricalMirror(c1=-1 / 1200, d=24.0,
+                          translation=[0, 0, 50.0], name='cm'),
+        SensorElement(radius=20.0, translation=[0, 0, -550.0],
+                      name='s')], n_bounces=6)
+    p = sc.init_params()
+    n, dx = 256, 0.06
+    ax = (jnp.arange(n) - n // 2) * dx
+    re = jnp.exp(-(ax[:, None] ** 2 + ax[None, :] ** 2) / 1.5 ** 2)
+    r1, i1, _ = wave_trace(sc, p, re, jnp.zeros_like(re), dx, WL,
+                           z0=1.0)
+    I = np.asarray(r1) ** 2 + np.asarray(i1) ** 2
+    axn = np.asarray(ax)
+    np.testing.assert_allclose(I.sum() / float(jnp.sum(re * re)), 1.0,
+                               atol=2e-4)          # ideal mirror: R = 1
+    # energy-in-band beats raw moments here: grid-edge aliasing leaves
+    # a 1e-4-energy far-field background whose r^2 weight inflates
+    # second moments (the documented crop-window trap)
+    frac_y = I[np.abs(axn) < 0.15, :].sum() / I.sum()
+    frac_x = I[:, np.abs(axn) < 0.15].sum() / I.sum()
+    assert frac_y > 0.98, frac_y    # line focus: y fully inside the band
+    assert frac_x < 0.25, frac_x    # x stays at the launch width
+
+
+def test_mangin_wave_matches_ray_focus_and_flux(key):
+    """ManginMirror in the wave trace (round-5): the unfolded
+    refract / in-glass hop / silvered-back reflect / refract pass.
+    The wave field focuses AT the ray model's best focus (width ~ the
+    diffraction scale, not the launch width) and the wave flux equals
+    the ray flux = R_Al evaluated with the GLASS as ambient (both
+    models, 4 decimals)."""
+    from raytracetorch_tpu import Scene
+    from raytracetorch_tpu.elements.mirror import ManginMirror
+
+    def scene(z_sensor):
+        return Scene([
+            ManginMirror(c1=-1 / 750, c2=-1 / 600, d=24.0, t=4.0,
+                         ior_glass=1.5, metal='Al',
+                         translation=[0, 0, 60.0], name='m'),
+            SensorElement(radius=20.0, translation=[0, 0, z_sensor],
+                          name='s')], n_bounces=6)
+
+    sc = scene(0.5)
+    p = sc.init_params()
+    rays = CollimatedDisk.make(radius=jnp.float32(4.0),
+                               translation=[0, 0, 1.0]).sample(key, 8000)
+    out, sens, _ = sc.simulate(p, rays, key)
+    z_f = float(best_focus(out)[2])
+    f_ray = float(sens.total_weight(0)[0]) / 8000.0
+    assert -230.0 < z_f < -195.0    # the glass path shifts the focus
+
+    sc2 = scene(z_f)
+    p2 = sc2.init_params()
+    n, dx = 512, 0.02
+    ax = (jnp.arange(n) - n // 2) * dx
+    re = jnp.exp(-(ax[:, None] ** 2 + ax[None, :] ** 2) / 2.0 ** 2)
+    r1, i1, _ = wave_trace(sc2, p2, re, jnp.zeros_like(re), dx, WL,
+                           z0=1.0)
+    I = np.asarray(r1) ** 2 + np.asarray(i1) ** 2
+    f_wave = I.sum() / float(jnp.sum(re * re))
+    np.testing.assert_allclose(f_wave, f_ray, atol=2e-3)
+    # energy-in-bucket (see the cyl test's moment-inflation note): the
+    # launch beam (intensity width 1.0) has ~0.9% of its power in
+    # r < 0.15; the focused field has ~all of it
+    rr = np.sqrt(np.asarray(ax)[:, None] ** 2
+                 + np.asarray(ax)[None, :] ** 2)
+    frac = I[rr < 0.15].sum() / I.sum()
+    assert frac > 0.98, frac
