@@ -77,5 +77,6 @@ from .utils.wavefront import best_focus, interferogram, wavefront_rms
 from .utils.propagation import (angular_spectrum, fresnel_transfer,
                                 through_focus_psf)
 from .utils.beamprop import wave_trace
+from .utils.phase_retrieval import phase_diversity
 
 __version__ = '0.1.0'

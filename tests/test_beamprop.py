@@ -822,3 +822,91 @@ def test_mangin_wave_matches_ray_focus_and_flux(key):
                  + np.asarray(ax)[None, :] ** 2)
     frac = I[rr < 0.15].sum() / I.sum()
     assert frac > 0.98, frac
+
+
+def test_cassegrain_wave_end_to_end():
+    """Two-mirror classical Cassegrain (the example-29 prescription
+    scaled to the wave grid's sampling regime) wave-traced end to end:
+    the double unfold brings the field back through the primary's plane
+    to the design image surface.  Anchors that do not depend on the
+    (huge, f/80) depth of focus: plate scale — a field tilt theta lands
+    its image centroid at EFL*theta, cross-validated against the RAY
+    tracer's sensor centroid on the same prescription — flux
+    conservation through both ideal reflections, and energy-in-bucket
+    compactness at the design plane (2 Airy radii).  A second pass with
+    metal='Al' on both mirrors checks the wave amplitude model against
+    the ray model's polarization-averaged R_Al^2 flux.
+    """
+    from raytracetorch_tpu import ConicMirror, Rays
+
+    F1, SEP, MAG = 40.0, 30.0, 4.0
+    A = F1 - SEP                           # secondary -> prime focus
+    B = MAG * A                            # secondary -> image
+    C2 = (1.0 / B - 1.0 / A) / 2.0         # mirror equation, R2 < 0
+    K2 = -((MAG + 1.0) / (MAG - 1.0)) ** 2  # stigmatic hyperboloid
+    ZP, ZS = 40.0, 10.0
+    ZIMG = ZS + B                          # 50.0
+    EFL = MAG * F1                         # 160.0
+    TH = 2e-3                              # field angle, rad
+
+    def scene(metal=None):
+        return SequentialScene([
+            ConicMirror(c1=-1.0 / (2.0 * F1), k=-1.0, d=6.0, metal=metal,
+                        translation=[0, 0, ZP], name='primary'),
+            ConicMirror(c1=C2, k=K2, d=3.0, metal=metal,
+                        translation=[0, 0, ZS], name='secondary'),
+            SensorElement(radius=2.0, translation=[0, 0, ZIMG],
+                          name='img')])
+
+    # -- ray reference: tilted collimated disk -> sensor centroid/flux
+    def ray_centroid_flux(metal):
+        sc = scene(metal)
+        p = sc.init_params()
+        rng = np.random.default_rng(3)
+        r = np.sqrt(rng.uniform(0.04, 1.0, 4000))
+        az = rng.uniform(0.0, 2 * np.pi, 4000)
+        pos = np.stack([r * np.cos(az), r * np.sin(az),
+                        np.zeros_like(r)], -1)
+        d = np.tile([np.sin(TH), 0.0, np.cos(TH)], (4000, 1))
+        rays = Rays.create(pos, d, wavelength=WL * 1e3)  # mm -> um
+        _, sens, _ = sc.simulate(p, rays, jax.random.PRNGKey(0))
+        cx, cy = np.asarray(sens.centroid(0))[0]
+        return float(cx), float(sens.total_weight(0)[0]) / 4000.0
+
+    cx_ray, flux_ray = ray_centroid_flux(None)
+    assert abs(abs(cx_ray) - EFL * TH) / (EFL * TH) < 0.02  # plate scale
+
+    # -- wave trace: same prescription, tilted plane wave on a disk
+    n, dx = 512, 0.008
+    ax = (jnp.arange(n) - n // 2) * dx
+    r2 = ax[:, None] ** 2 + ax[None, :] ** 2
+    disk = ((r2 <= 1.0) & (r2 >= 0.04)).astype(jnp.float32)
+    ph = 2.0 * jnp.pi * TH * ax[None, :] / WL      # tilt about y -> x ramp
+    re0, im0 = disk * jnp.cos(ph), disk * jnp.sin(ph)
+    p0 = float(jnp.sum(re0 * re0 + im0 * im0))
+
+    sc = scene(None)
+    r1, i1, z1 = wave_trace(sc, sc.init_params(), re0, im0, dx, WL, z0=0.0)
+    assert float(z1) == ZIMG
+    I = np.asarray(r1) ** 2 + np.asarray(i1) ** 2
+    assert abs(I.sum() / p0 - 1.0) < 2e-3          # ideal mirrors: R = 1
+
+    axn = np.asarray(ax)
+    cx_wave = float((I * axn[None, :]).sum() / I.sum())
+    cy_wave = float((I * axn[:, None]).sum() / I.sum())
+    assert abs(cx_wave - cx_ray) < 0.02            # same image point
+    assert abs(cy_wave) < 0.01
+
+    # compactness at the DESIGN plane: 2 Airy radii around the centroid
+    # (f/80 working beam -> r_airy = 1.22 lam EFL / (2 r_pupil) = 0.049)
+    rr = np.sqrt((axn[None, :] - cx_wave) ** 2 + (axn[:, None]) ** 2)
+    ee = I[rr < 0.098].sum() / I.sum()
+    assert ee > 0.7, ee
+
+    # -- aluminium mirrors: wave |r|^2 per bounce == ray R_Al^2 flux
+    _, flux_ray_al = ray_centroid_flux('Al')
+    sc_al = scene('Al')
+    r2_, i2_, _ = wave_trace(sc_al, sc_al.init_params(), re0, im0, dx,
+                             WL, z0=0.0)
+    flux_wave = float(jnp.sum(r2_ * r2_ + i2_ * i2_)) / p0
+    np.testing.assert_allclose(flux_wave, flux_ray_al, atol=2e-3)
