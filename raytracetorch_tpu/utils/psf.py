@@ -43,7 +43,16 @@ def _dft_mats(n_in, n_out, dtype=jnp.float32, alpha=1.0):
 
 
 def _mm(a, b):
-    return jnp.matmul(a, b, precision='highest')
+    """Wave-stack matmul.  Pinned to precision='highest' because the TPU
+    MXU's default single-pass bf16 destroys DFT chains (CLAUDE.md) — but
+    an EXPLICIT ``jax.default_matmul_precision(...)`` context wins: the
+    ambient config is part of the jit cache key, so e.g.
+    ``with jax.default_matmul_precision('BF16_BF16_F32_X3'):`` trades
+    ~2x MXU passes for ~2^-16 per-op rounding across the whole wave
+    stack (measured tradeoff in BASELINE.md)."""
+    import jax
+    pinned = jax.config.jax_default_matmul_precision is None
+    return jnp.matmul(a, b, precision='highest' if pinned else None)
 
 
 def dft2_intensity(re, im, n_out, alpha=1.0):

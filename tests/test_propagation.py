@@ -226,3 +226,24 @@ def test_radial_polarization_longitudinal_needle():
     Ixp = float(jnp.max(ex3[0] ** 2 + ex3[1] ** 2))
     Izp = float(jnp.max(zr3 ** 2 + zi3 ** 2))
     assert Izp < 0.05 * Ixp
+
+
+def test_matmul_precision_context_overrides_pinned_highest():
+    """The wave stack pins precision='highest' (the TPU MXU's default
+    single-pass bf16 destroys DFT chains) — but an explicit
+    jax.default_matmul_precision context must win, giving users the
+    standard speed/accuracy knob (psf.py::_mm; the config is part of
+    the jit cache key, so switching contexts re-traces).  On CPU every
+    precision is exact f32, so only agreement is asserted — the
+    measured TPU tradeoff lives in BASELINE.md."""
+    n, dx = 64, 0.02
+    ax = (jnp.arange(n) - n // 2) * dx
+    re = jnp.exp(-(ax[:, None] ** 2 + ax[None, :] ** 2))
+    im = jnp.zeros_like(re)
+    f = jax.jit(lambda r, i: angular_spectrum(r, i, dx, WL, 3.0))
+    r0, i0 = f(re, im)
+    with jax.default_matmul_precision('BF16_BF16_F32_X3'):
+        r3, i3 = f(re, im)
+    np.testing.assert_allclose(np.asarray(r3), np.asarray(r0),
+                               atol=5e-5)
+    assert jax.config.jax_default_matmul_precision is None  # restored
