@@ -130,6 +130,16 @@ INDEX_HTML = r"""<!DOCTYPE html>
   <img id="tfimg" width="300" height="160"
        style="background:#101214;border:1px solid #2a2e35;border-radius:4px;display:none">
   <div id="tfinfo" style="font-size:11px;color:#9aa"></div>
+  <h3>Phase retrieval
+    <input type="number" id="pr-ap" placeholder="pupil r" step="any"
+      style="width:52px;font-size:11px"
+      title="stop-down pupil radius (cold-start retrieval needs < ~lambda/2 of aberration)">
+    <button onclick="doPhaseRetrieval()" style="font-size:11px">refresh</button>
+  </h3>
+  <img id="primg" width="300" height="100"
+       style="background:#101214;border:1px solid #2a2e35;border-radius:4px;display:none">
+  <div id="prtab" style="font-size:11px"></div>
+  <div id="prinfo" style="font-size:11px;color:#9aa"></div>
   <h3>Image simulation
     <input type="text" id="is-fields" value="0, 0.05, 0.1"
       style="width:92px;font-size:11px"
@@ -559,6 +569,32 @@ async function doThroughFocus() {
       `peak at dz ${r.z_peak.toFixed(3)} · working f/${r.f_number.toFixed(2)}`;
     st('through-focus ok');
   } catch (e) { st('through-focus failed: ' + e); }
+}
+async function doPhaseRetrieval() {
+  st('phase diversity: rendering + retrieving…');
+  try {
+    const body = {};
+    if ($('pr-ap').value !== '') body.pupil_radius = +$('pr-ap').value;
+    const r = await post('/api/phase_retrieval', body);
+    if (r.error) { st('phase retrieval: ' + r.error); return; }
+    const img = $('primg');
+    img.src = 'data:image/png;base64,' + r.png;
+    img.style.display = 'block';
+    let h = '<table><tr><th style="text-align:left">term</th>' +
+      '<th>retrieved</th><th>fitted</th></tr>';
+    for (const row of r.rows.slice(0, 8))
+      h += `<tr><td style="text-align:left">${row.name}</td>` +
+        `<td>${row.retrieved.toFixed(3)}</td>` +
+        `<td>${row.fitted.toFixed(3)}</td></tr>`;
+    h += '</table>';
+    $('prtab').innerHTML = h;
+    $('prinfo').textContent =
+      `from images alone · f/${r.f_number.toFixed(2)} · pupil r ` +
+      `${r.pupil_radius.toPrecision(3)} · max err ` +
+      `${r.max_err_waves.toFixed(3)} waves` +
+      (r.converged ? '' : ' · NOT CONVERGED — stop down (pupil r)');
+    st('phase retrieval ' + (r.converged ? 'ok' : 'did not converge'));
+  } catch (e) { st('phase retrieval failed: ' + e); }
 }
 async function doImageSim() {
   st('simulating image (field-varying PSF)…');

@@ -435,6 +435,122 @@ class Workbench:
                 'peaks': [float(v) for v in peaks],
                 'dx': float(dxi)}
 
+    def phase_retrieval(self, res=32, n_planes=3, diversity_waves=1.5,
+                        wavelength=0.5876, n_terms=15, steps=300,
+                        noise=0.005, pupil_radius=None, pad=4):
+        """Phase-diversity wavefront-sensing demo on the CURRENT system
+        (utils/phase_retrieval.py): trace the pupil, render ``n_planes``
+        noisy through-focus images, then recover the wavefront from the
+        IMAGES alone and report retrieved vs directly-fitted Noll
+        coefficients.  ``pupil_radius`` stops the beam down (cold-start
+        retrieval converges below ~lambda/2 of aberration — fast wide-open
+        systems need stopping down, and the panel says so via
+        ``converged``); ``diversity_waves`` sets the end-plane defocus
+        in waves via W020 = z / (8 F#^2)."""
+        if not self.scene.bundles:
+            raise ValueError("add a bundle (ray source) first")
+        if not self.scene.sequential:
+            raise ValueError("phase retrieval needs a sequential scene")
+        from ..utils.phase_retrieval import phase_diversity
+        from ..utils.propagation import through_focus_psf
+        from ..utils.psf import pupil_from_trace
+        from ..utils.wavefront import zernike_basis, zernike_name
+        k1, k2 = jax.random.split(self.key)
+        rays = self.scene.sample_rays(k1)
+        r2_launch = np.asarray(rays.px) ** 2 + np.asarray(rays.py) ** 2
+        r_full = float(np.sqrt(r2_launch.max()))
+        if r_full < 1e-6:
+            raise ValueError("bundle has no pupil extent — use a "
+                             "collimated (disk) source")
+        r_p = float(pupil_radius) if pupil_radius else r_full
+        sel = jnp.asarray((r2_launch <= r_p * r_p).astype(np.float32))
+        out, _, aux = self.scene.simulate(self.params, rays, k2,
+                                          track_opl=True)
+        w = np.asarray(out.intensity) * np.asarray(sel)
+        if w.sum() <= 0:
+            raise ValueError("no rays inside pupil_radius reach the end")
+        # best focus of the SUB-pupil bundle: referencing a stopped-down
+        # pupil to the full bundle's focus would inject waves of defocus
+        # (an aberrated marginal focus is mm away from the paraxial one)
+        mk = w > 0
+        pos = np.asarray(out.pos)[mk]
+        dirs = np.asarray(out.dir)[mk]
+        proj = np.eye(3)[None] - dirs[:, :, None] * dirs[:, None, :]
+        focus = np.linalg.solve(proj.sum(0),
+                                np.einsum('nij,nj->ni', proj, pos).sum(0))
+        opd, amp = pupil_from_trace(rays, out, aux['opl'], r_p,
+                                    n=int(res), point=jnp.asarray(focus),
+                                    weights=out.intensity * sel)
+        dz_ = np.abs(np.asarray(out.dz))
+        slope = (np.sqrt(np.asarray(out.dx) ** 2 + np.asarray(out.dy) ** 2)
+                 / np.maximum(dz_, 1e-9))
+        u_marg = float(np.max(np.where(w > 0, slope, 0.0)))
+        if u_marg < 1e-9:
+            raise ValueError("beam leaves collimated — nothing focuses")
+        f_number = 1.0 / (2.0 * u_marg)
+        lam_mm = float(wavelength) * 1e-3
+        z_div = 8.0 * f_number ** 2 * lam_mm * float(diversity_waves)
+        zs = np.linspace(-z_div, z_div, int(n_planes))
+        clean, _ = through_focus_psf(opd, amp, lam_mm, f_number,
+                                     jnp.asarray(zs, jnp.float32),
+                                     pad=int(pad))
+        images = clean
+        if noise:
+            rng = np.random.default_rng(0)
+            images = jnp.asarray(
+                np.asarray(clean) + float(noise)
+                * float(np.asarray(clean).max())
+                * rng.standard_normal(clean.shape).astype(np.float32))
+        c_rec, loss_f, hist = phase_diversity(
+            images, amp, lam_mm, f_number, zs, n_terms=int(n_terms),
+            steps=int(steps), pad=int(pad))
+        # convergence is judged against the CLEAN stack (the panel made
+        # the measurement, so it can): the recovered model must explain
+        # the noiseless images far better than the zero-aberration one —
+        # unless the system is already so good there is nothing to fit.
+        # (A loss-drop test on the NOISY stack misreads the noise floor
+        # as failure for near-diffraction-limited systems.)
+        def _norm(s):
+            return np.asarray(s) / np.maximum(
+                np.asarray(s).sum(axis=(1, 2), keepdims=True), 1e-24)
+        from ..utils.phase_retrieval import zernike_pupil_basis
+        Zp = zernike_pupil_basis(int(res), int(n_terms))
+        rec_stack, _ = through_focus_psf(
+            Zp @ c_rec, amp, lam_mm, f_number,
+            jnp.asarray(zs, jnp.float32), pad=int(pad))
+        zero_stack, _ = through_focus_psf(
+            jnp.zeros_like(opd), amp, lam_mm, f_number,
+            jnp.asarray(zs, jnp.float32), pad=int(pad))
+        fit_err = float(((_norm(rec_stack) - _norm(clean)) ** 2).sum())
+        base_err = float(((_norm(zero_stack) - _norm(clean)) ** 2).sum())
+        converged = fit_err < max(0.1 * base_err, 1e-10)
+        # direct fit of the traced pupil for comparison
+        axp = (np.arange(int(res)) - (int(res) - 1) / 2.0) / (int(res) / 2.0)
+        X, Y = np.meshgrid(axp, axp, indexing='xy')
+        m = np.asarray(amp).ravel() > 0
+        Z = np.asarray(zernike_basis(jnp.asarray(X.ravel()[m]),
+                                     jnp.asarray(Y.ravel()[m]), 1.0,
+                                     int(n_terms)))
+        c_fit, *_ = np.linalg.lstsq(Z, np.asarray(opd).ravel()[m],
+                                    rcond=None)
+        rows = [{'j': j, 'name': zernike_name(j),
+                 'retrieved': float(c_rec[j - 1]) / lam_mm,
+                 'fitted': float(c_fit[j - 1]) / lam_mm}
+                for j in range(4, int(n_terms) + 1)]
+        err = np.abs(np.asarray(c_rec)[3:] - c_fit[3:]) / lam_mm
+        stack = np.asarray(images)
+        strip = np.concatenate(
+            [s / max(float(s.max()), 1e-24) for s in stack], axis=1)
+        rgb = np.sqrt(np.clip(strip, 0.0, 1.0))[..., None] * np.ones(3)
+        png = encode_rgb(rgb[::-1])
+        return {'png': base64.b64encode(png).decode(), 'rows': rows,
+                'max_err_waves': float(err.max()),
+                'f_number': f_number, 'pupil_radius': r_p,
+                'zs': [float(z) for z in zs],
+                'loss_drop': float(loss_f / max(float(hist[0]), 1e-24)),
+                'fit_err': fit_err, 'base_err': base_err,
+                'converged': bool(converged)}
+
     def image_sim(self, fields=(0.0, 0.05, 0.1), res=40, n_img=224,
                   wavelength=0.5876, crop=64, edge_deg=5.0):
         """Extended-scene image simulation: a slanted-edge + three-bar
@@ -1008,6 +1124,12 @@ def make_handler(wb: Workbench):
                     n_planes=int(body.get('n_planes', 33)),
                     res=int(body.get('res', 48)),
                     wavelength=float(body.get('wavelength', 0.5876)))
+            if p == '/api/phase_retrieval':
+                kw = {k: body[k] for k in
+                      ('res', 'n_planes', 'diversity_waves', 'wavelength',
+                       'n_terms', 'steps', 'noise', 'pupil_radius')
+                      if body.get(k) is not None}
+                return wb.phase_retrieval(**kw)
             if p == '/api/image_sim':
                 return wb.image_sim(
                     fields=body.get('fields', (0.0, 0.05, 0.1)),

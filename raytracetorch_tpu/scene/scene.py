@@ -77,6 +77,20 @@ class Scene:
     # -- parameters --------------------------------------------------------
 
     def init_params(self, dtype=jnp.float32):
+        # params are keyed by element NAME: a duplicate would silently
+        # alias two elements onto one slot (same pose, same curvatures —
+        # or a KeyError deep in build when the schemas differ).  Shared
+        # parameters are expressed by tying values in the pytree, not by
+        # name collisions, so reject them with an actionable message.
+        seen = {}
+        for el in self.elements:
+            if el.name in seen:
+                raise ValueError(
+                    f"duplicate element name '{el.name}' "
+                    f"({type(seen[el.name]).__name__} and "
+                    f"{type(el).__name__}): give each element a unique "
+                    f"name= (params are keyed by name)")
+            seen[el.name] = el
         return {el.name: el.init_params(dtype) for el in self.elements}
 
     def trainable(self):

@@ -289,3 +289,19 @@ def test_rect_and_ellipse_apertures(key):
     on, _, _ = scene.simulate(p, along_minor, key)
     assert float(om.intensity[0]) == 1.0
     assert float(on.intensity[0]) == 0.0
+
+
+def test_duplicate_element_names_rejected():
+    """Params are keyed by element name — a duplicate would silently
+    alias two elements onto one pytree slot (or KeyError deep in build
+    when schemas differ, as two default-named elements do over HTTP).
+    init_params must reject it with an actionable message."""
+    from raytracetorch_tpu import SensorElement, SequentialScene, SingletLens
+    sc = SequentialScene([
+        SingletLens(c1=0.05, c2=-0.05, d=10.0, t=3.0, ior_glass=1.5,
+                    name='element'),
+        SensorElement(radius=6.0, translation=[0, 0, 19.0],
+                      name='element')])
+    import pytest
+    with pytest.raises(ValueError, match='duplicate element name'):
+        sc.init_params()

@@ -421,6 +421,27 @@ def test_through_focus_endpoint(server):
     assert len(r['peaks']) == 17 and max(r['peaks']) > 0
 
 
+def test_phase_retrieval_endpoint(server):
+    """/api/phase_retrieval: phase-diversity wavefront sensing of the
+    current system — stopped down to r=1 the singlet's aberration is
+    inside the cold-start bound and the retrieval must CONVERGE, with
+    retrieved == directly-fitted Noll coefficients to a few
+    hundredths of a wave."""
+    import base64 as b64
+    base, _ = server
+    r = _post(base, '/api/phase_retrieval',
+              {'pupil_radius': 1.0, 'res': 24, 'steps': 250,
+               'n_terms': 11})
+    assert r.get('error') is None, r
+    png = b64.b64decode(r['png'])
+    assert png[:8] == b'\x89PNG\r\n\x1a\n'
+    assert r['converged'], r
+    assert r['max_err_waves'] < 0.05, r
+    assert len(r['rows']) == 8 and r['rows'][0]['name'] == 'defocus'
+    # the stopped-down f-number is r_full/r_p times slower
+    assert r['f_number'] > 6.0
+
+
 def test_image_sim_endpoint(server):
     """/api/image_sim: extended-scene field-varying image simulation —
     object + blurred-image PNGs, a sane f-number, one MTF50 per field,
