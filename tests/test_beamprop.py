@@ -910,3 +910,45 @@ def test_cassegrain_wave_end_to_end():
                              WL, z0=0.0)
     flux_wave = float(jnp.sum(r2_ * r2_ + i2_ * i2_)) / p0
     np.testing.assert_allclose(flux_wave, flux_ray_al, atol=2e-3)
+
+
+def test_wave_trace_vmaps_over_wavelength():
+    """The whole chromatic sweep is ONE jitted program: wave_trace's
+    wavelength (propagation scale) and wavelength_um (dispersion line)
+    both stay symbolic, so jax.vmap over the pair must reproduce the
+    per-line calls exactly — the polychromatic wave PSF without a host
+    loop (and the structure a TPU batches best: the DFT matmuls gain a
+    leading batch dim)."""
+    from raytracetorch_tpu import glass
+
+    gk = glass('N-BK7', model='sellmeier')
+    c, t = 0.02, 0.2
+    sc = SequentialScene([
+        SingletLens(c1=c, c2=-c, d=4.0, t=t, name='lens', **gk),
+        SensorElement(radius=2.0, translation=[0, 0, 37.0], name='s')])
+    p = sc.init_params()
+    n, dx, w0 = 128, 8e-3, 0.35
+    re, im = _gauss(n, dx, w0)
+
+    lams_um = jnp.asarray([0.4861, 0.5876, 0.6563])
+
+    def one(lam_um):
+        r, i, _ = wave_trace(sc, p, re, im, dx, lam_um * 1e-3,
+                             z0=-1.0, wavelength_um=lam_um)
+        return r, i
+
+    rs, is_ = jax.jit(jax.vmap(one))(lams_um)
+    assert rs.shape == (3, n, n)
+    # vmap batches the DFT matmuls -> different f32 accumulation order
+    # than the unbatched lowering; 1e-4 on O(1) fields is that floor
+    # (the round-4 note: f32 DFT chains disagree at ~1e-3 of O(1e3)
+    # spectral intermediates between lowerings)
+    for k in range(3):
+        r1, i1 = one(float(lams_um[k]))
+        np.testing.assert_allclose(np.asarray(rs[k]), np.asarray(r1),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(is_[k]), np.asarray(i1),
+                                   atol=1e-4)
+    # the three lines genuinely differ (axial color): field mismatch
+    # between F and C far exceeds the vmap tolerance
+    assert float(jnp.max(jnp.abs(rs[0] - rs[2]))) > 1e-2
