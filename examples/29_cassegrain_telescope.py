@@ -136,4 +136,40 @@ rms_z = float(s_z.spot_rms(0)[0])
 print(f'4. .zmx import: {[type(e).__name__ for e in imp.elements]} '
       f'-> on-axis RMS {rms_z:.2e} mm')
 assert rms_z < 1e-3
+
+# 5. the SAME two-mirror layout as a physical-optics trace: the wave
+#    layer unfolds both reflections and diffraction sets the spot.
+#    (Scaled to the wave grid's sampling regime: a thin phase screen
+#    needs >~2 samples per edge fringe, period lam*f1/r — the full
+#    f/0.83 primary above would need a ~16k^2 grid.  Same physics.)
+from raytracetorch_tpu.utils.beamprop import wave_trace
+
+F1w, SEPw, MAGw = 40.0, 30.0, 4.0
+Aw, Bw = F1w - SEPw, MAGw * (F1w - SEPw)
+from raytracetorch_tpu import ConicMirror
+wave_scene = SequentialScene([
+    ConicMirror(c1=-1.0 / (2 * F1w), k=-1.0, d=6.0,
+                translation=[0, 0, 40.0], name='primary'),
+    ConicMirror(c1=(1.0 / Bw - 1.0 / Aw) / 2.0,
+                k=-((MAGw + 1.0) / (MAGw - 1.0)) ** 2, d=3.0,
+                translation=[0, 0, 10.0], name='secondary'),
+    SensorElement(radius=2.0, translation=[0, 0, 10.0 + Bw], name='img')])
+pw = wave_scene.init_params()
+WLw = 0.5e-3
+nw, dxw = 512, 0.008
+axw = jnp.arange(nw) - nw // 2
+r2w = (axw[:, None] * dxw) ** 2 + (axw[None, :] * dxw) ** 2
+pupil = ((r2w <= 1.0) & (r2w >= 0.04)).astype(jnp.float32)  # annular
+rw, iw, zw = wave_trace(wave_scene, pw, pupil, jnp.zeros_like(pupil),
+                        dxw, WLw, z0=0.0)
+Iw = np.asarray(rw) ** 2 + np.asarray(iw) ** 2
+axn = np.asarray(axw) * dxw
+rr = np.sqrt(axn[None, :] ** 2 + axn[:, None] ** 2)
+r_airy = 1.22 * WLw * (MAGw * F1w) / 2.0   # EFL/(2*r_pupil) = f/80
+ee = Iw[rr < 2 * r_airy].sum() / Iw.sum()
+print(f'5. wave trace (f/80 scaled twin): image plane z = {float(zw):.0f}, '
+      f'flux {Iw.sum() / float(jnp.sum(pupil)):.4f}, '
+      f'EE(2 Airy radii) = {ee:.2f} — diffraction-limited, as the '
+      f'stigmatic design promises')
+assert ee > 0.7
 print('done.')
