@@ -35,6 +35,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ['phase_diversity', 'zernike_pupil_basis']
 
@@ -51,17 +52,20 @@ def zernike_pupil_basis(n, n_terms, dtype=jnp.float32):
     return (Z * mask[:, None]).reshape(n, n, n_terms)
 
 
-@partial(jax.jit, static_argnames=('n_terms', 'steps', 'pad', 'fit_tilt'))
+@partial(jax.jit, static_argnames=('n_terms', 'steps', 'pad', 'fit_tilt',
+                                   'active'))
 def _retrieve(images, amp, wavelength, f_number, zs, n_terms, steps,
-              lr, pad, fit_tilt, c0):
+              lr, pad, fit_tilt, c0, active=None):
     import optax
 
     n = amp.shape[0]
     Z = zernike_pupil_basis(n, n_terms, dtype=amp.dtype)
-    # piston is invisible to intensity; tilts optionally frozen too
+    # piston is invisible to intensity; tilts optionally frozen too;
+    # ``active`` (multiscale stages) freezes everything above Noll j=active
     frozen = 1 if fit_tilt else 3
-    mask = jnp.concatenate([jnp.zeros(min(frozen, n_terms)),
-                            jnp.ones(max(n_terms - frozen, 0))])
+    hi = n_terms if active is None else min(int(active), n_terms)
+    mask = jnp.where((jnp.arange(n_terms) >= frozen)
+                     & (jnp.arange(n_terms) < hi), 1.0, 0.0)
 
     # per-plane unit energy: detector gain/exposure drops out of the fit
     meas = images / jnp.maximum(
@@ -93,9 +97,33 @@ def _retrieve(images, amp, wavelength, f_number, zs, n_terms, steps,
     return c * mask, loss(c), hist
 
 
+@partial(jax.jit, static_argnames=('n_terms', 'pad'))
+def _grid_search(images, amp, wavelength, f_number, zs, n_terms, pad,
+                 cand):
+    """Loss of every candidate coefficient vector in ``cand``
+    [M, n_terms] (vmapped full renders) -> (best candidate, its loss)."""
+    n = amp.shape[0]
+    Z = zernike_pupil_basis(n, n_terms, dtype=amp.dtype)
+    meas = images / jnp.maximum(
+        jnp.sum(images, axis=(1, 2), keepdims=True), 1e-24)
+    from .propagation import through_focus_psf
+
+    def loss_of(c):
+        stack, _ = through_focus_psf(Z @ c, amp, wavelength, f_number,
+                                     zs, pad=pad)
+        stack = stack / jnp.maximum(
+            jnp.sum(stack, axis=(1, 2), keepdims=True), 1e-24)
+        d = stack - meas
+        return jnp.sum(d * d) * (pad * n) ** 2 / zs.shape[0]
+
+    ls = jax.vmap(loss_of)(cand)
+    i = jnp.argmin(ls)
+    return cand[i], ls[i]
+
+
 def phase_diversity(images, amp, wavelength, f_number, zs, n_terms=15,
                     steps=400, lr=None, pad=4, fit_tilt=True,
-                    coeffs0=None):
+                    coeffs0=None, multiscale=False):
     """Recover Noll-Zernike pupil-OPD coefficients from a through-focus
     intensity stack.
 
@@ -111,6 +139,16 @@ def phase_diversity(images, amp, wavelength, f_number, zs, n_terms=15,
     ``coeffs`` follow utils/wavefront.py::zernike_fit's convention
     (defocus = index 3, primary spherical = index 10); piston is 0 by
     construction, tilts too unless ``fit_tilt``.
+
+    ``multiscale=True`` extends the cold-start convergence bound
+    (~lambda/2 of aberration — beyond it adam parks in a wrapped
+    local optimum): a vmapped grid search over (defocus, primary
+    spherical) seeds the estimate — one batched render of a few
+    hundred candidate stacks, the TPU-friendly way to globalize the
+    two classically-dominant modes — then adam runs coarse-to-fine
+    (low Noll orders first, then all).  Measured: the 0.65-wave-SA
+    wide-open singlet that cold-start fails on converges to <0.03
+    waves (tests/test_phase_retrieval.py).
     """
     images = jnp.asarray(images)
     amp = jnp.asarray(amp)
@@ -128,8 +166,29 @@ def phase_diversity(images, amp, wavelength, f_number, zs, n_terms=15,
         lr = 0.03 * float(wavelength)
     c0 = (jnp.zeros(n_terms, amp.dtype) if coeffs0 is None
           else jnp.asarray(coeffs0, amp.dtype))
-    c, fl, hist = _retrieve(images, amp, jnp.asarray(wavelength),
-                            jnp.asarray(f_number), zs, int(n_terms),
+    wl = jnp.asarray(wavelength)
+    fno = jnp.asarray(f_number)
+    if multiscale:
+        # stage 0: global grid over the two dominant modes
+        lam = float(wavelength)
+        dgrid = np.linspace(-2.0, 2.0, 21) * lam        # defocus, j=4
+        sgrid = np.linspace(-1.0, 1.0, 13) * lam        # spherical, j=11
+        cand = np.tile(np.asarray(c0)[None], (len(dgrid) * len(sgrid), 1))
+        dd, ss = np.meshgrid(dgrid, sgrid, indexing='ij')
+        cand[:, 3] = np.asarray(c0)[3] + dd.ravel()
+        if n_terms >= 11:
+            cand[:, 10] = np.asarray(c0)[10] + ss.ravel()
+        c0, _ = _grid_search(images, amp, wl, fno, zs, int(n_terms),
+                             int(pad), jnp.asarray(cand, amp.dtype))
+        # stage 1: low orders only (through primary spherical)
+        c0, _, h1 = _retrieve(images, amp, wl, fno, zs, int(n_terms),
+                              int(steps), float(lr), int(pad),
+                              bool(fit_tilt), c0, active=11)
+        c, fl, h2 = _retrieve(images, amp, wl, fno, zs, int(n_terms),
+                              int(steps), float(lr), int(pad),
+                              bool(fit_tilt), c0)
+        return c, float(fl), jnp.concatenate([h1, h2])
+    c, fl, hist = _retrieve(images, amp, wl, fno, zs, int(n_terms),
                             int(steps), float(lr), int(pad),
                             bool(fit_tilt), c0)
     return c, float(fl), hist

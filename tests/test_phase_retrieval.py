@@ -117,3 +117,43 @@ def test_phase_diversity_matches_ray_zernike_fit():
                               steps=800)
     err = np.abs(np.asarray(c)[3:] - c_fit[3:]) / WL
     assert err.max() < 0.03, (err, c_fit / WL)
+
+
+def test_multiscale_converges_beyond_cold_start_bound():
+    """The wide-open (r=5) singlet carries ~0.65 waves of primary
+    spherical — measured to park a COLD-start retrieval in a wrapped
+    local optimum (max error ~0.4 waves; that measurement motivated the
+    r=3.5 stop-down in the test above).  multiscale=True (vmapped
+    (defocus, spherical) grid seed + coarse-to-fine adam) must crack
+    the same problem."""
+    from raytracetorch_tpu import (CollimatedDisk, SensorElement,
+                                   SequentialScene, SingletLens)
+    from raytracetorch_tpu.utils.psf import pupil_from_trace
+    from raytracetorch_tpu.utils.wavefront import zernike_basis
+
+    sc = SequentialScene([
+        SingletLens(c1=0.02, c2=-0.02, d=12.0, t=2.0, ior_glass=1.5,
+                    name='lens'),
+        SensorElement(radius=8.0, translation=[0, 0, 49.0], name='s')])
+    p = sc.init_params()
+    rays = CollimatedDisk.make(radius=5.0, translation=[0, 0, -5.0]) \
+        .sample(jax.random.PRNGKey(0), 20000)
+    out, _, aux = sc.simulate(p, rays, jax.random.PRNGKey(1),
+                              track_opl=True)
+    opd, amp = pupil_from_trace(rays, out, aux['opl'], 5.0, n=N)
+    ax = (np.arange(N) - (N - 1) / 2.0) / (N / 2.0)
+    X, Y = np.meshgrid(ax, ax, indexing='xy')
+    m = np.asarray(amp).ravel() > 0
+    Z = np.asarray(zernike_basis(jnp.asarray(X.ravel()[m]),
+                                 jnp.asarray(Y.ravel()[m]), 1.0, 22))
+    c_fit, *_ = np.linalg.lstsq(Z, np.asarray(opd).ravel()[m],
+                                rcond=None)
+    assert abs(c_fit[10]) > 0.5 * WL          # genuinely beyond the bound
+
+    fno = 49.0 / (2 * 5.0)
+    zs = (-0.1, 0.0, 0.1)                     # ~1.6 waves of diversity
+    images, _ = through_focus_psf(opd, amp, WL, fno, jnp.asarray(zs))
+    c, _, _ = phase_diversity(images, amp, WL, fno, zs, n_terms=22,
+                              steps=800, multiscale=True)
+    err = np.abs(np.asarray(c)[3:] - c_fit[3:]) / WL
+    assert err.max() < 0.05, (err, c_fit / WL)
