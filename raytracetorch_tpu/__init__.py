@@ -78,5 +78,6 @@ from .utils.propagation import (angular_spectrum, fresnel_transfer,
                                 through_focus_psf)
 from .utils.beamprop import wave_trace
 from .utils.phase_retrieval import phase_diversity
+from .utils.coherence import gsm_modes, incoherent_mode_sum
 
 __version__ = '0.1.0'
