@@ -79,5 +79,6 @@ from .utils.propagation import (angular_spectrum, fresnel_transfer,
 from .utils.beamprop import wave_trace
 from .utils.phase_retrieval import phase_diversity
 from .utils.coherence import gsm_modes, incoherent_mode_sum
+from .utils.turbulence import kolmogorov_screens, long_exposure_psf
 
 __version__ = '0.1.0'
