@@ -169,8 +169,24 @@ def phase_diversity(images, amp, wavelength, f_number, zs, n_terms=15,
     wl = jnp.asarray(wavelength)
     fno = jnp.asarray(f_number)
     if multiscale:
-        # stage 0: global grid over the two dominant modes
         lam = float(wavelength)
+        # stage 0a: seed TILTS from the most-focused plane's centroid.
+        # The L2 image-matching landscape has NO gradient once the
+        # model and measured PSFs stop overlapping, so a large tilt
+        # (e.g. atmospheric tip/tilt) must be seeded, not descended
+        # into.  Calibration: an x-tilt coefficient a (length units,
+        # unnormalized Noll basis) shifts the image by -2*pad*a/lam
+        # pixels along the same axis.
+        if fit_tilt:
+            j0 = int(np.argmin(np.abs(np.asarray(zs))))
+            img = np.asarray(images[j0])
+            g = np.arange(img.shape[0]) - img.shape[0] // 2
+            tot = max(float(img.sum()), 1e-24)
+            cx = float((img * g[None, :]).sum() / tot)
+            cy = float((img * g[:, None]).sum() / tot)
+            c0 = c0.at[1].add(-cx * lam / (2.0 * pad))
+            c0 = c0.at[2].add(-cy * lam / (2.0 * pad))
+        # stage 0b: global grid over the two dominant symmetric modes
         dgrid = np.linspace(-2.0, 2.0, 21) * lam        # defocus, j=4
         sgrid = np.linspace(-1.0, 1.0, 13) * lam        # spherical, j=11
         cand = np.tile(np.asarray(c0)[None], (len(dgrid) * len(sgrid), 1))
